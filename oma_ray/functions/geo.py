@@ -1,0 +1,263 @@
+"""Vectorized geometry kernels (numpy, int64 arithmetic).
+
+Semantic-parity notes reference /root/reference/de/kumakyoo/oma/:
+
+- coordinates are fixed-point ``int32 = degrees * 1e7`` quantized with
+  ``(int)(0.5 + 1e7 * deg)`` i.e. trunc-toward-zero (OSMXMLReader.java:75-77);
+- point-in-polygon is an integer ray cast with Java ``long`` truncating
+  division (Point.java:19-36);
+- bbox containment is inclusive on all edges (Bounds.java:58-61);
+- ring orientation test is the shoelace sum ``Σ (x2-x1)*(y2+y1) >= 0``
+  (Area.java:128-135);
+- ring closure requires >=3 points and first==last (Way.java:53-56).
+
+All kernels are batch-oriented: they take numpy arrays and are meant to run
+inside ``Dataset.map_batches`` bodies. No Python-level per-row loops on the
+point axis; loops only over polygon *edges* or candidate polygons (small).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from oma_ray import QUANT
+
+__all__ = [
+    "quantize",
+    "dequantize",
+    "trunc_div",
+    "points_in_ring",
+    "points_in_polygon",
+    "is_clockwise",
+    "ring_closed",
+    "bbox_contains",
+    "bbox_intersects",
+    "ring_bbox",
+    "cell_grid",
+    "cell_grid_decode",
+    "cell_morton",
+    "cell_hex",
+]
+
+
+def quantize(deg: np.ndarray) -> np.ndarray:
+    """Degrees → fixed-point int32, matching ``(int)(0.5+1e7*deg)``.
+
+    Java's ``(int)`` cast truncates toward zero (OSMXMLReader.java:75-77), so
+    e.g. -0.00000004° → trunc(0.1) → 0 and -1.0° → trunc(-9999999.5) →
+    -9999999.  ``np.trunc`` reproduces that exactly within float64 precision
+    (|deg|*1e7 <= 1.8e9 << 2^53).
+    """
+    deg = np.asarray(deg, dtype=np.float64)
+    return np.trunc(0.5 + QUANT * deg).astype(np.int32)
+
+
+def dequantize(fixed: np.ndarray) -> np.ndarray:
+    return np.asarray(fixed, dtype=np.float64) / QUANT
+
+
+def trunc_div(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """C/Java-style truncating integer division on int64 arrays.
+
+    numpy ``//`` floors; Java ``/`` on longs truncates toward zero
+    (load-bearing for ray-cast parity, Point.java:31).
+    """
+    num = np.asarray(num, dtype=np.int64)
+    den = np.asarray(den, dtype=np.int64)
+    q = num // den
+    r = num - q * den
+    return q + ((r != 0) & ((num < 0) != (den < 0)))
+
+
+def points_in_ring(
+    plon: np.ndarray,
+    plat: np.ndarray,
+    rlon: np.ndarray,
+    rlat: np.ndarray,
+    *,
+    edge_chunk: int = 4096,
+) -> np.ndarray:
+    """Vectorized integer ray cast of N points against one closed ring.
+
+    Exact parity with Point.inside (Point.java:19-36): iterate edges
+    ``(i, i+1)`` of the closed ring, skip horizontal edges, count a crossing
+    when ``(y1<=lat) != (lat<y2)`` and the truncated-division x-intersection
+    ``x1 + (x2-x1)*(lat-y1)/(y2-y1)`` is strictly left of the point.
+
+    Products fit int64: |x2-x1| <= 3.6e9, |lat-y1| <= 1.8e9 → <= 6.5e18 <
+    2^63.  Memory is bounded by chunking the edge axis.
+    """
+    plon = np.asarray(plon, dtype=np.int64)
+    plat = np.asarray(plat, dtype=np.int64)
+    rlon = np.asarray(rlon, dtype=np.int64)
+    rlat = np.asarray(rlat, dtype=np.int64)
+    n_edges = len(rlon) - 1
+    if n_edges < 2 or len(plon) == 0:
+        return np.zeros(len(plon), dtype=bool)
+
+    crossings = np.zeros(len(plon), dtype=np.int64)
+    lat = plat[:, None]
+    lon = plon[:, None]
+    for s in range(0, n_edges, edge_chunk):
+        e = min(s + edge_chunk, n_edges)
+        x1, y1 = rlon[s:e], rlat[s:e]
+        x2, y2 = rlon[s + 1 : e + 1], rlat[s + 1 : e + 1]
+        keep = y1 != y2
+        den = np.where(keep, y2 - y1, 1)
+        # Point.java:30 skips when (y1<=lat) != (lat<y2); a crossing is
+        # counted when the two predicates agree (upward or downward edge)
+        cross = (y1 <= lat) == (lat < y2)
+        xint = x1 + trunc_div((x2 - x1) * (lat - y1), den)
+        crossings += np.count_nonzero(cross & keep & (xint < lon), axis=1)
+    return (crossings & 1).astype(bool)
+
+
+def points_in_polygon(
+    plon: np.ndarray,
+    plat: np.ndarray,
+    outer: tuple[np.ndarray, np.ndarray],
+    holes: list[tuple[np.ndarray, np.ndarray]] | None = None,
+) -> np.ndarray:
+    """Point in (outer ring minus holes).  Holes use the same ray cast."""
+    inside = points_in_ring(plon, plat, outer[0], outer[1])
+    if holes:
+        for hlon, hlat in holes:
+            if not inside.any():
+                break
+            inside &= ~points_in_ring(plon, plat, hlon, hlat)
+    return inside
+
+
+def is_clockwise(rlon: np.ndarray, rlat: np.ndarray) -> bool:
+    """Shoelace-sign orientation: ``Σ (x2-x1)*(y2+y1) >= 0`` (Area.java:128-135).
+
+    The reference normalizes outer rings to satisfy this predicate and holes
+    to violate it (Area.java:112-126).
+    """
+    x = np.asarray(rlon, dtype=np.int64)
+    y = np.asarray(rlat, dtype=np.int64)
+    x2 = np.roll(x, -1)
+    y2 = np.roll(y, -1)
+    return int(((x2 - x) * (y2 + y)).sum()) >= 0
+
+
+def ring_closed(rlon: np.ndarray, rlat: np.ndarray) -> bool:
+    """Way.isClosed parity: >=3 points and first==last (Way.java:53-56)."""
+    return len(rlon) >= 3 and rlon[0] == rlon[-1] and rlat[0] == rlat[-1]
+
+
+def bbox_contains(
+    minlon: np.ndarray, minlat: np.ndarray, maxlon: np.ndarray, maxlat: np.ndarray,
+    lon: np.ndarray, lat: np.ndarray,
+) -> np.ndarray:
+    """Inclusive bbox containment (Bounds.java:58-61).  Broadcasts."""
+    return (lon >= minlon) & (lon <= maxlon) & (lat >= minlat) & (lat <= maxlat)
+
+
+def bbox_intersects(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Inclusive bbox intersection (Bounds.java:82-85).
+
+    ``a``/``b`` are (..., 4) arrays of (minlon, minlat, maxlon, maxlat).
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return (
+        (b[..., 2] >= a[..., 0])
+        & (b[..., 0] <= a[..., 2])
+        & (b[..., 3] >= a[..., 1])
+        & (b[..., 1] <= a[..., 3])
+    )
+
+
+def ring_bbox(rlon: np.ndarray, rlat: np.ndarray) -> tuple[int, int, int, int]:
+    return int(np.min(rlon)), int(np.min(rlat)), int(np.max(rlon)), int(np.max(rlat))
+
+
+# ---------------------------------------------------------------------------
+# Cell indexes.
+#
+# The north star calls for H3 res-7 / S2 level-13 cell ids.  Neither library
+# is available in this environment, so the engine ships three deterministic
+# pure-numpy schemes with the same *role* (hierarchical, roughly-equal-area at
+# fixed resolution, prefix-truncatable) and a pluggable seam — swap in real
+# h3/s2 bindings by replacing these functions:
+#
+# - cell_grid:   row-major equirectangular grid (SQL-expressible — used for
+#                the DuckDB-oracle-checked queries)
+# - cell_morton: same grid, Z-order (Morton) bit-interleaved id — locality-
+#                preserving like S2 level-13 (2^13 cells per axis ≈ 2.6 km at
+#                the equator); truncating low bits coarsens the cell.
+# - cell_hex:    axial hexagonal grid via cube-coordinate rounding — the
+#                H3-res-7-shaped scheme (hex cells, ~1.2 km edge at res 7).
+# ---------------------------------------------------------------------------
+
+def cell_grid(lon: np.ndarray, lat: np.ndarray, level: int = 13) -> np.ndarray:
+    """Row-major grid cell id: ``y_idx * 2^level + x_idx`` over the world bbox.
+
+    x_idx spans [0, 2^level) over lon ∈ [-180, 180]; same for lat over
+    [-90, 90] (so y cells are half the height of x cells' width).  Chosen to
+    be trivially expressible in ANSI SQL for oracle checking.
+    """
+    n = np.int64(1) << level
+    lon = np.asarray(lon, dtype=np.int64)
+    lat = np.asarray(lat, dtype=np.int64)
+    x = np.clip((lon + 1_800_000_000) * n // 3_600_000_001, 0, n - 1)
+    y = np.clip((lat + 900_000_000) * n // 1_800_000_001, 0, n - 1)
+    return (y * n + x).astype(np.int64)
+
+
+def cell_grid_decode(cell: np.ndarray, level: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id → (minlon, minlat, maxlon, maxlat) is derivable; returns (x, y)."""
+    n = np.int64(1) << level
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell % n, cell // n
+
+
+def _interleave_bits(v: np.ndarray, level: int) -> np.ndarray:
+    """Spread the low ``level`` bits of v so bit i lands at position 2i."""
+    out = np.zeros_like(v)
+    for i in range(level):
+        out |= ((v >> i) & 1) << (2 * i)
+    return out
+
+
+def cell_morton(lon: np.ndarray, lat: np.ndarray, level: int = 13) -> np.ndarray:
+    """Z-order (Morton) cell id at ``level`` bits per axis (S2-level-13 stand-in).
+
+    Locality preserving: nearby points share id prefixes; ``cell >> 2k``
+    coarsens by k levels.  uint64 result.
+    """
+    x, y = cell_grid_decode(cell_grid(lon, lat, level), level)
+    return (
+        _interleave_bits(x.astype(np.int64), level)
+        | (_interleave_bits(y.astype(np.int64), level) << 1)
+    ).astype(np.uint64)
+
+
+def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
+    """Axial hex-grid cell id (H3-res-7 stand-in), vectorized cube rounding.
+
+    Pointy-top hexes in equirectangular lon/lat space with edge size
+    ``360° / (7 * 2^res)`` degrees (≈0.4° at res 7 → ~45 km; res is
+    pluggable).  Returns uint64 ``(q + 2^31) << 32 | (r + 2^31)``.
+    """
+    size = 3_600_000_000.0 / (7 * (1 << res))
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    qf = (np.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
+    rf = (2.0 / 3.0 * y) / size
+    # cube rounding
+    sf = -qf - rf
+    q = np.round(qf)
+    r = np.round(rf)
+    s = np.round(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    qi = q.astype(np.int64) + (1 << 31)
+    ri = r.astype(np.int64) + (1 << 31)
+    return ((qi.astype(np.uint64)) << np.uint64(32)) | ri.astype(np.uint64)

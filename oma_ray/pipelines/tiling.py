@@ -1,0 +1,199 @@
+"""Flagship pipeline: pages → geo-parse → cells → tile assign → PIP join →
+partitioned write with lineage + manifest.
+
+This is the Ray-Data re-expression of Oma's three-stage dataflow
+(Oma.java:43-47): Reunify's denormalization becomes the geo-parse +
+broadcast-index joins, ChunkGenerator's first-containing-bbox scatter becomes
+the vectorized ``TileAssign`` stage, and the chunk table becomes a partition
+manifest.  Everything streams: no stage materializes the dataset; the only
+driver-side materialization is the small per-tile summary aggregate.
+
+Scale notes (100 TB design):
+- the bbs grid and polygon index are broadcast once (``ray.put``) and fetched
+  once per actor — never re-shipped per batch;
+- the wide ``html`` column is dropped right after geo-parse so the rest of
+  the pipeline (and any shuffle) only moves narrow columns + ``text``;
+- output is partitioned parquet by ``tile_bucket`` (tile_id hashed into a
+  bounded number of directories) so no single tile produces a giant file and
+  hot tiles spread across files;
+- resume shards over input *files* (at cluster scale: file groups), each
+  shard writing its own directory + manifest entry (see state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from oma_ray.stages.geo_parse import GeoParse
+from oma_ray.stages.pip import PolygonIndex
+from oma_ray.stages.tiles import BbsGrid
+from oma_ray.state.manifest import Manifest, lineage_id
+from oma_ray.synth import default_bbs_text, parse_bbs, synth_admin_polygons
+
+
+def default_grid() -> BbsGrid:
+    return BbsGrid(parse_bbs(default_bbs_text()))
+
+
+def default_polygons(n: int = 200) -> PolygonIndex:
+    return PolygonIndex(synth_admin_polygons(n))
+
+
+def build_tiling_pipeline(
+    pages_ds,
+    grid_ref,
+    poly_ref,
+    *,
+    pip_concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 8192,
+    drop_html: bool = True,
+    lineage: str | None = None,
+):
+    """pages Dataset → tiled+joined Dataset (lazy).
+
+    ``grid_ref`` / ``poly_ref`` are ``ray.put`` refs (or the objects
+    themselves for unit tests).  Appends lon/lat, cell ids, tile_id,
+    admin_id, tile_bucket and (optionally) a constant ``lineage`` column.
+    """
+    from oma_ray.stages.spatial import SpatialJoin
+
+    ds = pages_ds.map_batches(GeoParse(), batch_format="pyarrow", batch_size=batch_size)
+    if drop_html:
+        ds = ds.drop_columns(["html"])
+    # ONE actor pool for all index lookups (min size 1 so a small cluster's
+    # read stage is never starved); indexes fetched once per actor
+    ds = ds.map_batches(
+        SpatialJoin,
+        fn_constructor_args=(grid_ref, poly_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pip_concurrency,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tile = batch.column("tile_id").to_numpy(zero_copy_only=False)
+        bucket = (tile.astype(np.int64) % 64).astype(np.int32)
+        batch = batch.append_column("tile_bucket", pa.array(bucket, type=pa.int32()))
+        if lineage is not None:
+            batch = batch.append_column(
+                "lineage", pa.array([lineage] * len(batch), type=pa.string())
+            )
+        return batch
+
+    return ds.map_batches(finalize, batch_format="pyarrow", batch_size=batch_size)
+
+
+def tile_summary(ds):
+    """Per-tile metrics: page count + matched-to-admin count (small result).
+
+    Pre-aggregates inside map_batches (one partial row per tile per batch)
+    before the groupby so the shuffle moves O(tiles), not O(rows)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        tile = batch.column("tile_id").to_numpy(zero_copy_only=False)
+        admin = batch.column("admin_id").to_numpy(zero_copy_only=False)
+        tiles, inv = np.unique(tile, return_inverse=True)
+        n = np.bincount(inv, minlength=len(tiles))
+        matched = np.bincount(inv, weights=(admin >= 0), minlength=len(tiles))
+        return pa.table(
+            {
+                "tile_id": pa.array(tiles, type=pa.int32()),
+                "n_pages": pa.array(n, type=pa.int64()),
+                "n_matched": pa.array(matched.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_matched", alias_name="n_matched"))
+    )
+
+
+def run_tiling(
+    sf_dir: str,
+    *,
+    replicate: int = 1,
+    n_polygons: int = 200,
+    out_dir: str | None = None,
+    pip_concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 8192,
+):
+    """End-to-end flagship run over the synthetic pages for ``sf_dir``.
+
+    Returns the per-tile summary Dataset.  When ``out_dir`` is given, also
+    writes the tiled pages as parquet partitioned by ``tile_bucket``.
+    """
+    import ray
+
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir, replicate=replicate)
+    grid_ref = ray.put(default_grid())
+    poly_ref = ray.put(default_polygons(n_polygons))
+    ds = build_tiling_pipeline(
+        pages, grid_ref, poly_ref,
+        pip_concurrency=pip_concurrency, batch_size=batch_size,
+    )
+    if out_dir is not None:
+        ds.write_parquet(out_dir, partition_cols=["tile_bucket"])
+        import ray.data as rd
+
+        ds = rd.read_parquet(out_dir)
+    return tile_summary(ds)
+
+
+def run_tiling_resumable(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    shard_size: int = 1,
+    n_polygons: int = 200,
+    replicate: int = 1,
+    pip_concurrency: int | tuple[int, int] = (1, 8),
+    fail_after_shards: int | None = None,
+):
+    """Resumable flagship: shard input files, one output dir + manifest entry
+    per shard; completed shards (by lineage id) are skipped on rerun.
+
+    ``fail_after_shards`` injects a crash after N shards (tests only).
+    Returns the manifest metrics dict.
+    """
+    import ray
+    import ray.data as rd
+
+    from oma_ray.synth import synth_pages_batch
+
+    man = Manifest(out_dir)
+    done = man.done_lineages()
+    grid_ref = ray.put(default_grid())
+    poly_ref = ray.put(default_polygons(n_polygons))
+
+    shards = [
+        input_files[i : i + shard_size] for i in range(0, len(input_files), shard_size)
+    ]
+    completed = 0
+    for si, shard in enumerate(shards):
+        lid = lineage_id(shard)
+        if lid in done:
+            continue
+        if fail_after_shards is not None and completed >= fail_after_shards:
+            raise RuntimeError(f"injected failure before shard {si}")
+        pages = rd.read_parquet(shard).map_batches(
+            lambda b: synth_pages_batch(b, replicate=replicate),
+            batch_format="pyarrow",
+        )
+        ds = build_tiling_pipeline(
+            pages, grid_ref, poly_ref,
+            pip_concurrency=pip_concurrency, lineage=lid,
+        )
+        shard_dir = f"{out_dir}/data/shard={lid}"
+        ds.write_parquet(shard_dir, partition_cols=["tile_bucket"])
+        counts = rd.read_parquet(shard_dir)
+        n_rows = counts.count()
+        man.mark_done(lid, shard=si, paths=shard, rows=n_rows, path=shard_dir)
+        completed += 1
+    return man.metrics()

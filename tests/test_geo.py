@@ -1,0 +1,139 @@
+"""Unit + property tests for the geometry kernels (reference parity)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oma_ray.functions.geo import (
+    bbox_contains,
+    cell_grid,
+    cell_hex,
+    cell_morton,
+    is_clockwise,
+    points_in_ring,
+    quantize,
+    ring_closed,
+    trunc_div,
+)
+
+
+def java_point_inside(lon, lat, ring):
+    """Scalar transliteration of Point.inside (Point.java:19-36) used as the
+    test oracle for the vectorized kernel."""
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if y1 == y2:
+            continue
+        if (y1 <= lat) != (lat < y2):
+            continue
+        num = (x2 - x1) * (lat - y1)
+        den = y2 - y1
+        q = abs(num) // abs(den)
+        if (num < 0) != (den < 0):
+            q = -q
+        if x1 + q < lon:
+            inside = not inside
+    return inside
+
+
+SQUARE = [(0, 0), (100, 0), (100, 100), (0, 100), (0, 0)]
+
+
+def test_square_basic():
+    pts = [(50, 50, True), (150, 50, False), (-1, 50, False), (50, -1, False)]
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    rlon = np.array([p[0] for p in SQUARE])
+    rlat = np.array([p[1] for p in SQUARE])
+    got = points_in_ring(lon, lat, rlon, rlat)
+    assert got.tolist() == [p[2] for p in pts]
+
+
+def test_edge_cases_match_java_oracle():
+    # points on edges / vertices — whatever Java does, we must do identically
+    ring = SQUARE
+    rlon = np.array([p[0] for p in ring])
+    rlat = np.array([p[1] for p in ring])
+    cases = [(0, 0), (0, 50), (100, 50), (50, 0), (50, 100), (100, 100), (0, 100), (100, 0)]
+    lon = np.array([c[0] for c in cases])
+    lat = np.array([c[1] for c in cases])
+    got = points_in_ring(lon, lat, rlon, rlat)
+    want = [java_point_inside(c[0], c[1], ring) for c in cases]
+    assert got.tolist() == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-1800, 1800), st.integers(-900, 900)),
+        min_size=3,
+        max_size=12,
+    ),
+    st.lists(st.tuples(st.integers(-2000, 2000), st.integers(-1000, 1000)),
+             min_size=1, max_size=20),
+)
+def test_pip_property_matches_scalar_oracle(verts, pts):
+    ring = [(x * 1_000_000, y * 1_000_000) for x, y in verts]
+    ring.append(ring[0])
+    rlon = np.array([p[0] for p in ring], dtype=np.int64)
+    rlat = np.array([p[1] for p in ring], dtype=np.int64)
+    lon = np.array([p[0] * 1_000_000 for p in pts], dtype=np.int64)
+    lat = np.array([p[1] * 1_000_000 for p in pts], dtype=np.int64)
+    got = points_in_ring(lon, lat, rlon, rlat)
+    want = [java_point_inside(lo, la, ring) for lo, la in zip(lon, lat)]
+    assert got.tolist() == want
+
+
+def test_trunc_div_matches_java():
+    num = np.array([7, -7, 7, -7, 1, -1, 6, -6], dtype=np.int64)
+    den = np.array([2, 2, -2, -2, 3, 3, 3, 3], dtype=np.int64)
+    assert trunc_div(num, den).tolist() == [3, -3, -3, 3, 0, 0, 2, -2]
+
+
+def test_quantize_matches_java_cast():
+    # (int)(0.5 + 1e7*deg) — trunc toward zero (OSMXMLReader.java:75-77)
+    degs = np.array([1.23456789, -1.23456789, 0.00000004, -0.00000004, -0.00000006])
+    assert quantize(degs).tolist() == [12345679, -12345678, 0, 0, 0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-1_800_000_000, 1_800_000_000))
+def test_quantize_roundtrip(fixed):
+    # format with 7 decimals → parse → quantize recovers the exact int
+    from oma_ray.synth import format_coord
+
+    s = format_coord(fixed)
+    assert quantize(np.array([float(s)]))[0] == fixed
+
+
+def test_orientation_and_closure():
+    rlon = np.array([p[0] for p in SQUARE])
+    rlat = np.array([p[1] for p in SQUARE])
+    assert ring_closed(rlon, rlat)
+    assert not ring_closed(rlon[:-1], rlat[:-1])
+    ccw = is_clockwise(rlon, rlat)
+    assert is_clockwise(rlon[::-1], rlat[::-1]) != ccw
+
+
+def test_bbox_contains_inclusive():
+    # Bounds.java:58-61 — all edges inclusive
+    got = bbox_contains(0, 0, 10, 10, np.array([0, 10, 11, 5]), np.array([0, 10, 5, -1]))
+    assert got.tolist() == [True, True, False, False]
+
+
+def test_cells_deterministic_and_in_range():
+    lon = np.array([-1_800_000_000, 0, 1_800_000_000, 139_700_000])
+    lat = np.array([-900_000_000, 0, 900_000_000, 35_690_000])
+    g = cell_grid(lon, lat)
+    assert (g >= 0).all() and (g < (1 << 26)).all()
+    m = cell_morton(lon, lat)
+    h = cell_hex(lon, lat)
+    assert (cell_grid(lon, lat) == g).all()
+    assert (cell_morton(lon, lat) == m).all()
+    assert (cell_hex(lon, lat) == h).all()
+    # nearby points share morton prefix after coarsening
+    m2 = cell_morton(lon + 1000, lat + 1000)
+    assert ((m >> np.uint64(8)) == (m2 >> np.uint64(8))).sum() >= 3

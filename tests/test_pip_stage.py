@@ -1,0 +1,84 @@
+"""PolygonIndex / PIPJoin: first-match, holes, nesting, skew hot spots."""
+
+import numpy as np
+
+from oma_ray.functions.geo import points_in_ring
+from oma_ray.stages.pip import PolygonIndex
+from oma_ray.synth import HOT_LAT, HOT_LON, synth_admin_polygons
+
+
+def scalar_lookup(polys, lon, lat):
+    """Scalar oracle: first polygon (table order) whose outer-minus-holes
+    contains the point — the engine's first-match contract."""
+    from tests.test_geo import java_point_inside
+
+    for i in range(len(polys["admin_id"])):
+        ring = list(zip(polys["ring_lon"][i], polys["ring_lat"][i]))
+        if not java_point_inside(lon, lat, ring):
+            continue
+        in_hole = False
+        for hl, ha in zip(polys["holes_lon"][i], polys["holes_lat"][i]):
+            if java_point_inside(lon, lat, list(zip(hl, ha))):
+                in_hole = True
+                break
+        if not in_hole:
+            return polys["admin_id"][i]
+    return -1
+
+
+def test_index_matches_scalar_oracle():
+    polys = synth_admin_polygons(60)
+    idx = PolygonIndex(polys)
+    rng = np.random.RandomState(7)
+    # sample points around polygon centroids + random globe points
+    lons, lats = [], []
+    for i in range(0, 60, 3):
+        cx = int(np.mean(polys["ring_lon"][i][:-1]))
+        cy = int(np.mean(polys["ring_lat"][i][:-1]))
+        for _ in range(5):
+            lons.append(cx + rng.randint(-60_000_000, 60_000_000))
+            lats.append(cy + rng.randint(-60_000_000, 60_000_000))
+    lons += list(rng.randint(-1_800_000_000, 1_800_000_000, 50))
+    lats += list(rng.randint(-900_000_000, 900_000_000, 50))
+    lon = np.array(lons, dtype=np.int64)
+    lat = np.array(lats, dtype=np.int64)
+    got_idx = idx.lookup(lon, lat)
+    got = np.where(got_idx >= 0, idx.admin_id[np.maximum(got_idx, 0)], -1)
+    want = [scalar_lookup(polys, lo, la) for lo, la in zip(lon, lat)]
+    assert got.tolist() == want
+
+
+def test_hole_excludes_center():
+    polys = {
+        "admin_id": [7],
+        "name": ["holey"],
+        "ring_lon": [[0, 1000, 1000, 0, 0]],
+        "ring_lat": [[0, 0, 1000, 1000, 0]],
+        "holes_lon": [[[400, 600, 600, 400, 400]]],
+        "holes_lat": [[[400, 400, 600, 600, 400]]],
+    }
+    idx = PolygonIndex(polys)
+    got = idx.lookup(np.array([500, 200]), np.array([500, 200]))
+    assert got.tolist() == [-1, 0]
+
+
+def test_nested_first_match_prefers_table_order():
+    # inner polygon listed FIRST → points inside both resolve to it
+    polys = {
+        "admin_id": [1, 2],
+        "name": ["inner", "outer"],
+        "ring_lon": [[400, 600, 600, 400, 400], [0, 1000, 1000, 0, 0]],
+        "ring_lat": [[400, 400, 600, 600, 400], [0, 0, 1000, 1000, 0]],
+        "holes_lon": [[], []],
+        "holes_lat": [[], []],
+    }
+    idx = PolygonIndex(polys)
+    got = idx.lookup(np.array([500, 100]), np.array([500, 100]))
+    assert idx.admin_id[got].tolist() == [1, 2]
+
+
+def test_hotspot_polygons_cover_cluster_centers():
+    polys = synth_admin_polygons(10)
+    idx = PolygonIndex(polys)
+    got = idx.lookup(HOT_LON.astype(np.int64), HOT_LAT.astype(np.int64))
+    assert (got == np.array([0, 1, 2])).all()
