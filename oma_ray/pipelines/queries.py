@@ -1,0 +1,768 @@
+"""Driver-facing query suite: each entry is a Ray Data pipeline over the
+testdata tables plus (where expressible) an exactly-matching DuckDB oracle.
+
+Cross-engine exactness strategy: every compared column is integer, string or
+timestamp — money becomes cents via ``FLOOR(x*100 + 0.5)`` (identical
+formula in numpy and SQL, so no rounding-mode mismatch), similarities are
+rounded to 9 dp before ranking and only integer ranks are compared.  All
+aggregates pre-aggregate inside ``map_batches`` (one partial row per key per
+batch) before the ``groupby`` shuffle — the shuffle moves O(keys), not
+O(rows) (ray guide "Aggregation at scale").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from oma_ray.synth import SQL_HAS_GEO, SQL_LAT, SQL_LON
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """FLOOR(v*100 + 0.5) — round-half-up, mirrored literally in SQL."""
+    return np.floor(np.asarray(v, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+SQL_CENTS = "CAST(FLOOR({c}*100 + 0.5) AS BIGINT)"
+
+
+def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str]):
+    """map_batches partial aggregation → small groupby of partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = partial_fn(batch)
+        agg = df.groupby(keys, as_index=False)[sum_cols].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+    )
+
+
+# --- q01: pricing summary (TPC-H Q1 shape; exercises filter + wide agg) -----
+
+def q01_pricing_summary(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00", "us")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = ship <= cutoff
+        e = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[m])
+        d = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False)[m])
+        t = _cents(batch.column("l_tax").to_numpy(zero_copy_only=False)[m])
+        q = _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False)[m])
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False)[m],
+                "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False)[m],
+                "sum_qty_c": q,
+                "sum_base_c": e,
+                "sum_disc_u": e * (100 - d),
+                "sum_charge_u": e * (100 - d) * (100 + t),
+                "count_order": np.ones(len(e), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(
+        ds, ["l_returnflag", "l_linestatus"], partial,
+        ["sum_qty_c", "sum_base_c", "sum_disc_u", "sum_charge_u", "count_order"],
+    )
+
+
+SQL_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+  SUM({SQL_CENTS.format(c='l_quantity')}) AS sum_qty_c,
+  SUM({SQL_CENTS.format(c='l_extendedprice')}) AS sum_base_c,
+  SUM({SQL_CENTS.format(c='l_extendedprice')} * (100 - {SQL_CENTS.format(c='l_discount')})) AS sum_disc_u,
+  SUM({SQL_CENTS.format(c='l_extendedprice')} * (100 - {SQL_CENTS.format(c='l_discount')})
+      * (100 + {SQL_CENTS.format(c='l_tax')})) AS sum_charge_u,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: filter + project --------------------------------------------------
+
+def q02_filter_project(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("o_orderstatus"), "O"),
+            pc.greater(batch.column("o_totalprice"), 400000.0),
+        )
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "total_c": pa.array(
+                    _cents(b.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q02 = f"""
+SELECT o_orderkey, o_custkey, {SQL_CENTS.format(c='o_totalprice')} AS total_c
+FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 400000.0
+"""
+
+
+# --- q03: broadcast + hash join + topk (TPC-H Q3 shape) ---------------------
+
+def q03_topk_revenue(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from oma_ray.stages.join import broadcast_join, hash_join
+
+    cutoff = np.datetime64("1998-01-01T00:00:00", "us")
+    # small side driver-read + broadcast: customers in segment
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pa.compute.less(b.column("o_orderdate"), pa.scalar(cutoff))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_join(
+        orders, ray.put(cust), keys="o_custkey", right_keys="c_custkey",
+        join_type="inner",
+    ).select_columns(["o_orderkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(ship > cutoff))
+        e = _cents(b.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        d = _cents(b.column("l_discount").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_u": pa.array(e * (100 - d), type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
+        num_partitions=16,
+    )
+    from ray.data.aggregate import Sum
+
+    per_order = (
+        joined.groupby("l_orderkey").aggregate(Sum("rev_u", alias_name="revenue_u"))
+    )
+    top = per_order.sort(
+        key=["revenue_u", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+    return top.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "revenue_u"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_Q03 = f"""
+SELECT l_orderkey AS o_orderkey,
+  SUM({SQL_CENTS.format(c='l_extendedprice')} * (100 - {SQL_CENTS.format(c='l_discount')})) AS revenue_u
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue_u DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- q04: global sort + topk ------------------------------------------------
+
+def q04_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_c": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .sort(key=["total_c", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_Q04 = f"""
+SELECT o_orderkey, {SQL_CENTS.format(c='o_totalprice')} AS total_c
+FROM orders ORDER BY total_c DESC, o_orderkey LIMIT 20
+"""
+
+
+# --- q05: multi-dim broadcast + hash join, grouped revenue ------------------
+
+def q05_region_revenue(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from oma_ray.stages.join import broadcast_join, hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey").join(
+        region, keys="n_regionkey", right_keys="r_regionkey"
+    ).select(["c_custkey", "r_name"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(
+        orders, ray.put(dim), keys="o_custkey", right_keys="c_custkey",
+        join_type="inner",
+    ).select_columns(["o_orderkey", "r_name"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        e = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        d = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev_u": pa.array(e * (100 - d), type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
+        num_partitions=16,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": batch.column("r_name").to_numpy(zero_copy_only=False),
+                "revenue_u": batch.column("rev_u").to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return _grouped_sums(joined, ["r_name"], partial, ["revenue_u"])
+
+
+SQL_Q05 = f"""
+SELECT r_name,
+  SUM({SQL_CENTS.format(c='l_extendedprice')} * (100 - {SQL_CENTS.format(c='l_discount')})) AS revenue_u
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- q06: scalar filtered aggregate -----------------------------------------
+
+def q06_revenue_forecast(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo = np.datetime64("1996-01-01T00:00:00", "us")
+    hi = np.datetime64("1997-01-01T00:00:00", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi) & (d >= 0.05) & (d <= 0.07) & (q < 24)
+        e_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[m])
+        d_c = _cents(d[m])
+        return pa.table({"revenue_u": pa.array([int((e_c * d_c).sum())], type=pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    total = partials.sum("revenue_u")
+    return pd.DataFrame({"revenue_u": [int(total)]})
+
+
+SQL_Q06 = f"""
+SELECT SUM({SQL_CENTS.format(c='l_extendedprice')} * {SQL_CENTS.format(c='l_discount')}) AS revenue_u
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# --- q07: tumbling window ---------------------------------------------------
+
+def q07_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.sessions import tumbling_window_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return tumbling_window_agg(ds, 3600)
+
+
+SQL_Q07 = f"""
+SELECT event_type,
+  (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+  COUNT(*) AS n_events,
+  SUM({SQL_CENTS.format(c='value')}) AS value_cents
+FROM events GROUP BY event_type, window_start
+"""
+
+
+# --- q08: sessionization (gap windows) --------------------------------------
+
+def q08_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.sessions import sessionize_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize_counts(ds, 1800)
+
+
+SQL_Q08 = """
+WITH x AS (
+  SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events)
+SELECT user_id,
+  COUNT(*) FILTER (WHERE prev IS NULL OR ts - prev > INTERVAL 1800 SECONDS) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+# --- q09: exact dedup (union + content-hash groupby) ------------------------
+
+def q09_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.add(batch.column("doc_id"), 1_000_000),
+                "text": batch.column("text"),
+            }
+        )
+
+    dup = docs.map_batches(shift, batch_format="pyarrow")
+    return exact_dedup(docs.union(dup))
+
+
+SQL_Q09 = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id
+FROM all_docs GROUP BY md5(text)
+"""
+
+
+# --- q10: per-doc text stats ------------------------------------------------
+
+def q10_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.textstage import TextStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TextStats(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars", "n_words", "n_tokens", "n_upper"]
+    )
+
+
+SQL_Q10 = r"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '\S+')) AS n_words,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+FROM documents
+"""
+
+
+# --- q11: grouped language stats --------------------------------------------
+
+def q11_lang_stats(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.functions.text import char_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+                "sum_chars": char_counts(batch.column("text"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+
+    return _grouped_sums(ds, ["lang"], partial, ["n_docs", "sum_chars"])
+
+
+SQL_Q11 = """
+SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --- q12: tile assignment (first-match grid, via full html geo-parse path) --
+
+def _grid10():
+    from oma_ray.stages.tiles import BbsGrid
+    from oma_ray.synth import parse_bbs
+
+    return BbsGrid(parse_bbs("-1800000000 1800000000 100000000 -900000000 900000000 100000000"))
+
+
+def q12_tile_counts(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.stages.tiles import TileAssign
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+    ds = pages.map_batches(GeoParse(), batch_format="pyarrow").drop_columns(["html"])
+    ds = ds.map_batches(
+        TileAssign,
+        fn_constructor_args=(ray.put(_grid10()),),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tile_id": batch.column("tile_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32),
+                "n_pages": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(ds, ["tile_id"], partial, ["n_pages"])
+
+
+SQL_Q12 = f"""
+WITH g AS (
+  SELECT doc_id AS id,
+    {SQL_LON.format(id='doc_id')} AS lon,
+    {SQL_LAT.format(id='doc_id')} AS lat,
+    {SQL_HAS_GEO.format(id='doc_id')} AS has_geo
+  FROM documents)
+-- no-geo rows take the engine's miss value len(boxes)=649 (648 grid boxes +
+-- world catch-all): parity with getFirstChunk's bounds.size() miss index
+SELECT CAST(CASE WHEN NOT has_geo THEN 649
+  ELSE (GREATEST(lon + 1800000000 - 1, 0) // 100000000) * 18
+       + (GREATEST(lat + 900000000 - 1, 0) // 100000000) END AS INTEGER) AS tile_id,
+  COUNT(*) AS n_pages
+FROM g GROUP BY 1
+"""
+
+
+# --- q13: cell index hot cells ----------------------------------------------
+
+def q13_cell_hotspots(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.cells import CellAssign
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+    ds = pages.map_batches(GeoParse(), batch_format="pyarrow").drop_columns(["html"])
+    ds = ds.map_batches(
+        CellAssign(which=("grid",)), batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cells = batch.column("cell_id")
+        valid = ~pa.compute.is_null(cells).to_numpy(zero_copy_only=False)
+        c = cells.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        return pd.DataFrame({"cell_id": c, "n_pages": np.ones(len(c), dtype=np.int64)})
+
+    grouped = _grouped_sums(ds, ["cell_id"], partial, ["n_pages"])
+    return grouped.sort(key=["n_pages", "cell_id"], descending=[True, False]).limit(50)
+
+
+SQL_Q13 = f"""
+WITH g AS (
+  SELECT {SQL_LON.format(id='doc_id')} AS lon, {SQL_LAT.format(id='doc_id')} AS lat
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+c AS (
+  SELECT ((lat + 900000000) * 8192 // 1800000001) * 8192
+         + ((lon + 1800000000) * 8192 // 3600000001) AS cell_id
+  FROM g)
+SELECT cell_id, COUNT(*) AS n_pages FROM c GROUP BY cell_id
+ORDER BY n_pages DESC, cell_id LIMIT 50
+"""
+
+
+# --- q14: spatial PIP join summary (not SQL-expressible → rows-only) --------
+
+def q14_admin_join(sf_dir: str):
+    import ray
+
+    from oma_ray.pipelines.tiling import default_grid, default_polygons, build_tiling_pipeline
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+    ds = build_tiling_pipeline(
+        pages, ray.put(default_grid()), ray.put(default_polygons()),
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "admin_id": batch.column("admin_id").to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(ds, ["admin_id"], partial, ["n_pages"])
+
+
+# --- q15: brute-force cosine kNN --------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t["vec_id"], n))
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    return ids, mat
+
+
+def q15_knn(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.knn import knn_cosine
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _query_vectors(sf_dir)
+    out = knn_cosine(ds, ids, mat, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_Q15 = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 9) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s) t
+WHERE rank <= 10
+"""
+
+
+# --- q16/q17: near-dup pairs (LSH; rows-only oracles) -----------------------
+
+def _docs_with_mutants(sf_dir: str):
+    """documents ∪ near-duplicate mutants (deterministic: every 5th doc gets
+    a copy with one appended token, id+1_000_000)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids % 5 == 0
+        texts = [
+            t + " zzz"
+            for t in batch.filter(pa.array(keep)).column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep] + 1_000_000, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return docs.union(docs.map_batches(mutate, batch_format="pyarrow"))
+
+
+def q16_minhash_pairs(sf_dir: str):
+    from oma_ray.stages.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        _docs_with_mutants(sf_dir), threshold=0.5
+    ).select_columns(["id_a", "id_b"])
+
+
+def q17_simhash_pairs(sf_dir: str):
+    from oma_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_mutants(sf_dir), max_hamming=3).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+# --- q18: embedding near-dup pairs (rows-only) ------------------------------
+
+def q18_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.knn import embedding_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def copy(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.compute.add(batch.column("vec_id"), 1_000_000),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    both = emb.union(emb.map_batches(copy, batch_format="pyarrow"))
+    return embedding_dup_pairs(both, threshold=0.999999).select_columns(["id_a", "id_b"])
+
+
+# --- q19: IVF approximate kNN (rows-only) -----------------------------------
+
+def q19_ivf_knn(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.knn import ivf_knn_cosine
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _query_vectors(sf_dir)
+    out = ivf_knn_cosine(ds, ids, mat, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# --- q20: language ID + quality (heuristic; rows-only) ----------------------
+
+def q20_langid_quality(sf_dir: str):
+    import ray.data as rd
+
+    from oma_ray.stages.textstage import TextStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats(extended=True), batch_format="pyarrow")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": batch.column("lang_pred"),
+                "quality_decile": pa.array(
+                    np.clip((q * 10).astype(np.int64), 0, 9), type=pa.int64()
+                ),
+                "fingerprint": batch.column("fingerprint"),
+            }
+        )
+
+    return out.map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_topk_revenue": q03_topk_revenue,
+    "q04_top_orders": q04_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_revenue_forecast": q06_revenue_forecast,
+    "q07_events_hourly": q07_events_hourly,
+    "q08_sessions": q08_sessions,
+    "q09_dedup_exact": q09_dedup_exact,
+    "q10_text_stats": q10_text_stats,
+    "q11_lang_stats": q11_lang_stats,
+    "q12_tile_counts": q12_tile_counts,
+    "q13_cell_hotspots": q13_cell_hotspots,
+    "q14_admin_join": q14_admin_join,
+    "q15_knn": q15_knn,
+    "q16_minhash_pairs": q16_minhash_pairs,
+    "q17_simhash_pairs": q17_simhash_pairs,
+    "q18_embedding_dups": q18_embedding_dups,
+    "q19_ivf_knn": q19_ivf_knn,
+    "q20_langid_quality": q20_langid_quality,
+}
+
+ORACLES = {
+    "q01_pricing_summary": SQL_Q01,
+    "q02_filter_project": SQL_Q02,
+    "q03_topk_revenue": SQL_Q03,
+    "q04_top_orders": SQL_Q04,
+    "q05_region_revenue": SQL_Q05,
+    "q06_revenue_forecast": SQL_Q06,
+    "q07_events_hourly": SQL_Q07,
+    "q08_sessions": SQL_Q08,
+    "q09_dedup_exact": SQL_Q09,
+    "q10_text_stats": SQL_Q10,
+    "q11_lang_stats": SQL_Q11,
+    "q12_tile_counts": SQL_Q12,
+    "q13_cell_hotspots": SQL_Q13,
+    "q15_knn": SQL_Q15,
+}

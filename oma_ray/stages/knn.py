@@ -1,0 +1,282 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_cosine`` — brute-force top-k: the query matrix is broadcast
+  (``ray.put``), each batch computes a (batch × queries) float64 matmul and
+  emits only its *batch-local* top-k rows per query (partial top-k), so the
+  final ``groupby(query_id)`` shuffles O(batches·k·queries) rows instead of
+  the full corpus.
+- ``ivf_knn_cosine`` — the scale path: a deterministic IVF coarse quantizer
+  (centroids = hash-chosen corpus vectors, refined with a few Lloyd
+  iterations driver-side on a sample) assigns each row to a cell in one
+  vectorized pass; queries probe only ``nprobe`` nearest cells.
+- ``embedding_dup_pairs`` — near-duplicate pairs by cosine ≥ τ using the
+  same cell blocking.
+
+Determinism: similarities are rounded to 9 dp and ties break on vec_id, so
+reruns and the DuckDB oracle (list_cosine_similarity) rank identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    lists = batch.column(col)
+    flat = lists.combine_chunks().flatten() if isinstance(
+        lists, pa.ChunkedArray
+    ) else lists.flatten()
+    arr = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+    return arr.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteKnn:
+    """Partial top-k per batch against the broadcast (normalized) queries."""
+
+    def __init__(self, queries_or_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        q = (
+            ray.get(queries_or_ref)
+            if isinstance(queries_or_ref, ray.ObjectRef)
+            else queries_or_ref
+        )
+        self.qids = np.asarray(q["query_id"], dtype=np.int64)
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, self.emb_col))
+        sims = m @ self.qm.T  # (batch, queries)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for j in range(len(self.qids)):
+            s = sims[:, j]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            out_q.append(np.full(len(top), self.qids[j], dtype=np.int64))
+            out_id.append(ids[top])
+            out_sim.append(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_sim).round(9), type=pa.float64()),
+            }
+        )
+
+
+def knn_cosine(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Global top-k cosine neighbours per query: (query_id, vec_id, rank, sim).
+
+    rank is 1-based ordered by (sim desc, vec_id asc) after 9-dp rounding.
+    """
+    import ray
+
+    qref = ray.put({"query_id": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    partial = ds.map_batches(
+        BruteKnn,
+        fn_constructor_args=(qref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["vec_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank", "sim"]]
+
+    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# --- IVF (scale path) -------------------------------------------------------
+
+def build_ivf_centroids(ds, n_centroids: int, emb_col: str = "embedding",
+                        sample_rows: int = 4096, iters: int = 5) -> np.ndarray:
+    """Deterministic coarse quantizer: take the first ``sample_rows`` rows
+    (stable read order), pick every (len/n)-th vector as seed, run a few
+    Lloyd iterations driver-side.  Returns normalized (n_centroids, d)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    step = max(1, len(m) // n_centroids)
+    c = m[::step][:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(len(c)):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+class IvfAssign:
+    def __init__(self, centroids_or_ref, id_col: str, emb_col: str):
+        import ray
+
+        c = (
+            ray.get(centroids_or_ref)
+            if isinstance(centroids_or_ref, ray.ObjectRef)
+            else centroids_or_ref
+        )
+        self.c = np.asarray(c, dtype=np.float64)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.emb_col))
+        cell = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell, type=pa.int32()))
+
+
+def ivf_knn_cosine(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF-bucketed approximate kNN: rows are assigned to cells once; each
+    query is searched only in its ``nprobe`` closest cells (vectorized filter
+    inside the same brute stage).  Recall < 1.0 by design; the brute path is
+    the exactness baseline."""
+    import ray
+
+    cents = build_ivf_centroids(ds, n_centroids, emb_col)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        IvfAssign,
+        fn_constructor_args=(cref, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    qref = ray.put(
+        {"query_id": np.asarray(query_ids), "matrix": qm, "probe": probe}
+    )
+
+    class ProbedKnn(BruteKnn):
+        def __init__(self, qor, k, id_col, emb_col):
+            import ray as _r
+
+            q = _r.get(qor) if isinstance(qor, _r.ObjectRef) else qor
+            super().__init__({"query_id": q["query_id"], "matrix": q["matrix"]},
+                             k, id_col, emb_col)
+            self.probe = q["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(self.id_col).to_numpy()
+            cells = batch.column("ivf_cell").to_numpy()
+            m = _normalize(_batch_matrix(batch, self.emb_col))
+            out_q, out_id, out_sim = [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(cells, self.probe[j])
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.qm[j]
+                sub = ids[mask]
+                kk = min(self.k, len(sub))
+                top = np.argpartition(-s, kk - 1)[:kk] if kk < len(sub) else np.arange(len(sub))
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_id.append(sub[top])
+                out_sim.append(s[top])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                    "sim": pa.array(np.concatenate(out_sim).round(9), type=pa.float64()),
+                }
+            )
+
+    partial = assigned.map_batches(
+        ProbedKnn,
+        fn_constructor_args=(qref, k, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["vec_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank", "sim"]]
+
+    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.98,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via IVF-cell
+    blocking: pairs are only compared within a cell (near-dups at ≥0.98
+    virtually always share the argmax centroid; boundary misses are the
+    approximation, as with any LSH blocking)."""
+    import ray
+
+    cents = build_ivf_centroids(ds, n_centroids, emb_col)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        IvfAssign,
+        fn_constructor_args=(cref, id_col, emb_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "sim": np.float64}
+            )
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        s = m @ m.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = s[a, b] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[a[keep]],
+                "id_b": ids[b[keep]],
+                "sim": s[a[keep], b[keep]].round(9),
+            }
+        )
+
+    return assigned.groupby("ivf_cell").map_groups(cell_pairs, batch_format="pandas")

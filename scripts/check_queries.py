@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's DuckDB conformance harness.
+
+Runs every ``queries()`` entry at the given sf dir; for entries with an
+oracle, compares row count, column names and order-insensitive values
+against DuckDB.  Usage: python scripts/check_queries.py [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(got)} rows in {dt:.1f}s")
+            n_pass += 1
+            continue
+        want = canon(con.sql(oracles[name]).df())
+        ok = len(got) == len(want) and list(got.columns) == list(want.columns)
+        if ok:
+            for c in got.columns:
+                g, w = got[c].to_numpy(), want[c].to_numpy()
+                if np.issubdtype(g.dtype, np.floating):
+                    same = np.allclose(g.astype(float), w.astype(float), atol=1e-9)
+                else:
+                    same = (g.astype(str) == w.astype(str)).all() if g.dtype == object else (g == w).all()
+                if not same:
+                    ok = False
+                    bad = np.nonzero(~(g == w) if g.dtype != object else ~(g.astype(str) == w.astype(str)))[0][:3]
+                    print(f"   col {c} mismatch at rows {bad}: got {g[bad]}, want {w[bad]}")
+                    break
+        else:
+            print(f"   shape: got {len(got)}x{list(got.columns)} want {len(want)}x{list(want.columns)}")
+        print(("PASS" if ok else "FAIL") + f" {name}: {len(got)} rows in {dt:.1f}s")
+        n_pass += ok
+        n_fail += not ok
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

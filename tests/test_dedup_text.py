@@ -1,0 +1,125 @@
+"""Dedup + text operator tests (sf0.001)."""
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keeps_min_id():
+    import ray.data as rd
+
+    from oma_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    dup = docs.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pa.compute.add(b.column("doc_id"), 10_000), "text": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = exact_dedup(docs.union(dup)).to_pandas()
+    assert len(out) == 500
+    assert (out["doc_id"] < 10_000).all()  # survivor is always the original
+
+
+def test_minhash_finds_planted_near_dups():
+    from oma_ray.pipelines.queries import _docs_with_mutants
+    from oma_ray.stages.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(_docs_with_mutants(SF), threshold=0.5).to_pandas()
+    planted = {(i, i + 1_000_000) for i in range(0, 500, 5)}
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # appended-token mutants share almost all shingles — expect near-total recall
+    recall = len(planted & found) / len(planted)
+    assert recall > 0.95, recall
+
+
+def test_simhash_banding_complete_vs_bruteforce():
+    """4×16-bit banding must find EXACTLY the Hamming≤3 pairs (pigeonhole:
+    d≤3 ⇒ some 16-bit band agrees), verified against an all-pairs scan."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.functions.text import hamming64, simhash64
+    from oma_ray.pipelines.queries import _docs_with_mutants
+    from oma_ray.stages.dedup import simhash_pairs
+
+    ds = _docs_with_mutants(SF)
+    rows = ds.to_pandas()
+    sigs = np.array([simhash64(t) for t in rows["text"]], dtype=np.uint64)
+    ids = rows["doc_id"].to_numpy()
+    a, b = np.triu_indices(len(ids), k=1)
+    d = hamming64(sigs[a], sigs[b])
+    keep = d <= 3
+    lo = np.minimum(ids[a[keep]], ids[b[keep]])
+    hi = np.maximum(ids[a[keep]], ids[b[keep]])
+    want = set(zip(lo, hi)) - {(x, x) for x in ids}  # distinct ids only
+    want = {(x, y) for x, y in want if x != y}
+
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert found == want, (len(found), len(want))
+
+
+def test_keep_first_union_find():
+    from oma_ray.stages.dedup import keep_first_from_pairs
+
+    pairs = [
+        {"id_a": 1, "id_b": 2},
+        {"id_a": 2, "id_b": 3},
+        {"id_a": 10, "id_b": 11},
+    ]
+    out = keep_first_from_pairs(pairs, np.array([1, 2, 3, 4, 10, 11]))
+    assert out.tolist() == [1, 4, 10]
+
+
+def test_knn_matches_full_numpy_oracle():
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from oma_ray.stages.knn import _normalize, knn_cosine
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = _normalize(np.stack(t["embedding"].to_pylist()).astype(np.float64))
+    qids = ids[:3]
+    qm = m[:3]
+    sims = np.round(m @ qm.T, 9)
+    want = {}
+    for j, qid in enumerate(qids):
+        order = sorted(zip(-sims[:, j], ids), key=lambda x: (x[0], x[1]))
+        want[qid] = [i for s, i in order if i != qid][:10]
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = knn_cosine(ds, qids, np.stack(t["embedding"].to_pylist())[:3], k=10).to_pandas()
+    for qid in qids:
+        g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == want[qid], qid
+
+
+def test_ivf_knn_high_recall_vs_brute():
+    import ray.data as rd
+
+    from oma_ray.pipelines.queries import _query_vectors
+    from oma_ray.stages.knn import ivf_knn_cosine, knn_cosine
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _query_vectors(SF, 3)
+    brute = knn_cosine(ds, ids, mat, k=10).to_pandas()
+    approx = ivf_knn_cosine(ds, ids, mat, k=10, n_centroids=8, nprobe=4).to_pandas()
+    b = set(zip(brute["query_id"], brute["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(a & b) / len(b) >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_text_kernels():
+    from oma_ray.functions.text import lang_id, simhash64, token_counts
+
+    arr = pa.array(["Hello, world! foo_bar 12", "the cat and the dog of it"])
+    assert token_counts(arr).to_pylist() == [6, 7]
+    langs = lang_id(pa.array(["the quick and the dead of it",
+                              "der hund und die katze ist da",
+                              "xyzzy qwerty"]))
+    assert langs == ["en", "de", "und"]
+    assert simhash64("a b c") == simhash64("a b c")
+    assert simhash64("a b c") != simhash64("x y z")

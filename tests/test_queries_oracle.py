@@ -1,0 +1,57 @@
+"""Fast oracle-conformance subset at sf0.001 (the driver runs the full suite
+at sf0.01; scripts/check_queries.py reproduces that locally)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SUBSET = [
+    "q01_pricing_summary",
+    "q04_top_orders",
+    "q07_events_hourly",
+    "q08_sessions",
+    "q09_dedup_exact",
+    "q10_text_stats",
+    "q12_tile_counts",
+    "q13_cell_hotspots",
+    "q15_knn",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, con):
+    from oma_ray.pipelines.queries import ORACLES, QUERIES
+
+    got = QUERIES[name](SF)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    got = canon(got)
+    want = canon(con.sql(ORACLES[name]).df())
+    assert len(got) == len(want), (len(got), len(want))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype == object or w.dtype == object:
+            assert (g.astype(str) == w.astype(str)).all(), c
+        else:
+            assert (g == w).all(), c
