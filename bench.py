@@ -1,0 +1,127 @@
+"""Benchmark harness.
+
+Plain run: executes the headline flagship pipeline (synthetic Common-Crawl
+pages at GRAFT_REPLICATE x documents rows → geo-parse → cell+tile+PIP
+spatial join → per-tile summary) plus a representative query subset over
+$GRAFT_SF_DIR, and prints ONE JSON line.
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and 32
+on the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the north_rule's N→4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "2000"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_topk_revenue",
+    "q07_events_hourly",
+    "q09_dedup_exact",
+    "q13_cell_hotspots",
+    "q15_knn",
+    "q16_minhash_pairs",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_pages = n_docs * REPLICATE
+
+    # warm the page cache so we measure compute+shuffle, not first disk read,
+    # and spin up the worker pool before any timer starts
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            f.read()
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4).map_batches(lambda b: b).count()
+
+    from oma_ray.pipelines.tiling import run_tiling
+
+    run_tiling(SF_DIR, replicate=1)  # untimed: builds indexes, warms workers
+
+    t0 = time.time()
+    summary = run_tiling(SF_DIR, replicate=REPLICATE)
+    headline = time.time() - t0
+    assert summary["n_pages"].sum() == n_pages, "row-count invariant"
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship tiling+spatial-join wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / headline),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8→32 cpus (N→4N evidence)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "pages": lo["pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

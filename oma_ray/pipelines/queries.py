@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from oma_ray.sources.parquet import read_parquet_clean
 from oma_ray.synth import SQL_HAS_GEO, SQL_LAT, SQL_LON
 
 
@@ -35,7 +36,8 @@ def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str]):
     def partial(batch: pa.Table) -> pa.Table:
         df = partial_fn(batch)
         agg = df.groupby(keys, as_index=False)[sum_cols].sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        from oma_ray.sources.parquet import from_pandas_clean
+        return from_pandas_clean(agg)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -47,9 +49,9 @@ def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str]):
 # --- q01: pricing summary (TPC-H Q1 shape; exercises filter + wide agg) -----
 
 def q01_pricing_summary(sf_dir: str):
-    import ray.data as rd
+    from oma_ray.sources.parquet import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -100,9 +102,9 @@ GROUP BY l_returnflag, l_linestatus
 
 def q02_filter_project(sf_dir: str):
     import pyarrow.compute as pc
-    import ray.data as rd
+    from oma_ray.sources.parquet import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
     )
@@ -149,7 +151,8 @@ def q03_topk_revenue(sf_dir: str):
     cust = cust.filter(pa.compute.equal(cust["c_mktsegment"], "BUILDING")).select(
         ["c_custkey"]
     )
-    orders = rd.read_parquet(
+    from oma_ray.sources.parquet import read_parquet_clean
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     orders = orders.map_batches(
@@ -163,7 +166,7 @@ def q03_topk_revenue(sf_dir: str):
         join_type="inner",
     ).select_columns(["o_orderkey"])
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -216,9 +219,9 @@ ORDER BY revenue_u DESC, o_orderkey LIMIT 10
 # --- q04: global sort + topk ------------------------------------------------
 
 def q04_top_orders(sf_dir: str):
-    import ray.data as rd
+    from oma_ray.sources.parquet import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
 
@@ -261,13 +264,14 @@ def q05_region_revenue(sf_dir: str):
         region, keys="n_regionkey", right_keys="r_regionkey"
     ).select(["c_custkey", "r_name"])
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    from oma_ray.sources.parquet import read_parquet_clean
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     orders = broadcast_join(
         orders, ray.put(dim), keys="o_custkey", right_keys="c_custkey",
         join_type="inner",
     ).select_columns(["o_orderkey", "r_name"])
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -314,9 +318,9 @@ GROUP BY r_name
 # --- q06: scalar filtered aggregate -----------------------------------------
 
 def q06_revenue_forecast(sf_dir: str):
-    import ray.data as rd
+    from oma_ray.sources.parquet import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
     )
@@ -353,7 +357,7 @@ def q07_events_hourly(sf_dir: str):
 
     from oma_ray.stages.sessions import tumbling_window_agg
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
     return tumbling_window_agg(ds, 3600)
@@ -375,7 +379,7 @@ def q08_sessions(sf_dir: str):
 
     from oma_ray.stages.sessions import sessionize_counts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return sessionize_counts(ds, 1800)
 
 
@@ -396,7 +400,7 @@ def q09_dedup_exact(sf_dir: str):
 
     from oma_ray.stages.dedup import exact_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -427,7 +431,7 @@ def q10_text_stats(sf_dir: str):
 
     from oma_ray.stages.textstage import TextStats
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(TextStats(), batch_format="pyarrow").select_columns(
         ["doc_id", "n_chars", "n_words", "n_tokens", "n_upper"]
     )
@@ -450,7 +454,7 @@ def q11_lang_stats(sf_dir: str):
 
     from oma_ray.functions.text import char_counts
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame(
@@ -605,7 +609,7 @@ def q15_knn(sf_dir: str):
 
     from oma_ray.stages.knn import knn_cosine
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids, mat = _query_vectors(sf_dir)
     out = knn_cosine(ds, ids, mat, k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
@@ -630,9 +634,9 @@ WHERE rank <= 10
 def _docs_with_mutants(sf_dir: str):
     """documents ∪ near-duplicate mutants (deterministic: every 5th doc gets
     a copy with one appended token, id+1_000_000)."""
-    import ray.data as rd
+    from oma_ray.sources.parquet import read_parquet_clean
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def mutate(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -674,7 +678,8 @@ def q18_embedding_dups(sf_dir: str):
 
     from oma_ray.stages.knn import embedding_dup_pairs
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from oma_ray.sources.parquet import read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def copy(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -695,7 +700,7 @@ def q19_ivf_knn(sf_dir: str):
 
     from oma_ray.stages.knn import ivf_knn_cosine
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids, mat = _query_vectors(sf_dir)
     out = ivf_knn_cosine(ds, ids, mat, k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
@@ -708,7 +713,7 @@ def q20_langid_quality(sf_dir: str):
 
     from oma_ray.stages.textstage import TextStats
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(TextStats(extended=True), batch_format="pyarrow")
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -32,10 +32,15 @@ from oma_ray.state.manifest import Manifest, lineage_id
 from oma_ray.synth import default_bbs_text, parse_bbs, synth_admin_polygons
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def default_grid() -> BbsGrid:
     return BbsGrid(parse_bbs(default_bbs_text()))
 
 
+@lru_cache(maxsize=4)
 def default_polygons(n: int = 200) -> PolygonIndex:
     return PolygonIndex(synth_admin_polygons(n))
 
@@ -45,8 +50,8 @@ def build_tiling_pipeline(
     grid_ref,
     poly_ref,
     *,
-    pip_concurrency: int | tuple[int, int] = (1, 8),
-    batch_size: int = 8192,
+    pip_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = None,
     drop_html: bool = True,
     lineage: str | None = None,
 ):
@@ -55,21 +60,33 @@ def build_tiling_pipeline(
     ``grid_ref`` / ``poly_ref`` are ``ray.put`` refs (or the objects
     themselves for unit tests).  Appends lon/lat, cell ids, tile_id,
     admin_id, tile_bucket and (optionally) a constant ``lineage`` column.
+
+    All stages are TASK stages (the spatial step resolves its broadcast
+    indexes through a per-worker cache — see stages/spatial.py), so Ray
+    fuses the whole chain into one pipelined task per input block and no
+    intermediate row ever crosses the object store.  ``pip_concurrency``
+    switches the spatial step to an actor pool of that size instead (for
+    state too expensive to build per worker); default None = fused tasks.
     """
-    from oma_ray.stages.spatial import SpatialJoin
+    from oma_ray.stages.spatial import SpatialJoin, SpatialJoinTask
 
     ds = pages_ds.map_batches(GeoParse(), batch_format="pyarrow", batch_size=batch_size)
     if drop_html:
         ds = ds.drop_columns(["html"])
-    # ONE actor pool for all index lookups (min size 1 so a small cluster's
-    # read stage is never starved); indexes fetched once per actor
-    ds = ds.map_batches(
-        SpatialJoin,
-        fn_constructor_args=(grid_ref, poly_ref),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=pip_concurrency,
-    )
+    if pip_concurrency is None:
+        ds = ds.map_batches(
+            SpatialJoinTask(grid_ref, poly_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            SpatialJoin,
+            fn_constructor_args=(grid_ref, poly_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pip_concurrency,
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         tile = batch.column("tile_id").to_numpy(zero_copy_only=False)
@@ -84,11 +101,16 @@ def build_tiling_pipeline(
     return ds.map_batches(finalize, batch_format="pyarrow", batch_size=batch_size)
 
 
-def tile_summary(ds):
+def tile_summary(ds, as_dataset: bool = False):
     """Per-tile metrics: page count + matched-to-admin count (small result).
 
-    Pre-aggregates inside map_batches (one partial row per tile per batch)
-    before the groupby so the shuffle moves O(tiles), not O(rows)."""
+    Tree aggregation instead of ``groupby().aggregate``: the result
+    cardinality is bounded by the tile count (~42k), so each task combines
+    its block to ≤#tiles partial rows (fused into the upstream pipeline), a
+    ``repartition`` merges partials in a bounded fan-in layer, and the final
+    ≤ few-hundred-k rows reduce in one place.  Ray's sort-based groupby costs
+    ~6µs/row on the shuffle — a pure overhead for a bounded-size result (at
+    unbounded cardinality the groupby IS the right tool; see queries.py)."""
     def partial(batch: pa.Table) -> pa.Table:
         tile = batch.column("tile_id").to_numpy(zero_copy_only=False)
         admin = batch.column("admin_id").to_numpy(zero_copy_only=False)
@@ -103,14 +125,32 @@ def tile_summary(ds):
             }
         )
 
-    from ray.data.aggregate import Sum
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("tile_id")
-        .aggregate(Sum("n_pages", alias_name="n_pages"),
-                   Sum("n_matched", alias_name="n_matched"))
-    )
+        df = batch.to_pandas()
+        agg = df.groupby("tile_id", as_index=False)[["n_pages", "n_matched"]].sum()
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        out = from_pandas_clean(agg)
+        return pa.table(
+            {
+                "tile_id": out.column("tile_id").cast(pa.int32()),
+                "n_pages": out.column("n_pages"),
+                "n_matched": out.column("n_matched"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")  # fuses upstream
+    merged = partials.repartition(8).map_batches(combine, batch_format="pyarrow")
+    df = merged.to_pandas()  # ≤ 8 × #tiles rows
+    out = df.groupby("tile_id", as_index=False)[["n_pages", "n_matched"]].sum()
+    out["tile_id"] = out["tile_id"].astype("int32")
+    if as_dataset:
+        import ray.data as rd
+
+        return rd.from_pandas(out)
+    return out
 
 
 def run_tiling(
@@ -119,8 +159,8 @@ def run_tiling(
     replicate: int = 1,
     n_polygons: int = 200,
     out_dir: str | None = None,
-    pip_concurrency: int | tuple[int, int] = (1, 8),
-    batch_size: int = 8192,
+    pip_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = None,
 ):
     """End-to-end flagship run over the synthetic pages for ``sf_dir``.
 
@@ -153,7 +193,7 @@ def run_tiling_resumable(
     shard_size: int = 1,
     n_polygons: int = 200,
     replicate: int = 1,
-    pip_concurrency: int | tuple[int, int] = (1, 8),
+    pip_concurrency: int | tuple[int, int] | None = None,
     fail_after_shards: int | None = None,
 ):
     """Resumable flagship: shard input files, one output dir + manifest entry

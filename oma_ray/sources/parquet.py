@@ -1,0 +1,32 @@
+"""Parquet source helpers.
+
+``read_parquet_clean`` passes a metadata-stripped schema to
+``ray.data.read_parquet``: pandas-written parquet embeds a ``pandas`` blob in
+the Arrow schema metadata, which makes ``pyarrow.Schema`` *unhashable* —
+every block bundling/concat in Ray Data then falls into the
+``unify_schemas`` slow path and logs a warning per task ("Failed to hash the
+schemas").  Stripping at the read keeps every downstream schema hashable
+(cheap early-exit dedup) and the logs quiet.  Column pruning is preserved.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def read_parquet_clean(path: str | list[str], columns: list[str] | None = None,
+                       **kwargs):
+    import ray.data as rd
+
+    first = path[0] if isinstance(path, list) else path
+    schema = pq.read_schema(first).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
+def from_pandas_clean(df) -> pa.Table:
+    """pandas → Arrow without the pandas schema-metadata blob (see module
+    docstring; emitted tables stay hashable for Ray's schema dedup)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

@@ -62,42 +62,48 @@ class PolygonIndex:
         self.bboxes = boxes
 
     def lookup(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        """First-match polygon *row index* per point (-1 = none)."""
+        """First-match polygon *row index* per point (-1 = none).
+
+        Vectorized: a padded (N, K) bbox-candidate matrix from the overlay
+        prunes pairs, the integer ray cast runs once per polygon *present in
+        the batch* over all its candidate points (the only Python loop —
+        bounded by the polygon count, not N), and first-match is argmax over
+        the ascending candidate axis."""
         lon = np.asarray(lon, dtype=np.int64)
         lat = np.asarray(lat, dtype=np.int64)
-        out = np.full(len(lon), -1, dtype=np.int64)
         if len(lon) == 0:
-            return out
-        ov = self._ov
-        cell = ov._ov_y(lat) * ov._n_ov + ov._ov_x(lon)
-        order = np.argsort(cell, kind="stable")
-        cs = cell[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(cs))[0] + 1, [len(cs)]])
-        bx = self.bboxes
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            c = cs[s]
-            unassigned = idx
-            for pi in ov._cands[ov._offsets[c] : ov._offsets[c + 1]]:
-                if len(unassigned) == 0:
-                    break
-                lo, la = lon[unassigned], lat[unassigned]
-                cand = (
-                    (lo >= bx[pi, 0]) & (lo <= bx[pi, 2])
-                    & (la >= bx[pi, 1]) & (la <= bx[pi, 3])
-                )
-                if not cand.any():
-                    continue
-                sub = unassigned[cand]
+            return np.full(0, -1, dtype=np.int64)
+        cand, valid = self._ov.candidate_matrix(lon, lat)
+        if cand.shape[1] == 0:
+            return np.full(len(lon), -1, dtype=np.int64)
+        bx = self.bboxes[cand]
+        bbox_hit = (
+            valid
+            & (lon[:, None] >= bx[..., 0]) & (lon[:, None] <= bx[..., 2])
+            & (lat[:, None] >= bx[..., 1]) & (lat[:, None] <= bx[..., 3])
+        )
+        contains = np.zeros_like(bbox_hit)
+        pt_idx, slot_idx = np.nonzero(bbox_hit)
+        if len(pt_idx):
+            poly_idx = cand[pt_idx, slot_idx]
+            order = np.argsort(poly_idx, kind="stable")
+            pt_o, slot_o, poly_o = pt_idx[order], slot_idx[order], poly_idx[order]
+            bounds = np.concatenate(
+                [[0], np.nonzero(np.diff(poly_o))[0] + 1, [len(poly_o)]]
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                pi = poly_o[s]
+                pts = pt_o[s:e]
                 rlon, rlat = self.rings[pi]
-                inside = points_in_ring(lon[sub], lat[sub], rlon, rlat)
+                inside = points_in_ring(lon[pts], lat[pts], rlon, rlat)
                 for hlon, hlat in self.holes[pi]:
                     if not inside.any():
                         break
-                    inside &= ~points_in_ring(lon[sub], lat[sub], hlon, hlat)
-                out[sub[inside]] = pi
-                unassigned = np.concatenate([sub[~inside], unassigned[~cand]])
-        return out
+                    inside &= ~points_in_ring(lon[pts], lat[pts], hlon, hlat)
+                contains[pts[inside], slot_o[s:e][inside]] = True
+        any_hit = contains.any(axis=1)
+        first = contains.argmax(axis=1)
+        return np.where(any_hit, cand[np.arange(len(lon)), first], -1).astype(np.int64)
 
 
 class PIPJoin:

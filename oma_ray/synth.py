@@ -119,46 +119,100 @@ def synth_pages_batch(batch: pa.Table, *, replicate: int = 1) -> pa.Table:
     else:
         page_id = doc_id
 
-    lon, lat, has_geo = geo_for_ids(page_id)
-    ts = TS_BASE + (page_id * 7919) % 63_072_000
+    import pyarrow.compute as pc
 
-    urls = [f"https://site{i % 1000}.example/p/{i}" for i in page_id]
-    texts = text.to_pylist()
-    htmls = []
-    for i in range(len(page_id)):
-        if has_geo[i]:
-            geo = (
-                f'<meta name="geo.position" content="'
-                f'{format_coord(lat[i])};{format_coord(lon[i])}">'
-            )
-        else:
-            geo = ""
-        htmls.append(
-            f"<html><head>{geo}<title>p{page_id[i]}</title></head>"
-            f"<body>{texts[i]}</body></html>".encode()
+    lon, lat, has_geo = geo_for_ids(page_id)
+    ts_us = (TS_BASE + (page_id * 7919) % 63_072_000) * 1_000_000
+
+    def coord_str(fixed: np.ndarray) -> pa.Array:
+        # vectorized format_coord (same windowing rule; see its docstring)
+        f = np.where(fixed < 0, fixed - 1, fixed)
+        a = np.abs(f)
+        return pc.binary_join_element_wise(
+            pa.array(np.where(f < 0, "-", ""), type=pa.string()),
+            pc.cast(pa.array(a // 10_000_000), pa.string()),
+            ".",
+            pc.utf8_lpad(pc.cast(pa.array(a % 10_000_000), pa.string()), 7, "0"),
+            "",
         )
+
+    ids_str = pc.cast(pa.array(page_id), pa.string())
+    urls = pc.binary_join_element_wise(
+        "https://site",
+        pc.cast(pa.array(page_id % 1000), pa.string()),
+        ".example/p/", ids_str, "",
+    )
+    # NB: binary_join_element_wise treats its LAST argument as the separator
+    geo_meta = pc.if_else(
+        pa.array(has_geo),
+        pc.binary_join_element_wise(
+            '<meta name="geo.position" content="',
+            coord_str(lat), ";", coord_str(lon), '">', "",
+        ),
+        "",
+    )
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    html = pc.binary_join_element_wise(
+        "<html><head>", geo_meta, "<title>p", ids_str,
+        "</title></head><body>", text, "</body></html>", "",
+    )
 
     return pa.table(
         {
             "page_id": pa.array(page_id, type=pa.int64()),
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(ts, type=pa.timestamp("us")).cast(pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
+            "url": urls,
+            "warc_ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "html": html.cast(pa.binary()),
             "text": text,
             "lang": lang,
         }
     )
 
 
-def make_pages_dataset(sf_dir: str, *, replicate: int = 1, **read_kwargs):
-    """read documents.parquet → synthesize the pages table (lazy Dataset)."""
-    import ray.data as rd
+def make_pages_dataset(sf_dir: str, *, replicate: int = 1, parallelism: int | None = None,
+                       **read_kwargs):
+    """read documents.parquet → synthesize the pages table (lazy Dataset).
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"], **read_kwargs
-    )
+    The documents file is small but fans out ``replicate``× into wide rows
+    (html), so block structure matters: the read is split into ~2 blocks per
+    CPU and the synth batch size is scaled down by the fan-out so one output
+    batch stays ~8k pages — otherwise a single-block read makes the whole
+    synth one serial task and downstream stages starve.
+    """
+    import ray
+
+    from oma_ray.sources.parquet import read_parquet_clean
+
+    if parallelism is None:
+        try:
+            parallelism = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:
+            parallelism = 16
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.getsize(path) < 100_000_000:
+        # a single small seed file reads as ONE Ray task (seconds of serial
+        # time before any fan-out); driver-side read + from_arrow +
+        # repartition gets the fan-out started immediately.  Real multi-file
+        # inputs take the parallel read_parquet path below.
+        import pyarrow.parquet as pqt
+        import ray.data as rd
+
+        table = pqt.read_table(path, columns=["doc_id", "text", "lang"])
+        ds = rd.from_arrow(table.replace_schema_metadata(None))
+        ds = ds.repartition(parallelism)
+    else:
+        ds = read_parquet_clean(
+            path, columns=["doc_id", "text", "lang"],
+            override_num_blocks=parallelism, **read_kwargs,
+        )
+    batch_size = max(32, 8192 // max(1, replicate))
     return ds.map_batches(
-        lambda b: synth_pages_batch(b, replicate=replicate), batch_format="pyarrow"
+        lambda b: synth_pages_batch(b, replicate=replicate),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 

@@ -45,8 +45,8 @@ def test_geo_parse_recovers_exact_synth_coords():
 def test_flagship_summary_and_determinism():
     from oma_ray.pipelines.tiling import run_tiling
 
-    s1 = run_tiling(SF).to_pandas().sort_values("tile_id").reset_index(drop=True)
-    s2 = run_tiling(SF).to_pandas().sort_values("tile_id").reset_index(drop=True)
+    s1 = run_tiling(SF).sort_values("tile_id").reset_index(drop=True)
+    s2 = run_tiling(SF).sort_values("tile_id").reset_index(drop=True)
     assert len(s1) > 0
     assert s1.equals(s2)
     assert s1["n_pages"].sum() == 500  # sf0.001 documents rows
