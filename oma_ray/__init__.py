@@ -19,6 +19,24 @@ Reference citations in docstrings (``file:line`` under
 
 __version__ = "0.1.0"
 
+
+def _configure_data_context() -> None:
+    """Engine-wide Ray Data settings, applied at import (a Dataset snapshots
+    the DataContext at creation, so this must run before any source is
+    built): hash-shuffle strategy — required by keyed ``repartition`` (the
+    co-locate-by-key primitive the dedup/join operators build on) and the
+    scalable choice for groupby/join exchanges generally."""
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    except Exception:  # pragma: no cover - tolerate older/newer ray
+        pass
+
+
+_configure_data_context()
+
 QUANT = 10_000_000  # fixed-point coordinate scale: int = degrees * 1e7
                     # (OSMXMLReader.java:75-77)
 

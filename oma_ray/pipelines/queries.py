@@ -29,20 +29,33 @@ def _cents(v: np.ndarray) -> np.ndarray:
 SQL_CENTS = "CAST(FLOOR({c}*100 + 0.5) AS BIGINT)"
 
 
-def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str]):
-    """map_batches partial aggregation → small groupby of partials."""
-    from ray.data.aggregate import Sum
+def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
+                  num_partitions: int = 8):
+    """Distributed grouped integer sums, tree-style: per-batch pandas partial
+    (fuses into the upstream task chain) → keyed repartition co-locating each
+    key in exactly one block → per-block combine.  Equivalent to
+    ``groupby().aggregate(Sum)`` but without the per-row shuffle cost and the
+    aggregator-actor startup of the built-in paths."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
 
     def partial(batch: pa.Table) -> pa.Table:
         df = partial_fn(batch)
         agg = df.groupby(keys, as_index=False)[sum_cols].sum()
-        from oma_ray.sources.parquet import from_pandas_clean
         return from_pandas_clean(agg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        return from_pandas_clean(df.groupby(keys, as_index=False)[sum_cols].sum())
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+        .repartition(num_partitions, keys=keys)
+        .map_batches(combine, batch_format="pyarrow")
     )
 
 
@@ -184,22 +197,29 @@ def q03_topk_revenue(sf_dir: str):
         )
 
     li = li.map_batches(rev, batch_format="pyarrow")
-    joined = hash_join(
-        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
-        num_partitions=16,
+    # the filtered orders side is small after segment+date predicates →
+    # broadcast it (collect driver-side) instead of a hash-shuffle join;
+    # hash_join() remains the path for two genuinely large sides
+    orders_tbl = pa.Table.from_pandas(
+        orders.to_pandas(), preserve_index=False
+    ).replace_schema_metadata(None)
+    joined = broadcast_join(
+        li, ray.put(orders_tbl), keys="l_orderkey", right_keys="o_orderkey",
+        join_type="inner",
     )
-    from ray.data.aggregate import Sum
 
-    per_order = (
-        joined.groupby("l_orderkey").aggregate(Sum("rev_u", alias_name="revenue_u"))
-    )
-    top = per_order.sort(
-        key=["revenue_u", "l_orderkey"], descending=[True, False]
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "revenue_u": batch.column("rev_u").to_numpy(zero_copy_only=False),
+            }
+        )
+
+    per_order = _grouped_sums(joined, ["o_orderkey"], partial, ["revenue_u"])
+    return per_order.sort(
+        key=["revenue_u", "o_orderkey"], descending=[True, False]
     ).limit(10)
-    return top.map_batches(
-        lambda b: b.rename_columns(["o_orderkey", "revenue_u"]),
-        batch_format="pyarrow",
-    )
 
 
 SQL_Q03 = f"""
@@ -287,9 +307,13 @@ def q05_region_revenue(sf_dir: str):
         )
 
     li = li.map_batches(rev, batch_format="pyarrow")
-    joined = hash_join(
-        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
-        num_partitions=16,
+    # orders+region is the small side here → broadcast join (see q03 note)
+    orders_tbl = pa.Table.from_pandas(
+        orders.to_pandas(), preserve_index=False
+    ).replace_schema_metadata(None)
+    joined = broadcast_join(
+        li, ray.put(orders_tbl), keys="l_orderkey", right_keys="o_orderkey",
+        join_type="inner",
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -495,11 +519,10 @@ def q12_tile_counts(sf_dir: str):
 
     pages = make_pages_dataset(sf_dir)
     ds = pages.map_batches(GeoParse(), batch_format="pyarrow").drop_columns(["html"])
+    from oma_ray.stages.taskcache import CachedStage
+
     ds = ds.map_batches(
-        TileAssign,
-        fn_constructor_args=(ray.put(_grid10()),),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        CachedStage(TileAssign, ray.put(_grid10())), batch_format="pyarrow"
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:

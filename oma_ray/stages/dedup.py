@@ -27,18 +27,42 @@ from oma_ray.functions.text import band_hashes, minhash_signature, simhash64
 from oma_ray.stages.textstage import Md5Hash
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def ensure_hash_shuffle() -> None:
+    """Keyed ``repartition(keys=...)`` requires the hash-shuffle strategy;
+    set it on the process DataContext (the driver harness runs with Ray's
+    default sort-based strategy, so library operators that need it opt in
+    themselves)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 8):
     """Keep the smallest ``id_col`` per distinct text (md5-keyed).
 
-    Returns (text_md5, <id_col>) — one row per distinct content.
+    Returns (text_md5, <id_col>) — one row per distinct content.  Shape:
+    hash per batch (vectorized) → within-batch pre-dedup (combiner) → keyed
+    repartition on the 32-byte hash (never the text) → per-block min.
     """
-    from ray.data.aggregate import Min
-
+    ensure_hash_shuffle()
     hashed = ds.map_batches(Md5Hash(text_col), batch_format="pyarrow")
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        agg = df.groupby("text_md5", as_index=False)[id_col].min()
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(agg[["text_md5", id_col]])
+
     return (
         hashed.select_columns(["text_md5", id_col])
-        .groupby("text_md5")
-        .aggregate(Min(id_col, alias_name=id_col))
+        .map_batches(local_min, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["text_md5"])
+        .map_batches(local_min, batch_format="pyarrow")
     )
 
 
@@ -60,23 +84,57 @@ class MinHashStage:
 
 def _explode_bands(batch: pa.Table, id_col: str, bands: int) -> pa.Table:
     ids = batch.column(id_col).to_numpy()
-    sig_list = batch.column("minhash").to_pylist()
-    out_id, out_band, out_hash, out_sig = [], [], [], []
-    for i, sig in enumerate(sig_list):
-        bh = band_hashes(np.asarray(sig, dtype=np.uint64), bands)
-        for b in range(bands):
-            out_id.append(ids[i])
-            out_band.append(b)
-            out_hash.append(int(bh[b]))
-            out_sig.append(sig)
+    n = len(ids)
+    sig_flat = np.asarray(
+        batch.column("minhash").combine_chunks().flatten()
+        if isinstance(batch.column("minhash"), pa.ChunkedArray)
+        else batch.column("minhash").flatten(),
+        dtype=np.uint64,
+    ).reshape(n, -1)
+    bh = np.empty((n, bands), dtype=np.int64)
+    for i in range(n):  # crc per (doc, band): C-speed calls, bounded loop
+        bh[i] = band_hashes(sig_flat[i], bands)
+    idx = np.repeat(np.arange(n), bands)
     return pa.table(
         {
-            id_col: pa.array(out_id, type=pa.int64()),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "minhash": pa.array(out_sig, type=pa.list_(pa.uint64())),
+            id_col: pa.array(ids[idx], type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), type=pa.int64()),
+            "minhash": batch.column("minhash").take(pa.array(idx)),
         }
     )
+
+
+def _bucketed_block_pairs(ds, key_cols: list[str], pair_fn, num_partitions: int = 16):
+    """Hash-partition rows by bucket key (``repartition(keys=..., sort=True)``
+    co-locates and sorts each bucket in exactly one block), then emit pairs
+    per bucket with a single vectorized pass per block — no per-group Python
+    tasks (Ray's ``map_groups`` schedules one call per group, which is
+    pathological for the ~n_docs×bands tiny buckets LSH produces)."""
+    ensure_hash_shuffle()
+    part = ds.repartition(num_partitions, keys=key_cols, sort=True)
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pair_fn(None)
+        # rows arrive sorted by key_cols (repartition(sort=True)); bucket
+        # boundary = any key column changing between neighbours
+        change = np.zeros(len(df) - 1, dtype=bool)
+        for k in key_cols:
+            v = df[k].to_numpy()
+            change |= v[1:] != v[:-1]
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(df)]])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            outs.append(pair_fn(df.iloc[s:e]))
+        if not outs:
+            return pair_fn(None)
+        return pa.concat_tables(outs)
+
+    return part.map_batches(block_pairs, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(
@@ -94,40 +152,59 @@ def minhash_candidate_pairs(
     band_hash), pairs within each bucket filtered by signature-estimated
     Jaccard ≥ threshold.  Pair dedup via a final groupby on (id_a, id_b).
     """
-    from ray.data.aggregate import Max
-
     sigs = ds.map_batches(MinHashStage(text_col, k), batch_format="pyarrow")
     bandrows = sigs.select_columns([id_col, "minhash"]).map_batches(
         lambda b: _explode_bands(b, id_col, bands), batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "est_jaccard": np.float64}
-            )
+    def bucket_pairs(g: pd.DataFrame | None) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if g is None or len(g) < 2:
+            return empty
         g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) < 2:
+            return empty
         ids = g[id_col].to_numpy()
         sig = np.stack(g["minhash"].to_numpy())  # (n, 64)
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
         est = (sig[a_idx] == sig[b_idx]).mean(axis=1)
         keep = est >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": ids[a_idx[keep]],
-                "id_b": ids[b_idx[keep]],
-                "est_jaccard": est[keep].round(6),
+                "id_a": pa.array(ids[a_idx[keep]], type=pa.int64()),
+                "id_b": pa.array(ids[b_idx[keep]], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep].round(6), type=pa.float64()),
             }
         )
 
-    pairs = bandrows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # same pair can surface from multiple bands — dedup
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-    )
+    pairs = _bucketed_block_pairs(bandrows, ["band", "band_hash"], bucket_pairs)
+    # same pair can surface from multiple bands — dedup with the same
+    # co-locate-by-key trick (all copies land in one block)
+    return _dedup_pairs(pairs, extra_cols={"est_jaccard": "max"})
+
+
+def _dedup_pairs(pairs, extra_cols: dict[str, str], num_partitions: int = 8):
+    """Global pair dedup: co-locate each (id_a, id_b) via keyed repartition,
+    then one pandas groupby per block (within-block dedup == global dedup)."""
+    ensure_hash_shuffle()
+    part = pairs.repartition(num_partitions, keys=["id_a", "id_b"], sort=True)
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        agg = df.groupby(["id_a", "id_b"], as_index=False).agg(extra_cols)
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(agg)
+
+    return part.map_batches(dedup_block, batch_format="pyarrow")
 
 
 class SimHashStage:
@@ -149,8 +226,6 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     """SimHash near-dup pairs via 4×16-bit band blocking: two docs within
     Hamming distance ≤3 of a 64-bit signature agree exactly on ≥1 of 4
     16-bit bands (pigeonhole), so blocking on each band finds all of them."""
-    from ray.data.aggregate import Min as AggMin
-
     from oma_ray.functions.text import hamming64
 
     sigs = ds.map_batches(SimHashStage(text_col), batch_format="pyarrow")
@@ -173,30 +248,37 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
-            )
+    def bucket_pairs(g: pd.DataFrame | None) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if g is None or len(g) < 2:
+            return empty
         g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) < 2:
+            return empty
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
         a, b = np.triu_indices(len(ids), k=1)
         d = hamming64(sh[a], sh[b])
         keep = d <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[a[keep]], "id_b": ids[b[keep]], "hamming": d[keep]}
+        return pa.table(
+            {
+                "id_a": pa.array(ids[a[keep]], type=pa.int64()),
+                "id_b": pa.array(ids[b[keep]], type=pa.int64()),
+                "hamming": pa.array(d[keep], type=pa.int64()),
+            }
         )
 
-    pairs = (
-        sigs.select_columns([id_col, "simhash"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    bandrows = sigs.select_columns([id_col, "simhash"]).map_batches(
+        explode, batch_format="pyarrow"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        AggMin("hamming", alias_name="hamming")
-    )
+    pairs = _bucketed_block_pairs(bandrows, ["band", "band_key"], bucket_pairs)
+    return _dedup_pairs(pairs, extra_cols={"hamming": "min"})
 
 
 def keep_first_from_pairs(pair_rows: list[dict], all_ids: np.ndarray) -> np.ndarray:

@@ -71,12 +71,11 @@ def broadcast_join(ds, small_table, keys, right_keys=None, join_type="left outer
         if isinstance(small_table, ray.ObjectRef)
         else ray.put(small_table)
     )
+    from oma_ray.stages.taskcache import CachedStage
+
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_args=(ref, keys, right_keys, join_type),
+        CachedStage(BroadcastJoiner, ref, keys, right_keys, join_type),
         batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 

@@ -76,6 +76,40 @@ class BruteKnn:
         )
 
 
+
+def _topk_per_query(partial, k: int, exclude_self: bool):
+    """Global top-k per query from per-batch partials: co-locate each
+    query_id via keyed repartition (queries are few), then one pandas pass
+    per block.  Avoids per-group task scheduling."""
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    part = partial.repartition(4, keys=["query_id"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        if exclude_self:
+            df = df[df["vec_id"] != df["query_id"]]
+        df = df.sort_values(["query_id", "sim", "vec_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", as_index=False).head(k).copy()
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(df[["query_id", "vec_id", "rank", "sim"]])
+
+    return part.map_batches(block_topk, batch_format="pyarrow")
+
+
 def knn_cosine(
     ds,
     query_ids: np.ndarray,
@@ -92,22 +126,12 @@ def knn_cosine(
     import ray
 
     qref = ray.put({"query_id": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    from oma_ray.stages.taskcache import CachedStage
+
     partial = ds.map_batches(
-        BruteKnn,
-        fn_constructor_args=(qref, k, id_col, emb_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        CachedStage(BruteKnn, qref, k, id_col, emb_col), batch_format="pyarrow"
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g["vec_id"] != g["query_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank", "sim"]]
-
-    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return _topk_per_query(partial, k, exclude_self)
 
 
 # --- IVF (scale path) -------------------------------------------------------
@@ -170,11 +194,10 @@ def ivf_knn_cosine(
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
     cref = ray.put(cents)
+    from oma_ray.stages.taskcache import CachedStage
+
     assigned = ds.map_batches(
-        IvfAssign,
-        fn_constructor_args=(cref, id_col, emb_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        CachedStage(IvfAssign, cref, id_col, emb_col), batch_format="pyarrow"
     )
     qref = ray.put(
         {"query_id": np.asarray(query_ids), "matrix": qm, "probe": probe}
@@ -222,20 +245,10 @@ def ivf_knn_cosine(
             )
 
     partial = assigned.map_batches(
-        ProbedKnn,
-        fn_constructor_args=(qref, k, id_col, emb_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        ProbedKnn, fn_constructor_args=(qref, k, id_col, emb_col),
+        batch_format="pyarrow", concurrency=(1, 4),
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["vec_id"] != g["query_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank", "sim"]]
-
-    return partial.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return _topk_per_query(partial, k, exclude_self=True)
 
 
 def embedding_dup_pairs(
@@ -253,30 +266,36 @@ def embedding_dup_pairs(
 
     cents = build_ivf_centroids(ds, n_centroids, emb_col)
     cref = ray.put(cents)
+    from oma_ray.stages.taskcache import CachedStage
+
     assigned = ds.map_batches(
-        IvfAssign,
-        fn_constructor_args=(cref, id_col, emb_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        CachedStage(IvfAssign, cref, id_col, emb_col), batch_format="pyarrow"
     )
 
-    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "sim": np.float64}
-            )
+    def cell_pairs(g) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if g is None or len(g) < 2:
+            return empty
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
         s = m @ m.T
         a, b = np.triu_indices(len(ids), k=1)
         keep = s[a, b] >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": ids[a[keep]],
-                "id_b": ids[b[keep]],
-                "sim": s[a[keep], b[keep]].round(9),
+                "id_a": pa.array(ids[a[keep]], type=pa.int64()),
+                "id_b": pa.array(ids[b[keep]], type=pa.int64()),
+                "sim": pa.array(s[a[keep], b[keep]].round(9), type=pa.float64()),
             }
         )
 
-    return assigned.groupby("ivf_cell").map_groups(cell_pairs, batch_format="pandas")
+    from oma_ray.stages.dedup import _bucketed_block_pairs
+
+    return _bucketed_block_pairs(assigned, ["ivf_cell"], cell_pairs, num_partitions=8)

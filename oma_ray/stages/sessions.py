@@ -21,13 +21,38 @@ def sessionize_counts(ds, gap_seconds: int = 1800, user_col: str = "user_id",
     Ties on ts are gap=0 regardless of ordering, so the result is
     deterministic without a stable tie-break."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) / 1_000_000.0
-        n = 1 + int((gaps > gap_seconds).sum())
-        return pd.DataFrame({user_col: [g[user_col].iloc[0]], "n_sessions": [n]})
+    from oma_ray.stages.dedup import ensure_hash_shuffle
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    ensure_hash_shuffle()
+    part = ds.repartition(8, keys=[user_col])
+
+    def block_sessions(batch) -> "pd.DataFrame":
+        import pyarrow as pa
+
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {user_col: pa.array([], type=pa.int64()),
+                 "n_sessions": pa.array([], type=pa.int64())}
+            )
+        df = df.sort_values([user_col, ts_col])
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        user = df[user_col].to_numpy()
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(len(df))
+        gap[1:] = (ts[1:] - ts[:-1]) / 1_000_000.0
+        new_session = new_user | (gap > gap_seconds)
+        out = pd.DataFrame({user_col: user, "s": new_session.astype(np.int64)})
+        agg = out.groupby(user_col, as_index=False)["s"].sum()
+        agg = agg.rename(columns={"s": "n_sessions"})
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(agg)
+
+    # every row of a user is in exactly one block (keyed repartition), so
+    # per-block sessionization == global sessionization
+    return part.map_batches(block_sessions, batch_format="pyarrow")
 
 
 def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_type",
@@ -37,15 +62,13 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
     before the groupby, so the shuffle moves O(keys × windows)."""
     import pyarrow as pa
 
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
         epoch = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
         win = (epoch // window_seconds) * window_seconds
         key = batch.column(key_col).to_numpy(zero_copy_only=False)
         val = batch.column(value_col).to_numpy(zero_copy_only=False)
-        cents = np.round(val * 100).astype(np.int64)
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
         df = pd.DataFrame({key_col: key, "window_start": win, "c": 1, "v": cents})
         agg = df.groupby([key_col, "window_start"], as_index=False).agg(
             n_events=("c", "sum"), value_cents=("v", "sum")
@@ -53,11 +76,23 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
         from oma_ray.sources.parquet import from_pandas_clean
         return from_pandas_clean(agg)
 
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        agg = df.groupby([key_col, "window_start"], as_index=False)[
+            ["n_events", "value_cents"]
+        ].sum()
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(agg)
+
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+        .repartition(8, keys=[key_col, "window_start"])
+        .map_batches(combine, batch_format="pyarrow")
     )

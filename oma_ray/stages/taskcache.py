@@ -1,0 +1,43 @@
+"""Worker-cached task stages.
+
+``CachedStage(Factory, *args, **kwargs)`` wraps a callable-class stage into a
+plain *function* stage: the wrapper pickles only the constructor arguments
+(``ray.put`` refs stay refs — tiny), and the constructed instance is cached
+per worker process, keyed by the factory and the refs.  Compared to an actor
+pool this keeps the stage elastic (any worker can run it), lets Ray fuse it
+with neighbouring task stages (no extra object-store hop per row), and costs
+only one zero-copy ``ray.get`` + constructor per worker.
+
+Use an actor pool instead only when the constructed state is genuinely
+expensive per worker (GPU model load, multi-second index build).
+"""
+
+from __future__ import annotations
+
+_CACHE: dict = {}
+
+
+def _key_part(x) -> str:
+    return x.hex() if hasattr(x, "hex") else repr(x)
+
+
+class CachedStage:
+    def __init__(self, factory, *args, **kwargs):
+        self.factory = factory
+        self.args = args
+        self.kwargs = kwargs
+
+    def _key(self) -> tuple:
+        return (
+            f"{self.factory.__module__}.{self.factory.__qualname__}",
+            tuple(_key_part(a) for a in self.args),
+            tuple(sorted((k, _key_part(v)) for k, v in self.kwargs.items())),
+        )
+
+    def __call__(self, batch):
+        key = self._key()
+        fn = _CACHE.get(key)
+        if fn is None:
+            fn = self.factory(*self.args, **self.kwargs)
+            _CACHE[key] = fn
+        return fn(batch)
