@@ -131,9 +131,25 @@ def points_in_polygon(
 def is_clockwise(rlon: np.ndarray, rlat: np.ndarray) -> bool:
     """Shoelace-sign orientation: ``Σ (x2-x1)*(y2+y1) >= 0`` (Area.java:128-135).
 
-    The reference normalizes outer rings to satisfy this predicate and holes
-    to violate it (Area.java:112-126).
+    PARITY QUIRK: the reference computes the per-edge product in 32-bit int
+    arithmetic — ``(lon2-lon1)*(lat2+lat1)`` overflows and wraps modulo 2^32
+    before being widened into the long accumulator, so for real-world
+    coordinates the result is effectively pseudo-random per edge.  We
+    replicate the wrap exactly (outer rings are normalized to satisfy this
+    predicate, holes to violate it, Area.java:112-126); use
+    ``is_clockwise_true`` for mathematically-correct orientation.
     """
+    x = np.asarray(rlon, dtype=np.int64).astype(np.int32)
+    y = np.asarray(rlat, dtype=np.int64).astype(np.int32)
+    with np.errstate(over="ignore"):
+        dx = np.subtract(np.roll(x, -1), x)   # int32 wrap, like Java int math
+        sy = np.add(np.roll(y, -1), y)
+        prod = np.multiply(dx, sy)
+    return int(prod.astype(np.int64).sum()) >= 0
+
+
+def is_clockwise_true(rlon: np.ndarray, rlat: np.ndarray) -> bool:
+    """Overflow-free shoelace orientation (the engine's own geometry path)."""
     x = np.asarray(rlon, dtype=np.int64)
     y = np.asarray(rlat, dtype=np.int64)
     x2 = np.roll(x, -1)
