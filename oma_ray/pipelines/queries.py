@@ -755,6 +755,71 @@ def q20_langid_quality(sf_dir: str):
     return out.map_batches(fn, batch_format="pyarrow")
 
 
+
+# --- q21: raster→vector zonal statistics ------------------------------------
+
+def q21_zonal_stats(sf_dir: str):
+    """Zonal aggregate of a raster over tiles: the 'raster' is a
+    deterministic per-cell band (elev = (cell_id * 2654435761) % 10000 —
+    standing in for a broadcast tile array; a real raster would ship its
+    tiles via ray.put and be sampled per point the same way).  Output: per
+    10°-tile sum of sampled elevation + page count."""
+    import ray
+
+    from oma_ray.stages.cells import CellAssign
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.stages.taskcache import CachedStage
+    from oma_ray.stages.tiles import TileAssign
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+    ds = pages.map_batches(GeoParse(), batch_format="pyarrow").drop_columns(["html"])
+    ds = ds.map_batches(CellAssign(which=("grid",)), batch_format="pyarrow")
+    ds = ds.map_batches(
+        CachedStage(TileAssign, ray.put(_grid10())), batch_format="pyarrow"
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tile = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int32)
+        cells = batch.column("cell_id")
+        valid = ~pa.compute.is_null(cells).to_numpy(zero_copy_only=False)
+        cell = np.where(valid, cells.to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        elev = np.where(valid, (cell * 2654435761) % 10000, 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "tile_id": tile,
+                "elev_sum": elev,
+                "n_pages": np.ones(len(tile), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(ds, ["tile_id"], partial, ["elev_sum", "n_pages"])
+
+
+SQL_Q21 = f"""
+WITH g AS (
+  SELECT doc_id AS id,
+    {SQL_LON.format(id='doc_id')} AS lon,
+    {SQL_LAT.format(id='doc_id')} AS lat,
+    {SQL_HAS_GEO.format(id='doc_id')} AS has_geo
+  FROM documents),
+t AS (
+  SELECT CAST(CASE WHEN NOT has_geo THEN 649
+    ELSE (GREATEST(lon + 1800000000 - 1, 0) // 100000000) * 18
+         + (GREATEST(lat + 900000000 - 1, 0) // 100000000) END AS INTEGER) AS tile_id,
+    CASE WHEN has_geo THEN
+      ((lat + 900000000) * 8192 // 1800000001) * 8192
+      + ((lon + 1800000000) * 8192 // 3600000001)
+    ELSE 0 END AS cell_id,
+    has_geo
+  FROM g)
+SELECT tile_id,
+  SUM(CASE WHEN has_geo THEN (cell_id * 2654435761) % 10000 ELSE 0 END) AS elev_sum,
+  COUNT(*) AS n_pages
+FROM t GROUP BY tile_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -776,6 +841,7 @@ QUERIES = {
     "q18_embedding_dups": q18_embedding_dups,
     "q19_ivf_knn": q19_ivf_knn,
     "q20_langid_quality": q20_langid_quality,
+    "q21_zonal_stats": q21_zonal_stats,
 }
 
 ORACLES = {
@@ -793,4 +859,5 @@ ORACLES = {
     "q12_tile_counts": SQL_Q12,
     "q13_cell_hotspots": SQL_Q13,
     "q15_knn": SQL_Q15,
+    "q21_zonal_stats": SQL_Q21,
 }
