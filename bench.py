@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q13_cell_hotspots",
     "q15_knn",
     "q16_minhash_pairs",
+    "q21_zonal_stats",
 ]
 
 

@@ -153,6 +153,35 @@ def tile_summary(ds, as_dataset: bool = False):
     return out
 
 
+def write_tiled(
+    ds,
+    out_dir: str,
+    *,
+    sort_within_tile: bool = True,
+    num_partitions: int = 32,
+):
+    """Deterministic partitioned sink: co-locate each ``tile_bucket`` with a
+    keyed repartition, sort rows by (tile_id, page_id) *within* each block
+    (the north_star's sort-within-tile: a cheap local sort instead of a
+    global one — tiles never span blocks after the keyed exchange), and
+    write one parquet directory per bucket.  Output is byte-stable across
+    reruns for fixed inputs."""
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    out = ds.repartition(num_partitions, keys=["tile_bucket"])
+    if sort_within_tile:
+        def sort_block(batch: pa.Table) -> pa.Table:
+            idx = pa.compute.sort_indices(
+                batch, sort_keys=[("tile_id", "ascending"), ("page_id", "ascending")]
+            )
+            return batch.take(idx)
+
+        out = out.map_batches(sort_block, batch_format="pyarrow")
+    out.write_parquet(out_dir, partition_cols=["tile_bucket"])
+    return out_dir
+
+
 def run_tiling(
     sf_dir: str,
     *,

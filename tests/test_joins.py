@@ -1,0 +1,48 @@
+"""Join strategies: hash-shuffle Dataset.join and broadcast join vs a pandas
+oracle (the query suite uses broadcast for its small filtered sides, so the
+large-large hash path is exercised here)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_join_matches_pandas_oracle():
+    import ray.data as rd
+
+    from oma_ray.sources.parquet import read_parquet_clean
+    from oma_ray.stages.join import hash_join
+
+    li = read_parquet_clean(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = read_parquet_clean(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    got = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
+        num_partitions=4,
+    ).to_pandas()
+
+    ldf = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    odf = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    want = ldf.merge(odf, left_on="l_orderkey", right_on="o_orderkey")
+    assert len(got) == len(want)
+    gs = got.groupby("l_orderkey").agg(n=("l_quantity", "size"), q=("l_quantity", "sum"))
+    ws = want.groupby("l_orderkey").agg(n=("l_quantity", "size"), q=("l_quantity", "sum"))
+    pd.testing.assert_frame_equal(gs, ws)
+
+
+def test_broadcast_join_left_outer_nulls():
+    import ray
+    import ray.data as rd
+
+    from oma_ray.stages.join import broadcast_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    small = pa.table({"k": [2, 4], "name": ["b", "d"]})
+    got = (
+        broadcast_join(left, ray.put(small), keys="k", join_type="left outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["name"].tolist() == [None, "b", None, "d"]

@@ -82,3 +82,34 @@ def test_resumable_run_skips_completed_shards(tmp_path):
     full = rd.read_parquet(f"{out}/data").to_pandas()
     assert full["lineage"].notna().all()
     assert full.groupby("lineage").size().shape[0] == 4
+
+
+def test_write_tiled_sorted_partitions(tmp_path):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from oma_ray.pipelines.tiling import (
+        build_tiling_pipeline, default_grid, default_polygons, write_tiled,
+    )
+    from oma_ray.synth import make_pages_dataset
+
+    ds = build_tiling_pipeline(
+        make_pages_dataset(SF), ray.put(default_grid()), ray.put(default_polygons()),
+    )
+    out = str(tmp_path / "tiled")
+    write_tiled(ds, out, num_partitions=8)
+
+    back = rd.read_parquet(out)
+    assert back.count() == 500
+    # every parquet file is sorted by (tile_id, page_id)
+    import glob
+
+    files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["tile_id", "page_id"]).to_pandas()
+        assert (
+            t.sort_values(["tile_id", "page_id"]).reset_index(drop=True)["page_id"]
+            == t["page_id"].reset_index(drop=True)
+        ).all(), f
