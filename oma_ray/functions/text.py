@@ -99,73 +99,161 @@ def crc_fingerprints(texts) -> np.ndarray:
     )
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word-k-gram shingle hash set (uint64) for one document."""
-    toks = text.split()
-    if len(toks) < k:
-        return np.array(
-            [zlib.crc32(" ".join(toks).encode())], dtype=np.uint64
-        )
-    return np.unique(
-        np.fromiter(
-            (
-                zlib.crc32(" ".join(toks[i : i + k]).encode())
-                for i in range(len(toks) - k + 1)
-            ),
-            dtype=np.uint64,
-            count=len(toks) - k + 1,
-        )
-    )
+_POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for rolling combine
 
 
-def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """64-permutation MinHash signature (uint64[64]) of word-k-gram shingles.
+def _token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a whole batch and hash every token in one vectorized pass.
 
-    h_i(x) = (a_i * x + b_i) mod 2^61-1 with fixed odd multipliers; min over
+    Returns (flat uint64 token hashes, per-doc token counts).  Hashing is
+    pandas' SipHash-1-3 (``pd.util.hash_array`` with its fixed default key)
+    — C speed over the flat token array, deterministic across processes.
+    """
+    import pandas as pd
+
+    tok_lists = [t.split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    flat = [tok for toks in tok_lists for tok in toks]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), counts
+    hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+    return hashes.astype(np.uint64), counts
+
+
+def shingle_hash_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word-k-gram shingle hashes for a BATCH of documents, fully vectorized.
+
+    Shingle hash = polynomial combine of k consecutive token hashes
+    (h = ((t0·P + t1)·P + t2)… with uint64 wraparound), computed on the
+    flat token-hash array with boundary positions masked out.  Docs with
+    <k tokens contribute one fallback shingle (combine of all their
+    tokens, or a fixed constant for empty docs).
+
+    Returns (flat uint64 shingle hashes, per-doc shingle counts ≥1).
+    """
+    th, counts = _token_hashes(texts)
+    n = len(counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_sh = np.maximum(counts - k + 1, 1)
+
+    # rolling polynomial over the flat array (positions crossing a doc
+    # boundary are produced but discarded by the gather below)
+    total = len(th)
+    if total >= k:
+        roll = th[: total - k + 1].copy()
+        for j in range(1, k):
+            roll = roll * _POLY + th[j : total - k + 1 + j]
+    else:
+        roll = np.empty(0, dtype=np.uint64)
+
+    # short docs: fold ALL their tokens (0 tokens → constant)
+    short = counts < k
+    short_vals = np.full(int(short.sum()), np.uint64(0x9E3779B9), dtype=np.uint64)
+    if short_vals.size:
+        mask64 = (1 << 64) - 1
+        for si, di in enumerate(np.nonzero(short)[0]):
+            s, c = starts[di], counts[di]
+            v = 0x9E3779B9
+            for t in th[s : s + c]:
+                v = (v * int(_POLY) + int(t)) & mask64
+            short_vals[si] = v
+
+    # gather: for each doc, its n_sh shingles starting at starts[di]
+    out = np.empty(int(n_sh.sum()), dtype=np.uint64)
+    out_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    long_idx = np.nonzero(~short)[0]
+    if long_idx.size:
+        # flat gather indices: starts[di] + arange(n_sh[di]) per long doc
+        reps = n_sh[long_idx]
+        base = np.repeat(starts[long_idx], reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) if reps.size else np.empty(0, np.int64)
+        dest = np.repeat(out_starts[long_idx], reps) + offs
+        out[dest] = roll[base + offs]
+    si = 0
+    for di in np.nonzero(short)[0]:
+        out[out_starts[di]] = short_vals[si]
+        si += 1
+    return out, n_sh
+
+
+def minhash_signatures_batch(texts: list[str], k: int = 3) -> np.ndarray:
+    """64-permutation MinHash signatures, (n_docs, 64) uint64, vectorized
+    over the whole batch (shingle hashing + permutation mins at C speed;
+    ``np.minimum.reduceat`` folds per-doc segments).
+
+    h_i(x) = (a_i·x + b_i) mod 2^61−1 with fixed odd multipliers; min over
     the document's shingle set per permutation.  Signatures are mergeable
     (elementwise min), hence usable as a distributed sketch.
     """
-    sh = _shingle_hashes(text, k)
-    # (S, 64) universal hashes; uint64 wrap-around then mod Mersenne prime
-    hv = (sh[:, None] * _MH_A[None, :] + _MH_B[None, :]) % np.uint64(_MERSENNE)
-    return hv.min(axis=0)
+    sh, n_sh = shingle_hash_batch(texts, k)
+    n = len(n_sh)
+    if n == 0:
+        return np.empty((0, 64), dtype=np.uint64)
+    seg = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    out = np.empty((n, 64), dtype=np.uint64)
+    # chunk permutations to bound the (S_total × perms) temporary
+    for p0 in range(0, 64, 16):
+        a = _MH_A[p0 : p0 + 16]
+        b = _MH_B[p0 : p0 + 16]
+        hv = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+        out[:, p0 : p0 + 16] = np.minimum.reduceat(hv, seg, axis=0)
+    return out
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """Single-document convenience wrapper over the batch kernel."""
+    return minhash_signatures_batch([text], k)[0]
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """LSH band keys for a (n_docs, 64) signature matrix → (n_docs, bands)
+    int64; polynomial fold of each band's rows, vectorized over docs."""
+    sigs = np.asarray(sigs, dtype=np.uint64)
+    n, width = sigs.shape
+    rows = width // bands
+    banded = sigs.reshape(n, bands, rows)
+    acc = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    for r in range(rows):
+        acc = acc * _POLY + banded[:, :, r]
+    return acc.view(np.int64)
 
 
 def band_hashes(sig: np.ndarray, bands: int = 16) -> np.ndarray:
-    """LSH band keys: crc32 of each band's rows (bands × rows = 64)."""
-    rows = len(sig) // bands
-    return np.fromiter(
-        (
-            zlib.crc32(sig[b * rows : (b + 1) * rows].tobytes())
-            for b in range(bands)
-        ),
-        dtype=np.int64,
-        count=bands,
-    )
+    """Single-signature convenience wrapper (bands × rows = 64)."""
+    return band_hashes_batch(np.asarray(sig, dtype=np.uint64)[None, :], bands)[0]
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((np.asarray(sig_a) == np.asarray(sig_b)).mean())
 
 
-def simhash64(text: str) -> np.uint64:
-    """64-bit SimHash over word features (crc32-seeded per-word 64-bit
-    hashes, unweighted)."""
-    toks = text.split()
-    if not toks:
-        return np.uint64(0)
-    hv = np.fromiter(
-        (zlib.crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per document, (n_docs,) uint64, vectorized: one
+    tokenize+hash pass for the batch, per-doc bit votes folded with
+    ``np.add.reduceat``.  Empty documents hash to 0."""
+    th, counts = _token_hashes(texts)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = np.nonzero(counts > 0)[0]
+    if nonempty.size == 0:
+        return out
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    pm = (
+        2 * ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1
     )
-    # expand 32-bit crc to 64 bits with a fixed odd multiplier
-    hv = hv * np.uint64(0x9E3779B97F4A7C15)
-    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] >= 0:
-            out |= np.uint64(1) << np.uint64(i)
+    votes = np.add.reduceat(pm, starts[nonempty], axis=0)
+    sig = (
+        (votes >= 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sig
     return out
+
+
+def simhash64(text: str) -> np.uint64:
+    """Single-document convenience wrapper over the batch kernel."""
+    return simhash64_batch([text])[0]
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -141,9 +141,12 @@ def tile_summary(ds, as_dataset: bool = False):
             }
         )
 
+    from oma_ray.cluster import default_partitions
+
+    fan_in = max(4, default_partitions() // 8)
     partials = ds.map_batches(partial, batch_format="pyarrow")  # fuses upstream
-    merged = partials.repartition(8).map_batches(combine, batch_format="pyarrow")
-    df = merged.to_pandas()  # ≤ 8 × #tiles rows
+    merged = partials.repartition(fan_in).map_batches(combine, batch_format="pyarrow")
+    df = merged.to_pandas()  # ≤ fan_in × #tiles rows
     out = df.groupby("tile_id", as_index=False)[["n_pages", "n_matched"]].sum()
     out["tile_id"] = out["tile_id"].astype("int32")
     if as_dataset:
@@ -158,7 +161,7 @@ def write_tiled(
     out_dir: str,
     *,
     sort_within_tile: bool = True,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Deterministic partitioned sink: co-locate each ``tile_bucket`` with a
     keyed repartition, sort rows by (tile_id, page_id) *within* each block
@@ -166,9 +169,12 @@ def write_tiled(
     global one — tiles never span blocks after the keyed exchange), and
     write one parquet directory per bucket.  Output is byte-stable across
     reruns for fixed inputs."""
+    from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
     out = ds.repartition(num_partitions, keys=["tile_bucket"])
     if sort_within_tile:
         def sort_block(batch: pa.Table) -> pa.Table:

@@ -23,7 +23,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from oma_ray.functions.text import band_hashes, minhash_signature, simhash64
+from oma_ray.cluster import default_partitions
+from oma_ray.functions.text import (
+    band_hashes_batch,
+    minhash_signatures_batch,
+    simhash64_batch,
+)
 from oma_ray.stages.textstage import Md5Hash
 
 
@@ -39,7 +44,7 @@ def ensure_hash_shuffle() -> None:
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                num_partitions: int = 8):
+                num_partitions: int | None = None):
     """Keep the smallest ``id_col`` per distinct text (md5-keyed).
 
     Returns (text_md5, <id_col>) — one row per distinct content.  Shape:
@@ -47,6 +52,8 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     repartition on the 32-byte hash (never the text) → per-block min.
     """
     ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
     hashed = ds.map_batches(Md5Hash(text_col), batch_format="pyarrow")
 
     def local_min(batch: pa.Table) -> pa.Table:
@@ -67,18 +74,22 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 class MinHashStage:
-    """Append ``minhash:list<uint64>[64]`` per document."""
+    """Append ``minhash:list<uint64>[64]`` per document (one vectorized
+    batch kernel — tokenize/hash/permute at C speed, no per-doc loop)."""
 
     def __init__(self, text_col: str = "text", k: int = 3):
         self.text_col = text_col
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            minhash_signature(s, self.k)
-            for s in batch.column(self.text_col).to_pylist()
-        ]
-        arr = pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64()))
+        sigs = minhash_signatures_batch(
+            batch.column(self.text_col).to_pylist(), self.k
+        )
+        n = len(sigs)
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 64 * (n + 1), 64, dtype=np.int32)),
+            pa.array(sigs.reshape(-1), type=pa.uint64()),
+        )
         return batch.append_column("minhash", arr)
 
 
@@ -91,9 +102,7 @@ def _explode_bands(batch: pa.Table, id_col: str, bands: int) -> pa.Table:
         else batch.column("minhash").flatten(),
         dtype=np.uint64,
     ).reshape(n, -1)
-    bh = np.empty((n, bands), dtype=np.int64)
-    for i in range(n):  # crc per (doc, band): C-speed calls, bounded loop
-        bh[i] = band_hashes(sig_flat[i], bands)
+    bh = band_hashes_batch(sig_flat, bands)
     idx = np.repeat(np.arange(n), bands)
     return pa.table(
         {
@@ -105,16 +114,43 @@ def _explode_bands(batch: pa.Table, id_col: str, bands: int) -> pa.Table:
     )
 
 
-def _bucketed_block_pairs(ds, key_cols: list[str], pair_fn, num_partitions: int = 16):
+#: Per-bucket row cap for LSH blocking.  A bucket of b rows emits O(b²)
+#: candidate pairs; one degenerate key (e.g. thousands of empty documents
+#: all hashing identically) would go quadratic.  Buckets above the cap are
+#: dropped and logged — near-dup *pairs* inside a mega-bucket are better
+#: handled by exact dedup (identical content) than by pairwise LSH.
+MAX_LSH_BUCKET = 512
+
+
+def _schema_anchor(out, empty: pa.Table | None):
+    """Union a 0-row schema-carrying block onto ``out``: Ray's hash shuffle
+    emits NO blocks for an empty exchange, so a fully-filtered pipeline
+    would otherwise lose its schema (``schema() is None``) and break any
+    downstream projection."""
+    if empty is None:
+        return out
+    import ray.data as rd
+
+    return out.union(rd.from_arrow(empty))
+
+
+def _bucketed_block_pairs(ds, key_cols: list[str], pair_fn,
+                          num_partitions: int | None = None,
+                          max_bucket: int = MAX_LSH_BUCKET,
+                          empty: pa.Table | None = None):
     """Hash-partition rows by bucket key (``repartition(keys=..., sort=True)``
     co-locates and sorts each bucket in exactly one block), then emit pairs
     per bucket with a single vectorized pass per block — no per-group Python
     tasks (Ray's ``map_groups`` schedules one call per group, which is
     pathological for the ~n_docs×bands tiny buckets LSH produces)."""
     ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
     part = ds.repartition(num_partitions, keys=key_cols, sort=True)
 
     def block_pairs(batch: pa.Table) -> pa.Table:
+        import logging
+
         df = batch.to_pandas()
         if not len(df):
             return pair_fn(None)
@@ -126,15 +162,26 @@ def _bucketed_block_pairs(ds, key_cols: list[str], pair_fn, num_partitions: int 
             change |= v[1:] != v[:-1]
         bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [len(df)]])
         outs = []
+        dropped = 0
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
+            if e - s > max_bucket:
+                dropped += 1
+                continue
             outs.append(pair_fn(df.iloc[s:e]))
+        if dropped:
+            logging.getLogger("oma_ray.dedup").warning(
+                "LSH: dropped %d oversized bucket(s) (> %d rows) on keys %s",
+                dropped, max_bucket, key_cols,
+            )
         if not outs:
             return pair_fn(None)
         return pa.concat_tables(outs)
 
-    return part.map_batches(block_pairs, batch_format="pyarrow")
+    return _schema_anchor(
+        part.map_batches(block_pairs, batch_format="pyarrow"), empty
+    )
 
 
 def minhash_candidate_pairs(
@@ -186,38 +233,52 @@ def minhash_candidate_pairs(
     pairs = _bucketed_block_pairs(bandrows, ["band", "band_hash"], bucket_pairs)
     # same pair can surface from multiple bands — dedup with the same
     # co-locate-by-key trick (all copies land in one block)
-    return _dedup_pairs(pairs, extra_cols={"est_jaccard": "max"})
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    return _dedup_pairs(pairs, extra_cols={"est_jaccard": "max"}, empty=empty)
 
 
-def _dedup_pairs(pairs, extra_cols: dict[str, str], num_partitions: int = 8):
-    """Global pair dedup: co-locate each (id_a, id_b) via keyed repartition,
-    then one pandas groupby per block (within-block dedup == global dedup)."""
+def _dedup_pairs(pairs, extra_cols: dict[str, str],
+                 num_partitions: int | None = None,
+                 empty: pa.Table | None = None):
+    """Global pair dedup: co-locate each (id_a, id_b) via keyed repartition
+    (no sort needed — the per-block pandas groupby doesn't require sorted
+    input, and sorted finalize breaks on the schema-less empty blocks a
+    fully-filtered upstream produces), then one groupby per block
+    (within-block dedup == global dedup).  ``empty`` fixes the output schema
+    when a block carries no rows."""
     ensure_hash_shuffle()
-    part = pairs.repartition(num_partitions, keys=["id_a", "id_b"], sort=True)
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    part = pairs.repartition(num_partitions, keys=["id_a", "id_b"])
 
     def dedup_block(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         if not len(df):
-            return batch
+            return empty if empty is not None else batch
         agg = df.groupby(["id_a", "id_b"], as_index=False).agg(extra_cols)
         from oma_ray.sources.parquet import from_pandas_clean
 
         return from_pandas_clean(agg)
 
-    return part.map_batches(dedup_block, batch_format="pyarrow")
+    return _schema_anchor(
+        part.map_batches(dedup_block, batch_format="pyarrow"), empty
+    )
 
 
 class SimHashStage:
-    """Append ``simhash:uint64`` per document."""
+    """Append ``simhash:uint64`` per document (vectorized batch kernel)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = np.array(
-            [simhash64(s) for s in batch.column(self.text_col).to_pylist()],
-            dtype=np.uint64,
-        )
+        vals = simhash64_batch(batch.column(self.text_col).to_pylist())
         return batch.append_column("simhash", pa.array(vals, type=pa.uint64()))
 
 
@@ -278,7 +339,14 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         explode, batch_format="pyarrow"
     )
     pairs = _bucketed_block_pairs(bandrows, ["band", "band_key"], bucket_pairs)
-    return _dedup_pairs(pairs, extra_cols={"hamming": "min"})
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+    return _dedup_pairs(pairs, extra_cols={"hamming": "min"}, empty=empty)
 
 
 def keep_first_from_pairs(pair_rows: list[dict], all_ids: np.ndarray) -> np.ndarray:

@@ -61,9 +61,10 @@ class BroadcastJoiner:
 
 
 def broadcast_join(ds, small_table, keys, right_keys=None, join_type="left outer",
-                   concurrency=(1, 8), batch_size=16384):
-    """Broadcast hash join as an actor-pool stage (small side fetched once
-    per actor from the object store)."""
+                   batch_size=None):
+    """Broadcast hash join as a fused task stage (small side fetched once
+    per worker from the object store via the task cache — fuses with the
+    surrounding task chain, unlike an actor pool)."""
     import ray
 
     ref = (
@@ -76,12 +77,17 @@ def broadcast_join(ds, small_table, keys, right_keys=None, join_type="left outer
     return ds.map_batches(
         CachedStage(BroadcastJoiner, ref, keys, right_keys, join_type),
         batch_format="pyarrow",
+        batch_size=batch_size,
     )
 
 
 def hash_join(left, right, on, right_on=None, join_type="inner",
-              num_partitions=32, **kwargs):
+              num_partitions=None, **kwargs):
     """Hash-shuffle join of two large Datasets (all-to-all exchange)."""
+    from oma_ray.cluster import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (
         on if right_on is None

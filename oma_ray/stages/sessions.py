@@ -21,10 +21,11 @@ def sessionize_counts(ds, gap_seconds: int = 1800, user_col: str = "user_id",
     Ties on ts are gap=0 regardless of ordering, so the result is
     deterministic without a stable tie-break."""
 
+    from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
-    part = ds.repartition(8, keys=[user_col])
+    part = ds.repartition(default_partitions(), keys=[user_col])
 
     def block_sessions(batch) -> "pd.DataFrame":
         import pyarrow as pa
@@ -91,8 +92,10 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
 
         return from_pandas_clean(agg)
 
+    from oma_ray.cluster import default_partitions
+
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(8, keys=[key_col, "window_start"])
+        .repartition(default_partitions(), keys=[key_col, "window_start"])
         .map_batches(combine, batch_format="pyarrow")
     )

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def key_counts(ds, key_col: str, num_partitions: int = 8):
+def key_counts(ds, key_col: str, num_partitions: int | None = None):
     """Per-key row counts as a Dataset of (key, n) — partial-per-batch, tree
     combine (never shuffles rows)."""
     import pandas as pd
@@ -80,7 +80,7 @@ def salted_repartition(
     key_col: str,
     row_col: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     n_salts: int = 8,
     hot_share: float = 0.01,
 ):
@@ -94,7 +94,11 @@ def salted_repartition(
     from oma_ray.stages.dedup import ensure_hash_shuffle
     from oma_ray.stages.taskcache import CachedStage
 
+    from oma_ray.cluster import default_partitions
+
     ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
     hot = find_hot_keys(ds, key_col, hot_share)
     ds2 = ds.map_batches(
         CachedStage(AddSalt, ray.put(hot), key_col, n_salts, row_col),

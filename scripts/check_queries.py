@@ -75,6 +75,14 @@ def main():
             continue
         want = canon(con.sql(oracles[name]).df())
         ok = len(got) == len(want) and list(got.columns) == list(want.columns)
+        # the driver hashes raw arrow values, so a dtype difference (e.g.
+        # DuckDB decimal128 vs engine int64) fails even when values match —
+        # surface it here instead of masking it in the comparison below
+        if ok:
+            for c in got.columns:
+                if got[c].dtype != want[c].dtype:
+                    print(f"   col {c} DTYPE mismatch: got {got[c].dtype}, want {want[c].dtype}")
+                    ok = False
         if ok:
             for c in got.columns:
                 g, w = got[c].to_numpy(), want[c].to_numpy()
