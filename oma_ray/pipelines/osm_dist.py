@@ -1,0 +1,691 @@
+"""Distributed reunify: the OSM conversion's three joins as Dataset ops.
+
+``pipelines/osm.py`` wires the conformance semantics with driver-side dicts
+(exact, golden-tested, but it would OOM the driver on a planet file).  This
+module re-expresses the same dataflow Ray-Data-first, per SURVEY §2.5:
+
+- J1 (way.nds ⟕ nodes, Reunify.java:434-447): explode way refs →
+  ``hash_join`` with the node (id, lon, lat) dataset → keyed repartition on
+  way_id → per-block ordered reassembly.  Misses become 0x7fffffff coords
+  (README.md:35) — the hash join replaces the reference's windowed
+  multi-pass file rewrites (Reunify.java:467-531), the single biggest
+  algorithmic win of the rebuild.
+- J2 (relation.members ⟕ ways, Reunify.java:676-841): same shape against
+  the assembled way geometries; unresolved way members drop, unresolved
+  restriction via-NODES keep their marked-id bytes as garbage coords
+  (pipelines/osm._marked_point).
+- J3 (reverse membership, Reunify.java:887-930): leftover (collection)
+  members explode → keyed repartition on (member_type, ref) → per-block
+  list building, joined back at emission.
+
+Per-relation assembly (ring nesting, FromTo stitching) and classification
+reuse the exact per-element kernels from functions/rings.py and
+stages/classify.py inside ``map_batches`` blocks — groups are co-located by
+relation id, so within-block assembly == global assembly.
+
+Nested payloads (tags, member lists, geometry) travel as JSON string
+columns across the shuffles: every exchange stays plain Arrow, and no
+pandas object-column surprises in the combine steps.
+
+Scale notes: all exchanges key on element ids (well-distributed);
+partition counts come from cluster size; nothing materializes on the
+driver except the final entry collection (which callers at real scale
+replace with a partitioned write).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from oma_ray.functions.rings import assemble_areas, from_to_ways
+from oma_ray.pipelines.osm import MAXC, NO_BOUNDS, _marked_point, _meta_sig, _norm_ring
+from oma_ray.stages.classify import TypeConfig, classify_plain, classify_way_split
+from oma_ray.stages.tiles import BbsGrid
+
+_META_COLS = ("id", "version", "timestamp", "changeset", "uid", "user")
+
+
+def _elements_table(elems: list[dict], kind: str) -> pa.Table:
+    cols = {
+        "id": pa.array([e["id"] for e in elems], type=pa.int64()),
+        "version": pa.array([e["version"] for e in elems], type=pa.int32()),
+        "timestamp": pa.array([e["timestamp"] for e in elems], type=pa.int64()),
+        "changeset": pa.array([e["changeset"] for e in elems], type=pa.int64()),
+        "uid": pa.array([e["uid"] for e in elems], type=pa.int32()),
+        "user": pa.array([e["user"] for e in elems], type=pa.string()),
+        "tags_json": pa.array(
+            [json.dumps(sorted(e["tags"].items())) for e in elems],
+            type=pa.string(),
+        ),
+    }
+    if kind == "node":
+        cols["lon"] = pa.array([e["lon"] for e in elems], type=pa.int64())
+        cols["lat"] = pa.array([e["lat"] for e in elems], type=pa.int64())
+    elif kind == "way":
+        cols["refs_json"] = pa.array(
+            [json.dumps(e["refs"]) for e in elems], type=pa.string()
+        )
+    else:
+        cols["members_json"] = pa.array(
+            [json.dumps([list(m) for m in e["members"]]) for e in elems],
+            type=pa.string(),
+        )
+    return pa.table(cols)
+
+
+def _tags_of(row) -> dict:
+    return dict(json.loads(row["tags_json"]))
+
+
+def _entry_schema() -> pa.Table:
+    return pa.table(
+        {
+            "chunk_type": pa.array([], type=pa.string()),
+            "tile": pa.array([], type=pa.int32()),
+            "key": pa.array([], type=pa.string()),
+            "value": pa.array([], type=pa.string()),
+            "meta_json": pa.array([], type=pa.string()),
+            "tags_json": pa.array([], type=pa.string()),
+            "members_json": pa.array([], type=pa.string()),
+            "geo_json": pa.array([], type=pa.string()),
+        }
+    )
+
+
+def _entries_table(rows: list[tuple]) -> pa.Table:
+    if not rows:
+        return _entry_schema()
+    ct, tile, key, value, meta, tags, members, geo = zip(*rows)
+    return pa.table(
+        {
+            "chunk_type": pa.array(ct, type=pa.string()),
+            "tile": pa.array(tile, type=pa.int32()),
+            "key": pa.array(key, type=pa.string()),
+            "value": pa.array(value, type=pa.string()),
+            "meta_json": pa.array(meta, type=pa.string()),
+            "tags_json": pa.array(tags, type=pa.string()),
+            "members_json": pa.array(members, type=pa.string()),
+            "geo_json": pa.array(geo, type=pa.string()),
+        }
+    )
+
+
+def convert_osm_distributed(
+    nodes: list[dict],
+    ways: list[dict],
+    rels: list[dict],
+    bbs_text: str,
+    cfg: TypeConfig,
+    *,
+    preserve: set | None = None,
+    one_element: bool = False,
+) -> list[tuple]:
+    """Same contract and output multiset as ``convert_osm`` — but J1/J2/J3,
+    classification and tile assignment run as Ray Dataset stages."""
+    import ray
+    import ray.data as rd
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+    from oma_ray.synth import parse_bbs
+
+    ensure_hash_shuffle()
+    nparts = default_partitions()
+    preserve = preserve if preserve is not None else {
+        "id", "version", "timestamp", "changeset", "user"
+    }
+
+    nodes_ds = rd.from_arrow(_elements_table(nodes, "node"))
+    ways_ds = rd.from_arrow(_elements_table(ways, "way"))
+    rels_ds = rd.from_arrow(_elements_table(rels, "relation"))
+
+    # --- A1: global bbox (distributed min/max aggregate) --------------------
+    if nodes:
+        from ray.data.aggregate import Max, Min
+
+        agg = nodes_ds.aggregate(Min("lon"), Max("lon"), Min("lat"), Max("lat"))
+        global_bbox = (
+            int(agg["min(lon)"]), int(agg["min(lat)"]),
+            int(agg["max(lon)"]), int(agg["max(lat)"]),
+        )
+    else:
+        global_bbox = (-1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000)
+
+    grid = BbsGrid(parse_bbs(bbs_text, global_bbox))
+    boxes = [tuple(b) for b in grid.boxes]
+    miss = len(boxes)
+    grid_ref = ray.put(grid)
+
+    # --- J1: way geometries via explode + hash join -------------------------
+    def explode_refs(batch: pa.Table) -> pa.Table:
+        wid, idx, ref = [], [], []
+        for row in batch.select(["id", "refs_json"]).to_pylist():
+            refs = json.loads(row["refs_json"])
+            if not refs:
+                # sentinel so zero-ref ways still get a (empty) geometry row
+                wid.append(row["id"])
+                idx.append(-1)
+                ref.append(0)
+                continue
+            wid.extend([row["id"]] * len(refs))
+            idx.extend(range(len(refs)))
+            ref.extend(refs)
+        return pa.table(
+            {
+                "way_id": pa.array(wid, type=pa.int64()),
+                "ref_idx": pa.array(idx, type=pa.int32()),
+                "ref": pa.array(ref, type=pa.int64()),
+            }
+        )
+
+    exploded = ways_ds.map_batches(explode_refs, batch_format="pyarrow")
+    node_loc = nodes_ds.select_columns(["id", "lon", "lat"])
+    j1 = hash_join(
+        exploded, node_loc, on="ref", right_on="id", join_type="left_outer",
+        num_partitions=nparts,
+    )
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "way_id": pa.array([], type=pa.int64()),
+                    "geo_json": pa.array([], type=pa.string()),
+                }
+            )
+        df = df.sort_values(["way_id", "ref_idx"])
+        lon = df["lon"].to_numpy()
+        lat = df["lat"].to_numpy()
+        lon = np.where(np.isnan(lon.astype(np.float64)), MAXC, lon).astype(np.int64)
+        lat = np.where(np.isnan(lat.astype(np.float64)), MAXC, lat).astype(np.int64)
+        wids, geos = [], []
+        w = df["way_id"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(w[1:] != w[:-1])[0] + 1, [len(w)]]
+        )
+        ridx = df["ref_idx"].to_numpy()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            wids.append(int(w[s]))
+            keep = ridx[s:e] >= 0  # drop the zero-ref sentinel row
+            geos.append(json.dumps(
+                [[int(a), int(b)]
+                 for a, b in zip(lon[s:e][keep], lat[s:e][keep])]
+            ))
+        return pa.table(
+            {
+                "way_id": pa.array(wids, type=pa.int64()),
+                "geo_json": pa.array(geos, type=pa.string()),
+            }
+        )
+
+    way_geo = (
+        j1.repartition(nparts, keys=["way_id"])
+        .map_batches(reassemble, batch_format="pyarrow")
+        .materialize()
+    )
+    # (materialize: consumed by both the way-emission join and the J2
+    # member join — and it caps how many hash-join aggregator pools the
+    # streaming executor has to co-schedule in one DAG)
+
+    # --- relation routing (one pass; produces typed member streams) --------
+    def route(batch: pa.Table) -> pa.Table:
+        """Per relation: which member indices each route consumes
+        (Reunify.java:283-373); leftover members feed J3 + collections."""
+        out = {
+            "rel_id": [], "route": [], "m_idx": [], "mtype": [], "ref": [],
+            "role": [], "pos": [],
+        }
+        for row in batch.to_pylist():
+            members = json.loads(row["members_json"])
+            rtype = dict(json.loads(row["tags_json"])).get("type")
+            consumed = set()
+            if rtype in ("multipolygon", "boundary"):
+                for i, (mtype, ref, role) in enumerate(members):
+                    if mtype == "way" and role in ("outer", "inner"):
+                        consumed.add(i)
+                        out["rel_id"].append(row["id"])
+                        out["route"].append("area")
+                        out["m_idx"].append(i)
+                        out["mtype"].append(mtype)
+                        out["ref"].append(ref)
+                        out["role"].append(role)
+                        out["pos"].append(i)
+            if rtype in ("restriction", "destination_sign"):
+                for i, (mtype, ref, role) in enumerate(members):
+                    if (mtype == "way" and role in ("from", "to", "via", "intersection")) or (
+                        mtype == "node" and role in ("via", "intersection")
+                    ):
+                        consumed.add(i)
+                        out["rel_id"].append(row["id"])
+                        out["route"].append("restr")
+                        out["m_idx"].append(i)
+                        out["mtype"].append(mtype)
+                        out["ref"].append(ref)
+                        out["role"].append(role)
+                        out["pos"].append(i)
+            li = 0
+            for i, (mtype, ref, role) in enumerate(members):
+                if i in consumed:
+                    continue
+                out["rel_id"].append(row["id"])
+                out["route"].append("leftover")
+                out["m_idx"].append(i)
+                out["mtype"].append(mtype)
+                out["ref"].append(ref)
+                out["role"].append(role)
+                out["pos"].append(li)  # position in the leftover list
+                li += 1
+        return pa.table(
+            {
+                "rel_id": pa.array(out["rel_id"], type=pa.int64()),
+                "route": pa.array(out["route"], type=pa.string()),
+                "m_idx": pa.array(out["m_idx"], type=pa.int32()),
+                "mtype": pa.array(out["mtype"], type=pa.string()),
+                "ref": pa.array(out["ref"], type=pa.int64()),
+                "role": pa.array(out["role"], type=pa.string()),
+                "pos": pa.array(out["pos"], type=pa.int32()),
+            }
+        )
+
+    routed = rels_ds.map_batches(route, batch_format="pyarrow").materialize()
+    # (materialize: the routed member stream is consumed by four downstream
+    # branches; relations are the small stream — ~1% of a planet file)
+
+    # --- J3: reverse membership from the leftover stream --------------------
+    leftover = routed.filter(expr="route == 'leftover'")
+
+    def group_members(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "mtype": pa.array([], type=pa.string()),
+                    "ref": pa.array([], type=pa.int64()),
+                    "members_json": pa.array([], type=pa.string()),
+                }
+            )
+        rows = []
+        for (mtype, ref), g in df.groupby(["mtype", "ref"]):
+            ms = [
+                [int(r.rel_id), r.role, int(r.pos)]
+                for r in g.itertuples()
+            ]
+            rows.append((mtype, int(ref), json.dumps(ms)))
+        mt, rf, mj = zip(*rows)
+        return pa.table(
+            {
+                "mtype": pa.array(mt, type=pa.string()),
+                "ref": pa.array(rf, type=pa.int64()),
+                "members_json": pa.array(mj, type=pa.string()),
+            }
+        )
+
+    membership = (
+        leftover.repartition(nparts, keys=["mtype", "ref"])
+        .map_batches(group_members, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def memb_for(kind: str):
+        # projection via map_batches, NOT filter(expr)+select/rename: Ray
+        # 2.49's plan-level schema() reports the pre-projection columns for
+        # that chain, which poisons downstream join planning
+        def proj(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = b.filter(pc.equal(b.column("mtype"), kind))
+            return pa.table(
+                {
+                    "ref": t.column("ref"),
+                    "rev_members_json": t.column("members_json"),
+                }
+            )
+
+        return membership.map_batches(proj, batch_format="pyarrow")
+
+    def meta_json(row) -> str:
+        sig = _meta_sig(
+            {c: row[c] for c in _META_COLS}, preserve,
+            force_id=row.get("_force_id", False),
+        )
+        return json.dumps(sig)
+
+    # --- node emission ------------------------------------------------------
+    nodes_j = hash_join(
+        nodes_ds, memb_for("node"), on="id", right_on="ref",
+        join_type="left_outer", num_partitions=nparts,
+    )
+
+    def emit_nodes(batch: pa.Table) -> pa.Table:
+        rows = []
+        tbl = batch.to_pylist()
+        if not tbl:
+            return _entry_schema()
+        lons = np.array([r["lon"] for r in tbl], dtype=np.int64)
+        lats = np.array([r["lat"] for r in tbl], dtype=np.int64)
+        g = ray.get(grid_ref)
+        tiles = g.assign_bboxes(lons, lats, lons, lats)
+        for i, row in enumerate(tbl):
+            tags = _tags_of(row)
+            rev = row.get("rev_members_json")
+            if not tags and rev is None:
+                continue  # Reunify.java:953
+            final_tags, assigns = classify_plain(cfg, "N", tags, one_element)
+            for key, value in assigns:
+                rows.append(
+                    ("N", int(tiles[i]), key, value, meta_json(row),
+                     json.dumps(sorted(final_tags.items())),
+                     rev or "[]",
+                     json.dumps([int(row["lon"]), int(row["lat"])]))
+                )
+        return _entries_table(rows)
+
+    node_entries = nodes_j.map_batches(emit_nodes, batch_format="pyarrow")
+
+    # --- way emission (split/area semantics) --------------------------------
+    def projected(ds, mapping: dict):
+        def proj(b: pa.Table) -> pa.Table:
+            return pa.table({new: b.column(old) for old, new in mapping.items()})
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
+    ways_j = hash_join(
+        projected(ways_ds, {
+            c: c for c in
+            ("id", "version", "timestamp", "changeset", "uid", "user", "tags_json")
+        }),
+        way_geo, on="id", right_on="way_id", join_type="left_outer",
+        num_partitions=nparts,
+    )
+    ways_j = hash_join(
+        ways_j, memb_for("way"), on="id", right_on="ref",
+        join_type="left_outer", num_partitions=nparts,
+    )
+
+    def emit_way_rows(row, coords, rev_json, rows):
+        closed = len(coords) >= 3 and coords[0] == coords[-1]
+        tags = _tags_of(row)
+        final_tags, area_assigns, split_tags = classify_way_split(
+            cfg, tags, closed, one_element
+        )
+        lon = np.array([p[0] for p in coords], dtype=np.int64)
+        lat = np.array([p[1] for p in coords], dtype=np.int64)
+        g = ray.get(grid_ref)
+        tile = int(g.assign_bboxes(
+            np.array([lon.min()]), np.array([lat.min()]),
+            np.array([lon.max()]), np.array([lat.max()]),
+        )[0])
+        if area_assigns:
+            ring = _norm_ring([tuple(p) for p in coords[:-1]], outer=True)
+            geo = json.dumps([[list(p) for p in ring], []])
+            for _t, key, value in area_assigns:
+                rows.append(
+                    ("A", tile, key, value, meta_json(row),
+                     json.dumps(sorted(final_tags.items())), rev_json, geo)
+                )
+        if split_tags is not None:
+            ftags, assigns = classify_plain(cfg, "W", split_tags, one_element)
+            geo = json.dumps([list(p) for p in coords])
+            for key, value in assigns:
+                rows.append(
+                    ("W", tile, key, value, meta_json(row),
+                     json.dumps(sorted(ftags.items())), rev_json, geo)
+                )
+
+    def emit_ways(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            rev = row.get("rev_members_json")
+            if not json.loads(row["tags_json"]) and rev is None:
+                continue  # Reunify.java:1019
+            coords = [
+                tuple(p) for p in json.loads(row["geo_json"] or "[]")
+            ]
+            emit_way_rows(row, coords, rev or "[]", rows)
+        return _entries_table(rows)
+
+    way_entries = ways_j.map_batches(emit_ways, batch_format="pyarrow")
+
+    # --- J2: relation member geometries -------------------------------------
+    def routed_where(route: str, mtype: str):
+        def proj(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.and_(
+                pc.equal(b.column("route"), route),
+                pc.equal(b.column("mtype"), mtype),
+            )
+            return b.filter(m)
+
+        return routed.map_batches(proj, batch_format="pyarrow")
+
+    way_mem = (
+        routed_where("area", "way").union(routed_where("restr", "way"))
+    )
+    way_mem_j = hash_join(
+        way_mem, projected(way_geo, {"way_id": "way_id", "geo_json": "mgeo_json"}),
+        on="ref", right_on="way_id", join_type="left_outer",
+        num_partitions=nparts,
+    )
+    node_mem = routed_where("restr", "node")
+    node_mem_j = hash_join(
+        node_mem, projected(node_loc, {"id": "nid", "lon": "lon", "lat": "lat"}),
+        on="ref", right_on="nid", join_type="left_outer",
+        num_partitions=nparts,
+    )
+
+    def node_mem_geo(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            if row.get("lon") is None:
+                pt = _marked_point(row["ref"])
+            else:
+                pt = (row["lon"], row["lat"])
+            out.append(
+                {k: row[k] for k in ("rel_id", "route", "m_idx", "mtype", "role")}
+                | {"mgeo_json": json.dumps([list(pt)])}
+            )
+        if not out:
+            return pa.table(
+                {
+                    "rel_id": pa.array([], type=pa.int64()),
+                    "route": pa.array([], type=pa.string()),
+                    "m_idx": pa.array([], type=pa.int32()),
+                    "mtype": pa.array([], type=pa.string()),
+                    "role": pa.array([], type=pa.string()),
+                    "mgeo_json": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "rel_id": pa.array([r["rel_id"] for r in out], type=pa.int64()),
+                "route": pa.array([r["route"] for r in out], type=pa.string()),
+                "m_idx": pa.array([r["m_idx"] for r in out], type=pa.int32()),
+                "mtype": pa.array([r["mtype"] for r in out], type=pa.string()),
+                "role": pa.array([r["role"] for r in out], type=pa.string()),
+                "mgeo_json": pa.array([r["mgeo_json"] for r in out], type=pa.string()),
+            }
+        )
+
+    cols = ["rel_id", "route", "m_idx", "mtype", "role", "mgeo_json"]
+    member_geo = (
+        projected(way_mem_j, {c: c for c in cols})
+        .union(projected(
+            node_mem_j.map_batches(node_mem_geo, batch_format="pyarrow"),
+            {c: c for c in cols},
+        ))
+    )
+
+    rel_info = projected(rels_ds, {
+        c: c for c in
+        ("id", "version", "timestamp", "changeset", "uid", "user", "tags_json")
+    })
+    rel_info_j = hash_join(
+        rel_info, memb_for("relation"), on="id", right_on="ref",
+        join_type="left_outer", num_partitions=nparts,
+    )
+    rel_info_renamed = projected(rel_info_j, {
+        "id": "id", "version": "version", "timestamp": "timestamp",
+        "changeset": "changeset", "uid": "uid", "user": "user",
+        "tags_json": "rel_tags_json", "rev_members_json": "rev_members_json",
+    })
+    geo_plus_info = hash_join(
+        member_geo, rel_info_renamed,
+        on="rel_id", right_on="id", join_type="inner", num_partitions=nparts,
+    )
+
+    def emit_relations(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows: list[tuple] = []
+        if not len(df):
+            return _entry_schema()
+        for rel_id, g in df.groupby("rel_id"):
+            first = g.iloc[0]
+            row = {
+                "id": int(rel_id),
+                "version": int(first["version"]),
+                "timestamp": int(first["timestamp"]),
+                "changeset": int(first["changeset"]),
+                "uid": int(first["uid"]),
+                "user": str(first["user"]),
+                "tags_json": first["rel_tags_json"],
+            }
+            rev = first["rev_members_json"]
+            rev_json = rev if isinstance(rev, str) else "[]"
+            tags = _tags_of(row)
+            # restriction / destination_sign stitching
+            rg = g[g["route"] == "restr"].sort_values("m_idx")
+            if len(rg):
+                ffrom, fvia, fto = [], [], []
+                for r in rg.itertuples():
+                    if r.mtype == "way" and not isinstance(r.mgeo_json, str):
+                        continue  # unresolved way member drops
+                    geo = [tuple(p) for p in json.loads(r.mgeo_json)]
+                    if r.role == "from":
+                        ffrom.append(geo)
+                    elif r.role == "to":
+                        fto.append(geo)
+                    else:
+                        fvia.append(geo)
+                for way_pts in from_to_ways(ffrom, fvia, fto):
+                    emit_way_rows(row, [tuple(p) for p in way_pts],
+                                  rev_json, rows)
+            # multipolygon / boundary assembly
+            ag = g[g["route"] == "area"].sort_values("m_idx")
+            if len(ag):
+                outer, inner = [], []
+                for r in ag.itertuples():
+                    if not isinstance(r.mgeo_json, str):
+                        continue  # unresolved member drops
+                    geo = [tuple(p) for p in json.loads(r.mgeo_json)]
+                    (outer if r.role == "outer" else inner).append(geo)
+                final_tags, assigns = classify_plain(cfg, "A", tags, one_element)
+                gobj = ray.get(grid_ref)
+                for ring, holes in assemble_areas(outer, inner):
+                    open_outer = ring[:-1]
+                    open_holes = [h[:-1] for h in holes]
+                    pts = list(open_outer) + [p for h in open_holes for p in h]
+                    lon = np.array([p[0] for p in pts], dtype=np.int64)
+                    lat = np.array([p[1] for p in pts], dtype=np.int64)
+                    tile = int(gobj.assign_bboxes(
+                        np.array([lon.min()]), np.array([lat.min()]),
+                        np.array([lon.max()]), np.array([lat.max()]),
+                    )[0])
+                    geo = json.dumps(
+                        [
+                            [list(p) for p in _norm_ring(open_outer, outer=True)],
+                            [[list(p) for p in _norm_ring(h, outer=False)]
+                             for h in open_holes],
+                        ]
+                    )
+                    for key, value in assigns:
+                        rows.append(
+                            ("A", tile, key, value, meta_json(row),
+                             json.dumps(sorted(final_tags.items())),
+                             rev_json, geo)
+                        )
+        return _entries_table(rows)
+
+    rel_entries = (
+        geo_plus_info.repartition(nparts, keys=["rel_id"])
+        .map_batches(emit_relations, batch_format="pyarrow")
+    )
+
+    # --- collections --------------------------------------------------------
+    coll_ids = (
+        leftover.select_columns(["rel_id"])
+        .map_batches(
+            lambda b: pa.table({"rel_id": pa.compute.unique(b.column("rel_id"))}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def coll_dedup(batch: pa.Table) -> pa.Table:
+        return pa.table({"rel_id": pa.compute.unique(batch.column("rel_id"))})
+
+    coll_ids = coll_ids.repartition(nparts, keys=["rel_id"]).map_batches(
+        coll_dedup, batch_format="pyarrow"
+    )
+    coll_j = hash_join(
+        coll_ids, rel_info_j, on="rel_id", right_on="id",
+        join_type="inner", num_partitions=nparts,
+    )
+
+    def emit_collections(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            row = dict(row)
+            row["id"] = row["rel_id"]
+            row["_force_id"] = True
+            tags = _tags_of(row)
+            final_tags, assigns = classify_plain(cfg, "C", tags, one_element)
+            rev = row.get("rev_members_json")
+            for key, value in assigns:
+                rows.append(
+                    ("C", miss, key, value, meta_json(row),
+                     json.dumps(sorted(final_tags.items())),
+                     rev if isinstance(rev, str) else "[]", "null")
+                )
+        return _entries_table(rows)
+
+    coll_entries = coll_j.map_batches(emit_collections, batch_format="pyarrow")
+
+    # --- collect + decode into the convert_osm signature shape --------------
+    # the four entry streams are collected sequentially: each one holds at
+    # most 2-3 hash-join aggregator pools live at a time, instead of a
+    # single union DAG scheduling every join's actor pool at once
+    collected: list[dict] = []
+    for entry_ds in (node_entries, way_entries, rel_entries, coll_entries):
+        collected.extend(entry_ds.take_all())
+    out: list[tuple] = []
+    for row in collected:
+        tile = row["tile"]
+        bounds = boxes[tile] if tile < miss else NO_BOUNDS
+        meta = tuple(json.loads(row["meta_json"]))
+        tags = frozenset((k, v) for k, v in json.loads(row["tags_json"]))
+        members = frozenset(
+            (int(m[0]), m[1], int(m[2]))
+            for m in json.loads(row["members_json"])
+        )
+        gj = json.loads(row["geo_json"])
+        if row["chunk_type"] == "N":
+            geo = (gj[0], gj[1])
+        elif row["chunk_type"] == "W":
+            geo = tuple(tuple(p) for p in gj)
+        elif row["chunk_type"] == "A":
+            geo = (
+                tuple(tuple(p) for p in gj[0]),
+                tuple(tuple(tuple(q) for q in h) for h in gj[1]),
+            )
+        else:
+            geo = ()
+        out.append(
+            (row["chunk_type"], bounds, row["key"], row["value"], meta,
+             tags, members, geo)
+        )
+    return out

@@ -6,12 +6,9 @@ Magic bytes per Tools.java:21-22,56-75:
 - OMA: 'OMA' (our own container, sources/oma_file.py)
 - anything else: OSM XML
 
-O5M and PBF decoding is not yet implemented (the reference's hand-rolled
-decoders are single-cursor streams, O5MReader.java:38-280 /
-PBFReader.java:22-553; the Ray mapping is one read task per file /
-independently-inflatable PBF blob → ``flat_map``).  They dispatch to a
-clearly-marked NotImplementedError until then so format detection and the
-dispatch seam are real and tested.
+Dispatches to the XML (sources/osm_xml.py), O5M (sources/o5m.py) and PBF
+(sources/pbf.py) decoders; PBF additionally has a blob-parallel Ray
+Dataset path (``pbf.read_pbf_table``).
 """
 
 from __future__ import annotations
@@ -39,9 +36,12 @@ def read_osm_any(path: str):
         from oma_ray.sources.osm_xml import read_osm_xml
 
         return read_osm_xml(path)
-    if fmt in ("o5m", "pbf"):
-        raise NotImplementedError(
-            f"{fmt} decoding not implemented yet; convert to XML or extend "
-            f"oma_ray.sources (see module docstring for the decoder plan)"
-        )
+    if fmt == "o5m":
+        from oma_ray.sources.o5m import read_osm_o5m
+
+        return read_osm_o5m(path)
+    if fmt == "pbf":
+        from oma_ray.sources.pbf import read_osm_pbf
+
+        return read_osm_pbf(path)
     raise ValueError(f"{path} is an OMA container, not an OSM input")

@@ -20,6 +20,7 @@ once per actor.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -81,9 +82,14 @@ def broadcast_join(ds, small_table, keys, right_keys=None, join_type="left outer
     )
 
 
-def hash_join(left, right, on, right_on=None, join_type="inner",
-              num_partitions=None, **kwargs):
-    """Hash-shuffle join of two large Datasets (all-to-all exchange)."""
+def hash_join_native(left, right, on, right_on=None, join_type="inner",
+                     num_partitions=None, **kwargs):
+    """Ray's built-in hash-partitioned ``Dataset.join``.  CAUTION: in Ray
+    2.49 the join aggregator feeds pyarrow a SCHEMA-LESS empty table for any
+    partition that received zero rows on one side, and the Acero join then
+    fails with "No match for FieldRef" — so this path is only safe when both
+    sides are dense enough that every partition is non-empty.  Use
+    ``hash_join`` (colocated) for anything sparse."""
     from oma_ray.cluster import default_partitions
 
     if num_partitions is None:
@@ -101,3 +107,91 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
         right_on=right_on,
         **kwargs,
     )
+
+
+def hash_join(left, right, on, right_on=None, join_type="inner",
+              num_partitions=None):
+    """Hash-shuffle join of two large Datasets, colocated-union style:
+    both sides are tagged, unioned under one padded schema, exchanged ONCE
+    by key, and joined per block with pyarrow (Acero).
+
+    Every row of a key lands in exactly one block, so per-block join ==
+    global join for inner/left_outer.  Moves the same bytes as a two-sided
+    shuffle join but tolerates arbitrarily sparse sides (empty partitions
+    simply produce no block — no schema-less-table pitfall, unlike
+    ``Dataset.join`` in Ray 2.49).  Right key columns are renamed onto the
+    left key names; output columns = left schema + non-key right columns.
+    """
+    import pyarrow as pa
+
+    from oma_ray.cluster import default_partitions
+
+    if join_type not in ("inner", "left_outer"):
+        return hash_join_native(left, right, on, right_on, join_type,
+                                num_partitions)
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = (
+        on if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lnames = list(lschema.names)
+    rkeep = [c for c in rschema.names if c not in right_on]
+    overlap = set(lnames) & set(rkeep)
+    if overlap:
+        raise ValueError(f"join sides share non-key columns: {overlap}")
+    out_names = lnames + rkeep
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "__side", pa.array(np.zeros(len(batch), dtype=np.int8))
+        )
+        for c in rkeep:
+            batch = batch.append_column(c, pa.nulls(len(batch), type=rtypes[c]))
+        return batch
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        missing = [c for c in (*right_on, *rkeep) if c not in batch.column_names]
+        if missing:
+            raise ValueError(
+                f"pad_right schema drift: batch has {batch.column_names}, "
+                f"expected right_on={right_on} rkeep={rkeep} "
+                f"(lnames={lnames}, on={on})"
+            )
+        cols = {lk: batch.column(rk) for lk, rk in zip(on, right_on)}
+        for c in rkeep:
+            cols[c] = batch.column(c)
+        t = pa.table(cols)
+        for c in lnames:
+            if c not in on:
+                t = t.append_column(c, pa.nulls(len(t), type=ltypes[c]))
+        t = t.append_column(
+            "__side", pa.array(np.ones(len(t), dtype=np.int8))
+        )
+        return t.select([*lnames, "__side", *rkeep])
+
+    lp = left.map_batches(pad_left, batch_format="pyarrow")
+    rp = right.map_batches(pad_right, batch_format="pyarrow")
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    both = lp.union(rp).repartition(num_partitions, keys=on)
+
+    pa_join = {"inner": "inner", "left_outer": "left outer"}[join_type]
+
+    def block_join(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = batch.column("__side")
+        lt = batch.filter(pc.equal(side, 0)).select(lnames)
+        rt = batch.filter(pc.equal(side, 1)).select(on + rkeep)
+        joined = lt.join(rt, keys=on, join_type=pa_join)
+        return joined.select(out_names)
+
+    return both.map_batches(block_join, batch_format="pyarrow")
