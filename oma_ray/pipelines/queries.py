@@ -759,32 +759,36 @@ def q20_langid_quality(sf_dir: str):
 # --- q21: raster→vector zonal statistics ------------------------------------
 
 def q21_zonal_stats(sf_dir: str):
-    """Zonal aggregate of a raster over tiles: the 'raster' is a
-    deterministic per-cell band (elev = (cell_id * 2654435761) % 10000 —
-    standing in for a broadcast tile array; a real raster would ship its
-    tiles via ray.put and be sampled per point the same way).  Output: per
-    10°-tile sum of sampled elevation + page count."""
+    """Raster→vector zonal statistics: a REAL broadcast raster array
+    (``ray.put`` once, numpy-gathered per batch inside the fused task
+    chain — stages/raster.py) sampled at every geo-tagged page, summed per
+    10°-tile.  The raster is deterministic from a closed-form formula so
+    the DuckDB oracle mirrors every sampled value; the engine only ever
+    touches the materialized array."""
     import ray
 
-    from oma_ray.stages.cells import CellAssign
     from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.stages.raster import RasterSample, synth_raster
     from oma_ray.stages.taskcache import CachedStage
     from oma_ray.stages.tiles import TileAssign
     from oma_ray.synth import make_pages_dataset
 
     pages = make_pages_dataset(sf_dir)
     ds = pages.map_batches(GeoParse(), batch_format="pyarrow").drop_columns(["html"])
-    ds = ds.map_batches(CellAssign(which=("grid",)), batch_format="pyarrow")
     ds = ds.map_batches(
         CachedStage(TileAssign, ray.put(_grid10())), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        CachedStage(RasterSample, ray.put(synth_raster())), batch_format="pyarrow"
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         tile = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int32)
-        cells = batch.column("cell_id")
-        valid = ~pa.compute.is_null(cells).to_numpy(zero_copy_only=False)
-        cell = np.where(valid, cells.to_numpy(zero_copy_only=False), 0).astype(np.int64)
-        elev = np.where(valid, (cell * 2654435761) % 10000, 0).astype(np.int64)
+        elev_col = batch.column("elev")
+        valid = ~pa.compute.is_null(elev_col).to_numpy(zero_copy_only=False)
+        elev = np.where(
+            valid, elev_col.to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
         return pd.DataFrame(
             {
                 "tile_id": tile,
@@ -795,6 +799,8 @@ def q21_zonal_stats(sf_dir: str):
 
     return _grouped_sums(ds, ["tile_id"], partial, ["elev_sum", "n_pages"])
 
+
+from oma_ray.stages.raster import SQL_ELEV as _SQL_ELEV  # noqa: E402
 
 SQL_Q21 = f"""
 WITH g AS (
@@ -807,14 +813,12 @@ t AS (
   SELECT CAST(CASE WHEN NOT has_geo THEN 649
     ELSE (GREATEST(lon + 1800000000 - 1, 0) // 100000000) * 18
          + (GREATEST(lat + 900000000 - 1, 0) // 100000000) END AS INTEGER) AS tile_id,
-    CASE WHEN has_geo THEN
-      ((lat + 900000000) * 8192 // 1800000001) * 8192
-      + ((lon + 1800000000) * 8192 // 3600000001)
-    ELSE 0 END AS cell_id,
+    CASE WHEN has_geo THEN {_SQL_ELEV.format(lon='lon', lat='lat')}
+    ELSE 0 END AS elev,
     has_geo
   FROM g)
 SELECT tile_id,
-  CAST(SUM(CASE WHEN has_geo THEN (cell_id * 2654435761) % 10000 ELSE 0 END) AS BIGINT) AS elev_sum,
+  CAST(SUM(elev) AS BIGINT) AS elev_sum,
   COUNT(*) AS n_pages
 FROM t GROUP BY tile_id
 """

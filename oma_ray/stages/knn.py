@@ -341,7 +341,7 @@ def embedding_dup_pairs(
         CachedStage(DupCellAssign, cref, id_col, emb_col), batch_format="pyarrow"
     )
 
-    def cell_pairs(g) -> pa.Table:
+    def cell_pairs(batch: pa.Table | None, segs) -> pa.Table:
         empty = pa.table(
             {
                 "id_a": pa.array([], type=pa.int64()),
@@ -349,23 +349,27 @@ def embedding_dup_pairs(
                 "sim": pa.array([], type=pa.float64()),
             }
         )
-        if g is None or len(g) < 2:
+        if batch is None:
             return empty
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
-        s = m @ m.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = s[a, b] >= threshold
+        from oma_ray.stages.dedup import pair_indices
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        a, b = pair_indices(segs)
+        s = (m[a] * m[b]).sum(axis=1)  # row-wise dots, all buckets at once
+        keep = s >= threshold
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        mm = lo != hi
         return pa.table(
             {
-                "id_a": pa.array(ids[a[keep]], type=pa.int64()),
-                "id_b": pa.array(ids[b[keep]], type=pa.int64()),
-                "sim": pa.array(s[a[keep], b[keep]].round(9), type=pa.float64()),
+                "id_a": pa.array(lo[mm], type=pa.int64()),
+                "id_b": pa.array(hi[mm], type=pa.int64()),
+                "sim": pa.array(s[keep][mm].round(9), type=pa.float64()),
             }
         )
 
     from oma_ray.stages.dedup import _bucketed_block_pairs
 
-    empty = cell_pairs(None)
+    empty = cell_pairs(None, None)
     return _bucketed_block_pairs(assigned, ["ivf_cell"], cell_pairs, empty=empty)

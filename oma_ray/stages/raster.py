@@ -1,0 +1,77 @@
+"""Raster→vector sampling stage (north_star "raster-to-vector zonal joins").
+
+A raster is a real broadcast numpy array: ``ray.put`` once, fetched once
+per worker through the task cache, indexed per batch with pure numpy
+gathers — never re-shipped per batch, never sampled through a Python loop.
+At 100 TB the raster would be tiled (one object-store entry per tile,
+fetched by the workers whose points touch it); the single-array form here
+is the one-tile case of that layout with identical stage mechanics.
+
+The synthetic raster is deterministic from a closed-form formula so the
+DuckDB oracle can mirror the sampled values exactly (q21) — but the engine
+side only ever touches the materialized ARRAY, not the formula.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+RASTER_ROWS = 1800   # 0.1° cells: 180° of latitude
+RASTER_COLS = 3600   # 0.1° cells: 360° of longitude
+_CELL_FIXED = 1_000_000  # 0.1° in 1e-7-degree fixed point
+
+
+def synth_raster() -> np.ndarray:
+    """Deterministic global 'elevation' raster, (1800, 3600) int32.
+
+    elev(row, col) = (row*7919 + col*104729) mod 10000 — mirrored verbatim
+    in SQL_Q21 so the oracle reproduces every sampled value."""
+    r = np.arange(RASTER_ROWS, dtype=np.int64)[:, None]
+    c = np.arange(RASTER_COLS, dtype=np.int64)[None, :]
+    return ((r * 7919 + c * 104729) % 10000).astype(np.int32)
+
+
+class RasterSample:
+    """``map_batches`` callable: append ``elev:int32`` sampled from the
+    broadcast raster at each row's (lon, lat); null where has_geo is false.
+    Wrap in ``CachedStage`` so the array deserializes once per worker."""
+
+    def __init__(self, raster_or_ref, lon_col: str = "lon",
+                 lat_col: str = "lat", out_col: str = "elev"):
+        import ray
+
+        self.raster = (
+            ray.get(raster_or_ref)
+            if isinstance(raster_or_ref, ray.ObjectRef)
+            else raster_or_ref
+        )
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon_arr = batch.column(self.lon_col)
+        lat_arr = batch.column(self.lat_col)
+        valid = ~(
+            pa.compute.is_null(lon_arr).to_numpy(zero_copy_only=False)
+            | pa.compute.is_null(lat_arr).to_numpy(zero_copy_only=False)
+        )
+        lon = np.where(valid, lon_arr.to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        lat = np.where(valid, lat_arr.to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        row = np.minimum((lat + 900_000_000) // _CELL_FIXED, RASTER_ROWS - 1)
+        col = np.minimum((lon + 1_800_000_000) // _CELL_FIXED, RASTER_COLS - 1)
+        elev = self.raster[row, col]
+        return batch.append_column(
+            self.out_col,
+            pa.array(elev.astype(np.int32), type=pa.int32(),
+                     mask=~valid),
+        )
+
+
+# SQL fragment mirroring one sample: elev for a (lon, lat) pair, matching
+# RasterSample's row/col mapping and synth_raster's formula exactly
+SQL_ELEV = (
+    "((LEAST(({lat} + 900000000) // 1000000, 1799) * 7919"
+    " + LEAST(({lon} + 1800000000) // 1000000, 3599) * 104729) % 10000)"
+)
