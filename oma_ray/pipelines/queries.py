@@ -715,6 +715,20 @@ def q18_embedding_dups(sf_dir: str):
     ).select_columns(["id_a", "id_b"])
 
 
+# at τ=0.999999 on float64 the only qualifying pairs are exact vector
+# copies, which SQL can express as list equality — so the LSH blocking path
+# gets a full value oracle (identical vectors always share the argmax
+# centroid and every projection sign, so blocking cannot separate them)
+SQL_Q18 = """
+WITH both_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM both_e a JOIN both_e b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+"""
+
+
 # --- q19: IVF approximate kNN (rows-only) -----------------------------------
 
 def q19_ivf_knn(sf_dir: str):
@@ -824,6 +838,195 @@ FROM t GROUP BY tile_id
 """
 
 
+# --- q22: anti-join (TPC-H Q22 shape) ---------------------------------------
+
+def q22_cust_no_orders(sf_dir: str):
+    """Customers with no HIGH-VALUE order (totalprice > 300k), counted per
+    market segment: a distributed ANTI join = left_outer hash join +
+    null-probe filter (the left side keeps only rows whose join key found
+    no match)."""
+    from oma_ray.stages.join import hash_join
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch
+        if "o_totalprice" in b.column_names:
+            b = b.filter(pc.greater(b.column("o_totalprice"), 300000.0))
+        u = pc.unique(b.column("o_custkey"))
+        return pa.table(
+            {"o_custkey": u, "has_order": pa.array([1] * len(u), type=pa.int8())}
+        )
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    # per-batch unique is only a combiner; a keyed exchange makes the key
+    # set globally distinct (duplicate right-side keys would fan out the
+    # left rows of the outer join)
+    keys = (
+        orders.map_batches(order_keys, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["o_custkey"])
+        .map_batches(order_keys, batch_format="pyarrow")
+    )
+    j = hash_join(
+        cust, keys, on="c_custkey", right_on="o_custkey",
+        join_type="left_outer",
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        no = batch.filter(pc.is_null(batch.column("has_order")))
+        return pd.DataFrame(
+            {
+                "c_mktsegment": no.column("c_mktsegment").to_numpy(zero_copy_only=False),
+                "n_custs": np.ones(len(no), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(j, ["c_mktsegment"], partial, ["n_custs"])
+
+
+SQL_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS n_custs
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+GROUP BY c_mktsegment
+"""
+
+
+# --- q23: per-group top-k (window-rank shape) --------------------------------
+
+def q23_top_orders_per_cust(sf_dir: str):
+    """Top-3 orders by total price per customer (custkey < 100): keyed
+    repartition co-locates each customer, one pandas rank pass per block —
+    the distributed form of ROW_NUMBER() OVER (PARTITION BY ... ORDER BY)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch.column("o_custkey"), 100))
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "total_c": pa.array(
+                    _cents(b.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    part = orders.map_batches(prep, batch_format="pyarrow").repartition(
+        default_partitions(), keys=["o_custkey"]
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], type=pa.int64()),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "total_c": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        df = df.sort_values(
+            ["o_custkey", "total_c", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        df = df.groupby("o_custkey", as_index=False).head(3).copy()
+        df["rank"] = df.groupby("o_custkey").cumcount() + 1
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(df[["o_custkey", "o_orderkey", "total_c", "rank"]])
+
+    return part.map_batches(block_topk, batch_format="pyarrow")
+
+
+SQL_Q23 = f"""
+SELECT o_custkey, o_orderkey, total_c, rank FROM (
+  SELECT o_custkey, o_orderkey,
+    {SQL_CENTS.format(c='o_totalprice')} AS total_c,
+    row_number() OVER (
+      PARTITION BY o_custkey
+      ORDER BY {SQL_CENTS.format(c='o_totalprice')} DESC, o_orderkey
+    ) AS rank
+  FROM orders WHERE o_custkey < 100) t
+WHERE rank <= 3
+"""
+
+
+# --- q24: supplier dimension-chain aggregate ---------------------------------
+
+def q24_supplier_region_stats(sf_dir: str):
+    """Suppliers per region with account-balance cents sum: the broadcast
+    dimension-chain join (nation⋈region is tiny — ``ray.put`` once) feeding
+    a tree-aggregated grouped sum."""
+    import ray
+
+    from oma_ray.stages.join import broadcast_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(
+        region, keys="n_regionkey", right_keys="r_regionkey"
+    ).select(["n_nationkey", "r_name"])
+
+    supp = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    j = broadcast_join(
+        supp, ray.put(dim), keys="s_nationkey", right_keys="n_nationkey",
+        join_type="inner",
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": batch.column("r_name").to_numpy(zero_copy_only=False),
+                "n_suppliers": np.ones(len(batch), dtype=np.int64),
+                "acctbal_c": _cents(
+                    batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    return _grouped_sums(j, ["r_name"], partial, ["n_suppliers", "acctbal_c"])
+
+
+SQL_Q24 = f"""
+SELECT r_name, COUNT(*) AS n_suppliers,
+  CAST(SUM({SQL_CENTS.format(c='s_acctbal')}) AS BIGINT) AS acctbal_c
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -846,6 +1049,9 @@ QUERIES = {
     "q19_ivf_knn": q19_ivf_knn,
     "q20_langid_quality": q20_langid_quality,
     "q21_zonal_stats": q21_zonal_stats,
+    "q22_cust_no_orders": q22_cust_no_orders,
+    "q23_top_orders_per_cust": q23_top_orders_per_cust,
+    "q24_supplier_region_stats": q24_supplier_region_stats,
 }
 
 ORACLES = {
@@ -863,5 +1069,9 @@ ORACLES = {
     "q12_tile_counts": SQL_Q12,
     "q13_cell_hotspots": SQL_Q13,
     "q15_knn": SQL_Q15,
+    "q18_embedding_dups": SQL_Q18,
     "q21_zonal_stats": SQL_Q21,
+    "q22_cust_no_orders": SQL_Q22,
+    "q23_top_orders_per_cust": SQL_Q23,
+    "q24_supplier_region_stats": SQL_Q24,
 }

@@ -139,11 +139,12 @@ def knn_cosine(
 
 # --- IVF (scale path) -------------------------------------------------------
 
-def build_ivf_centroids(ds, n_centroids: int, emb_col: str = "embedding",
-                        sample_rows: int = 4096, iters: int = 5) -> np.ndarray:
+def _centroids_and_sample(ds, n_centroids: int, emb_col: str = "embedding",
+                          sample_rows: int = 4096, iters: int = 5):
     """Deterministic coarse quantizer: take the first ``sample_rows`` rows
     (stable read order), pick every (len/n)-th vector as seed, run a few
-    Lloyd iterations driver-side.  Returns normalized (n_centroids, d)."""
+    Lloyd iterations driver-side.  Returns (normalized centroids, the
+    normalized sample matrix) — the sample doubles as a skew probe."""
     sample = ds.limit(sample_rows).to_pandas()
     m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     step = max(1, len(m) // n_centroids)
@@ -155,7 +156,12 @@ def build_ivf_centroids(ds, n_centroids: int, emb_col: str = "embedding",
             if len(sel):
                 c[j] = sel.mean(axis=0)
         c = _normalize(c)
-    return c
+    return c, m
+
+
+def build_ivf_centroids(ds, n_centroids: int, emb_col: str = "embedding",
+                        sample_rows: int = 4096, iters: int = 5) -> np.ndarray:
+    return _centroids_and_sample(ds, n_centroids, emb_col, sample_rows, iters)[0]
 
 
 class IvfAssign:
@@ -298,6 +304,33 @@ class DupCellAssign:
         return batch.append_column("ivf_cell", pa.array(cell, type=pa.int64()))
 
 
+def dup_cell_state(ds, n_rows: int, n_centroids: int | None = None,
+                   emb_col: str = "embedding", target_cell: int = 256) -> dict:
+    """Blocking state for near-dup pairs: √n IVF centroids plus enough
+    signed-random-projection bits that even the WORST cell stays near
+    ``target_cell``.  Skew-aware: the quantizer sample doubles as a probe
+    for the largest cell's share — a clustered corpus piles into few
+    argmax cells, which the expected-size rule (n/centroids) misses
+    entirely, so bits are sized from ``max_share × n_rows`` instead."""
+    import math
+
+    if n_centroids is None:
+        n_centroids = scaled_centroids(n_rows)
+    cents, sample = _centroids_and_sample(ds, n_centroids, emb_col)
+    assign = np.argmax(sample @ cents.T, axis=1)
+    counts = np.bincount(assign, minlength=len(cents))
+    max_share = counts.max() / max(1, len(sample))
+    worst_cell = max(1.0, max_share * n_rows)
+    n_bits = 0
+    if worst_cell > target_cell:
+        n_bits = min(12, math.ceil(math.log2(worst_cell / target_cell)))
+    dirs = None
+    if n_bits:
+        rng = np.random.default_rng(12345)  # fixed seed: deterministic plan
+        dirs = rng.standard_normal((cents.shape[1], n_bits))
+    return {"centroids": cents, "dirs": dirs}
+
+
 def embedding_dup_pairs(
     ds,
     threshold: float = 0.98,
@@ -308,33 +341,23 @@ def embedding_dup_pairs(
     target_cell: int = 256,
 ):
     """Near-duplicate embedding pairs (cosine ≥ threshold) via two-level
-    blocking: √n IVF cells, plus signed-random-projection sub-splitting when
-    the expected cell size still exceeds ``target_cell``.  Pairs are only
-    compared within a block — the per-block similarity matrix is O(target²),
-    never O((n/16)²) (VERDICT r01 "What's wrong" #3).  Near-dups at ≥0.98
-    virtually always share the argmax centroid and all projection signs;
-    boundary misses are the approximation, as with any LSH blocking.
+    blocking: √n IVF cells, plus signed-random-projection sub-splitting
+    sized against the worst sampled cell (``dup_cell_state``).  Pairs are
+    only compared within a block — the per-block similarity matrix is
+    O(target²), never O((n/16)²) (VERDICT r01 "What's wrong" #3).
+    Near-dups at ≥0.98 virtually always share the argmax centroid and all
+    projection signs; boundary misses are the approximation, as with any
+    LSH blocking.
 
     Pass ``n_rows`` (e.g. from parquet metadata) so sizing never needs an
     extra counting pass; without it the corpus is counted once.
     """
-    import math
-
     import ray
 
     if n_rows is None:
         n_rows = ds.count()
-    if n_centroids is None:
-        n_centroids = scaled_centroids(n_rows)
-    cents = build_ivf_centroids(ds, n_centroids, emb_col)
-    expected_cell = max(1.0, n_rows / max(1, n_centroids))
-    n_bits = max(0, min(12, math.ceil(math.log2(expected_cell / target_cell))
-                        if expected_cell > target_cell else 0))
-    dirs = None
-    if n_bits:
-        rng = np.random.default_rng(12345)  # fixed seed: deterministic plan
-        dirs = rng.standard_normal((cents.shape[1], n_bits))
-    cref = ray.put({"centroids": cents, "dirs": dirs})
+    state = dup_cell_state(ds, n_rows, n_centroids, emb_col, target_cell)
+    cref = ray.put(state)
     from oma_ray.stages.taskcache import CachedStage
 
     assigned = ds.map_batches(
