@@ -113,6 +113,67 @@ def _entries_table(rows: list[tuple]) -> pa.Table:
     )
 
 
+def element_datasets_from_unified(elements_ds):
+    """The unified element table (``sources/pbf.read_pbf_table`` schema:
+    list columns for refs/members/tags) → the three JSON-ified per-kind
+    datasets the distributed conversion consumes.  One fused map per kind;
+    at planet scale the unified dataset should be staged to parquet once
+    and read back three times instead of re-decoding blobs per branch."""
+    import pyarrow.compute as pc
+
+    def conv(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("kind"), kind))
+            rows = t.to_pylist()
+            cols = {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "version": pa.array([r["version"] for r in rows], type=pa.int32()),
+                "timestamp": pa.array([r["timestamp"] for r in rows], type=pa.int64()),
+                "changeset": pa.array([r["changeset"] for r in rows], type=pa.int64()),
+                "uid": pa.array([r["uid"] for r in rows], type=pa.int32()),
+                "user": pa.array([r["user"] for r in rows], type=pa.string()),
+                "tags_json": pa.array(
+                    [json.dumps(sorted(zip(r["tag_keys"], r["tag_vals"])))
+                     for r in rows],
+                    type=pa.string(),
+                ),
+            }
+            if kind == "node":
+                cols["lon"] = pa.array([r["lon"] for r in rows], type=pa.int64())
+                cols["lat"] = pa.array([r["lat"] for r in rows], type=pa.int64())
+            elif kind == "way":
+                cols["refs_json"] = pa.array(
+                    [json.dumps(r["refs"]) for r in rows], type=pa.string()
+                )
+            else:
+                cols["members_json"] = pa.array(
+                    [json.dumps([
+                        [mt, mr, ro] for mt, mr, ro in
+                        zip(r["member_types"], r["member_refs"], r["member_roles"])
+                    ]) for r in rows],
+                    type=pa.string(),
+                )
+            return pa.table(cols)
+
+        return elements_ds.map_batches(f, batch_format="pyarrow")
+
+    return conv("node"), conv("way"), conv("relation")
+
+
+def convert_pbf_distributed(path: str, bbs_text: str, cfg: TypeConfig,
+                            **kwargs) -> list[tuple]:
+    """End-to-end scale path: PBF blobs decode in parallel tasks
+    (sources/pbf.read_pbf_table) and feed the distributed conversion — no
+    driver-side element lists anywhere."""
+    from oma_ray.sources.pbf import read_pbf_table
+
+    unified = read_pbf_table(path).materialize()
+    nodes_ds, ways_ds, rels_ds = element_datasets_from_unified(unified)
+    return convert_datasets_distributed(
+        nodes_ds, ways_ds, rels_ds, bbs_text, cfg, **kwargs
+    )
+
+
 def convert_osm_distributed(
     nodes: list[dict],
     ways: list[dict],
@@ -125,8 +186,27 @@ def convert_osm_distributed(
 ) -> list[tuple]:
     """Same contract and output multiset as ``convert_osm`` — but J1/J2/J3,
     classification and tile assignment run as Ray Dataset stages."""
-    import ray
     import ray.data as rd
+
+    return convert_datasets_distributed(
+        rd.from_arrow(_elements_table(nodes, "node")),
+        rd.from_arrow(_elements_table(ways, "way")),
+        rd.from_arrow(_elements_table(rels, "relation")),
+        bbs_text, cfg, preserve=preserve, one_element=one_element,
+    )
+
+
+def convert_datasets_distributed(
+    nodes_ds,
+    ways_ds,
+    rels_ds,
+    bbs_text: str,
+    cfg: TypeConfig,
+    *,
+    preserve: set | None = None,
+    one_element: bool = False,
+) -> list[tuple]:
+    import ray
 
     from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import ensure_hash_shuffle
@@ -139,15 +219,11 @@ def convert_osm_distributed(
         "id", "version", "timestamp", "changeset", "user"
     }
 
-    nodes_ds = rd.from_arrow(_elements_table(nodes, "node"))
-    ways_ds = rd.from_arrow(_elements_table(ways, "way"))
-    rels_ds = rd.from_arrow(_elements_table(rels, "relation"))
-
     # --- A1: global bbox (distributed min/max aggregate) --------------------
-    if nodes:
-        from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Max, Min
 
-        agg = nodes_ds.aggregate(Min("lon"), Max("lon"), Min("lat"), Max("lat"))
+    agg = nodes_ds.aggregate(Min("lon"), Max("lon"), Min("lat"), Max("lat"))
+    if agg and agg.get("min(lon)") is not None:
         global_bbox = (
             int(agg["min(lon)"]), int(agg["min(lat)"]),
             int(agg["max(lon)"]), int(agg["max(lat)"]),

@@ -1027,6 +1027,40 @@ GROUP BY r_name
 """
 
 
+# --- q25: OSM→tiled-entries conversion (PBF round-trip; rows-only) ----------
+
+def q25_osm_convert(sf_dir: str):
+    """The Oma-conformance conversion surfaced as a query: the
+    deterministic OSM fixture is encoded to PBF with our writer, decoded
+    with our blob reader, converted (reunify → first-match tiling →
+    classification), and summarized as per-(chunk_type, key, value) entry
+    counts.  Scale-independent (the golden differential vs oma.jar runs in
+    pytest); rows-only for the driver — DuckDB cannot parse PBF."""
+    import tempfile
+
+    from oma_ray.pipelines.osm import convert_osm
+    from oma_ray.sources.pbf import read_osm_pbf, write_pbf
+    from oma_ray.sources.osm_xml import read_osm_xml
+    from oma_ray.stages.classify import TypeConfig
+    from oma_ray.synth import default_bbs_text
+    from oma_ray.synth_osm import osm_fixture_xml
+
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/fixture.pbf"
+        write_pbf(p, nodes, ways, rels)
+        n2, w2, r2 = read_osm_pbf(p)
+    entries = convert_osm(n2, w2, r2, default_bbs_text(), TypeConfig.default())
+    df = pd.DataFrame(
+        [(e[0], e[2], e[3]) for e in entries],
+        columns=["chunk_type", "key", "value"],
+    )
+    out = df.groupby(["chunk_type", "key", "value"], as_index=False).size()
+    out = out.rename(columns={"size": "n_entries"})
+    out["n_entries"] = out["n_entries"].astype(np.int64)
+    return out.sort_values(["chunk_type", "key", "value"]).reset_index(drop=True)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1052,6 +1086,7 @@ QUERIES = {
     "q22_cust_no_orders": q22_cust_no_orders,
     "q23_top_orders_per_cust": q23_top_orders_per_cust,
     "q24_supplier_region_stats": q24_supplier_region_stats,
+    "q25_osm_convert": q25_osm_convert,
 }
 
 ORACLES = {

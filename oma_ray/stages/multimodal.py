@@ -3,16 +3,18 @@
 Images/audio/video ride the pipeline as ``binary`` columns with a metadata
 struct, processed by actor-pool ``map_batches`` stages (per the 100 TB
 design: decode libraries load once per actor, batches stay small because
-payloads are wide).  The image/audio codec libraries are NOT available in
-this container, so the decode kernels are deterministic STUBS behind a
-clearly marked seam (``_decode_image_real`` raises NotImplementedError);
-the Ray-side plumbing — schemas, batch sizing, actor signature, output
-layout — is real and tested.
+payloads are wide).
 
-Payload stub format ("OMI" fake image): 12-byte header
-``b"OMI" + width:uint16 + height:uint16 + channels:uint8 + pad`` followed by
-deterministic bytes.  ``synth_image_batch`` produces it; a real deployment
-swaps the decode kernel and nothing else.
+Codec status, dispatched on magic bytes per payload:
+
+- **PPM (P6) — REAL**: pure-numpy decode, nearest-neighbour resize and
+  feature extraction (channel means + grayscale histogram); needs no
+  external libraries, so the full decode→resize→feature path actually
+  executes end-to-end in this container.
+- **"OMI" fake image** — deterministic stub payload for plumbing tests.
+- **JPEG / PNG / anything else** — honest NotImplementedError seam
+  (``_decode_image_real``): those codecs need PIL/libvips, absent here;
+  a real deployment swaps the kernel and nothing else changes.
 """
 
 from __future__ import annotations
@@ -55,40 +57,149 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int]:
 def _decode_image_real(payload: bytes):  # pragma: no cover - deliberate stub
     """Swap-in point for a real codec (PIL / libvips / ffmpeg)."""
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
+        "JPEG/PNG codecs are not available in this environment; "
         "replace ImageDecode._decode to use a real library"
     )
 
 
+# --- PPM (P6): a real, dependency-free image codec --------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8 (supports comments + any whitespace)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resample via numpy index gather (no Python loop)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def ppm_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic feature vector: 3 channel means + contrast (std) +
+    (dim-4)-bin grayscale histogram (density)."""
+    f = np.zeros(dim, dtype=np.float32)
+    fl = img.reshape(-1, 3).astype(np.float32)
+    f[:3] = fl.mean(axis=0)
+    f[3] = fl.std()
+    gray = fl.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=dim - 4, range=(0.0, 255.0))
+    f[4:] = hist / max(1, gray.size)
+    return f
+
+
+def synth_ppm_batch(batch: pa.Table, id_col: str = "doc_id",
+                    col: str = "image") -> pa.Table:
+    """Attach a real (deterministic gradient) P6 image per row."""
+    ids = batch.column(id_col).to_numpy()
+    payloads = []
+    for i in ids:
+        w = 32 + int(i) % 64
+        h = 24 + int(i * 3) % 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (xx * 255 // max(1, w - 1)),
+                (yy * 255 // max(1, h - 1)),
+                ((xx + yy + int(i)) % 256),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payloads.append(encode_ppm(px))
+    return batch.append_column(col, pa.array(payloads, type=pa.binary()))
+
+
 class ImageDecode:
-    """Actor-pool stage: decode header metadata + extract a deterministic
-    feature vector per image.  Use with
-    ``map_batches(ImageDecode, concurrency=(1, N), batch_size=小)`` — small
-    batches because payloads are wide (memory-aware batch sizing)."""
+    """Actor-pool stage: decode metadata + a deterministic feature vector
+    per image, dispatching per payload magic (P6 real / OMI stub / rest →
+    NotImplementedError seam).  Use with
+    ``map_batches(ImageDecode, concurrency=(1, N), batch_size=small)`` —
+    small batches because payloads are wide (memory-aware batch sizing)."""
 
     def __init__(self, feature_dim: int = 16, image_col: str = "image"):
         self.feature_dim = feature_dim
         self.image_col = image_col
-        self._decode = _decode_image_stub  # real codec slots in here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas = []
         feats = np.zeros((len(batch), self.feature_dim), dtype=np.float32)
         for i, payload in enumerate(batch.column(self.image_col).to_pylist()):
-            w, h, c = self._decode(payload)
+            if payload[:2] == b"P6":
+                img = decode_ppm(payload)
+                h, w, c = img.shape
+                feats[i] = ppm_features(img, self.feature_dim)
+            elif payload[:3] == b"OMI":
+                w, h, c = _decode_image_stub(payload)
+                body = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float32)
+                if len(body):
+                    k = len(body) // self.feature_dim or 1
+                    feats[i, : min(self.feature_dim, len(body))] = [
+                        body[j * k : (j + 1) * k].mean()
+                        if len(body[j * k : (j + 1) * k]) else 0.0
+                        for j in range(min(self.feature_dim, len(body)))
+                    ]
+            else:
+                _decode_image_real(payload)
             metas.append({"width": w, "height": h, "channels": c})
-            body = np.frombuffer(payload[12:], dtype=np.uint8).astype(np.float32)
-            if len(body):
-                k = len(body) // self.feature_dim or 1
-                feats[i, : min(self.feature_dim, len(body))] = [
-                    body[j * k : (j + 1) * k].mean() if len(body[j * k : (j + 1) * k]) else 0.0
-                    for j in range(min(self.feature_dim, len(body)))
-                ]
         batch = batch.append_column("image_meta", pa.array(metas, type=IMAGE_META))
         return batch.append_column(
             "image_features",
             pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
         )
+
+
+class ImageResize:
+    """Actor-pool stage: REAL resample for P6 payloads (decode →
+    nearest-neighbour resize preserving aspect ratio → re-encode),
+    replacing the payload column; non-P6 payloads pass through untouched
+    (their resize stays a plan until a codec is present)."""
+
+    def __init__(self, max_side: int = 224, image_col: str = "image"):
+        self.max_side = max_side
+        self.image_col = image_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch.column(self.image_col).to_pylist():
+            if payload[:2] == b"P6":
+                img = decode_ppm(payload)
+                h, w = img.shape[:2]
+                s = min(1.0, self.max_side / max(w, h))
+                if s < 1.0:
+                    img = resize_nearest(img, max(1, int(w * s)), max(1, int(h * s)))
+                    payload = encode_ppm(img)
+            out.append(payload)
+        idx = batch.column_names.index(self.image_col)
+        return batch.set_column(idx, self.image_col,
+                                pa.array(out, type=pa.binary()))
 
 
 class ImageResizePlan:

@@ -42,3 +42,64 @@ def test_real_codec_seam_is_marked():
 
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\x89PNG")
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    from oma_ray.stages.multimodal import decode_ppm, encode_ppm, resize_nearest
+
+    img = (np.arange(24 * 32 * 3) % 256).astype("uint8").reshape(24, 32, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comment + whitespace variants parse too
+    hdr = b"P6\n# a comment\n32   24\n255\n"
+    assert (decode_ppm(hdr + img.tobytes()) == img).all()
+    small = resize_nearest(img, 16, 12)
+    assert small.shape == (12, 16, 3)
+    assert (small == img[::2, ::2]).all()
+
+
+def test_ppm_real_decode_pipeline(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oma_ray.stages.multimodal import (
+        ImageDecode, ImageResize, decode_ppm, synth_ppm_batch,
+    )
+
+    base = rd.range(40).map_batches(
+        lambda b: pa.table({"doc_id": pa.array(b["id"], type=pa.int64())}),
+        batch_format="default",
+    )
+    ds = base.map_batches(synth_ppm_batch, batch_format="pyarrow")
+    ds = ds.map_batches(ImageResize, fn_constructor_args=(48,),
+                        batch_format="pyarrow", concurrency=(1, 2), batch_size=16)
+    ds = ds.map_batches(ImageDecode, fn_constructor_args=(),
+                        batch_format="pyarrow", concurrency=(1, 2), batch_size=16)
+    df = ds.to_pandas()
+    assert len(df) == 40
+    # resize bound holds on the REAL pixels
+    for p in df["image"]:
+        img = decode_ppm(p)
+        assert max(img.shape[:2]) <= 48
+    # metadata matches the resized payloads and features are real pixels
+    for _, row in df.iterrows():
+        img = decode_ppm(row["image"])
+        assert row["image_meta"]["height"] == img.shape[0]
+        assert row["image_meta"]["width"] == img.shape[1]
+        f = np.asarray(row["image_features"])
+        assert abs(f[:3].mean() - img.reshape(-1, 3).mean()) < 1.0
+        assert abs(f[4:].sum() - 1.0) < 1e-5  # histogram is a density
+
+
+def test_unknown_codec_raises():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from oma_ray.stages.multimodal import ImageDecode
+
+    batch = pa.table({"image": pa.array([b"\x89PNG\r\n\x1a\n garbage"],
+                                        type=pa.binary())})
+    with _pytest.raises(NotImplementedError):
+        ImageDecode()(batch)

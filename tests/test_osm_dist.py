@@ -36,3 +36,18 @@ def test_distributed_one_element_mode(ray_session):
         )
     )
     assert got == ref
+
+
+def test_pbf_to_distributed_end_to_end(ray_session, tmp_path):
+    """Full scale path: PBF file → blob-parallel decode → distributed
+    reunify — matches the driver-side conversion of the same elements."""
+    from oma_ray.pipelines.osm_dist import convert_pbf_distributed
+    from oma_ray.sources.pbf import write_pbf
+
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    p = str(tmp_path / "f.pbf")
+    write_pbf(p, nodes, ways, rels, block_size=7)
+    cfg = TypeConfig.default()
+    ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
+    got = Counter(convert_pbf_distributed(p, default_bbs_text(), cfg))
+    assert got == ref
