@@ -207,6 +207,7 @@ def convert_datasets_distributed(
     one_element: bool = False,
 ) -> list[tuple]:
     import ray
+    import ray.data as rd
 
     from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import ensure_hash_shuffle
@@ -259,7 +260,13 @@ def convert_datasets_distributed(
         )
 
     exploded = ways_ds.map_batches(explode_refs, batch_format="pyarrow")
-    node_loc = nodes_ds.select_columns(["id", "lon", "lat"])
+    # projection via map_batches, NOT select_columns: Ray 2.49's plan-level
+    # schema() reports pre-projection columns for projections over map
+    # chains, which poisons downstream join planning
+    def _loc_proj(b: pa.Table) -> pa.Table:
+        return b.select(["id", "lon", "lat"])
+
+    node_loc = nodes_ds.map_batches(_loc_proj, batch_format="pyarrow")
     j1 = hash_join(
         exploded, node_loc, on="ref", right_on="id", join_type="left_outer",
         num_partitions=nparts,
@@ -406,23 +413,23 @@ def convert_datasets_distributed(
         .map_batches(group_members, batch_format="pyarrow")
         .materialize()
     )
+    # membership is bounded by the relation-member count — the reference
+    # holds it as an in-memory HashMap (Reunify.java:54,887-930) and we make
+    # the same memory assumption: broadcast it once (ray.put) and attach it
+    # per batch inside the fused task chain instead of three hash-shuffle
+    # joins (measured: each keyed exchange costs ~1s of pipeline latency)
+    memb_df = membership.to_pandas()
 
-    def memb_for(kind: str):
-        # projection via map_batches, NOT filter(expr)+select/rename: Ray
-        # 2.49's plan-level schema() reports the pre-projection columns for
-        # that chain, which poisons downstream join planning
-        def proj(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            t = b.filter(pc.equal(b.column("mtype"), kind))
-            return pa.table(
-                {
-                    "ref": t.column("ref"),
-                    "rev_members_json": t.column("members_json"),
-                }
-            )
-
-        return membership.map_batches(proj, batch_format="pyarrow")
+    def memb_table(kind: str) -> pa.Table:
+        sub = memb_df[memb_df["mtype"] == kind]
+        return pa.table(
+            {
+                "ref": pa.array(sub["ref"].to_numpy(), type=pa.int64()),
+                "rev_members_json": pa.array(
+                    sub["members_json"].tolist(), type=pa.string()
+                ),
+            }
+        )
 
     def meta_json(row) -> str:
         sig = _meta_sig(
@@ -431,10 +438,12 @@ def convert_datasets_distributed(
         )
         return json.dumps(sig)
 
+    from oma_ray.stages.join import broadcast_join
+
     # --- node emission ------------------------------------------------------
-    nodes_j = hash_join(
-        nodes_ds, memb_for("node"), on="id", right_on="ref",
-        join_type="left_outer", num_partitions=nparts,
+    nodes_j = broadcast_join(
+        nodes_ds, ray.put(memb_table("node")), keys="id", right_keys="ref",
+        join_type="left outer",
     )
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
@@ -478,9 +487,9 @@ def convert_datasets_distributed(
         way_geo, on="id", right_on="way_id", join_type="left_outer",
         num_partitions=nparts,
     )
-    ways_j = hash_join(
-        ways_j, memb_for("way"), on="id", right_on="ref",
-        join_type="left_outer", num_partitions=nparts,
+    ways_j = broadcast_join(
+        ways_j, ray.put(memb_table("way")), keys="id", right_keys="ref",
+        join_type="left outer",
     )
 
     def emit_way_rows(row, coords, rev_json, rows):
@@ -528,92 +537,84 @@ def convert_datasets_distributed(
     way_entries = ways_j.map_batches(emit_ways, batch_format="pyarrow")
 
     # --- J2: relation member geometries -------------------------------------
-    def routed_where(route: str, mtype: str):
-        def proj(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    # Relation streams are relation-scale — the reference holds them (and
+    # the membership map) in RAM (Reunify.java:54,676-841) and we make the
+    # same memory assumption driver-side.  The BIG sides (node locations,
+    # assembled way geometries) are never shuffled for this: each gets ONE
+    # fused isin-filter scan against the broadcast set of probed ids, and
+    # the (small) hits come back to be merged into the member stream.
+    import pandas as pd
 
-            m = pc.and_(
-                pc.equal(b.column("route"), route),
-                pc.equal(b.column("mtype"), mtype),
-            )
-            return b.filter(m)
+    mdf_all = routed.to_pandas()
+    mdf = mdf_all[mdf_all["route"] != "leftover"]
 
-        return routed.map_batches(proj, batch_format="pyarrow")
+    def isin_scan(ds, col: str, ids: np.ndarray):
+        from oma_ray.stages.taskcache import CachedStage
 
-    way_mem = (
-        routed_where("area", "way").union(routed_where("restr", "way"))
+        ref = ray.put(np.asarray(ids, dtype=np.int64))
+
+        class _IsinFilter:
+            def __init__(self, ids_or_ref, c):
+                self.ids = (
+                    ray.get(ids_or_ref)
+                    if isinstance(ids_or_ref, ray.ObjectRef) else ids_or_ref
+                )
+                self.c = c
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                m = np.isin(
+                    b.column(self.c).to_numpy(zero_copy_only=False), self.ids
+                )
+                return b.filter(pa.array(m))
+
+        return ds.map_batches(CachedStage(_IsinFilter, ref, col),
+                              batch_format="pyarrow")
+
+    way_refs = np.unique(mdf.loc[mdf["mtype"] == "way", "ref"].to_numpy())
+    node_refs = np.unique(mdf.loc[mdf["mtype"] == "node", "ref"].to_numpy())
+    way_geo_mem = (
+        isin_scan(way_geo, "way_id", way_refs).to_pandas()
+        if len(way_refs) else pd.DataFrame({"way_id": [], "geo_json": []})
     )
-    way_mem_j = hash_join(
-        way_mem, projected(way_geo, {"way_id": "way_id", "geo_json": "mgeo_json"}),
-        on="ref", right_on="way_id", join_type="left_outer",
-        num_partitions=nparts,
-    )
-    node_mem = routed_where("restr", "node")
-    node_mem_j = hash_join(
-        node_mem, projected(node_loc, {"id": "nid", "lon": "lon", "lat": "lat"}),
-        on="ref", right_on="nid", join_type="left_outer",
-        num_partitions=nparts,
+    node_geo_mem = (
+        isin_scan(node_loc, "id", node_refs).to_pandas()
+        if len(node_refs) else pd.DataFrame({"id": [], "lon": [], "lat": []})
     )
 
-    def node_mem_geo(batch: pa.Table) -> pa.Table:
-        out = []
-        for row in batch.to_pylist():
-            if row.get("lon") is None:
-                pt = _marked_point(row["ref"])
-            else:
-                pt = (row["lon"], row["lat"])
-            out.append(
-                {k: row[k] for k in ("rel_id", "route", "m_idx", "mtype", "role")}
-                | {"mgeo_json": json.dumps([list(pt)])}
-            )
-        if not out:
-            return pa.table(
-                {
-                    "rel_id": pa.array([], type=pa.int64()),
-                    "route": pa.array([], type=pa.string()),
-                    "m_idx": pa.array([], type=pa.int32()),
-                    "mtype": pa.array([], type=pa.string()),
-                    "role": pa.array([], type=pa.string()),
-                    "mgeo_json": pa.array([], type=pa.string()),
-                }
-            )
-        return pa.table(
-            {
-                "rel_id": pa.array([r["rel_id"] for r in out], type=pa.int64()),
-                "route": pa.array([r["route"] for r in out], type=pa.string()),
-                "m_idx": pa.array([r["m_idx"] for r in out], type=pa.int32()),
-                "mtype": pa.array([r["mtype"] for r in out], type=pa.string()),
-                "role": pa.array([r["role"] for r in out], type=pa.string()),
-                "mgeo_json": pa.array([r["mgeo_json"] for r in out], type=pa.string()),
-            }
-        )
-
+    wm = mdf[mdf["mtype"] == "way"].merge(
+        way_geo_mem.rename(columns={"way_id": "ref", "geo_json": "mgeo_json"}),
+        on="ref", how="left",
+    )
+    nm = mdf[mdf["mtype"] == "node"].merge(
+        node_geo_mem.rename(columns={"id": "ref"}), on="ref", how="left"
+    )
+    if len(nm):
+        nm = nm.copy()
+        nm["mgeo_json"] = [
+            json.dumps([list(_marked_point(int(r.ref)))])
+            if pd.isna(r.lon) else json.dumps([[int(r.lon), int(r.lat)]])
+            for r in nm.itertuples()
+        ]
     cols = ["rel_id", "route", "m_idx", "mtype", "role", "mgeo_json"]
-    member_geo = (
-        projected(way_mem_j, {c: c for c in cols})
-        .union(projected(
-            node_mem_j.map_batches(node_mem_geo, batch_format="pyarrow"),
-            {c: c for c in cols},
-        ))
+    member_geo_df = pd.concat(
+        [wm[cols], nm[cols] if len(nm) else pd.DataFrame(columns=cols)],
+        ignore_index=True,
     )
 
-    rel_info = projected(rels_ds, {
-        c: c for c in
-        ("id", "version", "timestamp", "changeset", "uid", "user", "tags_json")
-    })
-    rel_info_j = hash_join(
-        rel_info, memb_for("relation"), on="id", right_on="ref",
-        join_type="left_outer", num_partitions=nparts,
-    )
-    rel_info_renamed = projected(rel_info_j, {
-        "id": "id", "version": "version", "timestamp": "timestamp",
-        "changeset": "changeset", "uid": "uid", "user": "user",
-        "tags_json": "rel_tags_json", "rev_members_json": "rev_members_json",
-    })
-    geo_plus_info = hash_join(
-        member_geo, rel_info_renamed,
-        on="rel_id", right_on="id", join_type="inner", num_partitions=nparts,
-    )
+    ri = rels_ds.to_pandas()[
+        ["id", "version", "timestamp", "changeset", "uid", "user", "tags_json"]
+    ].rename(columns={"tags_json": "rel_tags_json"})
+    memb_rel = memb_df[memb_df["mtype"] == "relation"][["ref", "members_json"]]
+    ri = ri.merge(
+        memb_rel.rename(columns={"members_json": "rev_members_json"}),
+        left_on="id", right_on="ref", how="left",
+    ).drop(columns=["ref"])
+    geo_plus_info_df = member_geo_df.merge(ri, left_on="rel_id", right_on="id",
+                                           how="inner")
+
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    geo_plus_info = rd.from_arrow(from_pandas_clean(geo_plus_info_df))
 
     def emit_relations(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -692,25 +693,15 @@ def convert_datasets_distributed(
         .map_batches(emit_relations, batch_format="pyarrow")
     )
 
-    # --- collections --------------------------------------------------------
-    coll_ids = (
-        leftover.select_columns(["rel_id"])
-        .map_batches(
-            lambda b: pa.table({"rel_id": pa.compute.unique(b.column("rel_id"))}),
-            batch_format="pyarrow",
-        )
+    # --- collections (relation-scale: driver-side id set, dataset emit) -----
+    coll_ids = np.unique(
+        mdf_all.loc[mdf_all["route"] == "leftover", "rel_id"].to_numpy()
     )
-
-    def coll_dedup(batch: pa.Table) -> pa.Table:
-        return pa.table({"rel_id": pa.compute.unique(batch.column("rel_id"))})
-
-    coll_ids = coll_ids.repartition(nparts, keys=["rel_id"]).map_batches(
-        coll_dedup, batch_format="pyarrow"
+    coll_df = (
+        ri[ri["id"].isin(coll_ids)]
+        .rename(columns={"rel_tags_json": "tags_json", "id": "rel_id"})
     )
-    coll_j = hash_join(
-        coll_ids, rel_info_j, on="rel_id", right_on="id",
-        join_type="inner", num_partitions=nparts,
-    )
+    coll_j = rd.from_arrow(from_pandas_clean(coll_df)) if len(coll_df) else None
 
     def emit_collections(batch: pa.Table) -> pa.Table:
         rows = []
@@ -729,7 +720,10 @@ def convert_datasets_distributed(
                 )
         return _entries_table(rows)
 
-    coll_entries = coll_j.map_batches(emit_collections, batch_format="pyarrow")
+    coll_entries = (
+        coll_j.map_batches(emit_collections, batch_format="pyarrow")
+        if coll_j is not None else rd.from_arrow(_entry_schema())
+    )
 
     # --- collect + decode into the convert_osm signature shape --------------
     # the four entry streams are collected sequentially: each one holds at
