@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "q15_knn",
     "q16_minhash_pairs",
     "q21_zonal_stats",
+    "q22_cust_no_orders",
+    "q24_supplier_region_stats",
 ]
 
 

@@ -476,14 +476,20 @@ def elements_to_table(nodes: list, ways: list, rels: list):
     )
 
 
-def read_pbf_table(path: str):
+def read_pbf_table(paths: str | list[str]):
     """Ray scale path: one decode task per OSMData blob → Dataset of
     unified element rows.  The blob index is tiny driver-side metadata;
-    payload bytes are read and inflated inside each task."""
+    payload bytes are read and inflated inside each task.  Accepts one
+    path or a list (a planet mirror split across files indexes the same
+    way — blobs are the unit of parallelism either way)."""
     import pyarrow as pa
     import ray.data as rd
 
-    blobs = [b for b in pbf_blob_index(path) if b["type"] == "OSMData"]
+    if isinstance(paths, str):
+        paths = [paths]
+    blobs = [
+        b for p in paths for b in pbf_blob_index(p) if b["type"] == "OSMData"
+    ]
 
     def decode_batch(batch: pa.Table) -> pa.Table:
         tables = []
