@@ -1027,6 +1027,127 @@ GROUP BY r_name
 """
 
 
+# --- q26: range self-join (band join shape) ---------------------------------
+
+def q26_event_bursts(sf_dir: str):
+    """Per-user event-burst pairs: (a, b) with same user, a.ts < b.ts ≤
+    a.ts + 300 s.  The distributed range-join shape: co-locate on the
+    equality key (user), sort within block, answer the range predicate
+    with a vectorized two-pointer (searchsorted) per segment — no
+    quadratic pair materialization."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    part = ds.repartition(default_partitions(), keys=["user_id"])
+    window_us = 300 * 1_000_000
+
+    def block_bursts(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_pairs": pa.array([], type=pa.int64()),
+                }
+            )
+        df = batch.to_pandas().sort_values(["user_id", "ts"])
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bounds = np.concatenate(
+            [[0], np.nonzero(user[1:] != user[:-1])[0] + 1, [len(user)]]
+        )
+        out_u, out_n = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg + window_us, side="right")
+            lo = np.searchsorted(seg, seg, side="right")
+            n = int((hi - lo).sum())
+            if n:
+                out_u.append(int(user[s]))
+                out_n.append(n)
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, type=pa.int64()),
+                "n_pairs": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return part.map_batches(block_bursts, batch_format="pyarrow")
+
+
+SQL_Q26 = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
+GROUP BY a.user_id
+"""
+
+
+# --- q27: exact n-gram Jaccard (near-dup verification kernel) ---------------
+
+def q27_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard between every 5th document and its
+    near-duplicate mutant (text + " zzz") — the verification kernel that
+    sits behind LSH candidate pairs, value-oracled end to end (the LSH
+    *blocking* is estimate-based and rows-only; this pins the exact-overlap
+    math).  Integer ppm via FLOOR(1e6·|I|/|U| + 0.5), mirrored in SQL."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams(text: str) -> set:
+        toks = text.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids % 5 == 0
+        b = batch.filter(pa.array(keep))
+        out_id, out_ppm = [], []
+        for doc_id, text in zip(
+            b.column("doc_id").to_numpy(), b.column("text").to_pylist()
+        ):
+            a = grams(text)
+            m = grams(text + " zzz")
+            inter = len(a & m)
+            uni = len(a | m)
+            out_id.append(int(doc_id))
+            out_ppm.append(int(np.floor(1e6 * inter / uni + 0.5)))
+        return pa.table(
+            {
+                "id_a": pa.array(out_id, type=pa.int64()),
+                "id_b": pa.array([i + 1_000_000 for i in out_id], type=pa.int64()),
+                "jaccard_ppm": pa.array(out_ppm, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q27 = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t1,
+         regexp_split_to_array(trim(text || ' zzz'), '\s+') AS t2
+  FROM documents WHERE doc_id % 5 = 0),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t1) < 3 THEN [array_to_string(t1, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(t1)-1),
+         i -> t1[i] || ' ' || t1[i+1] || ' ' || t1[i+2])) END AS ga,
+    CASE WHEN len(t2) < 3 THEN [array_to_string(t2, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(t2)-1),
+         i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2])) END AS gb
+  FROM base)
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+  CAST(FLOOR(1000000.0 * len(list_intersect(ga, gb))
+       / (len(ga) + len(gb) - len(list_intersect(ga, gb))) + 0.5) AS BIGINT)
+  AS jaccard_ppm
+FROM grams
+"""
+
+
 # --- q25: OSM→tiled-entries conversion (PBF round-trip; rows-only) ----------
 
 def q25_osm_convert(sf_dir: str):
@@ -1087,6 +1208,8 @@ QUERIES = {
     "q23_top_orders_per_cust": q23_top_orders_per_cust,
     "q24_supplier_region_stats": q24_supplier_region_stats,
     "q25_osm_convert": q25_osm_convert,
+    "q26_event_bursts": q26_event_bursts,
+    "q27_ngram_jaccard": q27_ngram_jaccard,
 }
 
 ORACLES = {
@@ -1109,4 +1232,6 @@ ORACLES = {
     "q22_cust_no_orders": SQL_Q22,
     "q23_top_orders_per_cust": SQL_Q23,
     "q24_supplier_region_stats": SQL_Q24,
+    "q26_event_bursts": SQL_Q26,
+    "q27_ngram_jaccard": SQL_Q27,
 }
