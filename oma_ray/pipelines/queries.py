@@ -1148,6 +1148,32 @@ FROM grams
 """
 
 
+# --- q28: deterministic hash sampling ---------------------------------------
+
+def q28_doc_sample(sf_dir: str):
+    """~10% Bernoulli sample of documents, reproducible across engines:
+    the hash predicate evaluates identically here and in SQL (no
+    random_sample nondeterminism), composed with the text-stats stage so
+    the sampled pipeline stays end-to-end value-oracled."""
+    from oma_ray.stages.sample import hash_sample
+    from oma_ray.stages.textstage import TextStats
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    s = hash_sample(ds, "doc_id", 10)
+    return s.map_batches(TextStats(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars", "n_words"]
+    )
+
+
+from oma_ray.stages.sample import sql_sample_predicate as _sql_sample  # noqa: E402
+
+SQL_Q28 = rf"""
+SELECT doc_id, length(text) AS n_chars,
+  len(regexp_extract_all(text, '\S+')) AS n_words
+FROM documents WHERE {_sql_sample('doc_id', 10)}
+"""
+
+
 # --- q25: OSM→tiled-entries conversion (PBF round-trip; rows-only) ----------
 
 def q25_osm_convert(sf_dir: str):
@@ -1210,6 +1236,7 @@ QUERIES = {
     "q25_osm_convert": q25_osm_convert,
     "q26_event_bursts": q26_event_bursts,
     "q27_ngram_jaccard": q27_ngram_jaccard,
+    "q28_doc_sample": q28_doc_sample,
 }
 
 ORACLES = {
@@ -1234,4 +1261,5 @@ ORACLES = {
     "q24_supplier_region_stats": SQL_Q24,
     "q26_event_bursts": SQL_Q26,
     "q27_ngram_jaccard": SQL_Q27,
+    "q28_doc_sample": SQL_Q28,
 }

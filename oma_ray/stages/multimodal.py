@@ -176,6 +176,128 @@ class ImageDecode:
         )
 
 
+# --- WAV (RIFF/PCM16): a real, dependency-free audio codec ------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) int16 mono PCM → RIFF WAVE bytes."""
+    data = samples.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF WAVE → ((n,) int16 mono samples, sample_rate).  PCM16 only;
+    walks the chunk list so extra chunks (LIST, fact) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE payload")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError(
+                    f"unsupported WAV format (fmt={fmt}, bits={bits}, "
+                    f"channels={channels}): PCM16 mono only"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return data, rate
+
+
+def wav_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
+    """Deterministic audio features: RMS, zero-crossing rate, then
+    (dim-2) log-spectral-band energies from one rFFT."""
+    f = np.zeros(dim, dtype=np.float32)
+    if not len(samples):
+        return f
+    x = samples.astype(np.float64) / 32768.0
+    f[0] = np.sqrt((x * x).mean())
+    f[1] = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, dim - 2)
+    f[2:] = [np.log1p(b.sum()) for b in bands]
+    return f
+
+
+def frame_sample(samples: np.ndarray, n_frames: int, frame_len: int) -> np.ndarray:
+    """Evenly-spaced fixed-length frames, (n_frames, frame_len) — the audio
+    analogue of video frame sampling (gather, no Python loop over samples)."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros((n_frames, frame_len), dtype=samples.dtype)
+    starts = (np.arange(n_frames) * max(1, n - frame_len) // max(1, n_frames - 1)
+              if n_frames > 1 else np.array([0]))
+    idx = starts[:, None] + np.arange(frame_len)[None, :]
+    return samples[np.clip(idx, 0, n - 1)]
+
+
+def synth_wav_batch(batch: pa.Table, id_col: str = "doc_id",
+                    col: str = "audio", rate: int = 8000) -> pa.Table:
+    """Attach a real (deterministic two-tone) PCM16 WAV per row."""
+    ids = batch.column(id_col).to_numpy()
+    payloads = []
+    for i in ids:
+        n = rate // 2 + int(i) % rate  # 0.5-1.5 s
+        t = np.arange(n) / rate
+        f1, f2 = 200 + int(i) % 600, 1000 + int(i * 7) % 2000
+        x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+        payloads.append(encode_wav((x * 20000).astype(np.int16), rate))
+    return batch.append_column(col, pa.array(payloads, type=pa.binary()))
+
+
+class AudioDecode:
+    """Actor-pool stage: WAV (real) → duration/rate metadata + spectral
+    feature vector + evenly-sampled frames; non-RIFF payloads hit the
+    honest codec seam like images."""
+
+    def __init__(self, feature_dim: int = 16, n_frames: int = 4,
+                 frame_len: int = 256, audio_col: str = "audio"):
+        self.feature_dim = feature_dim
+        self.n_frames = n_frames
+        self.frame_len = frame_len
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, feats, frames = [], [], []
+        for payload in batch.column(self.audio_col).to_pylist():
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    "only RIFF/PCM16 WAV decodes natively; other audio "
+                    "codecs need ffmpeg/soundfile, absent here"
+                )
+            samples, rate = decode_wav(payload)
+            metas.append({"n_samples": len(samples), "rate": rate})
+            feats.append(wav_features(samples, rate, self.feature_dim).tolist())
+            frames.append(
+                frame_sample(samples, self.n_frames, self.frame_len)
+                .astype(np.int16).reshape(-1).tolist()
+            )
+        batch = batch.append_column(
+            "audio_meta",
+            pa.array(metas, type=pa.struct(
+                [("n_samples", pa.int64()), ("rate", pa.int32())]
+            )),
+        )
+        batch = batch.append_column(
+            "audio_features", pa.array(feats, type=pa.list_(pa.float32()))
+        )
+        return batch.append_column(
+            "audio_frames", pa.array(frames, type=pa.list_(pa.int16()))
+        )
+
+
 class ImageResize:
     """Actor-pool stage: REAL resample for P6 payloads (decode →
     nearest-neighbour resize preserving aspect ratio → re-encode),
