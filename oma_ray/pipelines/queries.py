@@ -865,21 +865,15 @@ def q22_cust_no_orders(sf_dir: str):
             {"o_custkey": u, "has_order": pa.array([1] * len(u), type=pa.int8())}
         )
 
-    from oma_ray.cluster import default_partitions
-    from oma_ray.stages.dedup import ensure_hash_shuffle
-
-    ensure_hash_shuffle()
-    # per-batch unique is only a combiner; a keyed exchange makes the key
-    # set globally distinct (duplicate right-side keys would fan out the
-    # left rows of the outer join)
-    keys = (
-        orders.map_batches(order_keys, batch_format="pyarrow")
-        .repartition(default_partitions(), keys=["o_custkey"])
-        .map_batches(order_keys, batch_format="pyarrow")
-    )
+    # per-batch unique is a combiner; global distinctness comes from the
+    # join itself (dedup_right: the colocated exchange puts every copy of
+    # a key in one block, so per-block drop-duplicates is global) — no
+    # separate distinct exchange, and no double-execution from join
+    # planning calling .schema() on a shuffled input
+    keys = orders.map_batches(order_keys, batch_format="pyarrow")
     j = hash_join(
         cust, keys, on="c_custkey", right_on="o_custkey",
-        join_type="left_outer",
+        join_type="left_outer", dedup_right=True,
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:

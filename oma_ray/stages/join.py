@@ -110,7 +110,7 @@ def hash_join_native(left, right, on, right_on=None, join_type="inner",
 
 
 def hash_join(left, right, on, right_on=None, join_type="inner",
-              num_partitions=None):
+              num_partitions=None, dedup_right=False):
     """Hash-shuffle join of two large Datasets, colocated-union style:
     both sides are tagged, unioned under one padded schema, exchanged ONCE
     by key, and joined per block with pyarrow (Acero).
@@ -121,6 +121,13 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
     simply produce no block — no schema-less-table pitfall, unlike
     ``Dataset.join`` in Ray 2.49).  Right key columns are renamed onto the
     left key names; output columns = left schema + non-key right columns.
+
+    ``dedup_right=True`` keeps one right row per key, applied per block
+    AFTER the exchange (co-location makes within-block dedup global) — a
+    semi-join existence probe without a separate distinct exchange.  NOTE:
+    planning calls ``.schema()`` on both sides, and Ray executes a side's
+    whole plan for that if it contains an all-to-all (limit(1) can't stop
+    a shuffle) — feed joins map-chain or materialized inputs.
     """
     import pyarrow as pa
 
@@ -191,6 +198,12 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
         side = batch.column("__side")
         lt = batch.filter(pc.equal(side, 0)).select(lnames)
         rt = batch.filter(pc.equal(side, 1)).select(on + rkeep)
+        if dedup_right and len(rt):
+            from oma_ray.sources.parquet import from_pandas_clean
+
+            rt = from_pandas_clean(
+                rt.to_pandas().drop_duplicates(subset=on)
+            )
         joined = lt.join(rt, keys=on, join_type=pa_join)
         return joined.select(out_names)
 

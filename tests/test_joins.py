@@ -46,3 +46,26 @@ def test_broadcast_join_left_outer_nulls():
         .reset_index(drop=True)
     )
     assert got["name"].tolist() == [None, "b", None, "d"]
+
+
+def test_hash_join_dedup_right_no_fanout(ray_session):
+    """dedup_right keeps one right row per key even when every key is
+    duplicated across many blocks (within-block dedup is global because
+    the colocated exchange gathers all copies of a key into one block)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oma_ray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": list(range(100)), "v": list(range(100))}))
+    rdup = rd.from_pandas(
+        pd.DataFrame({"rk": [i % 20 for i in range(1000)], "flag": [1] * 1000})
+    ).repartition(10)
+    df = hash_join(
+        left, rdup, on="k", right_on="rk", join_type="left_outer",
+        dedup_right=True,
+    ).to_pandas()
+    assert len(df) == 100
+    assert df[df["k"] < 20]["flag"].notna().all()
+    assert df[df["k"] >= 20]["flag"].isna().all()
