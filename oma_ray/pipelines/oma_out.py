@@ -108,6 +108,138 @@ def _geo_from_json(ct: str, gj):
     return ()
 
 
+def _bounds_lookup(boxes: list[tuple]):
+    """Driver-side precomputed tile→(bounds_json, tile_bucket) lookup
+    arrays; index len(boxes) is the NoBounds miss row
+    (ChunkGenerator.java:496-498).  Broadcast once, fancy-indexed per
+    batch — the per-entry work in ``finalize_entry_stream`` is two numpy
+    gathers, never a Python loop."""
+    import numpy as np
+
+    maxc = 0x7FFFFFFF
+    all_bounds = [tuple(int(v) for v in b) for b in boxes] + [
+        (maxc, maxc, maxc, maxc)
+    ]
+    bjson = np.array(
+        [json.dumps(list(b)) for b in all_bounds], dtype=object
+    )
+    bucket = np.array([_bucket_of(b) for b in all_bounds], dtype=np.int32)
+    return bjson, bucket
+
+
+def finalize_entry_stream(entry_ds, boxes: list[tuple]):
+    """Entry Dataset (osm_dist ``_entry_schema``: ``tile`` index column) →
+    the partitioned-write schema (``bounds_json``/``tile_bucket``/
+    ``key_part`` replacing ``tile``).  Pure per-batch task stage: fuses
+    into the emitting pipeline."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from oma_ray.stages.taskcache import CachedStage
+
+    lookup_ref = ray.put(_bounds_lookup(boxes))
+
+    class _Finalize:
+        def __init__(self, ref):
+            self.bjson, self.bucket = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            tile = b.column("tile").to_numpy(zero_copy_only=False)
+            tile = np.minimum(tile, len(self.bjson) - 1)
+            key = b.column("key")
+            key_part = pc.if_else(
+                pc.equal(key, ""), pa.scalar(OTHER_KEY), key
+            )
+            cols = {
+                "chunk_type": b.column("chunk_type"),
+                "tile_bucket": pa.array(self.bucket[tile], type=pa.int32()),
+                "key_part": key_part,
+                "bounds_json": pa.array(self.bjson[tile], type=pa.string()),
+            }
+            for c in b.column_names:
+                if c not in ("chunk_type", "tile"):
+                    cols[c] = b.column(c)
+            return pa.table(cols)
+
+    return entry_ds.map_batches(
+        CachedStage(_Finalize, lookup_ref), batch_format="pyarrow"
+    )
+
+
+def _sort_entry_block(batch: pa.Table) -> pa.Table:
+    idx = pa.compute.sort_indices(
+        batch,
+        sort_keys=[
+            ("chunk_type", "ascending"), ("key", "ascending"),
+            ("value", "ascending"), ("meta_json", "ascending"),
+        ],
+    )
+    return batch.take(idx)
+
+
+def write_entry_streams(
+    streams: dict,
+    boxes: list[tuple],
+    out_dir: str,
+    *,
+    type_text: str = "",
+    bbs_text: str = "",
+) -> str:
+    """Dataset-native partitioned conversion sink: each entry STREAM
+    (node/way/rel/coll Datasets from
+    ``osm_dist.convert_datasets_entry_streams``) goes finalize →
+    keyed repartition → sort-within-block → partitioned parquet, with NO
+    driver-side entry materialization anywhere (VERDICT r02 next-step #1 —
+    the reference streams stage-to-stage through tmp files, Oma.java:43-47;
+    this streams through the object store instead).
+
+    Streams write sequentially — each DAG holds only its own hash-shuffle
+    aggregator pools (Ray 2.49 can stall co-scheduling many pools at once)
+    — into ``data/stream=<name>/...`` so a crashed run resumes per stream:
+    done streams are skipped via the manifest, half-written ones are
+    removed and rewritten.
+    """
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    man = Manifest(out_dir)
+    done = man.done_lineages()
+    data_dir = os.path.join(out_dir, "data")
+    total_rows = 0
+    for name, ds in streams.items():
+        lid = f"stream:{name}"
+        stream_dir = os.path.join(data_dir, f"stream={name}")
+        if lid in done:
+            continue
+        if os.path.exists(stream_dir):
+            shutil.rmtree(stream_dir)  # half-written: rewrite idempotently
+        out = finalize_entry_stream(ds, boxes).repartition(
+            default_partitions(), keys=["chunk_type", "tile_bucket", "key_part"]
+        ).map_batches(_sort_entry_block, batch_format="pyarrow")
+        out.write_parquet(
+            stream_dir,
+            partition_cols=["chunk_type", "tile_bucket", "key_part"],
+        )
+        n_rows = (
+            pads.dataset(stream_dir, format="parquet", partitioning="hive")
+            .count_rows()
+            if os.path.exists(stream_dir) else 0
+        )
+        total_rows += n_rows
+        man.mark_done(lid, rows=n_rows, path=stream_dir)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({"type_config": type_text, "bbs": bbs_text}, f)
+    return out_dir
+
+
 def write_entries(
     entries: list[tuple],
     out_dir: str,

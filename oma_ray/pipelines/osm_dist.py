@@ -174,6 +174,35 @@ def convert_pbf_distributed(path: str, bbs_text: str, cfg: TypeConfig,
     )
 
 
+def convert_pbf_to_dir(
+    path: str,
+    bbs_text: str,
+    cfg: TypeConfig,
+    out_dir: str,
+    *,
+    type_text: str = "",
+    preserve: set | None = None,
+    one_element: bool = False,
+) -> str:
+    """THE scale path end-to-end: PBF blobs → distributed reunify → entry
+    STREAMS → keyed partitioned parquet, with no ``take_all``/``to_pandas``
+    of any entry stream anywhere (VERDICT r02 next-step #1).  Read back via
+    ``pipelines.oma_out.read_entries``; resumable per stream through the
+    output manifest."""
+    from oma_ray.pipelines.oma_out import write_entry_streams
+    from oma_ray.sources.pbf import read_pbf_table
+
+    unified = read_pbf_table(path).materialize()
+    nodes_ds, ways_ds, rels_ds = element_datasets_from_unified(unified)
+    streams, boxes = convert_datasets_entry_streams(
+        nodes_ds, ways_ds, rels_ds, bbs_text, cfg,
+        preserve=preserve, one_element=one_element,
+    )
+    return write_entry_streams(
+        streams, boxes, out_dir, type_text=type_text, bbs_text=bbs_text
+    )
+
+
 def convert_osm_distributed(
     nodes: list[dict],
     ways: list[dict],
@@ -206,6 +235,29 @@ def convert_datasets_distributed(
     preserve: set | None = None,
     one_element: bool = False,
 ) -> list[tuple]:
+    """Driver-collected form of the distributed conversion (fixture-scale
+    parity tests; scale callers use ``convert_pbf_to_dir`` which writes the
+    streams without collecting them)."""
+    streams, boxes = convert_datasets_entry_streams(
+        nodes_ds, ways_ds, rels_ds, bbs_text, cfg,
+        preserve=preserve, one_element=one_element,
+    )
+    return entries_from_streams(streams, boxes)
+
+
+def convert_datasets_entry_streams(
+    nodes_ds,
+    ways_ds,
+    rels_ds,
+    bbs_text: str,
+    cfg: TypeConfig,
+    *,
+    preserve: set | None = None,
+    one_element: bool = False,
+):
+    """The distributed conversion as LAZY entry streams: → ({"node": ds,
+    "way": ds, "rel": ds, "coll": ds} in the reference's N→W→A→C emission
+    order, boxes).  Nothing entry-scale touches the driver."""
     import ray
     import ray.data as rd
 
@@ -725,17 +777,30 @@ def convert_datasets_distributed(
         if coll_j is not None else rd.from_arrow(_entry_schema())
     )
 
-    # --- collect + decode into the convert_osm signature shape --------------
-    # the four entry streams are collected sequentially: each one holds at
-    # most 2-3 hash-join aggregator pools live at a time, instead of a
-    # single union DAG scheduling every join's actor pool at once
+    return (
+        {
+            "node": node_entries,
+            "way": way_entries,
+            "rel": rel_entries,
+            "coll": coll_entries,
+        },
+        boxes,
+    )
+
+
+def entries_from_streams(streams: dict, boxes: list[tuple]) -> list[tuple]:
+    """Collect + decode entry streams into the ``convert_osm`` signature
+    shape (fixture-scale only).  Streams collect sequentially: each one
+    holds at most 2-3 hash-join aggregator pools live at a time, instead of
+    a single union DAG scheduling every join's actor pool at once."""
+    miss = len(boxes)
     collected: list[dict] = []
-    for entry_ds in (node_entries, way_entries, rel_entries, coll_entries):
+    for entry_ds in streams.values():
         collected.extend(entry_ds.take_all())
     out: list[tuple] = []
     for row in collected:
         tile = row["tile"]
-        bounds = boxes[tile] if tile < miss else NO_BOUNDS
+        bounds = tuple(boxes[tile]) if tile < miss else NO_BOUNDS
         meta = tuple(json.loads(row["meta_json"]))
         tags = frozenset((k, v) for k, v in json.loads(row["tags_json"]))
         members = frozenset(

@@ -1171,16 +1171,18 @@ FROM documents WHERE {_sql_sample('doc_id', 10)}
 # --- q25: OSM→tiled-entries conversion (PBF round-trip; rows-only) ----------
 
 def q25_osm_convert(sf_dir: str):
-    """The Oma-conformance conversion surfaced as a query: the
-    deterministic OSM fixture is encoded to PBF with our writer, decoded
-    with our blob reader, converted (reunify → first-match tiling →
-    classification), and summarized as per-(chunk_type, key, value) entry
-    counts.  Scale-independent (the golden differential vs oma.jar runs in
-    pytest); rows-only for the driver — DuckDB cannot parse PBF."""
+    """The Oma-conformance conversion surfaced as a query — via the SCALE
+    path: the deterministic OSM fixture is encoded to PBF with our writer,
+    blob-parallel decoded, distributed-reunified (Dataset joins), written
+    as keyed partitioned parquet with no driver-side entry stream, read
+    back, and summarized as per-(chunk_type, key, value) entry counts.
+    The golden differential vs oma.jar runs in pytest; rows-only for the
+    driver — DuckDB cannot parse PBF."""
     import tempfile
 
-    from oma_ray.pipelines.osm import convert_osm
-    from oma_ray.sources.pbf import read_osm_pbf, write_pbf
+    from oma_ray.pipelines.oma_out import read_entries
+    from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+    from oma_ray.sources.pbf import write_pbf
     from oma_ray.sources.osm_xml import read_osm_xml
     from oma_ray.stages.classify import TypeConfig
     from oma_ray.synth import default_bbs_text
@@ -1190,8 +1192,10 @@ def q25_osm_convert(sf_dir: str):
     with tempfile.TemporaryDirectory() as td:
         p = f"{td}/fixture.pbf"
         write_pbf(p, nodes, ways, rels)
-        n2, w2, r2 = read_osm_pbf(p)
-    entries = convert_osm(n2, w2, r2, default_bbs_text(), TypeConfig.default())
+        convert_pbf_to_dir(
+            p, default_bbs_text(), TypeConfig.default(), f"{td}/out"
+        )
+        entries, _config = read_entries(f"{td}/out")
     df = pd.DataFrame(
         [(e[0], e[2], e[3]) for e in entries],
         columns=["chunk_type", "key", "value"],

@@ -21,73 +21,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def synth_big_osm(n_nodes: int, seed: int = 42):
-    """Deterministic extract: a road grid over one 1°×1° area.  Every way
-    references existing nodes (plus a few dangling refs for the
-    missing-node path); relations mix multipolygons, restrictions and
-    route collections."""
-    rng = np.random.default_rng(seed)
-    lon0, lat0 = 100_000_000, 480_000_000  # 10E 48N
-    lons = lon0 + rng.integers(0, 10_000_000, n_nodes)
-    lats = lat0 + rng.integers(0, 10_000_000, n_nodes)
-    highway = rng.random(n_nodes) < 0.05
-
-    def meta(i):
-        return {
-            "id": int(i), "version": 1, "timestamp": 1_700_000_000 + int(i) % 1000,
-            "changeset": 7, "uid": 1, "user": "stress",
-        }
-
-    nodes = []
-    for i in range(n_nodes):
-        tags = {}
-        if highway[i]:
-            tags = {"highway": "crossing"}
-        nodes.append({**meta(i + 1), "lon": int(lons[i]), "lat": int(lats[i]),
-                      "tags": tags})
-
-    n_ways = n_nodes // 5
-    ways = []
-    for w in range(n_ways):
-        k = 2 + int(rng.integers(0, 8))
-        refs = (1 + rng.integers(0, n_nodes, k)).tolist()
-        if w % 97 == 0:
-            refs.append(10_000_000_000 + w)  # dangling ref → MAXC coords
-        closed = w % 7 == 0
-        if closed:
-            refs.append(refs[0])
-        tags = (
-            {"building": "yes"} if closed and w % 14 == 0
-            else {"highway": "residential", "name": f"w{w}"}
-        )
-        ways.append({**meta(1_000_000 + w), "refs": [int(r) for r in refs],
-                     "tags": tags})
-
-    n_rels = max(1, n_nodes // 100)
-    rels = []
-    for r in range(n_rels):
-        kind = r % 3
-        if kind == 0:
-            members = [
-                ("way", int(1_000_000 + (r * 13 + j) % n_ways), "outer")
-                for j in range(2)
-            ]
-            tags = {"type": "multipolygon", "landuse": "forest"}
-        elif kind == 1:
-            members = [
-                ("way", int(1_000_000 + (r * 7) % n_ways), "from"),
-                ("node", int(1 + (r * 11) % n_nodes), "via"),
-                ("way", int(1_000_000 + (r * 7 + 1) % n_ways), "to"),
-            ]
-            tags = {"type": "restriction", "restriction": "no_left_turn"}
-        else:
-            members = [
-                ("node", int(1 + (r * 3 + j) % n_nodes), "stop")
-                for j in range(3)
-            ]
-            tags = {"type": "route", "route": "bus"}
-        rels.append({**meta(2_000_000 + r), "members": members, "tags": tags})
-    return nodes, ways, rels
+from oma_ray.synth_osm import synth_big_osm  # noqa: E402
 
 
 def main():

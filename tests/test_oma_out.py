@@ -48,3 +48,46 @@ def test_partitioned_write_roundtrip(ray_session, tmp_path):
     m = Manifest(out).metrics()
     assert m["rows"] == len(entries)
     assert m["partitions"] >= 2
+
+
+def test_entry_streams_dataset_native_write(ray_session, tmp_path):
+    """VERDICT r02 next-step #1: PBF → distributed reunify → partitioned
+    parquet with NO take_all/to_pandas of entry streams anywhere in the
+    path; read back the identical multiset; rerun resumes (skips all
+    completed streams)."""
+    from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+    from oma_ray.sources.pbf import write_pbf
+    from oma_ray.state.manifest import Manifest
+
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    cfg_text = open("/root/reference/default.type").read()
+    cfg = TypeConfig.parse(cfg_text)
+    ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
+
+    p = str(tmp_path / "fixture.pbf")
+    write_pbf(p, nodes, ways, rels, block_size=7)
+    out = str(tmp_path / "dir_out")
+    convert_pbf_to_dir(
+        p, default_bbs_text(), cfg, out, type_text=cfg_text
+    )
+
+    back, config = read_entries(out)
+    assert Counter(back) == ref
+    assert config["type_config"] == cfg_text
+
+    # per-stream lineage recorded; rerun skips every stream (resume)
+    man = Manifest(out)
+    done = man.done_lineages()
+    assert {"stream:node", "stream:way"} <= done
+    import os
+
+    mtimes = {}
+    for root, _dirs, files in os.walk(os.path.join(out, "data")):
+        for f in files:
+            fp = os.path.join(root, f)
+            mtimes[fp] = os.path.getmtime(fp)
+    convert_pbf_to_dir(p, default_bbs_text(), cfg, out, type_text=cfg_text)
+    for fp, t in mtimes.items():
+        assert os.path.getmtime(fp) == t  # untouched: streams were skipped
+    back2, _ = read_entries(out)
+    assert Counter(back2) == ref
