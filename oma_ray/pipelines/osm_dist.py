@@ -212,6 +212,7 @@ def convert_osm_distributed(
     *,
     preserve: set | None = None,
     one_element: bool = False,
+    **kwargs,
 ) -> list[tuple]:
     """Same contract and output multiset as ``convert_osm`` — but J1/J2/J3,
     classification and tile assignment run as Ray Dataset stages."""
@@ -221,7 +222,7 @@ def convert_osm_distributed(
         rd.from_arrow(_elements_table(nodes, "node")),
         rd.from_arrow(_elements_table(ways, "way")),
         rd.from_arrow(_elements_table(rels, "relation")),
-        bbs_text, cfg, preserve=preserve, one_element=one_element,
+        bbs_text, cfg, preserve=preserve, one_element=one_element, **kwargs,
     )
 
 
@@ -234,13 +235,14 @@ def convert_datasets_distributed(
     *,
     preserve: set | None = None,
     one_element: bool = False,
+    **kwargs,
 ) -> list[tuple]:
     """Driver-collected form of the distributed conversion (fixture-scale
     parity tests; scale callers use ``convert_pbf_to_dir`` which writes the
     streams without collecting them)."""
     streams, boxes = convert_datasets_entry_streams(
         nodes_ds, ways_ds, rels_ds, bbs_text, cfg,
-        preserve=preserve, one_element=one_element,
+        preserve=preserve, one_element=one_element, **kwargs,
     )
     return entries_from_streams(streams, boxes)
 
@@ -254,10 +256,13 @@ def convert_datasets_entry_streams(
     *,
     preserve: set | None = None,
     one_element: bool = False,
+    memb_broadcast_max: int = 2_000_000,
 ):
     """The distributed conversion as LAZY entry streams: → ({"node": ds,
     "way": ds, "rel": ds, "coll": ds} in the reference's N→W→A→C emission
-    order, boxes).  Nothing entry-scale touches the driver."""
+    order, boxes).  Nothing entry-scale touches the driver; the only
+    driver-side state is the reverse-membership map, and only when it is
+    under ``memb_broadcast_max`` rows (the join path takes over above)."""
     import ray
     import ray.data as rd
 
@@ -466,21 +471,66 @@ def convert_datasets_entry_streams(
         .materialize()
     )
     # membership is bounded by the relation-member count — the reference
-    # holds it as an in-memory HashMap (Reunify.java:54,887-930) and we make
-    # the same memory assumption: broadcast it once (ray.put) and attach it
-    # per batch inside the fused task chain instead of three hash-shuffle
-    # joins (measured: each keyed exchange costs ~1s of pipeline latency)
-    memb_df = membership.to_pandas()
-
-    def memb_table(kind: str) -> pa.Table:
-        sub = memb_df[memb_df["mtype"] == kind]
-        return pa.table(
+    # holds it as an in-memory HashMap (Reunify.java:54,887-930).  Under
+    # ``memb_broadcast_max`` rows we make the same memory assumption:
+    # broadcast it once (ray.put) and attach per batch inside the fused
+    # task chain (measured: each keyed exchange costs ~1s of pipeline
+    # latency).  Above the threshold the attach becomes a hash-shuffle
+    # join — no RAM ceiling, one more exchange (VERDICT r02 next-step #2).
+    memb_broadcast = membership.count() <= memb_broadcast_max
+    if memb_broadcast:
+        _memb_empty = pa.table(
             {
-                "ref": pa.array(sub["ref"].to_numpy(), type=pa.int64()),
-                "rev_members_json": pa.array(
-                    sub["members_json"].tolist(), type=pa.string()
-                ),
+                "mtype": pa.array([], type=pa.string()),
+                "ref": pa.array([], type=pa.int64()),
+                "members_json": pa.array([], type=pa.string()),
             }
+        )
+        tbls = [t for t in ray.get(membership.to_arrow_refs()) if len(t)]
+        memb_all = (
+            pa.concat_tables(tbls).combine_chunks() if tbls else _memb_empty
+        )
+
+    def _memb_side(kind: str):
+        """(ref, rev_members_json) for one member kind — a pa.Table in
+        broadcast mode, a projected Dataset in join mode."""
+        if memb_broadcast:
+            import pyarrow.compute as pc
+
+            sub = memb_all.filter(pc.equal(memb_all.column("mtype"), kind))
+            return pa.table(
+                {
+                    "ref": sub.column("ref"),
+                    "rev_members_json": sub.column("members_json"),
+                }
+            )
+
+        def proj(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = b.filter(pc.equal(b.column("mtype"), kind))
+            return pa.table(
+                {
+                    "ref": t.column("ref"),
+                    "rev_members_json": t.column("members_json"),
+                }
+            )
+
+        return membership.map_batches(proj, batch_format="pyarrow")
+
+    def attach_membership(ds, kind: str, key: str, ds_schema=None):
+        """Left-attach ``rev_members_json`` for one member kind.
+        ``ds_schema``: pass when ``ds`` has an upstream exchange so the
+        join-mode planner never re-executes it for ``.schema()``."""
+        if memb_broadcast:
+            return broadcast_join(
+                ds, ray.put(_memb_side(kind)), keys=key, right_keys="ref",
+                join_type="left outer",
+            )
+        return hash_join(
+            ds, _memb_side(kind), on=key, right_on="ref",
+            join_type="left_outer", num_partitions=nparts,
+            left_schema=ds_schema,
         )
 
     def meta_json(row) -> str:
@@ -493,10 +543,7 @@ def convert_datasets_entry_streams(
     from oma_ray.stages.join import broadcast_join
 
     # --- node emission ------------------------------------------------------
-    nodes_j = broadcast_join(
-        nodes_ds, ray.put(memb_table("node")), keys="id", right_keys="ref",
-        join_type="left outer",
-    )
+    nodes_j = attach_membership(nodes_ds, "node", "id")
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
         rows = []
@@ -531,18 +578,23 @@ def convert_datasets_entry_streams(
 
         return ds.map_batches(proj, batch_format="pyarrow")
 
+    _way_meta_cols = (
+        "id", "version", "timestamp", "changeset", "uid", "user", "tags_json"
+    )
     ways_j = hash_join(
-        projected(ways_ds, {
-            c: c for c in
-            ("id", "version", "timestamp", "changeset", "uid", "user", "tags_json")
-        }),
+        projected(ways_ds, {c: c for c in _way_meta_cols}),
         way_geo, on="id", right_on="way_id", join_type="left_outer",
         num_partitions=nparts,
     )
-    ways_j = broadcast_join(
-        ways_j, ray.put(memb_table("way")), keys="id", right_keys="ref",
-        join_type="left outer",
+    _ways_j_schema = pa.schema(
+        [
+            ("id", pa.int64()), ("version", pa.int32()),
+            ("timestamp", pa.int64()), ("changeset", pa.int64()),
+            ("uid", pa.int32()), ("user", pa.string()),
+            ("tags_json", pa.string()), ("geo_json", pa.string()),
+        ]
     )
+    ways_j = attach_membership(ways_j, "way", "id", ds_schema=_ways_j_schema)
 
     def emit_way_rows(row, coords, rev_json, rows):
         closed = len(coords) >= 3 and coords[0] == coords[-1]
@@ -588,85 +640,85 @@ def convert_datasets_entry_streams(
 
     way_entries = ways_j.map_batches(emit_ways, batch_format="pyarrow")
 
-    # --- J2: relation member geometries -------------------------------------
-    # Relation streams are relation-scale — the reference holds them (and
-    # the membership map) in RAM (Reunify.java:54,676-841) and we make the
-    # same memory assumption driver-side.  The BIG sides (node locations,
-    # assembled way geometries) are never shuffled for this: each gets ONE
-    # fused isin-filter scan against the broadcast set of probed ids, and
-    # the (small) hits come back to be merged into the member stream.
-    import pandas as pd
+    # --- J2: relation member geometries — distributed -----------------------
+    # The member streams join the BIG sides (assembled way geometries, node
+    # locations) with the same colocated hash-join machinery as J1 (VERDICT
+    # r02 next-step #2); the reference holds all of this in RAM
+    # (Reunify.java:54,676-841).  Unresolved way members stay null and drop
+    # at emit (Reunify.java:676-841); unresolved via-NODES keep marked-id
+    # garbage coords (_marked_point).
 
-    mdf_all = routed.to_pandas()
-    mdf = mdf_all[mdf_all["route"] != "leftover"]
+    mem = routed.filter(expr="route != 'leftover'")
+    mem_way = mem.filter(expr="mtype == 'way'")
+    mem_node = mem.filter(expr="mtype == 'node'")
+    _member_cols = ("rel_id", "route", "m_idx", "mtype", "role")
 
-    def isin_scan(ds, col: str, ids: np.ndarray):
-        from oma_ray.stages.taskcache import CachedStage
-
-        ref = ray.put(np.asarray(ids, dtype=np.int64))
-
-        class _IsinFilter:
-            def __init__(self, ids_or_ref, c):
-                self.ids = (
-                    ray.get(ids_or_ref)
-                    if isinstance(ids_or_ref, ray.ObjectRef) else ids_or_ref
-                )
-                self.c = c
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                m = np.isin(
-                    b.column(self.c).to_numpy(zero_copy_only=False), self.ids
-                )
-                return b.filter(pa.array(m))
-
-        return ds.map_batches(CachedStage(_IsinFilter, ref, col),
-                              batch_format="pyarrow")
-
-    way_refs = np.unique(mdf.loc[mdf["mtype"] == "way", "ref"].to_numpy())
-    node_refs = np.unique(mdf.loc[mdf["mtype"] == "node", "ref"].to_numpy())
-    way_geo_mem = (
-        isin_scan(way_geo, "way_id", way_refs).to_pandas()
-        if len(way_refs) else pd.DataFrame({"way_id": [], "geo_json": []})
-    )
-    node_geo_mem = (
-        isin_scan(node_loc, "id", node_refs).to_pandas()
-        if len(node_refs) else pd.DataFrame({"id": [], "lon": [], "lat": []})
+    wm = hash_join(
+        mem_way, way_geo, on="ref", right_on="way_id",
+        join_type="left_outer", num_partitions=nparts,
     )
 
-    wm = mdf[mdf["mtype"] == "way"].merge(
-        way_geo_mem.rename(columns={"way_id": "ref", "geo_json": "mgeo_json"}),
-        on="ref", how="left",
+    def _way_member_geo(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in _member_cols}
+        cols["mgeo_json"] = b.column("geo_json")  # null = unresolved way
+        return pa.table(cols)
+
+    nm = hash_join(
+        mem_node, node_loc, on="ref", right_on="id",
+        join_type="left_outer", num_partitions=nparts,
     )
-    nm = mdf[mdf["mtype"] == "node"].merge(
-        node_geo_mem.rename(columns={"id": "ref"}), on="ref", how="left"
-    )
-    if len(nm):
-        nm = nm.copy()
-        nm["mgeo_json"] = [
-            json.dumps([list(_marked_point(int(r.ref)))])
-            if pd.isna(r.lon) else json.dumps([[int(r.lon), int(r.lat)]])
-            for r in nm.itertuples()
+
+    def _node_member_geo(b: pa.Table) -> pa.Table:
+        lon_col = b.column("lon")
+        valid = ~pa.compute.is_null(lon_col).to_numpy(zero_copy_only=False)
+        lon = np.where(
+            valid, lon_col.to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        lat = np.where(
+            valid, b.column("lat").to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        refs = b.column("ref").to_numpy(zero_copy_only=False)
+        geos = [
+            f"[[{x},{y}]]" if ok
+            else json.dumps([list(_marked_point(int(r)))])
+            for ok, x, y, r in zip(valid, lon, lat, refs)
         ]
-    cols = ["rel_id", "route", "m_idx", "mtype", "role", "mgeo_json"]
-    member_geo_df = pd.concat(
-        [wm[cols], nm[cols] if len(nm) else pd.DataFrame(columns=cols)],
-        ignore_index=True,
+        cols = {c: b.column(c) for c in _member_cols}
+        cols["mgeo_json"] = pa.array(geos, type=pa.string())
+        return pa.table(cols)
+
+    _mg_anchor = pa.table(
+        {
+            "rel_id": pa.array([], type=pa.int64()),
+            "route": pa.array([], type=pa.string()),
+            "m_idx": pa.array([], type=pa.int32()),
+            "mtype": pa.array([], type=pa.string()),
+            "role": pa.array([], type=pa.string()),
+            "mgeo_json": pa.array([], type=pa.string()),
+        }
     )
+    member_geo = (
+        wm.map_batches(_way_member_geo, batch_format="pyarrow")
+        .union(nm.map_batches(_node_member_geo, batch_format="pyarrow"))
+        .union(rd.from_arrow(_mg_anchor))  # schema anchor: empty exchanges
+        .materialize()
+    )
+    # (materialize: caps how many aggregator pools one DAG co-schedules AND
+    # gives the next join a metadata-cheap schema)
 
-    ri = rels_ds.to_pandas()[
-        ["id", "version", "timestamp", "changeset", "uid", "user", "tags_json"]
-    ].rename(columns={"tags_json": "rel_tags_json"})
-    memb_rel = memb_df[memb_df["mtype"] == "relation"][["ref", "members_json"]]
-    ri = ri.merge(
-        memb_rel.rename(columns={"members_json": "rev_members_json"}),
-        left_on="id", right_on="ref", how="left",
-    ).drop(columns=["ref"])
-    geo_plus_info_df = member_geo_df.merge(ri, left_on="rel_id", right_on="id",
-                                           how="inner")
+    ri_ds = attach_membership(
+        projected(rels_ds, {
+            "id": "id", "version": "version", "timestamp": "timestamp",
+            "changeset": "changeset", "uid": "uid", "user": "user",
+            "tags_json": "rel_tags_json",
+        }),
+        "relation", "id",
+    ).materialize()
 
-    from oma_ray.sources.parquet import from_pandas_clean
-
-    geo_plus_info = rd.from_arrow(from_pandas_clean(geo_plus_info_df))
+    geo_plus_info = hash_join(
+        member_geo, ri_ds, on="rel_id", right_on="id", join_type="inner",
+        num_partitions=nparts,
+    )
 
     def emit_relations(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -740,26 +792,26 @@ def convert_datasets_entry_streams(
                         )
         return _entries_table(rows)
 
-    rel_entries = (
-        geo_plus_info.repartition(nparts, keys=["rel_id"])
-        .map_batches(emit_relations, batch_format="pyarrow")
+    rel_entries = geo_plus_info.map_batches(
+        emit_relations, batch_format="pyarrow"
     )
+    # (no extra keyed exchange: the inner hash join already co-located every
+    # rel_id's member rows in one block)
 
-    # --- collections (relation-scale: driver-side id set, dataset emit) -----
-    coll_ids = np.unique(
-        mdf_all.loc[mdf_all["route"] == "leftover", "rel_id"].to_numpy()
+    # --- collections: semi-join rels against the leftover stream ------------
+    leftover_ids = leftover.map_batches(
+        lambda b: b.select(["rel_id"]), batch_format="pyarrow"
     )
-    coll_df = (
-        ri[ri["id"].isin(coll_ids)]
-        .rename(columns={"rel_tags_json": "tags_json", "id": "rel_id"})
+    coll_j = hash_join(
+        ri_ds, leftover_ids, on="id", right_on="rel_id", join_type="inner",
+        num_partitions=nparts, dedup_right=True,
     )
-    coll_j = rd.from_arrow(from_pandas_clean(coll_df)) if len(coll_df) else None
 
     def emit_collections(batch: pa.Table) -> pa.Table:
         rows = []
         for row in batch.to_pylist():
             row = dict(row)
-            row["id"] = row["rel_id"]
+            row["tags_json"] = row.pop("rel_tags_json")
             row["_force_id"] = True
             tags = _tags_of(row)
             final_tags, assigns = classify_plain(cfg, "C", tags, one_element)
@@ -772,9 +824,8 @@ def convert_datasets_entry_streams(
                 )
         return _entries_table(rows)
 
-    coll_entries = (
-        coll_j.map_batches(emit_collections, batch_format="pyarrow")
-        if coll_j is not None else rd.from_arrow(_entry_schema())
+    coll_entries = coll_j.map_batches(
+        emit_collections, batch_format="pyarrow"
     )
 
     return (

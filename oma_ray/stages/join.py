@@ -110,7 +110,8 @@ def hash_join_native(left, right, on, right_on=None, join_type="inner",
 
 
 def hash_join(left, right, on, right_on=None, join_type="inner",
-              num_partitions=None, dedup_right=False):
+              num_partitions=None, dedup_right=False,
+              left_schema=None, right_schema=None):
     """Hash-shuffle join of two large Datasets, colocated-union style:
     both sides are tagged, unioned under one padded schema, exchanged ONCE
     by key, and joined per block with pyarrow (Acero).
@@ -127,7 +128,11 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
     semi-join existence probe without a separate distinct exchange.  NOTE:
     planning calls ``.schema()`` on both sides, and Ray executes a side's
     whole plan for that if it contains an all-to-all (limit(1) can't stop
-    a shuffle) — feed joins map-chain or materialized inputs.
+    a shuffle) — feed joins map-chain or materialized inputs, or pass the
+    side's ``pyarrow.Schema`` explicitly via ``left_schema``/
+    ``right_schema`` (chained joins: the caller knows its own output
+    schema; re-executing an upstream exchange just to read it is the
+    expensive way to find out).
     """
     import pyarrow as pa
 
@@ -144,8 +149,8 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
         else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
 
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     lnames = list(lschema.names)

@@ -38,6 +38,22 @@ def test_distributed_one_element_mode(ray_session):
     assert got == ref
 
 
+def test_distributed_membership_join_path(ray_session):
+    """Above ``memb_broadcast_max`` the reverse-membership attach switches
+    from broadcast to a hash-shuffle join; forcing the threshold to 0 must
+    not change the multiset (VERDICT r02 next-step #2: broadcast retained
+    only under a size threshold)."""
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    cfg = TypeConfig.default()
+    ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
+    got = Counter(
+        convert_osm_distributed(
+            nodes, ways, rels, default_bbs_text(), cfg, memb_broadcast_max=0
+        )
+    )
+    assert got == ref
+
+
 def test_pbf_to_distributed_end_to_end(ray_session, tmp_path):
     """Full scale path: PBF file → blob-parallel decode → distributed
     reunify — matches the driver-side conversion of the same elements."""
