@@ -49,6 +49,10 @@ _META_COLS = ("id", "version", "timestamp", "changeset", "uid", "user")
 
 
 def _elements_table(elems: list[dict], kind: str) -> pa.Table:
+    """Element dicts → the per-kind wire schema.  Nodes (the planet-scale
+    bulk) carry tags as native list columns — their whole pipeline avoids
+    Acero, so nothing forces JSON; ways/relations keep JSON strings for the
+    columns that cross Acero joins (pyarrow 16 rejects nested payload)."""
     cols = {
         "id": pa.array([e["id"] for e in elems], type=pa.int64()),
         "version": pa.array([e["version"] for e in elems], type=pa.int32()),
@@ -56,17 +60,26 @@ def _elements_table(elems: list[dict], kind: str) -> pa.Table:
         "changeset": pa.array([e["changeset"] for e in elems], type=pa.int64()),
         "uid": pa.array([e["uid"] for e in elems], type=pa.int32()),
         "user": pa.array([e["user"] for e in elems], type=pa.string()),
-        "tags_json": pa.array(
-            [json.dumps(sorted(e["tags"].items())) for e in elems],
-            type=pa.string(),
-        ),
     }
     if kind == "node":
+        cols["tag_keys"] = pa.array(
+            [list(e["tags"].keys()) for e in elems],
+            type=pa.list_(pa.string()),
+        )
+        cols["tag_vals"] = pa.array(
+            [list(e["tags"].values()) for e in elems],
+            type=pa.list_(pa.string()),
+        )
         cols["lon"] = pa.array([e["lon"] for e in elems], type=pa.int64())
         cols["lat"] = pa.array([e["lat"] for e in elems], type=pa.int64())
-    elif kind == "way":
-        cols["refs_json"] = pa.array(
-            [json.dumps(e["refs"]) for e in elems], type=pa.string()
+        return pa.table(cols)
+    cols["tags_json"] = pa.array(
+        [json.dumps(sorted(e["tags"].items())) for e in elems],
+        type=pa.string(),
+    )
+    if kind == "way":
+        cols["refs"] = pa.array(
+            [e["refs"] for e in elems], type=pa.list_(pa.int64())
         )
     else:
         cols["members_json"] = pa.array(
@@ -115,43 +128,39 @@ def _entries_table(rows: list[tuple]) -> pa.Table:
 
 def element_datasets_from_unified(elements_ds):
     """The unified element table (``sources/pbf.read_pbf_table`` schema:
-    list columns for refs/members/tags) → the three JSON-ified per-kind
-    datasets the distributed conversion consumes.  One fused map per kind;
-    at planet scale the unified dataset should be staged to parquet once
-    and read back three times instead of re-decoding blobs per branch."""
+    list columns for refs/members/tags) → the three per-kind datasets the
+    distributed conversion consumes.  Fully vectorized (no ``to_pylist``):
+    nodes keep native tag list columns; way/relation JSON wire columns are
+    built with the Arrow kernels in functions/jsonvec.  One fused map per
+    kind; at planet scale the unified dataset should be staged to parquet
+    once and read back three times instead of re-decoding blobs per
+    branch."""
     import pyarrow.compute as pc
+
+    from oma_ray.functions.jsonvec import (
+        json_member_lists,
+        json_string_pair_lists,
+    )
 
     def conv(kind: str):
         def f(b: pa.Table) -> pa.Table:
-            t = b.filter(pc.equal(b.column("kind"), kind))
-            rows = t.to_pylist()
-            cols = {
-                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
-                "version": pa.array([r["version"] for r in rows], type=pa.int32()),
-                "timestamp": pa.array([r["timestamp"] for r in rows], type=pa.int64()),
-                "changeset": pa.array([r["changeset"] for r in rows], type=pa.int64()),
-                "uid": pa.array([r["uid"] for r in rows], type=pa.int32()),
-                "user": pa.array([r["user"] for r in rows], type=pa.string()),
-                "tags_json": pa.array(
-                    [json.dumps(sorted(zip(r["tag_keys"], r["tag_vals"])))
-                     for r in rows],
-                    type=pa.string(),
-                ),
-            }
+            t = b.filter(pc.equal(b.column("kind"), kind)).combine_chunks()
+            cols = {c: t.column(c) for c in _META_COLS}
             if kind == "node":
-                cols["lon"] = pa.array([r["lon"] for r in rows], type=pa.int64())
-                cols["lat"] = pa.array([r["lat"] for r in rows], type=pa.int64())
-            elif kind == "way":
-                cols["refs_json"] = pa.array(
-                    [json.dumps(r["refs"]) for r in rows], type=pa.string()
-                )
+                cols["tag_keys"] = t.column("tag_keys")
+                cols["tag_vals"] = t.column("tag_vals")
+                cols["lon"] = pc.cast(t.column("lon"), pa.int64())
+                cols["lat"] = pc.cast(t.column("lat"), pa.int64())
+                return pa.table(cols)
+            cols["tags_json"] = json_string_pair_lists(
+                t.column("tag_keys"), t.column("tag_vals")
+            )
+            if kind == "way":
+                cols["refs"] = t.column("refs")
             else:
-                cols["members_json"] = pa.array(
-                    [json.dumps([
-                        [mt, mr, ro] for mt, mr, ro in
-                        zip(r["member_types"], r["member_refs"], r["member_roles"])
-                    ]) for r in rows],
-                    type=pa.string(),
+                cols["members_json"] = json_member_lists(
+                    t.column("member_types"), t.column("member_refs"),
+                    t.column("member_roles"),
                 )
             return pa.table(cols)
 
@@ -296,23 +305,39 @@ def convert_datasets_entry_streams(
 
     # --- J1: way geometries via explode + hash join -------------------------
     def explode_refs(batch: pa.Table) -> pa.Table:
-        wid, idx, ref = [], [], []
-        for row in batch.select(["id", "refs_json"]).to_pylist():
-            refs = json.loads(row["refs_json"])
-            if not refs:
-                # sentinel so zero-ref ways still get a (empty) geometry row
-                wid.append(row["id"])
-                idx.append(-1)
-                ref.append(0)
-                continue
-            wid.extend([row["id"]] * len(refs))
-            idx.extend(range(len(refs)))
-            ref.extend(refs)
+        """Vectorized explode of the native ``refs`` list column: way_id
+        repeats by list length, ref_idx counts within each way; zero-ref
+        ways get a (-1, 0) sentinel row so they still produce an (empty)
+        geometry."""
+        batch = batch.combine_chunks()
+        refs_col = batch.column("refs")
+        refs_col = (
+            refs_col.combine_chunks()
+            if isinstance(refs_col, pa.ChunkedArray) else refs_col
+        )
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        off = refs_col.offsets.to_numpy(zero_copy_only=False)
+        off = off - off[0]
+        counts = np.diff(off)
+        flat = refs_col.flatten().to_numpy(zero_copy_only=False)
+        wid = np.repeat(ids, counts)
+        idx = (np.arange(len(flat)) - np.repeat(off[:-1], counts)).astype(
+            np.int32
+        )
+        empty = counts == 0
+        if empty.any():
+            wid = np.concatenate([wid, ids[empty]])
+            idx = np.concatenate(
+                [idx, np.full(empty.sum(), -1, dtype=np.int32)]
+            )
+            flat = np.concatenate(
+                [flat, np.zeros(empty.sum(), dtype=np.int64)]
+            )
         return pa.table(
             {
                 "way_id": pa.array(wid, type=pa.int64()),
                 "ref_idx": pa.array(idx, type=pa.int32()),
-                "ref": pa.array(ref, type=pa.int64()),
+                "ref": pa.array(flat, type=pa.int64()),
             }
         )
 
@@ -330,36 +355,52 @@ def convert_datasets_entry_streams(
     )
 
     def reassemble(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
-            return pa.table(
-                {
-                    "way_id": pa.array([], type=pa.int64()),
-                    "geo_json": pa.array([], type=pa.string()),
-                }
-            )
-        df = df.sort_values(["way_id", "ref_idx"])
-        lon = df["lon"].to_numpy()
-        lat = df["lat"].to_numpy()
-        lon = np.where(np.isnan(lon.astype(np.float64)), MAXC, lon).astype(np.int64)
-        lat = np.where(np.isnan(lat.astype(np.float64)), MAXC, lat).astype(np.int64)
-        wids, geos = [], []
-        w = df["way_id"].to_numpy()
-        bounds = np.concatenate(
-            [[0], np.nonzero(w[1:] != w[:-1])[0] + 1, [len(w)]]
+        """Vectorized per-way geometry reassembly: lexsort by (way_id,
+        ref_idx), unresolved refs → MAXC coords (README.md:35), then the
+        whole block's geo_json strings build with Arrow kernels (flat
+        "[x,y]" points re-listed per way and joined)."""
+        from oma_ray.functions.jsonvec import json_point_pairs
+
+        empty = pa.table(
+            {
+                "way_id": pa.array([], type=pa.int64()),
+                "geo_json": pa.array([], type=pa.string()),
+            }
         )
-        ridx = df["ref_idx"].to_numpy()
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            wids.append(int(w[s]))
-            keep = ridx[s:e] >= 0  # drop the zero-ref sentinel row
-            geos.append(json.dumps(
-                [[int(a), int(b)]
-                 for a, b in zip(lon[s:e][keep], lat[s:e][keep])]
-            ))
+        if not len(batch):
+            return empty
+        batch = batch.combine_chunks()
+        w = batch.column("way_id").to_numpy(zero_copy_only=False)
+        ridx = batch.column("ref_idx").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ridx, w))
+        w, ridx = w[order], ridx[order]
+        lon = np.asarray(lon, dtype=np.float64)[order]
+        lat = np.asarray(lat, dtype=np.float64)[order]
+        lon = np.where(np.isnan(lon), MAXC, lon).astype(np.int64)
+        lat = np.where(np.isnan(lat), MAXC, lat).astype(np.int64)
+        starts = np.concatenate([[0], np.nonzero(w[1:] != w[:-1])[0] + 1])
+        wids = w[starts]
+        keep = ridx >= 0  # drop zero-ref sentinel rows
+        kept_counts = np.add.reduceat(keep.astype(np.int64), starts)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+        pts = json_point_pairs(
+            pa.array(lon[keep], type=pa.int64()),
+            pa.array(lat[keep], type=pa.int64()),
+        )
+        import pyarrow.compute as pc
+
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pts
+        )
+        geos = pc.binary_join_element_wise(
+            "[", pc.binary_join(lst, ","), "]", ""
+        )
         return pa.table(
             {
                 "way_id": pa.array(wids, type=pa.int64()),
-                "geo_json": pa.array(geos, type=pa.string()),
+                "geo_json": geos,
             }
         )
 
@@ -542,32 +583,209 @@ def convert_datasets_entry_streams(
 
     from oma_ray.stages.join import broadcast_join
 
-    # --- node emission ------------------------------------------------------
-    nodes_j = attach_membership(nodes_ds, "node", "id")
+    # --- node emission (the planet-scale bulk — fully vectorized) -----------
+    # The node path avoids Acero entirely (nodes carry nested tag list
+    # columns): membership attaches by searchsorted against the broadcast
+    # map inside the fused chain, or by lookup_join (colocated searchsorted
+    # merge) above the threshold.
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.jsonvec import (
+        json_point_pairs,
+        json_string_pair_lists,
+        meta_json_vec,
+    )
+    from oma_ray.stages.taskcache import CachedStage
+
+    if memb_broadcast:
+        nt = _memb_side("node")
+        _nk = nt.column("ref").to_numpy(zero_copy_only=False).astype(np.int64)
+        _no = np.argsort(_nk, kind="stable")
+        memb_node_ref = ray.put(
+            {
+                "keys": _nk[_no],
+                "vals": nt.column("rev_members_json")
+                .to_numpy(zero_copy_only=False)[_no],
+            }
+        )
+
+        class _NodeMembAttach:
+            def __init__(self, ref):
+                st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                self.keys = st["keys"]
+                self.vals = st["vals"]
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b.column("id").to_numpy(zero_copy_only=False)
+                if len(self.keys):
+                    pos = np.searchsorted(self.keys, ids)
+                    pos_c = np.minimum(pos, len(self.keys) - 1)
+                    found = self.keys[pos_c] == ids
+                    vals = np.where(found, self.vals[pos_c], None)
+                else:
+                    vals = np.full(len(ids), None, dtype=object)
+                return b.append_column(
+                    "rev_members_json", pa.array(vals, type=pa.string())
+                )
+
+        nodes_j = nodes_ds.map_batches(
+            CachedStage(_NodeMembAttach, memb_node_ref),
+            batch_format="pyarrow",
+        )
+    else:
+        from oma_ray.stages.join import lookup_join
+
+        nodes_j = lookup_join(
+            nodes_ds, _memb_side("node"), on="id", right_on="ref",
+            num_partitions=nparts,
+        )
+
+    # vectorized first-match classification state (closure constants)
+    _n_keys_arr = pa.array(cfg.node_keys, type=pa.string())
+    _n_keys_np = np.array(cfg.node_keys, dtype=object)
+    _n_value_sets = [pa.array(v, type=pa.string()) for v in cfg.node_values]
+    _prefixed = pa.array(
+        [p + k for p in cfg.prefixes[1:] for k in cfg.node_keys],
+        type=pa.string(),
+    )
+
+    def _combined(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
-        rows = []
-        tbl = batch.to_pylist()
-        if not tbl:
+        """Mask-based classification over Arrow columns (TypeAnalysis.java
+        :437-516 semantics): one ``index_in`` pass maps every tag key to
+        its config-key index; rows carrying lifecycle-PREFIXED config keys
+        (the mutation path) divert to the exact per-row kernel.  All entry
+        columns build via Arrow kernels — no per-row json.dumps."""
+        batch = batch.combine_chunks()
+        if not len(batch):
             return _entry_schema()
-        lons = np.array([r["lon"] for r in tbl], dtype=np.int64)
-        lats = np.array([r["lat"] for r in tbl], dtype=np.int64)
+        tk = _combined(batch.column("tag_keys"))
+        ntags = pc.list_value_length(tk).to_numpy(zero_copy_only=False)
+        rev_col = _combined(batch.column("rev_members_json"))
+        rev_null = pc.is_null(rev_col).to_numpy(zero_copy_only=False)
+        keep = (ntags > 0) | ~rev_null  # untagged+unreferenced (Reunify:953)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep)).combine_chunks()
+            if not len(batch):
+                return _entry_schema()
+            tk = _combined(batch.column("tag_keys"))
+            rev_col = _combined(batch.column("rev_members_json"))
+        tv = _combined(batch.column("tag_vals"))
+        n = len(batch)
+        off = tk.offsets.to_numpy(zero_copy_only=False)
+        off = off - off[0]
+        counts = np.diff(off)
+        parents = np.repeat(np.arange(n), counts)
+        flat_keys = tk.flatten()
+        flat_vals = tv.flatten()
+
+        slow = np.zeros(n, dtype=bool)
+        if len(_prefixed) and len(flat_keys):
+            pm = pc.is_in(
+                flat_keys, value_set=_prefixed
+            ).to_numpy(zero_copy_only=False)
+            if pm.any():
+                slow[parents[pm]] = True
+
+        jidx = pc.index_in(flat_keys, value_set=_n_keys_arr)
+        jnp = np.asarray(
+            jidx.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        matched = ~np.isnan(jnp)
+        if slow.any():
+            matched &= ~slow[parents]
+        pos = np.nonzero(matched)[0]
+        rows_m = parents[pos]
+        j_m = jnp[pos].astype(np.int64)
+        if one_element and len(pos):
+            order = np.lexsort((j_m, rows_m))
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = rows_m[order][1:] != rows_m[order][:-1]
+            sel = order[first]
+            pos, rows_m, j_m = pos[sel], rows_m[sel], j_m[sel]
+        value_out = np.full(len(pos), "", dtype=object)
+        if len(pos):
+            vals_m = flat_vals.take(pa.array(pos, type=pa.int64()))
+            vals_np = vals_m.to_numpy(zero_copy_only=False).astype(object)
+            for j in np.unique(j_m):
+                js = j_m == j
+                sub = vals_np[js]
+                inset = pc.is_in(
+                    pa.array(sub, type=pa.string()),
+                    value_set=_n_value_sets[j],
+                ).to_numpy(zero_copy_only=False)
+                sub[~inset] = ""
+                value_out[js] = sub
+        key_out = _n_keys_np[j_m]
+
+        used = np.zeros(n, dtype=bool)
+        used[rows_m] = True
+        other_rows = np.nonzero(~used & ~slow)[0]
+
         g = ray.get(grid_ref)
-        tiles = g.assign_bboxes(lons, lats, lons, lats)
-        for i, row in enumerate(tbl):
-            tags = _tags_of(row)
-            rev = row.get("rev_members_json")
-            if not tags and rev is None:
-                continue  # Reunify.java:953
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        tiles = np.asarray(g.assign_bboxes(lon, lat, lon, lat))
+        meta_all = meta_json_vec(batch, preserve).to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        tags_all = json_string_pair_lists(tk, tv).to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        geo_all = json_point_pairs(
+            batch.column("lon"), batch.column("lat")
+        ).to_numpy(zero_copy_only=False).astype(object)
+        memb_all = pc.fill_null(rev_col, "[]").to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+
+        out_rows = np.concatenate([rows_m, other_rows]).astype(np.int64)
+        out_keys = np.concatenate(
+            [key_out, np.full(len(other_rows), "", dtype=object)]
+        )
+        out_vals = np.concatenate(
+            [value_out, np.full(len(other_rows), "", dtype=object)]
+        )
+        t_fast = pa.table(
+            {
+                "chunk_type": pa.array(
+                    np.full(len(out_rows), "N", dtype=object),
+                    type=pa.string(),
+                ),
+                "tile": pa.array(
+                    tiles[out_rows].astype(np.int32), type=pa.int32()
+                ),
+                "key": pa.array(out_keys, type=pa.string()),
+                "value": pa.array(out_vals, type=pa.string()),
+                "meta_json": pa.array(meta_all[out_rows], type=pa.string()),
+                "tags_json": pa.array(tags_all[out_rows], type=pa.string()),
+                "members_json": pa.array(
+                    memb_all[out_rows], type=pa.string()
+                ),
+                "geo_json": pa.array(geo_all[out_rows], type=pa.string()),
+            }
+        )
+
+        slow_idx = np.nonzero(slow)[0]
+        if not len(slow_idx):
+            return t_fast
+        srows = batch.take(pa.array(slow_idx, type=pa.int64())).to_pylist()
+        rows = []
+        for i, row in zip(slow_idx, srows):
+            tags = dict(zip(row["tag_keys"], row["tag_vals"]))
             final_tags, assigns = classify_plain(cfg, "N", tags, one_element)
+            rev = row.get("rev_members_json")
+            sig = _meta_sig({c: row[c] for c in _META_COLS}, preserve)
             for key, value in assigns:
                 rows.append(
-                    ("N", int(tiles[i]), key, value, meta_json(row),
+                    ("N", int(tiles[i]), key, value, json.dumps(sig),
                      json.dumps(sorted(final_tags.items())),
-                     rev or "[]",
-                     json.dumps([int(row["lon"]), int(row["lat"])]))
+                     rev if isinstance(rev, str) else "[]",
+                     f"[{row['lon']},{row['lat']}]")
                 )
-        return _entries_table(rows)
+        return pa.concat_tables([t_fast, _entries_table(rows)])
 
     node_entries = nodes_j.map_batches(emit_nodes, batch_format="pyarrow")
 

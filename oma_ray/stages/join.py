@@ -109,6 +109,91 @@ def hash_join_native(left, right, on, right_on=None, join_type="inner",
     )
 
 
+def lookup_join(left, right, on: str, right_on: str | None = None,
+                num_partitions=None, left_schema=None, right_schema=None):
+    """Left-outer colocated join for a UNIQUE-keyed right side, merged per
+    block with numpy searchsorted instead of Acero — the path for left
+    payloads Acero rejects (nested list/struct columns, pyarrow 16).
+
+    Same exchange shape as ``hash_join`` (tag sides → union → ONE keyed
+    exchange), but the per-block merge is sort + binary-search: right keys
+    must be unique per key (geometry lookups, membership maps — dimension
+    shapes), misses yield nulls in the right payload columns.  Single
+    int64 key only."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    right_on = right_on or on
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lnames = list(lschema.names)
+    rkeep = [c for c in rschema.names if c != right_on]
+    overlap = set(lnames) & set(rkeep)
+    if overlap:
+        raise ValueError(f"join sides share non-key columns: {overlap}")
+    out_names = lnames + rkeep
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "__side", pa.array(np.zeros(len(batch), dtype=np.int8))
+        )
+        for c in rkeep:
+            batch = batch.append_column(c, pa.nulls(len(batch), type=rtypes[c]))
+        return batch
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        cols = {on: batch.column(right_on)}
+        for c in rkeep:
+            cols[c] = batch.column(c)
+        t = pa.table(cols)
+        for c in lnames:
+            if c != on:
+                t = t.append_column(c, pa.nulls(len(t), type=ltypes[c]))
+        t = t.append_column("__side", pa.array(np.ones(len(t), dtype=np.int8)))
+        return t.select([*lnames, "__side", *rkeep])
+
+    lp = left.map_batches(pad_left, batch_format="pyarrow")
+    rp = right.map_batches(pad_right, batch_format="pyarrow")
+    ensure_hash_shuffle()
+    both = lp.union(rp).repartition(num_partitions, keys=[on])
+
+    def block_merge(batch: pa.Table) -> pa.Table:
+        side = batch.column("__side")
+        lt = batch.filter(pc.equal(side, 0)).select(lnames)
+        rt = batch.filter(pc.equal(side, 1)).select([on, *rkeep])
+        if not len(rt):
+            out = lt
+            for c in rkeep:
+                out = out.append_column(c, pa.nulls(len(lt), type=rtypes[c]))
+            return out
+        rkeys = rt.column(on).to_numpy(zero_copy_only=False)
+        order = np.argsort(rkeys, kind="stable")
+        rkeys = rkeys[order]
+        lkeys = lt.column(on).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rkeys, lkeys)
+        pos_c = np.minimum(pos, len(rkeys) - 1)
+        found = rkeys[pos_c] == lkeys
+        take_idx = pa.array(
+            np.where(found, order[pos_c], -1), type=pa.int64()
+        )
+        # take with -1 → null is not a pyarrow contract; mask explicitly
+        take_idx = pc.if_else(
+            pa.array(found), take_idx, pa.scalar(None, type=pa.int64())
+        )
+        out = lt
+        for c in rkeep:
+            out = out.append_column(c, rt.column(c).take(take_idx))
+        return out
+
+    return both.map_batches(block_merge, batch_format="pyarrow")
+
+
 def hash_join(left, right, on, right_on=None, join_type="inner",
               num_partitions=None, dedup_right=False,
               left_schema=None, right_schema=None):

@@ -57,12 +57,33 @@ def main():
           f"in {time.time()-t0:.1f}s")
 
     cfg = TypeConfig.default()
+    n_elem = len(nodes) + len(ways) + len(rels)
+
+    # THE scale path: PBF → entry streams → partitioned parquet, nothing
+    # entry-scale on the driver (convert_pbf_to_dir)
+    import shutil
+
+    from oma_ray.pipelines.oma_out import read_entries
+    from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+
+    out_dir = f"/tmp/stress_dir_{n_nodes}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    convert_pbf_to_dir(path, default_bbs_text(), cfg, out_dir)
+    t_dir = time.time() - t0
+    print(f"dir path (pbf→partitioned parquet): {t_dir:.1f}s "
+          f"({n_elem/t_dir:,.0f} elem/s)")
+
     t0 = time.time()
     dist = convert_pbf_distributed(path, default_bbs_text(), cfg)
     t_dist = time.time() - t0
-    print(f"distributed: {len(dist)} entries in {t_dist:.1f}s "
-          f"({len(nodes)+len(ways)+len(rels)} elements → "
-          f"{(len(nodes)+len(ways)+len(rels))/t_dist:,.0f} elem/s)")
+    print(f"distributed(collected): {len(dist)} entries in {t_dist:.1f}s "
+          f"({n_elem/t_dist:,.0f} elem/s)")
+
+    from collections import Counter as _C
+
+    dir_entries, _cfg = read_entries(out_dir)
+    print("DIR MULTISET MATCH vs collected:", _C(dir_entries) == _C(dist))
 
     t0 = time.time()
     ref = convert_osm(nodes, ways, rels, default_bbs_text(), cfg)
