@@ -281,7 +281,11 @@ def convert_datasets_entry_streams(
     from oma_ray.synth import parse_bbs
 
     ensure_hash_shuffle()
+    # two partition regimes: joins/regroups that move RAW element rows use
+    # ~2× cores so per-partition blocks stay bounded at scale; exchanges of
+    # bounded/pre-grouped streams (membership build) keep cores/2
     nparts = default_partitions()
+    nparts_fact = default_partitions(mult=2)
     preserve = preserve if preserve is not None else {
         "id", "version", "timestamp", "changeset", "user"
     }
@@ -351,7 +355,7 @@ def convert_datasets_entry_streams(
     node_loc = nodes_ds.map_batches(_loc_proj, batch_format="pyarrow")
     j1 = hash_join(
         exploded, node_loc, on="ref", right_on="id", join_type="left_outer",
-        num_partitions=nparts,
+        num_partitions=nparts_fact,
     )
 
     def reassemble(batch: pa.Table) -> pa.Table:
@@ -405,7 +409,7 @@ def convert_datasets_entry_streams(
         )
 
     way_geo = (
-        j1.repartition(nparts, keys=["way_id"])
+        j1.repartition(nparts_fact, keys=["way_id"])
         .map_batches(reassemble, batch_format="pyarrow")
         .materialize()
     )
@@ -637,7 +641,7 @@ def convert_datasets_entry_streams(
 
         nodes_j = lookup_join(
             nodes_ds, _memb_side("node"), on="id", right_on="ref",
-            num_partitions=nparts,
+            num_partitions=nparts_fact,
         )
 
     # vectorized first-match classification state (closure constants)
@@ -802,7 +806,7 @@ def convert_datasets_entry_streams(
     ways_j = hash_join(
         projected(ways_ds, {c: c for c in _way_meta_cols}),
         way_geo, on="id", right_on="way_id", join_type="left_outer",
-        num_partitions=nparts,
+        num_partitions=nparts_fact,
     )
     _ways_j_schema = pa.schema(
         [
@@ -873,7 +877,7 @@ def convert_datasets_entry_streams(
 
     wm = hash_join(
         mem_way, way_geo, on="ref", right_on="way_id",
-        join_type="left_outer", num_partitions=nparts,
+        join_type="left_outer", num_partitions=nparts_fact,
     )
 
     def _way_member_geo(b: pa.Table) -> pa.Table:
@@ -883,7 +887,7 @@ def convert_datasets_entry_streams(
 
     nm = hash_join(
         mem_node, node_loc, on="ref", right_on="id",
-        join_type="left_outer", num_partitions=nparts,
+        join_type="left_outer", num_partitions=nparts_fact,
     )
 
     def _node_member_geo(b: pa.Table) -> pa.Table:
