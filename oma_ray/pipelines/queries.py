@@ -782,7 +782,11 @@ def q21_zonal_stats(sf_dir: str):
     import ray
 
     from oma_ray.stages.geo_parse import GeoParse
-    from oma_ray.stages.raster import RasterSample, synth_raster
+    from oma_ray.stages.raster import (
+        RasterSampleTiled,
+        split_raster,
+        synth_raster,
+    )
     from oma_ray.stages.taskcache import CachedStage
     from oma_ray.stages.tiles import TileAssign
     from oma_ray.synth import make_pages_dataset
@@ -792,8 +796,13 @@ def q21_zonal_stats(sf_dir: str):
     ds = ds.map_batches(
         CachedStage(TileAssign, ray.put(_grid10())), batch_format="pyarrow"
     )
+    # TILED raster layout (2×2 = 4 object-store tiles, fetched on touch):
+    # the scale shape — no worker holds the whole raster
     ds = ds.map_batches(
-        CachedStage(RasterSample, ray.put(synth_raster())), batch_format="pyarrow"
+        CachedStage(
+            RasterSampleTiled, ray.put(split_raster(synth_raster(), 2, 2))
+        ),
+        batch_format="pyarrow",
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:

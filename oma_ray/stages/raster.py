@@ -69,6 +69,89 @@ class RasterSample:
         )
 
 
+def split_raster(raster: np.ndarray, tiles_y: int, tiles_x: int) -> dict:
+    """Tiled raster layout: the raster splits into a (tiles_y × tiles_x)
+    grid, each tile ``ray.put`` as its OWN object-store entry.  Workers
+    fetch only the tiles their points touch (RasterSampleTiled) — at
+    planet scale no worker ever holds the whole raster, and cold tiles
+    never ship.  Returns the broadcast state dict (inner ObjectRefs stay
+    refs inside the outer ``ray.put``, so the fetch really is lazy)."""
+    import math
+
+    import ray
+
+    rows, cols = raster.shape
+    th = math.ceil(rows / tiles_y)
+    tw = math.ceil(cols / tiles_x)
+    refs = {}
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            sub = raster[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            refs[(ty, tx)] = ray.put(np.ascontiguousarray(sub))
+    return {"refs": refs, "tile_h": th, "tile_w": tw, "shape": raster.shape}
+
+
+class RasterSampleTiled:
+    """``map_batches`` callable over a TILED raster: same sampling contract
+    as RasterSample, but each batch gathers per touched tile, fetching
+    tiles lazily and caching them per worker (wrap in ``CachedStage`` so
+    the cache lives as long as the worker)."""
+
+    def __init__(self, state_or_ref, lon_col: str = "lon",
+                 lat_col: str = "lat", out_col: str = "elev"):
+        import ray
+
+        st = (
+            ray.get(state_or_ref)
+            if isinstance(state_or_ref, ray.ObjectRef)
+            else state_or_ref
+        )
+        self.refs = st["refs"]
+        self.th = st["tile_h"]
+        self.tw = st["tile_w"]
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.out_col = out_col
+        self._cache: dict = {}
+
+    def _tile(self, ty: int, tx: int) -> np.ndarray:
+        key = (ty, tx)
+        if key not in self._cache:
+            import ray
+
+            self._cache[key] = ray.get(self.refs[key])
+        return self._cache[key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon_arr = batch.column(self.lon_col)
+        lat_arr = batch.column(self.lat_col)
+        valid = ~(
+            pa.compute.is_null(lon_arr).to_numpy(zero_copy_only=False)
+            | pa.compute.is_null(lat_arr).to_numpy(zero_copy_only=False)
+        )
+        lon = np.where(
+            valid, lon_arr.to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        lat = np.where(
+            valid, lat_arr.to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        row = np.minimum((lat + 900_000_000) // _CELL_FIXED, RASTER_ROWS - 1)
+        col = np.minimum((lon + 1_800_000_000) // _CELL_FIXED, RASTER_COLS - 1)
+        ty = row // self.th
+        tx = col // self.tw
+        elev = np.zeros(len(batch), dtype=np.int32)
+        tkey = ty * 10_000 + tx
+        for t in np.unique(tkey[valid]) if valid.any() else []:
+            m = valid & (tkey == t)
+            a, b = int(t) // 10_000, int(t) % 10_000
+            tile = self._tile(a, b)
+            elev[m] = tile[row[m] - a * self.th, col[m] - b * self.tw]
+        return batch.append_column(
+            self.out_col,
+            pa.array(elev, type=pa.int32(), mask=~valid),
+        )
+
+
 # SQL fragment mirroring one sample: elev for a (lon, lat) pair, matching
 # RasterSample's row/col mapping and synth_raster's formula exactly
 SQL_ELEV = (

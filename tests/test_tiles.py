@@ -78,3 +78,43 @@ def test_assign_bboxes_requires_full_containment():
         np.array([90, 150]), np.array([90, 150]),
     )
     assert out.tolist() == [0, 1]
+
+
+def test_tiled_raster_matches_single_array(ray_session):
+    """VERDICT r02 next-step #6: the tiled raster layout (one object-store
+    entry per tile, fetched on touch) samples identically to the single
+    broadcast array, across ≥4 tiles and uneven tile edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from oma_ray.stages.raster import (
+        RasterSample,
+        RasterSampleTiled,
+        split_raster,
+        synth_raster,
+    )
+
+    raster = synth_raster()
+    rng = np.random.default_rng(3)
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, 5000)
+    lat = rng.integers(-900_000_000, 900_000_000, 5000)
+    # include nulls (no-geo rows) and extreme corners
+    lon[:2] = [-1_800_000_000, 1_799_999_999]
+    lat[:2] = [-900_000_000, 899_999_999]
+    batch = pa.table(
+        {
+            "lon": pa.array(
+                lon, type=pa.int64(), mask=np.arange(5000) % 97 == 0
+            ),
+            "lat": pa.array(
+                lat, type=pa.int64(), mask=np.arange(5000) % 97 == 0
+            ),
+        }
+    )
+    single = RasterSample(raster)(batch).column("elev").to_pylist()
+    for ty, tx in [(2, 2), (3, 5)]:
+        state = split_raster(raster, ty, tx)
+        assert len(state["refs"]) == ty * tx
+        tiled = RasterSampleTiled(state)(batch).column("elev").to_pylist()
+        assert tiled == single
