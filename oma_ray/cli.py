@@ -125,10 +125,38 @@ def main(argv: list[str] | None = None) -> int:
     bbs_text = (
         open(bbs_file).read() if bbs_file else default_bbs_text()
     )
-    cfg = (
-        TypeConfig.parse(open(type_file).read())
-        if type_file else TypeConfig.default()
-    )
+    type_text = open(
+        type_file if type_file else "/root/reference/default.type"
+    ).read()
+    cfg = TypeConfig.parse(type_text)
+
+    if distributed and infile.endswith(".pbf"):
+        # fully streaming scale path: blob-parallel decode → distributed
+        # reunify → partitioned parquet → per-bucket container assembly;
+        # neither the element set nor the entry set ever sits in driver
+        # memory (the partitioned dir doubles as the resume checkpoint)
+        import tempfile
+
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+        from oma_ray.sources.oma_write import write_oma_from_dir
+
+        with tempfile.TemporaryDirectory(prefix="oma_conv_") as td:
+            convert_pbf_to_dir(
+                infile, bbs_text, cfg, f"{td}/conv", type_text=type_text,
+                preserve=preserve, one_element=one_element,
+            )
+            write_oma_from_dir(
+                f"{td}/conv", outfile,
+                features=features_of(preserve, one_element),
+                zip_slices=zip_slices,
+            )
+        print(f"{outfile}: written (streaming)")
+        return 0
 
     nodes, ways, rels = read_osm_any(infile)
     if distributed:

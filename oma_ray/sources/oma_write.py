@@ -146,33 +146,15 @@ def _write_element(w: OmaWriter, chunk_type: str, entry: tuple, features: int):
         w.string(user)
 
 
-def write_oma(
-    path: str,
-    entries: list[tuple],
-    cfg=None,
-    *,
-    features: int = 31,
-    zip_slices: bool = True,
-    global_bbox: tuple | None = None,
-) -> str:
-    """Write convert_osm-style entry tuples as a .oma container.
-
-    ``cfg`` (a stages.classify.TypeConfig) feeds the embedded type header
-    (K4); chunk order follows the reference's N→W→A→C emission.
-    """
+def _header_writer(features: int, global_bbox: tuple, cfg,
+                   zip_slices: bool) -> tuple[OmaWriter, int]:
+    """Container header bytes (must sit at file offset 0: the 'c'/'t'
+    header entries encode ABSOLUTE end offsets).  Returns (writer,
+    position of the chunk-table offset to backpatch)."""
     w = OmaWriter()
     w.raw(b"OMA")
     w.byte(1)          # format version, matching the reference jar output
     w.byte(features)
-    if global_bbox is None:
-        pts = [e[1] for e in entries if e[1][0] != MAXC]
-        if pts:
-            global_bbox = (
-                min(p[0] for p in pts), min(p[1] for p in pts),
-                max(p[2] for p in pts), max(p[3] for p in pts),
-            )
-        else:
-            global_bbox = (MAXC, MAXC, MAXC, MAXC)
     for v in global_bbox:
         w.int_(v)
     table_off_at = w.pos()
@@ -215,81 +197,125 @@ def write_oma(
             w.raw(payload)
             w.patch_int(patch_at, w.pos())
     w.byte(0)  # end of header entries
+    return w, table_off_at
+
+
+def _write_chunks_for_type(
+    w: OmaWriter,
+    ctype: str,
+    entries: list[tuple],
+    chunk_table: list,
+    features: int,
+    zip_slices: bool,
+    base: int = 0,
+):
+    """Write all chunks of one chunk type from ``entries`` (entry order;
+    bounds groups in first-seen order) into ``w``.  All in-chunk jump
+    offsets are RELATIVE, so ``w`` may be a fresh per-segment buffer —
+    ``base`` is the segment's absolute file offset for the chunk table."""
+    bounds_order: list[tuple] = []
+    by_bounds: dict[tuple, list[tuple]] = {}
+    for e in entries:
+        if e[1] not in by_bounds:
+            by_bounds[e[1]] = []
+            bounds_order.append(e[1])
+        by_bounds[e[1]].append(e)
+    for bounds in bounds_order:
+        chunk_entries = by_bounds[bounds]
+        chunk_start = w.pos()
+        chunk_table.append((base + chunk_start, ctype, bounds))
+        w.int_(0)  # jump to the block table, backpatched
+
+        key_order: list[str] = []
+        by_key: dict[str, list[tuple]] = {}
+        for e in chunk_entries:
+            if e[2] not in by_key:
+                by_key[e[2]] = []
+                key_order.append(e[2])
+            by_key[e[2]].append(e)
+        # "other" block last, like writeOtherBlock (TypeAnalysis.java:569)
+        korder = {k: i for i, k in enumerate(key_order)}
+        key_order.sort(key=lambda k: (k == "", korder[k]))
+
+        block_offsets: list[tuple[int, str]] = []
+        for key in key_order:
+            block_start = w.pos()
+            block_offsets.append((block_start - chunk_start, key))
+            w.int_(0)  # jump to the slice table, backpatched
+
+            value_order: list[str] = []
+            by_value: dict[str, list[tuple]] = {}
+            for e in by_key[key]:
+                if e[3] not in by_value:
+                    by_value[e[3]] = []
+                    value_order.append(e[3])
+                by_value[e[3]].append(e)
+            vorder = {v: i for i, v in enumerate(value_order)}
+            value_order.sort(key=lambda v: (v == "", vorder[v]))
+
+            slice_offsets: list[tuple[int, str]] = []
+            for value in value_order:
+                elems = by_value[value]
+                slice_offsets.append((w.pos() - block_start, value))
+                w.int_(len(elems))
+                if zip_slices:
+                    sw = OmaWriter()
+                    for e in elems:
+                        _write_element(sw, ctype, e, features)
+                    z = zlib.compress(bytes(sw.buf), 9)
+                    w.int_(len(z))
+                    w.raw(z)
+                else:
+                    w.reset_delta()
+                    for e in elems:
+                        _write_element(w, ctype, e, features)
+
+            w.patch_int(block_start, w.pos() - block_start)
+            w.small_int(len(slice_offsets))
+            for off, value in slice_offsets:
+                w.int_(off)
+                w.string(value)
+
+        w.patch_int(chunk_start, w.pos() - chunk_start)
+        w.small_int(len(block_offsets))
+        for off, key in block_offsets:
+            w.int_(off)
+            w.string(key)
+
+
+def write_oma(
+    path: str,
+    entries: list[tuple],
+    cfg=None,
+    *,
+    features: int = 31,
+    zip_slices: bool = True,
+    global_bbox: tuple | None = None,
+) -> str:
+    """Write convert_osm-style entry tuples as a .oma container.
+
+    ``cfg`` (a stages.classify.TypeConfig) feeds the embedded type header
+    (K4); chunk order follows the reference's N→W→A→C emission.
+    """
+    if global_bbox is None:
+        pts = [e[1] for e in entries if e[1][0] != MAXC]
+        if pts:
+            global_bbox = (
+                min(p[0] for p in pts), min(p[1] for p in pts),
+                max(p[2] for p in pts), max(p[3] for p in pts),
+            )
+        else:
+            global_bbox = (MAXC, MAXC, MAXC, MAXC)
+    w, table_off_at = _header_writer(features, global_bbox, cfg, zip_slices)
 
     # group entries into chunks (N→W→A→C, bounds in first-seen order), then
     # blocks per key, slices per value — all in entry order
     chunk_table: list[tuple[int, str, tuple]] = []
     for ctype in "NWAC":
-        bounds_order: list[tuple] = []
-        by_bounds: dict[tuple, list[tuple]] = {}
-        for e in entries:
-            if e[0] != ctype:
-                continue
-            if e[1] not in by_bounds:
-                by_bounds[e[1]] = []
-                bounds_order.append(e[1])
-            by_bounds[e[1]].append(e)
-        for bounds in bounds_order:
-            chunk_entries = by_bounds[bounds]
-            chunk_start = w.pos()
-            chunk_table.append((chunk_start, ctype, bounds))
-            w.int_(0)  # jump to the block table, backpatched
-
-            key_order: list[str] = []
-            by_key: dict[str, list[tuple]] = {}
-            for e in chunk_entries:
-                if e[2] not in by_key:
-                    by_key[e[2]] = []
-                    key_order.append(e[2])
-                by_key[e[2]].append(e)
-            # "other" block last, like writeOtherBlock (TypeAnalysis.java:569)
-            korder = {k: i for i, k in enumerate(key_order)}
-            key_order.sort(key=lambda k: (k == "", korder[k]))
-
-            block_offsets: list[tuple[int, str]] = []
-            for key in key_order:
-                block_start = w.pos()
-                block_offsets.append((block_start - chunk_start, key))
-                w.int_(0)  # jump to the slice table, backpatched
-
-                value_order: list[str] = []
-                by_value: dict[str, list[tuple]] = {}
-                for e in by_key[key]:
-                    if e[3] not in by_value:
-                        by_value[e[3]] = []
-                        value_order.append(e[3])
-                    by_value[e[3]].append(e)
-                vorder = {v: i for i, v in enumerate(value_order)}
-                value_order.sort(key=lambda v: (v == "", vorder[v]))
-
-                slice_offsets: list[tuple[int, str]] = []
-                for value in value_order:
-                    elems = by_value[value]
-                    slice_offsets.append((w.pos() - block_start, value))
-                    w.int_(len(elems))
-                    if zip_slices:
-                        sw = OmaWriter()
-                        for e in elems:
-                            _write_element(sw, ctype, e, features)
-                        z = zlib.compress(bytes(sw.buf), 9)
-                        w.int_(len(z))
-                        w.raw(z)
-                    else:
-                        w.reset_delta()
-                        for e in elems:
-                            _write_element(w, ctype, e, features)
-
-                w.patch_int(block_start, w.pos() - block_start)
-                w.small_int(len(slice_offsets))
-                for off, value in slice_offsets:
-                    w.int_(off)
-                    w.string(value)
-
-            w.patch_int(chunk_start, w.pos() - chunk_start)
-            w.small_int(len(block_offsets))
-            for off, key in block_offsets:
-                w.int_(off)
-                w.string(key)
+        _write_chunks_for_type(
+            w, ctype, [e for e in entries if e[0] == ctype], chunk_table,
+            features, zip_slices,
+        )
 
     # chunk table + header backpatch (ChunkGenerator.java:578-592)
     table_off = w.pos()
@@ -304,3 +330,95 @@ def write_oma(
     with open(path, "wb") as f:
         f.write(bytes(w.buf))
     return path
+
+
+def write_oma_from_dir(dir_path: str, out_path: str, *, features: int = 31,
+                       zip_slices: bool = True) -> str:
+    """Streaming container assembly from a partitioned conversion directory
+    (pipelines/oma_out layout, as written by ``convert_pbf_to_dir``).
+
+    Chunks append to the file one (chunk_type, tile_bucket) partition at a
+    time — peak memory is one bucket's entries (~1/64 of the dataset by
+    construction), never the whole entry set, unlike ``write_oma``'s single
+    driver buffer (the reference bounds this with spill files +
+    memory-pressure splits, Reunify.java:98-100 / TypeAnalysis.java:499-514;
+    the partitioned layout makes the bound a property of the read).  The
+    chunk table accumulates (it is #chunks-sized) and backpatches the
+    header offset at the end, like ChunkGenerator.java:578-592.
+    """
+    import glob
+    import json
+    import os
+    import struct
+
+    import pyarrow.dataset as pads
+
+    from oma_ray.pipelines.oma_out import table_to_entries
+    from oma_ray.stages.classify import TypeConfig
+
+    cfg = None
+    cfg_path = os.path.join(dir_path, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            type_text = json.load(f).get("type_config", "")
+        if type_text:
+            cfg = TypeConfig.parse(type_text)
+
+    data_dir = os.path.join(dir_path, "data")
+    dset = pads.dataset(data_dir, format="parquet", partitioning="hive")
+
+    # global bbox from the distinct chunk bounds (cheap: one narrow column)
+    bjson = dset.to_table(columns=["bounds_json"]).column("bounds_json")
+    bounds_set = {tuple(json.loads(s)) for s in bjson.to_pylist()}
+    real = [b for b in bounds_set if b[0] != MAXC]
+    global_bbox = (
+        (min(b[0] for b in real), min(b[1] for b in real),
+         max(b[2] for b in real), max(b[3] for b in real))
+        if real else (MAXC, MAXC, MAXC, MAXC)
+    )
+
+    hdr, table_off_at = _header_writer(features, global_bbox, cfg, zip_slices)
+    chunk_table: list[tuple[int, str, tuple]] = []
+    with open(out_path, "wb") as f:
+        f.write(bytes(hdr.buf))
+        pos = len(hdr.buf)
+        for ctype in "NWAC":
+            buckets = sorted(
+                {
+                    int(os.path.basename(p).split("=", 1)[1])
+                    for p in glob.glob(
+                        f"{data_dir}/*/chunk_type={ctype}/tile_bucket=*"
+                    )
+                }
+            )
+            for b in buckets:
+                import pyarrow.dataset as _pd
+
+                t = dset.to_table(
+                    filter=(
+                        (_pd.field("chunk_type") == ctype)
+                        & (_pd.field("tile_bucket") == b)
+                    )
+                )
+                entries = table_to_entries(t)
+                if not entries:
+                    continue
+                w = OmaWriter()
+                _write_chunks_for_type(
+                    w, ctype, entries, chunk_table, features, zip_slices,
+                    base=pos,
+                )
+                f.write(bytes(w.buf))
+                pos += len(w.buf)
+        tw = OmaWriter()
+        tw.int_(len(chunk_table))
+        for start, ctype, bounds in chunk_table:
+            tw.long_(start)
+            tw.byte(ord(ctype))
+            for v in bounds:
+                tw.int_(v)
+        table_off = pos
+        f.write(bytes(tw.buf))
+        f.seek(table_off_at)
+        f.write(struct.pack(">q", table_off))
+    return out_path
