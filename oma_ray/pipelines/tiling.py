@@ -162,28 +162,51 @@ def write_tiled(
     *,
     sort_within_tile: bool = True,
     num_partitions: int | None = None,
+    hot_buckets: set | None = None,
+    n_salts: int = 8,
 ):
     """Deterministic partitioned sink: co-locate each ``tile_bucket`` with a
     keyed repartition, sort rows by (tile_id, page_id) *within* each block
     (the north_star's sort-within-tile: a cheap local sort instead of a
     global one — tiles never span blocks after the keyed exchange), and
     write one parquet directory per bucket.  Output is byte-stable across
-    reruns for fixed inputs."""
+    reruns for fixed inputs.
+
+    ``hot_buckets``: buckets above a share threshold (the synth's hot
+    cells put ~30% of pages in a few tiles) get SALTED across ``n_salts``
+    sub-keys so no single exchange partition serializes the sink
+    (north_rule "salted-key skew splitting for hot tiles"); a hot bucket's
+    directory then holds ``n_salts`` sorted files instead of one, which
+    reads back as the same logical partition."""
     from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
     if num_partitions is None:
         num_partitions = default_partitions()
-    out = ds.repartition(num_partitions, keys=["tile_bucket"])
-    if sort_within_tile:
-        def sort_block(batch: pa.Table) -> pa.Table:
-            idx = pa.compute.sort_indices(
-                batch, sort_keys=[("tile_id", "ascending"), ("page_id", "ascending")]
-            )
-            return batch.take(idx)
+    if hot_buckets:
+        from oma_ray.stages.skew import salted_repartition
 
-        out = out.map_batches(sort_block, batch_format="pyarrow")
+        out, _hot = salted_repartition(
+            ds, "tile_bucket", "page_id",
+            num_partitions=num_partitions, n_salts=n_salts,
+            hot_keys=set(hot_buckets),
+        )
+    else:
+        out = ds.repartition(num_partitions, keys=["tile_bucket"])
+
+    def sort_block(batch: pa.Table) -> pa.Table:
+        if "salt" in batch.column_names:
+            batch = batch.drop_columns(["salt"])
+        if not sort_within_tile:
+            return batch
+        idx = pa.compute.sort_indices(
+            batch,
+            sort_keys=[("tile_id", "ascending"), ("page_id", "ascending")],
+        )
+        return batch.take(idx)
+
+    out = out.map_batches(sort_block, batch_format="pyarrow")
     out.write_parquet(out_dir, partition_cols=["tile_bucket"])
     return out_dir
 
@@ -214,7 +237,17 @@ def run_tiling(
         pip_concurrency=pip_concurrency, batch_size=batch_size,
     )
     if out_dir is not None:
-        ds.write_parquet(out_dir, partition_cols=["tile_bucket"])
+        # hot-bucket detection on a replicate=1 PROXY pipeline (the page
+        # replication is deterministic, so the bucket distribution is
+        # identical at 1/replicate the cost) — never a second full pass
+        from oma_ray.stages.skew import find_hot_keys
+
+        proxy = build_tiling_pipeline(
+            make_pages_dataset(sf_dir, replicate=1), grid_ref, poly_ref,
+            pip_concurrency=pip_concurrency,
+        )
+        hot = find_hot_keys(proxy, "tile_bucket", hot_share=0.05)
+        write_tiled(ds, out_dir, hot_buckets=hot)
         import ray.data as rd
 
         ds = rd.read_parquet(out_dir)

@@ -83,12 +83,19 @@ def salted_repartition(
     num_partitions: int | None = None,
     n_salts: int = 8,
     hot_share: float = 0.01,
+    hot_keys: set | None = None,
 ):
     """Keyed repartition with hot keys split across ``n_salts`` sub-keys.
 
     Returns (dataset, hot_keys).  Downstream per-partition logic must treat
     (key, salt) groups of the same key as partials of one logical group and
-    merge them (all our grouped sums are mergeable)."""
+    merge them (all our grouped sums are mergeable; partitioned writes emit
+    extra files per hot key that read back as one logical partition).
+
+    Pass ``hot_keys`` to skip the counting pass — callers with a cheap
+    proxy for the key distribution (a deterministic sample, a prior
+    summary, replicate-1 synth input) should count THERE instead of
+    re-executing this dataset's whole upstream pipeline."""
     import ray
 
     from oma_ray.stages.dedup import ensure_hash_shuffle
@@ -99,7 +106,9 @@ def salted_repartition(
     ensure_hash_shuffle()
     if num_partitions is None:
         num_partitions = default_partitions()
-    hot = find_hot_keys(ds, key_col, hot_share)
+    hot = hot_keys if hot_keys is not None else find_hot_keys(
+        ds, key_col, hot_share
+    )
     ds2 = ds.map_batches(
         CachedStage(AddSalt, ray.put(hot), key_col, n_salts, row_col),
         batch_format="pyarrow",

@@ -113,3 +113,47 @@ def test_write_tiled_sorted_partitions(tmp_path):
             t.sort_values(["tile_id", "page_id"]).reset_index(drop=True)["page_id"]
             == t["page_id"].reset_index(drop=True)
         ).all(), f
+
+
+def test_write_tiled_salted_hot_bucket(tmp_path):
+    """VERDICT r02 next-step #8: the flagship sink salts hot tile buckets
+    so no exchange partition serializes the write.  Under a forced 60%-hot
+    bucket, the hot bucket's directory holds multiple sorted files (the
+    salt split), no single written file carries the whole hot bucket, and
+    the read-back multiset is unchanged."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from oma_ray.pipelines.tiling import write_tiled
+
+    n = 6000
+    rng = np.random.default_rng(5)
+    bucket = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 64, n))
+    t = pa.table(
+        {
+            "page_id": pa.array(np.arange(n), type=pa.int64()),
+            "tile_id": pa.array(bucket.astype(np.int32), type=pa.int32()),
+            "tile_bucket": pa.array(bucket.astype(np.int32), type=pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    out = str(tmp_path / "salted")
+    write_tiled(ds, out, num_partitions=8, hot_buckets={7}, n_salts=4)
+
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == n
+    assert sorted(back["page_id"].tolist()) == list(range(n))
+    assert "salt" not in back.columns
+
+    hot_files = glob.glob(f"{out}/tile_bucket=7/*.parquet")
+    assert len(hot_files) >= 2, "hot bucket not split across salt files"
+    hot_total = int((bucket == 7).sum())
+    for f in hot_files:
+        nrows = pq.read_metadata(f).num_rows
+        assert nrows < hot_total, "one file still carries the whole hot bucket"
+        t2 = pq.read_table(f, columns=["tile_id", "page_id"]).to_pandas()
+        assert t2["page_id"].is_monotonic_increasing  # sorted within file
