@@ -37,3 +37,25 @@ def default_partitions(mult: float = 0.5, lo: int = 8, hi: int = 4096) -> int:
     should pass ``mult=2`` so per-partition size stays bounded.
     """
     return max(lo, min(hi, int(cluster_cpus() * mult)))
+
+
+def fact_partitions(est_bytes: int | None = None,
+                    target_bytes: int = 256 << 20) -> int:
+    """Partition count for exchanges that move RAW rows (joins, keyed
+    regroups of un-aggregated data): enough partitions that no partition
+    exceeds ~``target_bytes`` in memory, floored at cores/2.
+
+    Why not just "more partitions": a Ray 2.49 hash-shuffle partition
+    costs a fixed ~0.15 s finalize task regardless of size (measured on
+    q03 at sf0.1 / 32 cpus: 16 partitions 3.7 s, 32 → 5.6 s, 64 → 8.8 s
+    wall), so raising the count only helps once per-partition data
+    actually outgrows the target.  Callers pass ``est_bytes`` (parquet
+    file size × decode factor, a materialized upstream's ``size_bytes()``,
+    a driver table's ``nbytes``) — ``Dataset.size_bytes()`` on a LAZY plan
+    executes it, so the estimate must come from the caller."""
+    import math
+
+    lo = default_partitions()
+    if not est_bytes:
+        return lo
+    return max(lo, min(4096, math.ceil(est_bytes / target_bytes)))

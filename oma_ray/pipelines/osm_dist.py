@@ -178,6 +178,7 @@ def convert_pbf_distributed(path: str, bbs_text: str, cfg: TypeConfig,
 
     unified = read_pbf_table(path).materialize()
     nodes_ds, ways_ds, rels_ds = element_datasets_from_unified(unified)
+    kwargs.setdefault("est_bytes", unified.size_bytes())
     return convert_datasets_distributed(
         nodes_ds, ways_ds, rels_ds, bbs_text, cfg, **kwargs
     )
@@ -206,6 +207,7 @@ def convert_pbf_to_dir(
     streams, boxes = convert_datasets_entry_streams(
         nodes_ds, ways_ds, rels_ds, bbs_text, cfg,
         preserve=preserve, one_element=one_element,
+        est_bytes=unified.size_bytes(),
     )
     return write_entry_streams(
         streams, boxes, out_dir, type_text=type_text, bbs_text=bbs_text
@@ -227,10 +229,12 @@ def convert_osm_distributed(
     classification and tile assignment run as Ray Dataset stages."""
     import ray.data as rd
 
+    tn = _elements_table(nodes, "node")
+    tw = _elements_table(ways, "way")
+    tr = _elements_table(rels, "relation")
+    kwargs.setdefault("est_bytes", tn.nbytes + tw.nbytes + tr.nbytes)
     return convert_datasets_distributed(
-        rd.from_arrow(_elements_table(nodes, "node")),
-        rd.from_arrow(_elements_table(ways, "way")),
-        rd.from_arrow(_elements_table(rels, "relation")),
+        rd.from_arrow(tn), rd.from_arrow(tw), rd.from_arrow(tr),
         bbs_text, cfg, preserve=preserve, one_element=one_element, **kwargs,
     )
 
@@ -266,6 +270,7 @@ def convert_datasets_entry_streams(
     preserve: set | None = None,
     one_element: bool = False,
     memb_broadcast_max: int = 2_000_000,
+    est_bytes: int | None = None,
 ):
     """The distributed conversion as LAZY entry streams: → ({"node": ds,
     "way": ds, "rel": ds, "coll": ds} in the reference's N→W→A→C emission
@@ -284,8 +289,13 @@ def convert_datasets_entry_streams(
     # two partition regimes: joins/regroups that move RAW element rows use
     # ~2× cores so per-partition blocks stay bounded at scale; exchanges of
     # bounded/pre-grouped streams (membership build) keep cores/2
+    from oma_ray.cluster import fact_partitions
+
     nparts = default_partitions()
-    nparts_fact = default_partitions(mult=2)
+    # raw-row exchanges sized from the input estimate (caller-supplied:
+    # the materialized unified dataset's size_bytes, or driver table
+    # nbytes), floored at cores/2 — see cluster.fact_partitions
+    nparts_fact = fact_partitions(est_bytes)
     preserve = preserve if preserve is not None else {
         "id", "version", "timestamp", "changeset", "user"
     }

@@ -64,6 +64,16 @@ def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
 
 # --- q01: pricing summary (TPC-H Q1 shape; exercises filter + wide agg) -----
 
+def _fact_bytes(sf_dir: str, *tables: str) -> int:
+    """Join-input size estimate for fact_partitions: on-disk parquet bytes
+    × 3 (measured in-memory decode expansion of these tables)."""
+    import os
+
+    return 3 * sum(
+        os.path.getsize(f"{sf_dir}/{t}.parquet") for t in tables
+    )
+
+
 def q01_pricing_summary(sf_dir: str):
     from oma_ray.sources.parquet import read_parquet_clean
 
@@ -204,7 +214,8 @@ def q03_topk_revenue(sf_dir: str):
     # a hash-shuffle join (never materialized on the driver — VERDICT r01
     # "What's wrong" #2); only the customer dimension above is broadcast
     joined = hash_join(
-        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner"
+        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
+        est_bytes=_fact_bytes(sf_dir, "lineitem", "orders"),
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -309,7 +320,8 @@ def q05_region_revenue(sf_dir: str):
     # lineitem ⋈ (orders ⋈ dims): both fact sides are large → hash-shuffle
     # join; only the customer→nation→region dimension chain is broadcast
     joined = hash_join(
-        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner"
+        li, orders, on="l_orderkey", right_on="o_orderkey", join_type="inner",
+        est_bytes=_fact_bytes(sf_dir, "lineitem", "orders"),
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -883,6 +895,7 @@ def q22_cust_no_orders(sf_dir: str):
     j = hash_join(
         cust, keys, on="c_custkey", right_on="o_custkey",
         join_type="left_outer", dedup_right=True,
+        est_bytes=_fact_bytes(sf_dir, "customer", "orders"),
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
