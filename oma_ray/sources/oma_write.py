@@ -332,19 +332,51 @@ def write_oma(
     return path
 
 
+def _segment_bytes(data_dir: str, ctype: str, bucket: int, features: int,
+                   zip_slices: bool):
+    """One (chunk_type, tile_bucket) partition → (chunk bytes, chunk-table
+    rows with segment-RELATIVE starts).  Pure function of the partition
+    files — safe to run as a Ray task (the per-slice DEFLATE here is the
+    dominant assembly cost, and segments are independent)."""
+    import pyarrow.dataset as pads
+
+    from oma_ray.pipelines.oma_out import table_to_entries
+
+    dset = pads.dataset(data_dir, format="parquet", partitioning="hive")
+    t = dset.to_table(
+        filter=(
+            (pads.field("chunk_type") == ctype)
+            & (pads.field("tile_bucket") == bucket)
+        )
+    )
+    entries = table_to_entries(t)
+    if not entries:
+        return b"", []
+    w = OmaWriter()
+    table: list[tuple[int, str, tuple]] = []
+    _write_chunks_for_type(w, ctype, entries, table, features, zip_slices,
+                           base=0)
+    return bytes(w.buf), table
+
+
 def write_oma_from_dir(dir_path: str, out_path: str, *, features: int = 31,
-                       zip_slices: bool = True) -> str:
+                       zip_slices: bool = True,
+                       parallel: bool | None = None) -> str:
     """Streaming container assembly from a partitioned conversion directory
     (pipelines/oma_out layout, as written by ``convert_pbf_to_dir``).
 
-    Chunks append to the file one (chunk_type, tile_bucket) partition at a
-    time — peak memory is one bucket's entries (~1/64 of the dataset by
-    construction), never the whole entry set, unlike ``write_oma``'s single
-    driver buffer (the reference bounds this with spill files +
-    memory-pressure splits, Reunify.java:98-100 / TypeAnalysis.java:499-514;
-    the partitioned layout makes the bound a property of the read).  The
-    chunk table accumulates (it is #chunks-sized) and backpatches the
-    header offset at the end, like ChunkGenerator.java:578-592.
+    Each (chunk_type, tile_bucket) partition becomes one SEGMENT of chunk
+    bytes, built by a Ray task (per-slice DEFLATE is the dominant cost and
+    segments are independent); the driver appends segments to the file in
+    deterministic order with a bounded window of futures in flight, so peak
+    driver memory is a few segments (~1/64 of the dataset each), never the
+    whole entry set — unlike ``write_oma``'s single driver buffer (the
+    reference bounds this with spill files + memory-pressure splits,
+    Reunify.java:98-100 / TypeAnalysis.java:499-514; the partitioned layout
+    makes the bound a property of the read).  The chunk table accumulates
+    (it is #chunks-sized) and backpatches the header offset at the end,
+    like ChunkGenerator.java:578-592.  ``parallel=False`` forces the serial
+    in-process path (no Ray session needed).
     """
     import glob
     import json
@@ -353,7 +385,6 @@ def write_oma_from_dir(dir_path: str, out_path: str, *, features: int = 31,
 
     import pyarrow.dataset as pads
 
-    from oma_ray.pipelines.oma_out import table_to_entries
     from oma_ray.stages.classify import TypeConfig
 
     cfg = None
@@ -377,39 +408,66 @@ def write_oma_from_dir(dir_path: str, out_path: str, *, features: int = 31,
         if real else (MAXC, MAXC, MAXC, MAXC)
     )
 
+    segments = []
+    for ctype in "NWAC":
+        for b in sorted(
+            {
+                int(os.path.basename(p).split("=", 1)[1])
+                for p in glob.glob(
+                    f"{data_dir}/*/chunk_type={ctype}/tile_bucket=*"
+                )
+            }
+        ):
+            segments.append((ctype, b))
+
+    if parallel is None:
+        import ray
+
+        parallel = ray.is_initialized()
+
     hdr, table_off_at = _header_writer(features, global_bbox, cfg, zip_slices)
     chunk_table: list[tuple[int, str, tuple]] = []
     with open(out_path, "wb") as f:
         f.write(bytes(hdr.buf))
         pos = len(hdr.buf)
-        for ctype in "NWAC":
-            buckets = sorted(
-                {
-                    int(os.path.basename(p).split("=", 1)[1])
-                    for p in glob.glob(
-                        f"{data_dir}/*/chunk_type={ctype}/tile_bucket=*"
-                    )
-                }
-            )
-            for b in buckets:
-                import pyarrow.dataset as _pd
 
-                t = dset.to_table(
-                    filter=(
-                        (_pd.field("chunk_type") == ctype)
-                        & (_pd.field("tile_bucket") == b)
+        if parallel:
+            import ray
+
+            seg_task = ray.remote(_segment_bytes)
+            window = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+            pending: list = []
+            next_submit = 0
+            # consume in submission order (deterministic file layout) with
+            # at most `window` segment futures in flight — bounded object
+            # store footprint at planet scale
+            for i in range(len(segments)):
+                while next_submit < len(segments) and (
+                    next_submit - i < window
+                ):
+                    ctype, b = segments[next_submit]
+                    pending.append(
+                        seg_task.remote(
+                            data_dir, ctype, b, features, zip_slices
+                        )
                     )
+                    next_submit += 1
+                buf, table = ray.get(pending[i])
+                pending[i] = None  # drop the ref → object store reclaims
+                for start, ct2, bounds in table:
+                    chunk_table.append((pos + start, ct2, bounds))
+                f.write(buf)
+                pos += len(buf)
+        else:
+            for ctype, b in segments:
+                buf, table = _segment_bytes(
+                    data_dir, ctype, b, features, zip_slices
                 )
-                entries = table_to_entries(t)
-                if not entries:
-                    continue
-                w = OmaWriter()
-                _write_chunks_for_type(
-                    w, ctype, entries, chunk_table, features, zip_slices,
-                    base=pos,
-                )
-                f.write(bytes(w.buf))
-                pos += len(w.buf)
+                for start, ct2, bounds in table:
+                    chunk_table.append((pos + start, ct2, bounds))
+                f.write(buf)
+                pos += len(buf)
+
         tw = OmaWriter()
         tw.int_(len(chunk_table))
         for start, ctype, bounds in chunk_table:
