@@ -61,7 +61,7 @@ def _elements_table(elems: list[dict], kind: str) -> pa.Table:
         "uid": pa.array([e["uid"] for e in elems], type=pa.int32()),
         "user": pa.array([e["user"] for e in elems], type=pa.string()),
     }
-    if kind == "node":
+    if kind in ("node", "way"):
         cols["tag_keys"] = pa.array(
             [list(e["tags"].keys()) for e in elems],
             type=pa.list_(pa.string()),
@@ -70,22 +70,22 @@ def _elements_table(elems: list[dict], kind: str) -> pa.Table:
             [list(e["tags"].values()) for e in elems],
             type=pa.list_(pa.string()),
         )
-        cols["lon"] = pa.array([e["lon"] for e in elems], type=pa.int64())
-        cols["lat"] = pa.array([e["lat"] for e in elems], type=pa.int64())
+        if kind == "node":
+            cols["lon"] = pa.array([e["lon"] for e in elems], type=pa.int64())
+            cols["lat"] = pa.array([e["lat"] for e in elems], type=pa.int64())
+        else:
+            cols["refs"] = pa.array(
+                [e["refs"] for e in elems], type=pa.list_(pa.int64())
+            )
         return pa.table(cols)
     cols["tags_json"] = pa.array(
         [json.dumps(sorted(e["tags"].items())) for e in elems],
         type=pa.string(),
     )
-    if kind == "way":
-        cols["refs"] = pa.array(
-            [e["refs"] for e in elems], type=pa.list_(pa.int64())
-        )
-    else:
-        cols["members_json"] = pa.array(
-            [json.dumps([list(m) for m in e["members"]]) for e in elems],
-            type=pa.string(),
-        )
+    cols["members_json"] = pa.array(
+        [json.dumps([list(m) for m in e["members"]]) for e in elems],
+        type=pa.string(),
+    )
     return pa.table(cols)
 
 
@@ -146,22 +146,22 @@ def element_datasets_from_unified(elements_ds):
         def f(b: pa.Table) -> pa.Table:
             t = b.filter(pc.equal(b.column("kind"), kind)).combine_chunks()
             cols = {c: t.column(c) for c in _META_COLS}
-            if kind == "node":
+            if kind in ("node", "way"):
                 cols["tag_keys"] = t.column("tag_keys")
                 cols["tag_vals"] = t.column("tag_vals")
-                cols["lon"] = pc.cast(t.column("lon"), pa.int64())
-                cols["lat"] = pc.cast(t.column("lat"), pa.int64())
+                if kind == "node":
+                    cols["lon"] = pc.cast(t.column("lon"), pa.int64())
+                    cols["lat"] = pc.cast(t.column("lat"), pa.int64())
+                else:
+                    cols["refs"] = t.column("refs")
                 return pa.table(cols)
             cols["tags_json"] = json_string_pair_lists(
                 t.column("tag_keys"), t.column("tag_vals")
             )
-            if kind == "way":
-                cols["refs"] = t.column("refs")
-            else:
-                cols["members_json"] = json_member_lists(
-                    t.column("member_types"), t.column("member_refs"),
-                    t.column("member_roles"),
-                )
+            cols["members_json"] = json_member_lists(
+                t.column("member_types"), t.column("member_refs"),
+                t.column("member_roles"),
+            )
             return pa.table(cols)
 
         return elements_ds.map_batches(f, batch_format="pyarrow")
@@ -379,6 +379,12 @@ def convert_datasets_entry_streams(
             {
                 "way_id": pa.array([], type=pa.int64()),
                 "geo_json": pa.array([], type=pa.string()),
+                "g_minx": pa.array([], type=pa.int64()),
+                "g_miny": pa.array([], type=pa.int64()),
+                "g_maxx": pa.array([], type=pa.int64()),
+                "g_maxy": pa.array([], type=pa.int64()),
+                "g_npts": pa.array([], type=pa.int32()),
+                "g_closed": pa.array([], type=pa.bool_()),
             }
         )
         if not len(batch):
@@ -399,9 +405,10 @@ def convert_datasets_entry_streams(
         keep = ridx >= 0  # drop zero-ref sentinel rows
         kept_counts = np.add.reduceat(keep.astype(np.int64), starts)
         offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+        klon, klat = lon[keep], lat[keep]
         pts = json_point_pairs(
-            pa.array(lon[keep], type=pa.int64()),
-            pa.array(lat[keep], type=pa.int64()),
+            pa.array(klon, type=pa.int64()),
+            pa.array(klat, type=pa.int64()),
         )
         import pyarrow.compute as pc
 
@@ -411,10 +418,41 @@ def convert_datasets_entry_streams(
         geos = pc.binary_join_element_wise(
             "[", pc.binary_join(lst, ","), "]", ""
         )
+        # per-way bbox + closed flag, computed here where the coords are
+        # already grouped — emission then never re-parses geometry for
+        # tile assignment (bbox includes MAXC miss coords, matching the
+        # per-row path's min/max over raw coords)
+        nonempty = kept_counts > 0
+        s2 = offsets[:-1][nonempty]
+        minx = np.full(len(wids), MAXC, dtype=np.int64)
+        miny = np.full(len(wids), MAXC, dtype=np.int64)
+        maxx = np.full(len(wids), MAXC, dtype=np.int64)
+        maxy = np.full(len(wids), MAXC, dtype=np.int64)
+        if nonempty.any():
+            minx[nonempty] = np.minimum.reduceat(klon, s2)
+            miny[nonempty] = np.minimum.reduceat(klat, s2)
+            maxx[nonempty] = np.maximum.reduceat(klon, s2)
+            maxy[nonempty] = np.maximum.reduceat(klat, s2)
+        ends = offsets[1:] - 1
+        closed = np.zeros(len(wids), dtype=bool)
+        ge3 = kept_counts >= 3
+        if ge3.any():
+            first = offsets[:-1][ge3]
+            last = ends[ge3]
+            closed[ge3] = (klon[first] == klon[last]) & (
+                klat[first] == klat[last]
+            )
         return pa.table(
             {
                 "way_id": pa.array(wids, type=pa.int64()),
                 "geo_json": geos,
+                "g_minx": pa.array(minx, type=pa.int64()),
+                "g_miny": pa.array(miny, type=pa.int64()),
+                "g_maxx": pa.array(maxx, type=pa.int64()),
+                "g_maxy": pa.array(maxy, type=pa.int64()),
+                "g_npts": pa.array(kept_counts.astype(np.int32),
+                                   type=pa.int32()),
+                "g_closed": pa.array(closed, type=pa.bool_()),
             }
         )
 
@@ -611,48 +649,57 @@ def convert_datasets_entry_streams(
     )
     from oma_ray.stages.taskcache import CachedStage
 
-    if memb_broadcast:
-        nt = _memb_side("node")
-        _nk = nt.column("ref").to_numpy(zero_copy_only=False).astype(np.int64)
-        _no = np.argsort(_nk, kind="stable")
-        memb_node_ref = ray.put(
-            {
-                "keys": _nk[_no],
-                "vals": nt.column("rev_members_json")
-                .to_numpy(zero_copy_only=False)[_no],
-            }
-        )
+    class _SortedMembAttach:
+        """Append ``rev_members_json`` by searchsorted against the
+        broadcast (sorted ids → json) membership map — the Acero-free
+        attach for sides carrying nested tag list columns."""
 
-        class _NodeMembAttach:
-            def __init__(self, ref):
-                st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-                self.keys = st["keys"]
-                self.vals = st["vals"]
+        def __init__(self, ref):
+            st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys = st["keys"]
+            self.vals = st["vals"]
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                ids = b.column("id").to_numpy(zero_copy_only=False)
-                if len(self.keys):
-                    pos = np.searchsorted(self.keys, ids)
-                    pos_c = np.minimum(pos, len(self.keys) - 1)
-                    found = self.keys[pos_c] == ids
-                    vals = np.where(found, self.vals[pos_c], None)
-                else:
-                    vals = np.full(len(ids), None, dtype=object)
-                return b.append_column(
-                    "rev_members_json", pa.array(vals, type=pa.string())
-                )
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ids)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                found = self.keys[pos_c] == ids
+                vals = np.where(found, self.vals[pos_c], None)
+            else:
+                vals = np.full(len(ids), None, dtype=object)
+            return b.append_column(
+                "rev_members_json", pa.array(vals, type=pa.string())
+            )
 
-        nodes_j = nodes_ds.map_batches(
-            CachedStage(_NodeMembAttach, memb_node_ref),
-            batch_format="pyarrow",
-        )
-    else:
+    def attach_membership_sorted(ds, kind: str, left_schema=None):
+        """Membership attach for the nested-column sides (nodes, ways):
+        broadcast mode = fused searchsorted stage, join mode =
+        ``lookup_join`` (colocated searchsorted merge)."""
+        if memb_broadcast:
+            t = _memb_side(kind)
+            k = t.column("ref").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            o = np.argsort(k, kind="stable")
+            ref = ray.put(
+                {
+                    "keys": k[o],
+                    "vals": t.column("rev_members_json")
+                    .to_numpy(zero_copy_only=False)[o],
+                }
+            )
+            return ds.map_batches(
+                CachedStage(_SortedMembAttach, ref), batch_format="pyarrow"
+            )
         from oma_ray.stages.join import lookup_join
 
-        nodes_j = lookup_join(
-            nodes_ds, _memb_side("node"), on="id", right_on="ref",
-            num_partitions=nparts_fact,
+        return lookup_join(
+            ds, _memb_side(kind), on="id", right_on="ref",
+            num_partitions=nparts_fact, left_schema=left_schema,
         )
+
+    nodes_j = attach_membership_sorted(nodes_ds, "node")
 
     # vectorized first-match classification state (closure constants)
     _n_keys_arr = pa.array(cfg.node_keys, type=pa.string())
@@ -810,23 +857,43 @@ def convert_datasets_entry_streams(
 
         return ds.map_batches(proj, batch_format="pyarrow")
 
-    _way_meta_cols = (
-        "id", "version", "timestamp", "changeset", "uid", "user", "tags_json"
+    # ways carry native tag lists like nodes, so the whole way path is
+    # Acero-free: geometry attaches by lookup_join (colocated searchsorted,
+    # way_geo unique per way_id), membership by the sorted attach
+    from oma_ray.stages.join import lookup_join
+
+    def _drop_refs(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["refs"])
+
+    _geo_schema = pa.schema(
+        [
+            ("way_id", pa.int64()), ("geo_json", pa.string()),
+            ("g_minx", pa.int64()), ("g_miny", pa.int64()),
+            ("g_maxx", pa.int64()), ("g_maxy", pa.int64()),
+            ("g_npts", pa.int32()), ("g_closed", pa.bool_()),
+        ]
     )
-    ways_j = hash_join(
-        projected(ways_ds, {c: c for c in _way_meta_cols}),
-        way_geo, on="id", right_on="way_id", join_type="left_outer",
-        num_partitions=nparts_fact,
-    )
-    _ways_j_schema = pa.schema(
+    _ways_meta_schema = pa.schema(
         [
             ("id", pa.int64()), ("version", pa.int32()),
             ("timestamp", pa.int64()), ("changeset", pa.int64()),
             ("uid", pa.int32()), ("user", pa.string()),
-            ("tags_json", pa.string()), ("geo_json", pa.string()),
+            ("tag_keys", pa.list_(pa.string())),
+            ("tag_vals", pa.list_(pa.string())),
         ]
     )
-    ways_j = attach_membership(ways_j, "way", "id", ds_schema=_ways_j_schema)
+    ways_w = lookup_join(
+        ways_ds.map_batches(_drop_refs, batch_format="pyarrow"),
+        way_geo, on="id", right_on="way_id",
+        num_partitions=nparts_fact,
+        left_schema=_ways_meta_schema, right_schema=_geo_schema,
+    )
+    _ways_j_schema = pa.schema(
+        list(_ways_meta_schema) + list(_geo_schema)[1:]
+    )
+    ways_j = attach_membership_sorted(
+        ways_w, "way", left_schema=_ways_j_schema
+    )
 
     def emit_way_rows(row, coords, rev_json, rows):
         closed = len(coords) >= 3 and coords[0] == coords[-1]
@@ -858,17 +925,231 @@ def convert_datasets_entry_streams(
                      json.dumps(sorted(ftags.items())), rev_json, geo)
                 )
 
+    # vectorized way classification state (closure constants)
+    _w_keys_arr = pa.array(cfg.way_keys, type=pa.string())
+    _w_keys_np = np.array(cfg.way_keys, dtype=object)
+    _w_way_sets = [pa.array(v, type=pa.string()) for v in cfg.way_values]
+    _w_area_sets = [pa.array(v, type=pa.string()) for v in cfg.area_values]
+    _w_exc_sets = [pa.array(v, type=pa.string()) for v in cfg.exceptions]
+    _w_is_area = np.array(cfg.is_area, dtype=bool)
+    _w_prefixed = pa.array(
+        [p + k for p in cfg.prefixes[1:] for k in cfg.way_keys],
+        type=pa.string(),
+    )
+
     def emit_ways(batch: pa.Table) -> pa.Table:
-        rows = []
-        for row in batch.to_pylist():
-            rev = row.get("rev_members_json")
-            if not json.loads(row["tags_json"]) and rev is None:
-                continue  # Reunify.java:1019
-            coords = [
-                tuple(p) for p in json.loads(row["geo_json"] or "[]")
-            ]
-            emit_way_rows(row, coords, rev or "[]", rows)
-        return _entries_table(rows)
+        """Vectorized split/area way emission (TypeAnalysis.java:450-495
+        semantics): one ``index_in`` pass over the flattened tag keys, the
+        isArea truth table evaluated as masks, split-stream geometry passed
+        through as the already-built ``geo_json`` string.  Rows carrying
+        lifecycle-PREFIXED config keys divert to the exact per-row kernel
+        (``emit_way_rows``)."""
+        batch = batch.combine_chunks()
+        if not len(batch):
+            return _entry_schema()
+        tk = _combined(batch.column("tag_keys"))
+        ntags = pc.list_value_length(tk).to_numpy(zero_copy_only=False)
+        rev_col = _combined(batch.column("rev_members_json"))
+        rev_null = pc.is_null(rev_col).to_numpy(zero_copy_only=False)
+        keep = (ntags > 0) | ~rev_null  # untagged+unreferenced (Reunify:1019)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep)).combine_chunks()
+            if not len(batch):
+                return _entry_schema()
+            tk = _combined(batch.column("tag_keys"))
+            rev_col = _combined(batch.column("rev_members_json"))
+        tv = _combined(batch.column("tag_vals"))
+        n = len(batch)
+        off = tk.offsets.to_numpy(zero_copy_only=False)
+        off = off - off[0]
+        counts = np.diff(off)
+        parents = np.repeat(np.arange(n), counts)
+        flat_keys = tk.flatten()
+        flat_vals = tv.flatten()
+        flat_vals_np = flat_vals.to_numpy(zero_copy_only=False).astype(object)
+
+        slow = np.zeros(n, dtype=bool)
+        if len(_w_prefixed) and len(flat_keys):
+            pm = pc.is_in(
+                flat_keys, value_set=_w_prefixed
+            ).to_numpy(zero_copy_only=False)
+            if pm.any():
+                slow[parents[pm]] = True
+
+        # per-row area=yes/no override value (way_is_area truth table)
+        area_val = np.full(n, None, dtype=object)
+        am = pc.equal(flat_keys, "area").to_numpy(zero_copy_only=False)
+        if am.any():
+            area_val[parents[am]] = flat_vals_np[am]
+        closed_np = pc.fill_null(
+            _combined(batch.column("g_closed")), False
+        ).to_numpy(zero_copy_only=False)
+
+        jidx = pc.index_in(flat_keys, value_set=_w_keys_arr)
+        jnp = np.asarray(
+            jidx.to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        matched = ~np.isnan(jnp)
+        if slow.any():
+            matched &= ~slow[parents]
+        pos = np.nonzero(matched)[0]
+        rows_m = parents[pos]
+        j_m = jnp[pos].astype(np.int64)
+        if one_element and len(pos):
+            order = np.lexsort((j_m, rows_m))
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = rows_m[order][1:] != rows_m[order][:-1]
+            sel = order[first]
+            pos, rows_m, j_m = pos[sel], rows_m[sel], j_m[sel]
+
+        vals_m = flat_vals_np[pos]
+        ayes = area_val[rows_m] == "yes"
+        ano = area_val[rows_m] == "no"
+        in_exc = np.zeros(len(pos), dtype=bool)
+        area_value = np.full(len(pos), "", dtype=object)
+        way_value = np.full(len(pos), "", dtype=object)
+        for j in np.unique(j_m) if len(pos) else []:
+            js = j_m == j
+            sub = pa.array(vals_m[js], type=pa.string())
+            if len(_w_exc_sets[j]):
+                in_exc[js] = pc.is_in(
+                    sub, value_set=_w_exc_sets[j]
+                ).to_numpy(zero_copy_only=False)
+            a_in = pc.is_in(
+                sub, value_set=_w_area_sets[j]
+            ).to_numpy(zero_copy_only=False)
+            w_in = pc.is_in(
+                sub, value_set=_w_way_sets[j]
+            ).to_numpy(zero_copy_only=False)
+            av = vals_m[js].copy()
+            av[~a_in] = ""
+            area_value[js] = av
+            wv = vals_m[js].copy()
+            wv[~w_in] = ""
+            way_value[js] = wv
+        # isArea (TypeAnalysis.java:518-526): closed && (area=yes → yes;
+        # area=no → no; else is_area[j] != (value in exceptions[j]))
+        area_match = closed_np[rows_m] & (
+            ayes | (~ano & (_w_is_area[j_m] ^ in_exc))
+        )
+
+        used = np.zeros(n, dtype=bool)
+        used[rows_m] = True
+        split_flag = np.zeros(n, dtype=bool)
+        split_flag[rows_m[~area_match]] = True
+        unused = ~used & ~slow
+        other_area = unused & closed_np & (area_val == "yes")
+        split_other = unused & ~other_area
+
+        g = ray.get(grid_ref)
+        tiles = np.asarray(
+            g.assign_bboxes(
+                *(
+                    pc.fill_null(
+                        _combined(batch.column(c)), MAXC
+                    ).to_numpy(zero_copy_only=False)
+                    for c in ("g_minx", "g_miny", "g_maxx", "g_maxy")
+                )
+            )
+        )
+        meta_all = meta_json_vec(batch, preserve).to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        tags_all = json_string_pair_lists(tk, tv).to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        memb_all = pc.fill_null(rev_col, "[]").to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        geo_all = pc.fill_null(
+            _combined(batch.column("geo_json")), "[]"
+        ).to_numpy(zero_copy_only=False).astype(object)
+
+        # --- A entries: matched-area rows + closed-area=yes other rows ----
+        a_rows = np.concatenate(
+            [rows_m[area_match], np.nonzero(other_area)[0]]
+        ).astype(np.int64)
+        a_keys = np.concatenate(
+            [_w_keys_np[j_m[area_match]],
+             np.full(int(other_area.sum()), "", dtype=object)]
+        )
+        a_vals = np.concatenate(
+            [area_value[area_match],
+             np.full(int(other_area.sum()), "", dtype=object)]
+        )
+        # area geometry: ring-normalized, per distinct area row (minority)
+        a_geo_by_row: dict = {}
+        for r in np.unique(a_rows) if len(a_rows) else []:
+            coords = [tuple(p) for p in json.loads(geo_all[r])]
+            ring = _norm_ring(coords[:-1], outer=True)
+            a_geo_by_row[r] = json.dumps([[list(p) for p in ring], []])
+        a_geo = np.array(
+            [a_geo_by_row[r] for r in a_rows], dtype=object
+        ) if len(a_rows) else np.array([], dtype=object)
+
+        # --- W entries: every match of a split row + no-match split rows --
+        w_sel = split_flag[rows_m]
+        w_rows = np.concatenate(
+            [rows_m[w_sel], np.nonzero(split_other)[0]]
+        ).astype(np.int64)
+        w_keys = np.concatenate(
+            [_w_keys_np[j_m[w_sel]],
+             np.full(int(split_other.sum()), "", dtype=object)]
+        )
+        w_vals = np.concatenate(
+            [way_value[w_sel],
+             np.full(int(split_other.sum()), "", dtype=object)]
+        )
+
+        def entry_table(ct, rows_idx, keys, vals, geo):
+            return pa.table(
+                {
+                    "chunk_type": pa.array(
+                        np.full(len(rows_idx), ct, dtype=object),
+                        type=pa.string(),
+                    ),
+                    "tile": pa.array(
+                        tiles[rows_idx].astype(np.int32), type=pa.int32()
+                    ),
+                    "key": pa.array(keys, type=pa.string()),
+                    "value": pa.array(vals, type=pa.string()),
+                    "meta_json": pa.array(
+                        meta_all[rows_idx], type=pa.string()
+                    ),
+                    "tags_json": pa.array(
+                        tags_all[rows_idx], type=pa.string()
+                    ),
+                    "members_json": pa.array(
+                        memb_all[rows_idx], type=pa.string()
+                    ),
+                    "geo_json": pa.array(geo, type=pa.string()),
+                }
+            )
+
+        tables = [
+            entry_table("A", a_rows, a_keys, a_vals, a_geo),
+            entry_table("W", w_rows, w_keys, w_vals, geo_all[w_rows]),
+        ]
+
+        slow_idx = np.nonzero(slow)[0]
+        if len(slow_idx):
+            srows = batch.take(
+                pa.array(slow_idx, type=pa.int64())
+            ).to_pylist()
+            rows = []
+            for i, row in zip(slow_idx, srows):
+                row = dict(row)
+                row["tags_json"] = json.dumps(
+                    list(zip(row["tag_keys"], row["tag_vals"]))
+                )
+                rev = row.get("rev_members_json")
+                coords = [
+                    tuple(p) for p in json.loads(row["geo_json"] or "[]")
+                ]
+                emit_way_rows(row, coords,
+                              rev if isinstance(rev, str) else "[]", rows)
+            tables.append(_entries_table(rows))
+        return pa.concat_tables(tables)
 
     way_entries = ways_j.map_batches(emit_ways, batch_format="pyarrow")
 
@@ -885,8 +1166,12 @@ def convert_datasets_entry_streams(
     mem_node = mem.filter(expr="mtype == 'node'")
     _member_cols = ("rel_id", "route", "m_idx", "mtype", "role")
 
+    def _geo_narrow(b: pa.Table) -> pa.Table:
+        return b.select(["way_id", "geo_json"])
+
     wm = hash_join(
-        mem_way, way_geo, on="ref", right_on="way_id",
+        mem_way, way_geo.map_batches(_geo_narrow, batch_format="pyarrow"),
+        on="ref", right_on="way_id",
         join_type="left_outer", num_partitions=nparts_fact,
     )
 
