@@ -93,6 +93,51 @@ def _tags_of(row) -> dict:
     return dict(json.loads(row["tags_json"]))
 
 
+def _way_geo_columns(klon: np.ndarray, klat: np.ndarray,
+                     offsets: np.ndarray) -> dict:
+    """Flat per-way coords (already grouped; misses substituted with MAXC)
+    + per-way offsets → the geometry wire columns: ``geo_json`` strings
+    (Arrow kernels), bbox, point count, closed flag.  Shared by the joined
+    reassembly and the fused broadcast attach."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.jsonvec import json_point_pairs
+
+    counts = np.diff(offsets)
+    nways = len(counts)
+    pts = json_point_pairs(
+        pa.array(klon, type=pa.int64()), pa.array(klat, type=pa.int64())
+    )
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pts)
+    geos = pc.binary_join_element_wise("[", pc.binary_join(lst, ","), "]", "")
+    nonempty = counts > 0
+    s2 = offsets[:-1][nonempty]
+    minx = np.full(nways, MAXC, dtype=np.int64)
+    miny = np.full(nways, MAXC, dtype=np.int64)
+    maxx = np.full(nways, MAXC, dtype=np.int64)
+    maxy = np.full(nways, MAXC, dtype=np.int64)
+    if nonempty.any():
+        minx[nonempty] = np.minimum.reduceat(klon, s2)
+        miny[nonempty] = np.minimum.reduceat(klat, s2)
+        maxx[nonempty] = np.maximum.reduceat(klon, s2)
+        maxy[nonempty] = np.maximum.reduceat(klat, s2)
+    closed = np.zeros(nways, dtype=bool)
+    ge3 = counts >= 3
+    if ge3.any():
+        first = offsets[:-1][ge3]
+        last = offsets[1:][ge3] - 1
+        closed[ge3] = (klon[first] == klon[last]) & (klat[first] == klat[last])
+    return {
+        "geo_json": geos,
+        "g_minx": pa.array(minx, type=pa.int64()),
+        "g_miny": pa.array(miny, type=pa.int64()),
+        "g_maxx": pa.array(maxx, type=pa.int64()),
+        "g_maxy": pa.array(maxy, type=pa.int64()),
+        "g_npts": pa.array(counts.astype(np.int32), type=pa.int32()),
+        "g_closed": pa.array(closed, type=pa.bool_()),
+    }
+
+
 def _entry_schema() -> pa.Table:
     return pa.table(
         {
@@ -193,6 +238,7 @@ def convert_pbf_to_dir(
     type_text: str = "",
     preserve: set | None = None,
     one_element: bool = False,
+    **kwargs,
 ) -> str:
     """THE scale path end-to-end: PBF blobs → distributed reunify → entry
     STREAMS → keyed partitioned parquet, with no ``take_all``/``to_pandas``
@@ -204,10 +250,10 @@ def convert_pbf_to_dir(
 
     unified = read_pbf_table(path).materialize()
     nodes_ds, ways_ds, rels_ds = element_datasets_from_unified(unified)
+    kwargs.setdefault("est_bytes", unified.size_bytes())
     streams, boxes = convert_datasets_entry_streams(
         nodes_ds, ways_ds, rels_ds, bbs_text, cfg,
-        preserve=preserve, one_element=one_element,
-        est_bytes=unified.size_bytes(),
+        preserve=preserve, one_element=one_element, **kwargs,
     )
     return write_entry_streams(
         streams, boxes, out_dir, type_text=type_text, bbs_text=bbs_text
@@ -271,6 +317,7 @@ def convert_datasets_entry_streams(
     one_element: bool = False,
     memb_broadcast_max: int = 2_000_000,
     est_bytes: int | None = None,
+    node_broadcast_max_bytes: int = 1 << 30,
 ):
     """The distributed conversion as LAZY entry streams: → ({"node": ds,
     "way": ds, "rel": ds, "coll": ds} in the reference's N→W→A→C emission
@@ -300,22 +347,94 @@ def convert_datasets_entry_streams(
         "id", "version", "timestamp", "changeset", "user"
     }
 
-    # --- A1: global bbox (distributed min/max aggregate) --------------------
-    from ray.data.aggregate import Max, Min
+    # --- node locations: broadcast vs join regime ---------------------------
+    # The reference ITSELF keeps node locations as in-RAM arrays sized by
+    # its node-density heuristic (Reunify.java:112-128) — under
+    # ``node_broadcast_max_bytes`` of input we make the same assumption:
+    # collect (id, lon, lat) once, sort by id, broadcast, and every
+    # coordinate attach becomes a fused searchsorted stage with ZERO
+    # exchanges.  Above the threshold (a planet file) the hash-join path
+    # takes over unchanged.
+    def _loc_proj(b: pa.Table) -> pa.Table:
+        return b.select(["id", "lon", "lat"])
 
-    agg = nodes_ds.aggregate(Min("lon"), Max("lon"), Min("lat"), Max("lat"))
-    if agg and agg.get("min(lon)") is not None:
-        global_bbox = (
-            int(agg["min(lon)"]), int(agg["min(lat)"]),
-            int(agg["max(lon)"]), int(agg["max(lat)"]),
-        )
+    node_loc = nodes_ds.map_batches(_loc_proj, batch_format="pyarrow")
+    node_bcast = (
+        est_bytes is not None and est_bytes <= node_broadcast_max_bytes
+    )
+    nl_ref = None
+    if node_bcast:
+        tbls = [t for t in ray.get(node_loc.to_arrow_refs()) if len(t)]
+        if tbls:
+            nl = pa.concat_tables(tbls).combine_chunks()
+            _ids = nl.column("id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            _o = np.argsort(_ids, kind="stable")
+            _lon = nl.column("lon").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )[_o]
+            _lat = nl.column("lat").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )[_o]
+            nl_ref = ray.put({"ids": _ids[_o], "lon": _lon, "lat": _lat})
+            global_bbox = (
+                int(_lon.min()), int(_lat.min()),
+                int(_lon.max()), int(_lat.max()),
+            )
+        else:
+            nl_ref = ray.put(
+                {
+                    "ids": np.empty(0, dtype=np.int64),
+                    "lon": np.empty(0, dtype=np.int64),
+                    "lat": np.empty(0, dtype=np.int64),
+                }
+            )
+            global_bbox = (
+                -1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000
+            )
     else:
-        global_bbox = (-1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000)
+        # A1: global bbox as a distributed min/max aggregate
+        from ray.data.aggregate import Max, Min
+
+        agg = nodes_ds.aggregate(
+            Min("lon"), Max("lon"), Min("lat"), Max("lat")
+        )
+        if agg and agg.get("min(lon)") is not None:
+            global_bbox = (
+                int(agg["min(lon)"]), int(agg["min(lat)"]),
+                int(agg["max(lon)"]), int(agg["max(lat)"]),
+            )
+        else:
+            global_bbox = (
+                -1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000
+            )
 
     grid = BbsGrid(parse_bbs(bbs_text, global_bbox))
     boxes = [tuple(b) for b in grid.boxes]
     miss = len(boxes)
     grid_ref = ray.put(grid)
+
+    class _CoordLookup:
+        """Broadcast sorted node-coordinate lookup: flat int64 refs →
+        (lon, lat), misses → MAXC (README.md:35)."""
+
+        def __init__(self, ref):
+            st = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.ids = st["ids"]
+            self.lon = st["lon"]
+            self.lat = st["lat"]
+
+        def coords(self, refs: np.ndarray):
+            if not len(self.ids):
+                full = np.full(len(refs), MAXC, dtype=np.int64)
+                return full, full.copy(), np.zeros(len(refs), dtype=bool)
+            p = np.searchsorted(self.ids, refs)
+            pc_ = np.minimum(p, len(self.ids) - 1)
+            found = self.ids[pc_] == refs
+            lon = np.where(found, self.lon[pc_], MAXC)
+            lat = np.where(found, self.lat[pc_], MAXC)
+            return lon, lat, found
 
     # --- J1: way geometries via explode + hash join -------------------------
     def explode_refs(batch: pa.Table) -> pa.Table:
@@ -355,115 +474,112 @@ def convert_datasets_entry_streams(
             }
         )
 
-    exploded = ways_ds.map_batches(explode_refs, batch_format="pyarrow")
-    # projection via map_batches, NOT select_columns: Ray 2.49's plan-level
-    # schema() reports pre-projection columns for projections over map
-    # chains, which poisons downstream join planning
-    def _loc_proj(b: pa.Table) -> pa.Table:
-        return b.select(["id", "lon", "lat"])
+    from oma_ray.stages.taskcache import CachedStage
 
-    node_loc = nodes_ds.map_batches(_loc_proj, batch_format="pyarrow")
-    j1 = hash_join(
-        exploded, node_loc, on="ref", right_on="id", join_type="left_outer",
-        num_partitions=nparts_fact,
-    )
+    def _comb(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
-    def reassemble(batch: pa.Table) -> pa.Table:
-        """Vectorized per-way geometry reassembly: lexsort by (way_id,
-        ref_idx), unresolved refs → MAXC coords (README.md:35), then the
-        whole block's geo_json strings build with Arrow kernels (flat
-        "[x,y]" points re-listed per way and joined)."""
-        from oma_ray.functions.jsonvec import json_point_pairs
+    if node_bcast:
+        # FUSED J1: a ways batch explodes, attaches coords by searchsorted
+        # against the broadcast node arrays, and reassembles — all inside
+        # one map (the refs of a way are contiguous and complete within
+        # their batch, so no exchange is needed to co-locate them)
+        class _WayGeoFused:
+            def __init__(self, ref):
+                self.look = _CoordLookup(ref)
 
-        empty = pa.table(
-            {
-                "way_id": pa.array([], type=pa.int64()),
-                "geo_json": pa.array([], type=pa.string()),
-                "g_minx": pa.array([], type=pa.int64()),
-                "g_miny": pa.array([], type=pa.int64()),
-                "g_maxx": pa.array([], type=pa.int64()),
-                "g_maxy": pa.array([], type=pa.int64()),
-                "g_npts": pa.array([], type=pa.int32()),
-                "g_closed": pa.array([], type=pa.bool_()),
-            }
-        )
-        if not len(batch):
-            return empty
-        batch = batch.combine_chunks()
-        w = batch.column("way_id").to_numpy(zero_copy_only=False)
-        ridx = batch.column("ref_idx").to_numpy(zero_copy_only=False)
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ridx, w))
-        w, ridx = w[order], ridx[order]
-        lon = np.asarray(lon, dtype=np.float64)[order]
-        lat = np.asarray(lat, dtype=np.float64)[order]
-        lon = np.where(np.isnan(lon), MAXC, lon).astype(np.int64)
-        lat = np.where(np.isnan(lat), MAXC, lat).astype(np.int64)
-        starts = np.concatenate([[0], np.nonzero(w[1:] != w[:-1])[0] + 1])
-        wids = w[starts]
-        keep = ridx >= 0  # drop zero-ref sentinel rows
-        kept_counts = np.add.reduceat(keep.astype(np.int64), starts)
-        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
-        klon, klat = lon[keep], lat[keep]
-        pts = json_point_pairs(
-            pa.array(klon, type=pa.int64()),
-            pa.array(klat, type=pa.int64()),
-        )
-        import pyarrow.compute as pc
+            def __call__(self, b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                refs_col = _comb(b.column("refs"))
+                off = refs_col.offsets.to_numpy(zero_copy_only=False)
+                off = off - off[0]
+                flat = refs_col.flatten().to_numpy(zero_copy_only=False)
+                lon, lat, _f = self.look.coords(
+                    np.asarray(flat, dtype=np.int64)
+                )
+                out = b
+                for name, arr in _way_geo_columns(lon, lat, off).items():
+                    out = out.append_column(name, arr)
+                return out
 
-        lst = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), pts
+        ways_with_geo = ways_ds.map_batches(
+            CachedStage(_WayGeoFused, nl_ref), batch_format="pyarrow"
         )
-        geos = pc.binary_join_element_wise(
-            "[", pc.binary_join(lst, ","), "]", ""
-        )
-        # per-way bbox + closed flag, computed here where the coords are
-        # already grouped — emission then never re-parses geometry for
-        # tile assignment (bbox includes MAXC miss coords, matching the
-        # per-row path's min/max over raw coords)
-        nonempty = kept_counts > 0
-        s2 = offsets[:-1][nonempty]
-        minx = np.full(len(wids), MAXC, dtype=np.int64)
-        miny = np.full(len(wids), MAXC, dtype=np.int64)
-        maxx = np.full(len(wids), MAXC, dtype=np.int64)
-        maxy = np.full(len(wids), MAXC, dtype=np.int64)
-        if nonempty.any():
-            minx[nonempty] = np.minimum.reduceat(klon, s2)
-            miny[nonempty] = np.minimum.reduceat(klat, s2)
-            maxx[nonempty] = np.maximum.reduceat(klon, s2)
-            maxy[nonempty] = np.maximum.reduceat(klat, s2)
-        ends = offsets[1:] - 1
-        closed = np.zeros(len(wids), dtype=bool)
-        ge3 = kept_counts >= 3
-        if ge3.any():
-            first = offsets[:-1][ge3]
-            last = ends[ge3]
-            closed[ge3] = (klon[first] == klon[last]) & (
-                klat[first] == klat[last]
+
+        def _as_way_geo(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"way_id": b.column("id"), "geo_json": b.column("geo_json")}
             )
-        return pa.table(
-            {
-                "way_id": pa.array(wids, type=pa.int64()),
-                "geo_json": geos,
-                "g_minx": pa.array(minx, type=pa.int64()),
-                "g_miny": pa.array(miny, type=pa.int64()),
-                "g_maxx": pa.array(maxx, type=pa.int64()),
-                "g_maxy": pa.array(maxy, type=pa.int64()),
-                "g_npts": pa.array(kept_counts.astype(np.int32),
-                                   type=pa.int32()),
-                "g_closed": pa.array(closed, type=pa.bool_()),
-            }
+
+        way_geo_narrow = ways_with_geo.map_batches(
+            _as_way_geo, batch_format="pyarrow"
+        )
+    else:
+        exploded = ways_ds.map_batches(explode_refs, batch_format="pyarrow")
+        j1 = hash_join(
+            exploded, node_loc, on="ref", right_on="id",
+            join_type="left_outer", num_partitions=nparts_fact,
         )
 
-    way_geo = (
-        j1.repartition(nparts_fact, keys=["way_id"])
-        .map_batches(reassemble, batch_format="pyarrow")
-        .materialize()
+        def reassemble(batch: pa.Table) -> pa.Table:
+            """Vectorized per-way geometry reassembly after the J1
+            exchange: lexsort by (way_id, ref_idx), unresolved refs → MAXC
+            coords (README.md:35), then the shared geo-column builder."""
+            if not len(batch):
+                return pa.table(
+                    {
+                        "way_id": pa.array([], type=pa.int64()),
+                        "geo_json": pa.array([], type=pa.string()),
+                        "g_minx": pa.array([], type=pa.int64()),
+                        "g_miny": pa.array([], type=pa.int64()),
+                        "g_maxx": pa.array([], type=pa.int64()),
+                        "g_maxy": pa.array([], type=pa.int64()),
+                        "g_npts": pa.array([], type=pa.int32()),
+                        "g_closed": pa.array([], type=pa.bool_()),
+                    }
+                )
+            batch = batch.combine_chunks()
+            w = batch.column("way_id").to_numpy(zero_copy_only=False)
+            ridx = batch.column("ref_idx").to_numpy(zero_copy_only=False)
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ridx, w))
+            w, ridx = w[order], ridx[order]
+            lon = np.asarray(lon, dtype=np.float64)[order]
+            lat = np.asarray(lat, dtype=np.float64)[order]
+            lon = np.where(np.isnan(lon), MAXC, lon).astype(np.int64)
+            lat = np.where(np.isnan(lat), MAXC, lat).astype(np.int64)
+            starts = np.concatenate(
+                [[0], np.nonzero(w[1:] != w[:-1])[0] + 1]
+            )
+            wids = w[starts]
+            keep = ridx >= 0  # drop zero-ref sentinel rows
+            kept_counts = np.add.reduceat(keep.astype(np.int64), starts)
+            offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+            cols = {"way_id": pa.array(wids, type=pa.int64())}
+            cols.update(
+                _way_geo_columns(lon[keep], lat[keep], offsets)
+            )
+            return pa.table(cols)
+
+        way_geo = (
+            j1.repartition(nparts_fact, keys=["way_id"])
+            .map_batches(reassemble, batch_format="pyarrow")
+            .materialize()
+        )
+        # (materialize: consumed by both the way-emission join and the J2
+        # member join — and it caps how many hash-join aggregator pools
+        # the streaming executor has to co-schedule in one DAG)
+
+        def _geo_narrow(b: pa.Table) -> pa.Table:
+            return b.select(["way_id", "geo_json"])
+
+        way_geo_narrow = way_geo.map_batches(
+            _geo_narrow, batch_format="pyarrow"
+        )
+    _way_geo_narrow_schema = pa.schema(
+        [("way_id", pa.int64()), ("geo_json", pa.string())]
     )
-    # (materialize: consumed by both the way-emission join and the J2
-    # member join — and it caps how many hash-join aggregator pools the
-    # streaming executor has to co-schedule in one DAG)
 
     # --- relation routing (one pass; produces typed member streams) --------
     def route(batch: pa.Table) -> pa.Table:
@@ -882,12 +998,18 @@ def convert_datasets_entry_streams(
             ("tag_vals", pa.list_(pa.string())),
         ]
     )
-    ways_w = lookup_join(
-        ways_ds.map_batches(_drop_refs, batch_format="pyarrow"),
-        way_geo, on="id", right_on="way_id",
-        num_partitions=nparts_fact,
-        left_schema=_ways_meta_schema, right_schema=_geo_schema,
-    )
+    if node_bcast:
+        # geometry already rode along in the fused stage — just drop refs
+        ways_w = ways_with_geo.map_batches(
+            _drop_refs, batch_format="pyarrow"
+        )
+    else:
+        ways_w = lookup_join(
+            ways_ds.map_batches(_drop_refs, batch_format="pyarrow"),
+            way_geo, on="id", right_on="way_id",
+            num_partitions=nparts_fact,
+            left_schema=_ways_meta_schema, right_schema=_geo_schema,
+        )
     _ways_j_schema = pa.schema(
         list(_ways_meta_schema) + list(_geo_schema)[1:]
     )
@@ -1166,13 +1288,10 @@ def convert_datasets_entry_streams(
     mem_node = mem.filter(expr="mtype == 'node'")
     _member_cols = ("rel_id", "route", "m_idx", "mtype", "role")
 
-    def _geo_narrow(b: pa.Table) -> pa.Table:
-        return b.select(["way_id", "geo_json"])
-
     wm = hash_join(
-        mem_way, way_geo.map_batches(_geo_narrow, batch_format="pyarrow"),
-        on="ref", right_on="way_id",
+        mem_way, way_geo_narrow, on="ref", right_on="way_id",
         join_type="left_outer", num_partitions=nparts_fact,
+        right_schema=_way_geo_narrow_schema,
     )
 
     def _way_member_geo(b: pa.Table) -> pa.Table:
@@ -1180,29 +1299,64 @@ def convert_datasets_entry_streams(
         cols["mgeo_json"] = b.column("geo_json")  # null = unresolved way
         return pa.table(cols)
 
-    nm = hash_join(
-        mem_node, node_loc, on="ref", right_on="id",
-        join_type="left_outer", num_partitions=nparts_fact,
-    )
-
-    def _node_member_geo(b: pa.Table) -> pa.Table:
-        lon_col = b.column("lon")
-        valid = ~pa.compute.is_null(lon_col).to_numpy(zero_copy_only=False)
-        lon = np.where(
-            valid, lon_col.to_numpy(zero_copy_only=False), 0
-        ).astype(np.int64)
-        lat = np.where(
-            valid, b.column("lat").to_numpy(zero_copy_only=False), 0
-        ).astype(np.int64)
-        refs = b.column("ref").to_numpy(zero_copy_only=False)
-        geos = [
+    def _node_geo_strings(refs, lon, lat, valid):
+        return [
             f"[[{x},{y}]]" if ok
             else json.dumps([list(_marked_point(int(r)))])
             for ok, x, y, r in zip(valid, lon, lat, refs)
         ]
-        cols = {c: b.column(c) for c in _member_cols}
-        cols["mgeo_json"] = pa.array(geos, type=pa.string())
-        return pa.table(cols)
+
+    if node_bcast:
+        class _NodeMemberAttach:
+            """Via-node coords from the broadcast node arrays — no
+            exchange; misses keep marked-id garbage coords."""
+
+            def __init__(self, ref):
+                self.look = _CoordLookup(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                refs = b.column("ref").to_numpy(zero_copy_only=False)
+                lon, lat, found = self.look.coords(
+                    np.asarray(refs, dtype=np.int64)
+                )
+                cols = {c: b.column(c) for c in _member_cols}
+                cols["mgeo_json"] = pa.array(
+                    _node_geo_strings(refs, lon, lat, found),
+                    type=pa.string(),
+                )
+                return pa.table(cols)
+
+        nm_mapped = mem_node.map_batches(
+            CachedStage(_NodeMemberAttach, nl_ref), batch_format="pyarrow"
+        )
+    else:
+        nm = hash_join(
+            mem_node, node_loc, on="ref", right_on="id",
+            join_type="left_outer", num_partitions=nparts_fact,
+        )
+
+        def _node_member_geo(b: pa.Table) -> pa.Table:
+            lon_col = b.column("lon")
+            valid = ~pa.compute.is_null(lon_col).to_numpy(
+                zero_copy_only=False
+            )
+            lon = np.where(
+                valid, lon_col.to_numpy(zero_copy_only=False), 0
+            ).astype(np.int64)
+            lat = np.where(
+                valid, b.column("lat").to_numpy(zero_copy_only=False), 0
+            ).astype(np.int64)
+            refs = b.column("ref").to_numpy(zero_copy_only=False)
+            cols = {c: b.column(c) for c in _member_cols}
+            cols["mgeo_json"] = pa.array(
+                _node_geo_strings(refs, lon, lat, valid), type=pa.string()
+            )
+            return pa.table(cols)
+
+        nm_mapped = nm.map_batches(
+            _node_member_geo, batch_format="pyarrow"
+        )
 
     _mg_anchor = pa.table(
         {
@@ -1216,7 +1370,7 @@ def convert_datasets_entry_streams(
     )
     member_geo = (
         wm.map_batches(_way_member_geo, batch_format="pyarrow")
-        .union(nm.map_batches(_node_member_geo, batch_format="pyarrow"))
+        .union(nm_mapped)
         .union(rd.from_arrow(_mg_anchor))  # schema anchor: empty exchanges
         .materialize()
     )

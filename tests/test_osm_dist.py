@@ -54,6 +54,24 @@ def test_distributed_membership_join_path(ray_session):
     assert got == ref
 
 
+def test_distributed_node_join_path(ray_session):
+    """Above ``node_broadcast_max_bytes`` the J1 coordinate attach switches
+    from the fused broadcast-searchsorted stage to the explode →
+    hash-join → regroup pipeline; forcing the threshold to 0 must not
+    change the multiset (the planet-scale regime, exercised at fixture
+    scale)."""
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    cfg = TypeConfig.default()
+    ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
+    got = Counter(
+        convert_osm_distributed(
+            nodes, ways, rels, default_bbs_text(), cfg,
+            node_broadcast_max_bytes=0,
+        )
+    )
+    assert got == ref
+
+
 def test_pbf_to_distributed_end_to_end(ray_session, tmp_path):
     """Full scale path: PBF file → blob-parallel decode → distributed
     reunify — matches the driver-side conversion of the same elements."""
