@@ -1283,6 +1283,29 @@ def convert_datasets_entry_streams(
     # at emit (Reunify.java:676-841); unresolved via-NODES keep marked-id
     # garbage coords (_marked_point).
 
+    # empty element classes are legal (nodes-only extracts): Ray reports
+    # schema()=None for 0-row datasets, so every join over a possibly-empty
+    # side gets its statically-known schema
+    _routed_schema = pa.schema(
+        [
+            ("rel_id", pa.int64()), ("route", pa.string()),
+            ("m_idx", pa.int32()), ("mtype", pa.string()),
+            ("ref", pa.int64()), ("role", pa.string()),
+            ("pos", pa.int32()),
+        ]
+    )
+    _ri_base_schema = pa.schema(
+        [
+            ("id", pa.int64()), ("version", pa.int32()),
+            ("timestamp", pa.int64()), ("changeset", pa.int64()),
+            ("uid", pa.int32()), ("user", pa.string()),
+            ("rel_tags_json", pa.string()),
+        ]
+    )
+    _ri_schema = pa.schema(
+        list(_ri_base_schema) + [pa.field("rev_members_json", pa.string())]
+    )
+
     mem = routed.filter(expr="route != 'leftover'")
     mem_way = mem.filter(expr="mtype == 'way'")
     mem_node = mem.filter(expr="mtype == 'node'")
@@ -1291,7 +1314,7 @@ def convert_datasets_entry_streams(
     wm = hash_join(
         mem_way, way_geo_narrow, on="ref", right_on="way_id",
         join_type="left_outer", num_partitions=nparts_fact,
-        right_schema=_way_geo_narrow_schema,
+        left_schema=_routed_schema, right_schema=_way_geo_narrow_schema,
     )
 
     def _way_member_geo(b: pa.Table) -> pa.Table:
@@ -1334,6 +1357,7 @@ def convert_datasets_entry_streams(
         nm = hash_join(
             mem_node, node_loc, on="ref", right_on="id",
             join_type="left_outer", num_partitions=nparts_fact,
+            left_schema=_routed_schema,
         )
 
         def _node_member_geo(b: pa.Table) -> pa.Table:
@@ -1383,12 +1407,12 @@ def convert_datasets_entry_streams(
             "changeset": "changeset", "uid": "uid", "user": "user",
             "tags_json": "rel_tags_json",
         }),
-        "relation", "id",
+        "relation", "id", ds_schema=_ri_base_schema,
     ).materialize()
 
     geo_plus_info = hash_join(
         member_geo, ri_ds, on="rel_id", right_on="id", join_type="inner",
-        num_partitions=nparts,
+        num_partitions=nparts, right_schema=_ri_schema,
     )
 
     def emit_relations(batch: pa.Table) -> pa.Table:
@@ -1476,6 +1500,8 @@ def convert_datasets_entry_streams(
     coll_j = hash_join(
         ri_ds, leftover_ids, on="id", right_on="rel_id", join_type="inner",
         num_partitions=nparts, dedup_right=True,
+        left_schema=_ri_schema,
+        right_schema=pa.schema([("rel_id", pa.int64())]),
     )
 
     def emit_collections(batch: pa.Table) -> pa.Table:

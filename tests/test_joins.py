@@ -69,3 +69,54 @@ def test_hash_join_dedup_right_no_fanout(ray_session):
     assert len(df) == 100
     assert df[df["k"] < 20]["flag"].notna().all()
     assert df[df["k"] >= 20]["flag"].isna().all()
+
+
+def test_lookup_join_nested_payload_and_misses(ray_session):
+    """lookup_join: the Acero-free colocated merge must (a) carry nested
+    list columns on the left through the exchange, (b) null-fill right
+    payloads on misses, (c) fan out duplicate LEFT keys while right keys
+    stay unique — verified against a pandas merge oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oma_ray.stages.join import lookup_join
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    keys = rng.integers(0, 3000, n)  # duplicate left keys
+    left = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "tags": pa.array(
+                [[str(i % 7)] * (i % 3) for i in range(n)],
+                type=pa.list_(pa.string()),
+            ),
+            "payload": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    rkeys = np.unique(rng.integers(0, 3000, 2000))  # unique right keys
+    right = pa.table(
+        {
+            "rk": pa.array(rkeys, type=pa.int64()),
+            "val": pa.array([f"v{k}" for k in rkeys], type=pa.string()),
+        }
+    )
+    out = lookup_join(
+        rd.from_arrow(left).repartition(8),
+        rd.from_arrow(right).repartition(4),
+        on="k", right_on="rk", num_partitions=4,
+    ).take_all()
+
+    ldf = left.to_pandas()
+    rdf = right.to_pandas().rename(columns={"rk": "k"})
+    want = ldf.merge(rdf, on="k", how="left")
+    got = pd.DataFrame(out)
+    assert len(got) == len(want) == n
+    want_s = want.sort_values("payload").reset_index(drop=True)
+    got_s = got.sort_values("payload").reset_index(drop=True)
+    assert (got_s["k"] == want_s["k"]).all()
+    assert got_s["val"].fillna("∅").tolist() == want_s["val"].fillna("∅").tolist()
+    # nested column survived untouched
+    assert [list(x) for x in got_s["tags"]] == [list(x) for x in want_s["tags"]]

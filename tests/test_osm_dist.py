@@ -85,3 +85,31 @@ def test_pbf_to_distributed_end_to_end(ray_session, tmp_path):
     ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
     got = Counter(convert_pbf_distributed(p, default_bbs_text(), cfg))
     assert got == ref
+
+
+def test_distributed_degenerate_inputs(ray_session):
+    """Empty element classes must flow through every stream: nodes-only
+    (no ways/relations), ways-without-relations, and relations whose
+    members are all unresolved — the empty-exchange/schema-anchor paths."""
+    cfg = TypeConfig.default()
+    meta = {"version": 1, "timestamp": 1, "changeset": 1, "uid": 1,
+            "user": "u"}
+    n1 = {"id": 1, "lon": 100, "lat": 200, "tags": {"highway": "stop"},
+          **meta}
+    n2 = {"id": 2, "lon": 300, "lat": 400, "tags": {}, **meta}
+    w1 = {"id": 10, "refs": [1, 2], "tags": {"highway": "residential"},
+          **meta}
+    r1 = {"id": 20, "members": [("way", 999, "outer")],
+          "tags": {"type": "multipolygon", "landuse": "forest"}, **meta}
+
+    for nodes, ways, rels in (
+        ([n1, n2], [], []),          # nodes only
+        ([n1, n2], [w1], []),        # no relations at all
+        ([], [], []),                # fully empty input
+        ([n1], [], [r1]),            # relation with only unresolved members
+    ):
+        ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
+        got = Counter(
+            convert_osm_distributed(nodes, ways, rels, default_bbs_text(), cfg)
+        )
+        assert got == ref, (len(nodes), len(ways), len(rels))
