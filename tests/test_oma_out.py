@@ -91,3 +91,29 @@ def test_entry_streams_dataset_native_write(ray_session, tmp_path):
         assert os.path.getmtime(fp) == t  # untouched: streams were skipped
     back2, _ = read_entries(out)
     assert Counter(back2) == ref
+
+
+def test_entry_streams_flag_variants(ray_session, tmp_path):
+    """The dataset-native conversion must honor the CLI-visible semantics
+    the collected path honors: one-element mode (-1) and meta projection
+    (-p none) produce the same multiset through the partitioned-dir
+    path."""
+    from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+    from oma_ray.sources.pbf import write_pbf
+
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    cfg = TypeConfig.default()
+    p = str(tmp_path / "fixture.pbf")
+    write_pbf(p, nodes, ways, rels, block_size=7)
+
+    for name, kw in (
+        ("one_element", {"one_element": True}),
+        ("p_none", {"preserve": set()}),
+    ):
+        ref = Counter(
+            convert_osm(nodes, ways, rels, default_bbs_text(), cfg, **kw)
+        )
+        out = str(tmp_path / f"out_{name}")
+        convert_pbf_to_dir(p, default_bbs_text(), cfg, out, **kw)
+        back, _cfg = read_entries(out)
+        assert Counter(back) == ref, name
