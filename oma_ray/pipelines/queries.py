@@ -1228,6 +1228,119 @@ def q25_osm_convert(sf_dir: str):
     return out.sort_values(["chunk_type", "key", "value"]).reset_index(drop=True)
 
 
+# --- q29: composed corpus curation (lang gate → quality → dedup → summary) --
+
+def q29_corpus_curation(sf_dir: str):
+    """The end-to-end training-data curation composition: language gate +
+    vectorized quality gates (the q10 text kernels) → exact content dedup
+    keeping the smallest doc_id per md5, with the survivor's payload
+    carried through the hash-keyed exchange (combiner first, global min
+    per co-located block) → per-language survivor summary.  Every stage
+    reuses a value-oracled kernel, so the whole composition is
+    value-oracled."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.textstage import Md5Hash, TextStats
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(
+                batch.column("lang"), value_set=pa.array(["en", "de"])
+            ),
+            pc.and_(
+                pc.greater_equal(batch.column("n_words"), 5),
+                pc.greater_equal(batch.column("n_chars"), 30),
+            ),
+        )
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "text": b.column("text"),
+                "n_tokens": b.column("n_tokens"),
+                "n_chars": b.column("n_chars"),
+            }
+        )
+
+    hashed = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .map_batches(Md5Hash(), batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(
+                ["text_md5", "doc_id", "lang", "n_tokens", "n_chars"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        df = (
+            df.sort_values(["text_md5", "doc_id"])
+            .groupby("text_md5", as_index=False)
+            .first()
+        )
+        return from_pandas_clean(
+            df[["text_md5", "doc_id", "lang", "n_tokens", "n_chars"]]
+        )
+
+    deduped = (
+        hashed.map_batches(keep_min, batch_format="pyarrow")  # combiner
+        .repartition(default_partitions(), keys=["text_md5"])
+        .map_batches(keep_min, batch_format="pyarrow")  # global (colocated)
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+                "sum_tokens": batch.column("n_tokens").to_numpy(
+                    zero_copy_only=False
+                ),
+                "sum_chars": batch.column("n_chars").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+
+    return _grouped_sums(
+        deduped, ["lang"], partial, ["n_docs", "sum_tokens", "sum_chars"]
+    )
+
+
+SQL_Q29 = r"""
+WITH s AS (
+  SELECT doc_id, lang, text,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '\S+')) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens
+  FROM documents),
+f AS (
+  SELECT * FROM s
+  WHERE lang IN ('en', 'de') AND n_words >= 5 AND n_chars >= 30),
+d AS (
+  SELECT MIN(doc_id) AS keep_id FROM f GROUP BY md5(text)),
+kept AS (SELECT f.* FROM f JOIN d ON f.doc_id = d.keep_id)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1257,6 +1370,7 @@ QUERIES = {
     "q26_event_bursts": q26_event_bursts,
     "q27_ngram_jaccard": q27_ngram_jaccard,
     "q28_doc_sample": q28_doc_sample,
+    "q29_corpus_curation": q29_corpus_curation,
 }
 
 ORACLES = {
@@ -1282,4 +1396,5 @@ ORACLES = {
     "q26_event_bursts": SQL_Q26,
     "q27_ngram_jaccard": SQL_Q27,
     "q28_doc_sample": SQL_Q28,
+    "q29_corpus_curation": SQL_Q29,
 }
