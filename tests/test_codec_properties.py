@@ -173,3 +173,65 @@ def test_oma_delta_coords_roundtrip(coords):
     r = OmaReader(bytes(w.buf))
     got = [(r.read_delta_x(), r.read_delta_y()) for _ in coords]
     assert got == coords
+
+
+# --- jsonvec: the vectorized JSON wire-column builders ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_any_text = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FFF),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_any_text, max_size=30))
+def test_quote_strings_roundtrip(strings):
+    import json
+
+    import pyarrow as pa
+
+    from oma_ray.functions.jsonvec import quote_strings
+
+    lits = quote_strings(pa.array(strings, type=pa.string()))
+    for orig, lit in zip(strings, lits.to_pylist()):
+        assert json.loads(lit) == orig
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.tuples(_any_text, _any_text), max_size=6), max_size=10
+    )
+)
+def test_tags_json_roundtrip(rows):
+    import json
+
+    import pyarrow as pa
+
+    from oma_ray.functions.jsonvec import json_string_pair_lists
+
+    keys = pa.array([[k for k, _ in r] for r in rows],
+                    type=pa.list_(pa.string()))
+    vals = pa.array([[v for _, v in r] for r in rows],
+                    type=pa.list_(pa.string()))
+    out = json_string_pair_lists(keys, vals)
+    for r, s in zip(rows, out.to_pylist()):
+        assert [tuple(p) for p in json.loads(s)] == list(r)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(-2**62, 2**62), max_size=8),
+                max_size=10))
+def test_int_lists_roundtrip(rows):
+    import json
+
+    import pyarrow as pa
+
+    from oma_ray.functions.jsonvec import json_int_lists
+
+    out = json_int_lists(pa.array(rows, type=pa.list_(pa.int64())))
+    for r, s in zip(rows, out.to_pylist()):
+        assert json.loads(s) == r
