@@ -213,7 +213,6 @@ def write_entry_streams(
     man = Manifest(out_dir)
     done = man.done_lineages()
     data_dir = os.path.join(out_dir, "data")
-    total_rows = 0
     for name, ds in streams.items():
         lid = f"stream:{name}"
         stream_dir = os.path.join(data_dir, f"stream={name}")
@@ -233,7 +232,6 @@ def write_entry_streams(
             .count_rows()
             if os.path.exists(stream_dir) else 0
         )
-        total_rows += n_rows
         man.mark_done(lid, rows=n_rows, path=stream_dir)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump({"type_config": type_text, "bbs": bbs_text}, f)
