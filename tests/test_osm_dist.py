@@ -113,3 +113,19 @@ def test_distributed_degenerate_inputs(ray_session):
             convert_osm_distributed(nodes, ways, rels, default_bbs_text(), cfg)
         )
         assert got == ref, (len(nodes), len(ways), len(rels))
+
+
+def test_distributed_full_join_regime(ray_session):
+    """Both RAM-threshold regimes forced OFF together (the planet-file
+    configuration: membership attach AND node-coordinate attach as
+    joins) — the multiset must not change."""
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    cfg = TypeConfig.default()
+    ref = Counter(convert_osm(nodes, ways, rels, default_bbs_text(), cfg))
+    got = Counter(
+        convert_osm_distributed(
+            nodes, ways, rels, default_bbs_text(), cfg,
+            memb_broadcast_max=0, node_broadcast_max_bytes=0,
+        )
+    )
+    assert got == ref
