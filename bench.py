@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q21_zonal_stats",
     "q22_cust_no_orders",
     "q24_supplier_region_stats",
+    "q29_corpus_curation",
 ]
 
 
