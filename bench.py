@@ -110,7 +110,16 @@ def run_scaling() -> dict:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    def best_of(ncpu: int, runs: int = 2) -> dict:
+        """Min wall over repeated fresh-process runs: the machine is
+        co-tenant loaded in bursts (±30%, occasionally 4× — BASELINE.md),
+        and a burst landing on one arm would measure the neighbours, not
+        the engine.  The minimum estimates unloaded capacity; both arms
+        get the same treatment."""
+        results = [one(ncpu) for _ in range(runs)]
+        return min(results, key=lambda r: r["value"])
+
+    lo, hi = best_of(8), best_of(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "scaling efficiency 8→32 cpus (N→4N evidence)",
