@@ -109,3 +109,8 @@ def test_streaming_assembly_from_partitioned_dir(ray_session, tmp_path,
     write_oma_from_dir(out_dir, oma_path)
     back = entries_from_oma(oma_path)
     assert Counter(back) == Counter(golden_entries)
+
+    # -0 semantics through the streaming assembler (uncompressed slices)
+    oma0 = str(tmp_path / "streamed0.oma")
+    write_oma_from_dir(out_dir, oma0, zip_slices=False)
+    assert Counter(entries_from_oma(oma0)) == Counter(golden_entries)
