@@ -93,6 +93,11 @@ def _tags_of(row) -> dict:
     return dict(json.loads(row["tags_json"]))
 
 
+def _combined(col):
+    """ChunkedArray → contiguous Array (no-op otherwise)."""
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def _way_geo_columns(klon: np.ndarray, klat: np.ndarray,
                      offsets: np.ndarray) -> dict:
     """Flat per-way coords (already grouped; misses substituted with MAXC)
@@ -476,9 +481,6 @@ def convert_datasets_entry_streams(
 
     from oma_ray.stages.taskcache import CachedStage
 
-    def _comb(col):
-        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-
     if node_bcast:
         # FUSED J1: a ways batch explodes, attaches coords by searchsorted
         # against the broadcast node arrays, and reassembles — all inside
@@ -490,7 +492,7 @@ def convert_datasets_entry_streams(
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 b = b.combine_chunks()
-                refs_col = _comb(b.column("refs"))
+                refs_col = _combined(b.column("refs"))
                 off = refs_col.offsets.to_numpy(zero_copy_only=False)
                 off = off - off[0]
                 flat = refs_col.flatten().to_numpy(zero_copy_only=False)
@@ -784,7 +786,6 @@ def convert_datasets_entry_streams(
         json_string_pair_lists,
         meta_json_vec,
     )
-    from oma_ray.stages.taskcache import CachedStage
 
     class _SortedMembAttach:
         """Append ``rev_members_json`` by searchsorted against the
@@ -846,9 +847,6 @@ def convert_datasets_entry_streams(
         [p + k for p in cfg.prefixes[1:] for k in cfg.node_keys],
         type=pa.string(),
     )
-
-    def _combined(col):
-        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
     def emit_nodes(batch: pa.Table) -> pa.Table:
         """Mask-based classification over Arrow columns (TypeAnalysis.java
