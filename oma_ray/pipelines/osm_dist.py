@@ -48,6 +48,30 @@ from oma_ray.stages.tiles import BbsGrid
 _META_COLS = ("id", "version", "timestamp", "changeset", "uid", "user")
 
 
+class _PhaseTimer:
+    """Wall-clock phase logger for the conversion build, enabled by
+    ``OMA_RAY_TIMING=1`` (stderr; off by default — used to attribute time
+    between the eager sub-steps when profiling at scale)."""
+
+    def __init__(self, tag: str):
+        import os
+        import time
+
+        self.on = os.environ.get("OMA_RAY_TIMING") == "1"
+        self.tag = tag
+        self.t = time.time() if self.on else 0.0
+
+    def mark(self, phase: str):
+        if self.on:
+            import sys
+            import time
+
+            now = time.time()
+            print(f"[timing] {self.tag}: {phase} {now - self.t:.2f}s",
+                  file=sys.stderr)
+            self.t = now
+
+
 def _elements_table(elems: list[dict], kind: str) -> pa.Table:
     """Element dicts → the per-kind wire schema.  Nodes (the planet-scale
     bulk) carry tags as native list columns — their whole pipeline avoids
@@ -338,6 +362,7 @@ def convert_datasets_entry_streams(
     from oma_ray.synth import parse_bbs
 
     ensure_hash_shuffle()
+    _pt = _PhaseTimer("entry_streams")
     # two partition regimes: joins/regroups that move RAW element rows use
     # ~2× cores so per-partition blocks stay bounded at scale; exchanges of
     # bounded/pre-grouped streams (membership build) keep cores/2
@@ -415,6 +440,7 @@ def convert_datasets_entry_streams(
                 -1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000
             )
 
+    _pt.mark("node-loc state (broadcast collect or bbox agg)")
     grid = BbsGrid(parse_bbs(bbs_text, global_bbox))
     boxes = [tuple(b) for b in grid.boxes]
     miss = len(boxes)
@@ -646,6 +672,7 @@ def convert_datasets_entry_streams(
     routed = rels_ds.map_batches(route, batch_format="pyarrow").materialize()
     # (materialize: the routed member stream is consumed by four downstream
     # branches; relations are the small stream — ~1% of a planet file)
+    _pt.mark("routed materialize")
 
     # empty element classes are legal (nodes-only extracts): Ray reports
     # schema()=None for 0-row datasets, so every join over a possibly-empty
@@ -674,8 +701,15 @@ def convert_datasets_entry_streams(
     leftover = routed.filter(expr="route == 'leftover'")
 
     def group_members(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
+        """(mtype, ref) → ``[[rel_id, role, pos], ...]`` JSON, vectorized:
+        stable lexsort on the group key, per-row member triples via numpy
+        ``U``-array concatenation (roles json-escaped once per distinct
+        value), per-group joining via ``pc.binary_join`` — no pandas
+        groupby, no per-row ``json.dumps`` (the driver-side call in the
+        broadcast regime groups the WHOLE leftover stream in one go)."""
+        import pyarrow.compute as pc
+
+        if not len(batch):
             return pa.table(
                 {
                     "mtype": pa.array([], type=pa.string()),
@@ -683,19 +717,53 @@ def convert_datasets_entry_streams(
                     "members_json": pa.array([], type=pa.string()),
                 }
             )
-        rows = []
-        for (mtype, ref), g in df.groupby(["mtype", "ref"]):
-            ms = [
-                [int(r.rel_id), r.role, int(r.pos)]
-                for r in g.itertuples()
-            ]
-            rows.append((mtype, int(ref), json.dumps(ms)))
-        mt, rf, mj = zip(*rows)
+        batch = batch.combine_chunks()
+        mtype = batch.column("mtype").to_numpy(zero_copy_only=False)
+        ref = batch.column("ref").to_numpy(zero_copy_only=False)
+        rel_id = batch.column("rel_id").to_numpy(zero_copy_only=False)
+        role = batch.column("role").to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        mcode = np.asarray(
+            pc.index_in(
+                batch.column("mtype"),
+                value_set=pa.array(["node", "way", "relation"]),
+            ).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        order = np.lexsort((ref, mcode))  # stable: in-group order preserved
+        ref_s, rel_s = ref[order], rel_id[order]
+        role_s, pos_s = role[order], pos[order]
+        mt_s, mc_s = mtype[order], mcode[order]
+        n = len(ref_s)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (mc_s[1:] != mc_s[:-1]) | (ref_s[1:] != ref_s[:-1])
+        starts = np.nonzero(change)[0]
+        uroles, rinv = np.unique(role_s.astype(str), return_inverse=True)
+        role_json = np.array(
+            [json.dumps(r) for r in uroles], dtype=str
+        )[rinv]
+        pieces = np.char.add("[", rel_s.astype(np.int64).astype("U20"))
+        pieces = np.char.add(pieces, ",")
+        pieces = np.char.add(pieces, role_json)
+        pieces = np.char.add(pieces, ",")
+        pieces = np.char.add(pieces, pos_s.astype(np.int64).astype("U11"))
+        pieces = np.char.add(pieces, "]")
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(pieces, type=pa.string()),
+            ),
+            ",",
+        )
+        members_json = pc.binary_join_element_wise(
+            "[", joined, "]", ""
+        )
         return pa.table(
             {
-                "mtype": pa.array(mt, type=pa.string()),
-                "ref": pa.array(rf, type=pa.int64()),
-                "members_json": pa.array(mj, type=pa.string()),
+                "mtype": pa.array(mt_s[starts], type=pa.string()),
+                "ref": pa.array(ref_s[starts], type=pa.int64()),
+                "members_json": members_json,
             }
         )
 
@@ -708,6 +776,7 @@ def convert_datasets_entry_streams(
     # exchange and the attach a hash-shuffle join — no RAM ceiling
     # (VERDICT r02 next-step #2).
     memb_broadcast = leftover.count() <= memb_broadcast_max
+    _pt.mark("leftover count")
     if memb_broadcast:
         lt_tbls = [t for t in ray.get(leftover.to_arrow_refs()) if len(t)]
         lt_all = (
@@ -722,6 +791,7 @@ def convert_datasets_entry_streams(
             .map_batches(group_members, batch_format="pyarrow")
             .materialize()
         )
+    _pt.mark("membership build")
 
     def _memb_side(kind: str):
         """(ref, rev_members_json) for one member kind — a pa.Table in
@@ -1294,29 +1364,22 @@ def convert_datasets_entry_streams(
 
     way_entries = ways_j.map_batches(emit_ways, batch_format="pyarrow")
 
-    # --- J2: relation member geometries — distributed -----------------------
-    # The member streams join the BIG sides (assembled way geometries, node
-    # locations) with the same colocated hash-join machinery as J1 (VERDICT
-    # r02 next-step #2); the reference holds all of this in RAM
-    # (Reunify.java:54,676-841).  Unresolved way members stay null and drop
-    # at emit (Reunify.java:676-841); unresolved via-NODES keep marked-id
-    # garbage coords (_marked_point).
+    # --- J2: relation member geometries -------------------------------------
+    # The reference holds the whole member-geometry merge in RAM
+    # (Reunify.java:54,676-841).  Under ``memb_broadcast`` (the same
+    # relation-scale RAM threshold as the membership map) the routed member
+    # stream already lives on the driver, so the merge happens there with
+    # ZERO exchanges: member-way geometries arrive via ONE filtered
+    # streaming pass over the way-geometry stream, node members via the
+    # broadcast node arrays (or a filtered pass over node_loc).  Above the
+    # threshold the member streams join the BIG sides with the same
+    # colocated hash-join machinery as J1 (VERDICT r02 next-step #2).
+    # Either way: unresolved way members stay null and drop at emit
+    # (Reunify.java:676-841); unresolved restriction via-NODES keep
+    # marked-id garbage coords (_marked_point).
 
     mem = routed.filter(expr="route != 'leftover'")
-    mem_way = mem.filter(expr="mtype == 'way'")
-    mem_node = mem.filter(expr="mtype == 'node'")
     _member_cols = ("rel_id", "route", "m_idx", "mtype", "role")
-
-    wm = hash_join(
-        mem_way, way_geo_narrow, on="ref", right_on="way_id",
-        join_type="left_outer", num_partitions=nparts_fact,
-        left_schema=_routed_schema, right_schema=_way_geo_narrow_schema,
-    )
-
-    def _way_member_geo(b: pa.Table) -> pa.Table:
-        cols = {c: b.column(c) for c in _member_cols}
-        cols["mgeo_json"] = b.column("geo_json")  # null = unresolved way
-        return pa.table(cols)
 
     def _node_geo_strings(refs, lon, lat, valid):
         return [
@@ -1325,7 +1388,195 @@ def convert_datasets_entry_streams(
             for ok, x, y, r in zip(valid, lon, lat, refs)
         ]
 
-    if node_bcast:
+    class _IdSetFilter:
+        """Keep rows whose ``col`` value is in the broadcast sorted id
+        set — the semi-join pushdown for collecting a small keyed subset
+        of a big stream without an exchange."""
+
+        def __init__(self, ref, col: str):
+            self.ids = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+            self.col = col
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = b.column(self.col).to_numpy(zero_copy_only=False)
+            if not len(self.ids):
+                return b.filter(pa.array(np.zeros(len(b), dtype=bool)))
+            p = np.minimum(
+                np.searchsorted(self.ids, v), len(self.ids) - 1
+            )
+            return b.filter(pa.array(self.ids[p] == v))
+
+    def _collect_tables(ds, empty_schema: pa.Schema) -> pa.Table:
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+        return (
+            pa.concat_tables(tbls).combine_chunks()
+            if tbls else empty_schema.empty_table()
+        )
+
+    if memb_broadcast:
+        mem_tbl = _collect_tables(mem, _routed_schema)
+        m_mtype = mem_tbl.column("mtype").to_numpy(zero_copy_only=False)
+        m_ref = mem_tbl.column("ref").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        is_way_m = m_mtype == "way"
+        way_refs = np.unique(m_ref[is_way_m])
+        wg = _collect_tables(
+            way_geo_narrow.map_batches(
+                CachedStage(_IdSetFilter, ray.put(way_refs), "way_id"),
+                batch_format="pyarrow",
+            ),
+            _way_geo_narrow_schema,
+        )
+        wg_ids = wg.column("way_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        wg_order = np.argsort(wg_ids, kind="stable")
+        wg_ids = wg_ids[wg_order]
+        wg_geo = wg.column("geo_json").to_numpy(
+            zero_copy_only=False
+        ).astype(object)[wg_order]
+        mgeo = np.full(len(mem_tbl), None, dtype=object)
+        if is_way_m.any() and len(wg_ids):
+            wrefs = m_ref[is_way_m]
+            p = np.minimum(
+                np.searchsorted(wg_ids, wrefs), len(wg_ids) - 1
+            )
+            found = wg_ids[p] == wrefs
+            vals = np.where(found, wg_geo[p], None)
+            mgeo[np.nonzero(is_way_m)[0]] = vals
+        is_node_m = m_mtype == "node"
+        if is_node_m.any():
+            nrefs = m_ref[is_node_m]
+            if node_bcast:
+                lon, lat, found = _CoordLookup(nl_ref).coords(nrefs)
+            else:
+                nl_sub = _collect_tables(
+                    node_loc.map_batches(
+                        CachedStage(
+                            _IdSetFilter,
+                            ray.put(np.unique(nrefs)), "id",
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    pa.schema(
+                        [
+                            ("id", pa.int64()), ("lon", pa.int64()),
+                            ("lat", pa.int64()),
+                        ]
+                    ),
+                )
+                st = {
+                    c: nl_sub.column(c).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    for c in ("id", "lon", "lat")
+                }
+                o = np.argsort(st["id"], kind="stable")
+                lon, lat, found = _CoordLookup(
+                    {
+                        "ids": st["id"][o], "lon": st["lon"][o],
+                        "lat": st["lat"][o],
+                    }
+                ).coords(nrefs)
+            mgeo[np.nonzero(is_node_m)[0]] = np.array(
+                _node_geo_strings(nrefs, lon, lat, found), dtype=object
+            )
+        member_geo_tbl = pa.table(
+            {
+                **{c: mem_tbl.column(c) for c in _member_cols},
+                "mgeo_json": pa.array(mgeo, type=pa.string()),
+            }
+        )
+        _pt.mark("member_geo driver build (J2)")
+
+        # relation info + reverse membership, driver-side (same bound)
+        ri_tbl = _collect_tables(
+            projected(rels_ds, {
+                "id": "id", "version": "version", "timestamp": "timestamp",
+                "changeset": "changeset", "uid": "uid", "user": "user",
+                "tags_json": "rel_tags_json",
+            }),
+            _ri_base_schema,
+        )
+        _rm = _memb_side("relation")
+        _rm_keys = _rm.column("ref").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        _rm_o = np.argsort(_rm_keys, kind="stable")
+        _rm_keys = _rm_keys[_rm_o]
+        _rm_vals = _rm.column("rev_members_json").to_numpy(
+            zero_copy_only=False
+        ).astype(object)[_rm_o]
+        _ri_ids = ri_tbl.column("id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(_rm_keys):
+            p = np.minimum(
+                np.searchsorted(_rm_keys, _ri_ids), len(_rm_keys) - 1
+            )
+            f = _rm_keys[p] == _ri_ids
+            rev_vals = np.where(f, _rm_vals[p], None)
+        else:
+            rev_vals = np.full(len(_ri_ids), None, dtype=object)
+        ri_tbl = ri_tbl.append_column(
+            "rev_members_json", pa.array(rev_vals, type=pa.string())
+        )
+        _pt.mark("ri driver build")
+
+        merged = member_geo_tbl.join(
+            ri_tbl, keys=["rel_id"], right_keys=["id"], join_type="inner"
+        ).combine_chunks()
+        # split into ~nparts blocks at rel_id boundaries so emit_relations
+        # parallelizes while each relation stays within one block
+        if len(merged):
+            r = merged.column("rel_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(r, kind="stable")
+            merged = merged.take(
+                pa.array(order, type=pa.int64())
+            ).combine_chunks()
+            r = r[order]
+            gstarts = np.concatenate(
+                [[0], np.nonzero(r[1:] != r[:-1])[0] + 1]
+            )
+            k = max(1, min(nparts, len(gstarts)))
+            cut_groups = np.linspace(
+                0, len(gstarts), k + 1
+            ).astype(np.int64)[1:-1]
+            cuts = (
+                [0] + [int(gstarts[c]) for c in np.unique(cut_groups)]
+                + [len(merged)]
+            )
+            blocks = [
+                merged.slice(s, e - s)
+                for s, e in zip(cuts[:-1], cuts[1:]) if e > s
+            ]
+            geo_plus_info = rd.from_arrow(blocks)
+        else:
+            geo_plus_info = rd.from_arrow(merged)
+        ri_ds = None  # collections use ri_tbl in this regime
+    else:
+        geo_plus_info, ri_ds, ri_tbl = None, None, None
+
+    mem_way = mem.filter(expr="mtype == 'way'")
+    mem_node = mem.filter(expr="mtype == 'node'")
+
+    wm = hash_join(
+        mem_way, way_geo_narrow, on="ref", right_on="way_id",
+        join_type="left_outer", num_partitions=nparts_fact,
+        left_schema=_routed_schema, right_schema=_way_geo_narrow_schema,
+    ) if not memb_broadcast else None
+
+    def _way_member_geo(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in _member_cols}
+        cols["mgeo_json"] = b.column("geo_json")  # null = unresolved way
+        return pa.table(cols)
+
+    if memb_broadcast:
+        nm_mapped = None
+    elif node_bcast:
         class _NodeMemberAttach:
             """Via-node coords from the broadcast node arrays — no
             exchange; misses keep marked-id garbage coords."""
@@ -1378,38 +1629,42 @@ def convert_datasets_entry_streams(
             _node_member_geo, batch_format="pyarrow"
         )
 
-    _mg_anchor = pa.table(
-        {
-            "rel_id": pa.array([], type=pa.int64()),
-            "route": pa.array([], type=pa.string()),
-            "m_idx": pa.array([], type=pa.int32()),
-            "mtype": pa.array([], type=pa.string()),
-            "role": pa.array([], type=pa.string()),
-            "mgeo_json": pa.array([], type=pa.string()),
-        }
-    )
-    member_geo = (
-        wm.map_batches(_way_member_geo, batch_format="pyarrow")
-        .union(nm_mapped)
-        .union(rd.from_arrow(_mg_anchor))  # schema anchor: empty exchanges
-        .materialize()
-    )
-    # (materialize: caps how many aggregator pools one DAG co-schedules AND
-    # gives the next join a metadata-cheap schema)
+    if not memb_broadcast:
+        _mg_anchor = pa.table(
+            {
+                "rel_id": pa.array([], type=pa.int64()),
+                "route": pa.array([], type=pa.string()),
+                "m_idx": pa.array([], type=pa.int32()),
+                "mtype": pa.array([], type=pa.string()),
+                "role": pa.array([], type=pa.string()),
+                "mgeo_json": pa.array([], type=pa.string()),
+            }
+        )
+        member_geo = (
+            wm.map_batches(_way_member_geo, batch_format="pyarrow")
+            .union(nm_mapped)
+            .union(rd.from_arrow(_mg_anchor))  # schema anchor: empties
+            .materialize()
+        )
+        # (materialize: caps how many aggregator pools one DAG
+        # co-schedules AND gives the next join a metadata-cheap schema)
+        _pt.mark("member_geo materialize (J2)")
 
-    ri_ds = attach_membership(
-        projected(rels_ds, {
-            "id": "id", "version": "version", "timestamp": "timestamp",
-            "changeset": "changeset", "uid": "uid", "user": "user",
-            "tags_json": "rel_tags_json",
-        }),
-        "relation", "id", ds_schema=_ri_base_schema,
-    ).materialize()
+        ri_ds = attach_membership(
+            projected(rels_ds, {
+                "id": "id", "version": "version", "timestamp": "timestamp",
+                "changeset": "changeset", "uid": "uid", "user": "user",
+                "tags_json": "rel_tags_json",
+            }),
+            "relation", "id", ds_schema=_ri_base_schema,
+        ).materialize()
+        _pt.mark("ri_ds materialize")
 
-    geo_plus_info = hash_join(
-        member_geo, ri_ds, on="rel_id", right_on="id", join_type="inner",
-        num_partitions=nparts, right_schema=_ri_schema,
-    )
+        geo_plus_info = hash_join(
+            member_geo, ri_ds, on="rel_id", right_on="id",
+            join_type="inner", num_partitions=nparts,
+            right_schema=_ri_schema,
+        )
 
     def emit_relations(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1491,32 +1746,24 @@ def convert_datasets_entry_streams(
 
     # --- collections: semi-join rels against the leftover stream ------------
     if memb_broadcast:
-        # leftover already sits on the driver in this regime: broadcast
-        # the sorted owner-id set and filter — no exchange
+        # leftover AND the relation-info table already sit on the driver
+        # in this regime: filter driver-side — no exchange, no extra pass
         _coll_ids = np.sort(
             np.unique(
                 lt_all.column("rel_id").to_numpy(zero_copy_only=False)
             )
         ) if len(lt_all) else np.empty(0, dtype=np.int64)
-        _coll_ref = ray.put(_coll_ids)
-
-        class _CollFilter:
-            def __init__(self, ref):
-                self.ids = (
-                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-                )
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                ids = b.column("id").to_numpy(zero_copy_only=False)
-                if not len(self.ids):
-                    return b.filter(pa.array(np.zeros(len(b), dtype=bool)))
-                p = np.searchsorted(self.ids, ids)
-                p = np.minimum(p, len(self.ids) - 1)
-                return b.filter(pa.array(self.ids[p] == ids))
-
-        coll_j = ri_ds.map_batches(
-            CachedStage(_CollFilter, _coll_ref), batch_format="pyarrow"
-        )
+        _rids = ri_tbl.column("id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(_coll_ids):
+            p = np.minimum(
+                np.searchsorted(_coll_ids, _rids), len(_coll_ids) - 1
+            )
+            _cmask = _coll_ids[p] == _rids
+        else:
+            _cmask = np.zeros(len(_rids), dtype=bool)
+        coll_j = rd.from_arrow(ri_tbl.filter(pa.array(_cmask)))
     else:
         leftover_ids = leftover.map_batches(
             lambda b: b.select(["rel_id"]), batch_format="pyarrow"
