@@ -196,11 +196,19 @@ def write_entry_streams(
     the reference streams stage-to-stage through tmp files, Oma.java:43-47;
     this streams through the object store instead).
 
-    Streams write sequentially — each DAG holds only its own hash-shuffle
-    aggregator pools (Ray 2.49 can stall co-scheduling many pools at once)
-    — into ``data/stream=<name>/...`` so a crashed run resumes per stream:
-    done streams are skipped via the manifest, half-written ones are
-    removed and rewritten.
+    Streams with upstream exchanges write sequentially — each DAG holds
+    only its own hash-shuffle aggregator pools (Ray 2.49 can stall
+    co-scheduling many pools at once) — into ``data/stream=<name>/...``
+    so a crashed run resumes per stream: done streams are skipped via the
+    manifest, half-written ones are removed and rewritten.
+
+    When the producer marks the streams exchange-free
+    (``streams.fused`` — the conversion's double-broadcast regime, where
+    every stream is a fused task chain or a driver table), all pending
+    streams union into ONE DAG with a single keyed repartition (one
+    aggregator pool, one fixed exchange latency instead of four) and
+    ``stream`` becomes a partition column — the on-disk layout is
+    byte-layout-identical either way.
     """
     import shutil
 
@@ -213,26 +221,62 @@ def write_entry_streams(
     man = Manifest(out_dir)
     done = man.done_lineages()
     data_dir = os.path.join(out_dir, "data")
-    for name, ds in streams.items():
-        lid = f"stream:{name}"
+    pending = {n: ds for n, ds in streams.items()
+               if f"stream:{n}" not in done}
+    for name in pending:
         stream_dir = os.path.join(data_dir, f"stream={name}")
-        if lid in done:
-            continue
         if os.path.exists(stream_dir):
             shutil.rmtree(stream_dir)  # half-written: rewrite idempotently
-        out = finalize_entry_stream(ds, boxes).repartition(
-            default_partitions(), keys=["chunk_type", "tile_bucket", "key_part"]
-        ).map_batches(_sort_entry_block, batch_format="pyarrow")
-        out.write_parquet(
-            stream_dir,
-            partition_cols=["chunk_type", "tile_bucket", "key_part"],
-        )
+
+    def _mark(name: str):
+        stream_dir = os.path.join(data_dir, f"stream={name}")
         n_rows = (
             pads.dataset(stream_dir, format="parquet", partitioning="hive")
             .count_rows()
             if os.path.exists(stream_dir) else 0
         )
-        man.mark_done(lid, rows=n_rows, path=stream_dir)
+        man.mark_done(f"stream:{name}", rows=n_rows, path=stream_dir)
+
+    if getattr(streams, "fused", False) and pending:
+        def _tagged(name: str, ds):
+            def tag(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "stream",
+                    pa.array([name] * len(b), type=pa.string()),
+                )
+
+            return finalize_entry_stream(ds, boxes).map_batches(
+                tag, batch_format="pyarrow"
+            )
+
+        union_ds = None
+        for name, ds in pending.items():
+            t = _tagged(name, ds)
+            union_ds = t if union_ds is None else union_ds.union(t)
+        out = union_ds.repartition(
+            default_partitions(),
+            keys=["chunk_type", "tile_bucket", "key_part"],
+        ).map_batches(_sort_entry_block, batch_format="pyarrow")
+        out.write_parquet(
+            data_dir,
+            partition_cols=[
+                "stream", "chunk_type", "tile_bucket", "key_part"
+            ],
+        )
+        for name in pending:
+            _mark(name)
+    else:
+        for name, ds in pending.items():
+            stream_dir = os.path.join(data_dir, f"stream={name}")
+            out = finalize_entry_stream(ds, boxes).repartition(
+                default_partitions(),
+                keys=["chunk_type", "tile_bucket", "key_part"],
+            ).map_batches(_sort_entry_block, batch_format="pyarrow")
+            out.write_parquet(
+                stream_dir,
+                partition_cols=["chunk_type", "tile_bucket", "key_part"],
+            )
+            _mark(name)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump({"type_config": type_text, "bbs": bbs_text}, f)
     return out_dir

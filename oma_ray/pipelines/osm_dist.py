@@ -72,6 +72,15 @@ class _PhaseTimer:
             self.t = now
 
 
+class EntryStreams(dict):
+    """Entry-stream dict (node/way/rel/coll, the reference's N→W→A→C
+    emission order).  ``fused=True`` marks every stream exchange-free
+    (fused task chains / driver tables), letting the partitioned writer
+    union them into a single DAG (oma_out.write_entry_streams)."""
+
+    fused = False
+
+
 def _elements_table(elems: list[dict], kind: str) -> pa.Table:
     """Element dicts → the per-kind wire schema.  Nodes (the planet-scale
     bulk) carry tags as native list columns — their whole pipeline avoids
@@ -1423,13 +1432,22 @@ def convert_datasets_entry_streams(
         ).astype(np.int64)
         is_way_m = m_mtype == "way"
         way_refs = np.unique(m_ref[is_way_m])
-        wg = _collect_tables(
-            way_geo_narrow.map_batches(
+        if node_bcast:
+            # filter ways BEFORE the fused geometry build so the pass
+            # only explodes/stringifies the ~1% of ways that are members
+            wg_src = ways_ds.map_batches(
+                CachedStage(_IdSetFilter, ray.put(way_refs), "id"),
+                batch_format="pyarrow",
+            ).map_batches(
+                CachedStage(_WayGeoFused, nl_ref), batch_format="pyarrow"
+            ).map_batches(_as_way_geo, batch_format="pyarrow")
+        else:
+            # way_geo is already materialized here: filter the narrow view
+            wg_src = way_geo_narrow.map_batches(
                 CachedStage(_IdSetFilter, ray.put(way_refs), "way_id"),
                 batch_format="pyarrow",
-            ),
-            _way_geo_narrow_schema,
-        )
+            )
+        wg = _collect_tables(wg_src, _way_geo_narrow_schema)
         wg_ids = wg.column("way_id").to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
@@ -1796,15 +1814,15 @@ def convert_datasets_entry_streams(
         emit_collections, batch_format="pyarrow"
     )
 
-    return (
-        {
-            "node": node_entries,
-            "way": way_entries,
-            "rel": rel_entries,
-            "coll": coll_entries,
-        },
-        boxes,
+    out_streams = EntryStreams(
+        node=node_entries, way=way_entries,
+        rel=rel_entries, coll=coll_entries,
     )
+    # both broadcast regimes active ⇒ every stream is a fused task chain
+    # or a driver table (zero upstream exchanges): the writer may union
+    # them into one DAG with a single aggregator pool
+    out_streams.fused = bool(memb_broadcast and node_bcast)
+    return out_streams, boxes
 
 
 def entries_from_streams(streams: dict, boxes: list[tuple]) -> list[tuple]:
