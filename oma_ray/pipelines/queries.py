@@ -35,7 +35,13 @@ def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
     (fuses into the upstream task chain) → keyed repartition co-locating each
     key in exactly one block → per-block combine.  Equivalent to
     ``groupby().aggregate(Sum)`` but without the per-row shuffle cost and the
-    aggregator-actor startup of the built-in paths."""
+    aggregator-actor startup of the built-in paths.
+
+    Caveat: on a fully-empty input the hash shuffle emits ZERO blocks, so
+    the result dataset loses its schema (``schema() is None`` — a Ray 2.49
+    quirk; see the pair-op anchors in stages/join.py for the union-anchor
+    workaround).  All callers here feed non-empty tables; anchor the
+    output yourself if your input can legitimately be empty."""
     from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
     from oma_ray.stages.dedup import ensure_hash_shuffle
