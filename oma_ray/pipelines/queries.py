@@ -30,21 +30,24 @@ SQL_CENTS = "CAST(FLOOR({c}*100 + 0.5) AS BIGINT)"
 
 
 def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  anchor: "pa.Table | None" = None):
     """Distributed grouped integer sums, tree-style: per-batch pandas partial
     (fuses into the upstream task chain) → keyed repartition co-locating each
     key in exactly one block → per-block combine.  Equivalent to
     ``groupby().aggregate(Sum)`` but without the per-row shuffle cost and the
     aggregator-actor startup of the built-in paths.
 
-    Caveat: on a fully-empty input the hash shuffle emits ZERO blocks, so
-    the result dataset loses its schema (``schema() is None`` — a Ray 2.49
-    quirk; see the pair-op anchors in stages/join.py for the union-anchor
-    workaround).  All callers here feed non-empty tables; anchor the
-    output yourself if your input can legitimately be empty."""
+    Caveat: on a fully-empty input the hash shuffle emits ZERO-COLUMN
+    blocks (a Ray 2.49 quirk — map tasks are skipped on empty blocks, so no
+    downstream stage can repair them).  Callers whose input can legitimately
+    be empty pass ``anchor`` (a 0-row table with the RESULT schema: keys +
+    sum_cols); it is unioned on so ``schema()`` stays correct.  A fully
+    empty result's ``to_pandas()`` may still be column-less — consume via
+    ``schema()`` or guard for missing columns (see skew.find_hot_keys)."""
     from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
-    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
 
     ensure_hash_shuffle()
     if num_partitions is None:
@@ -61,10 +64,11 @@ def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
             return batch
         return from_pandas_clean(df.groupby(keys, as_index=False)[sum_cols].sum())
 
-    return (
+    return _schema_anchor(
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(num_partitions, keys=keys)
-        .map_batches(combine, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow"),
+        anchor,
     )
 
 

@@ -44,6 +44,10 @@ def find_hot_keys(ds, key_col: str, hot_share: float = 0.01) -> set:
     """Keys holding more than ``hot_share`` of all rows (driver-side result:
     bounded by 1/hot_share entries by construction)."""
     df = key_counts(ds, key_col).to_pandas()
+    # Empty input → the hash shuffle emits zero blocks and the result frame
+    # has no columns at all (key dtype is unknown here, so no static anchor).
+    if "n" not in df.columns:
+        return set()
     total = int(df["n"].sum())
     if total == 0:
         return set()

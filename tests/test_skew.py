@@ -65,3 +65,36 @@ def test_format_sniffer():
         assert detect_format(str(p / "a.pbf")) == "pbf"
         assert detect_format(str(p / "a.osm")) == "xml"
     assert detect_format("/root/repo/tests/golden/default.oma") == "oma"
+
+
+def test_empty_input_grouped_sums_and_hot_keys():
+    """Empty inputs: hash shuffle emits zero blocks (schema lost) — the
+    anchor param keeps _grouped_sums projectable and find_hot_keys returns
+    an empty set instead of KeyError."""
+    import pandas as pd
+    import ray.data as rd
+
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.skew import find_hot_keys
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    assert find_hot_keys(empty, "k") == set()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch.column("k").to_numpy(zero_copy_only=False),
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    anchor = pa.table(
+        {"k": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+    )
+    out = _grouped_sums(empty, ["k"], partial, ["n"], anchor=anchor)
+    # the anchor keeps schema() alive; the empty exchange's blocks are
+    # zero-column and unrepairable (map tasks skip empty blocks), so
+    # to_pandas column presence is what consumers must guard for.
+    m = out.materialize()
+    assert m.count() == 0
+    assert m.schema() is not None and m.schema().names == ["k", "n"]
