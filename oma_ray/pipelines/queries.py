@@ -1421,6 +1421,175 @@ FROM kept GROUP BY lang
 """
 
 
+# --- q31: hierarchical ROLLUP aggregate (stages/rollup.py) ------------------
+
+def q31_rollup_pricing(sf_dir: str):
+    """Pricing sums at every ROLLUP level of (returnflag, linestatus):
+    one pass over lineitem at the finest level, coarser levels re-aggregated
+    from the finer aggregate (exchange moves O(groups))."""
+    from oma_ray.stages.rollup import rollup_sums
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+                "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False),
+                "sum_qty_c": _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False)),
+                "n_items": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return rollup_sums(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        partial,
+        ["sum_qty_c", "n_items"],
+        {"l_returnflag": pa.string(), "l_linestatus": pa.string()},
+    )
+
+
+SQL_Q31 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({SQL_CENTS.format(c='l_quantity')}) AS BIGINT) AS sum_qty_c,
+  COUNT(*) AS n_items
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --- q32: exact grouped quantiles via value-count histogram -----------------
+
+def q32_quantity_quantiles(sf_dir: str):
+    """Exact median/p90/p99 of quantity-in-cents per returnflag — the
+    histogram exchange moves O(groups × 50 distinct values), the selection
+    is one vectorized searchsorted (stages/quantile.py)."""
+    from oma_ray.stages.quantile import grouped_quantiles
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty_c": pa.array(
+                    _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return grouped_quantiles(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "qty_c",
+        [("median_c", 1, 2), ("p90_c", 9, 10), ("p99_c", 99, 100)],
+    )
+
+
+_QTY_C = SQL_CENTS.format(c="l_quantity")
+SQL_Q32 = f"""
+SELECT l_returnflag, COUNT(*) AS n,
+  quantile_disc({_QTY_C}, 0.5) AS median_c,
+  quantile_disc({_QTY_C}, 0.9) AS p90_c,
+  quantile_disc({_QTY_C}, 0.99) AS p99_c
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- q33: exact per-day distinct users (dedup exchange, two levels) ---------
+
+def q33_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per day, exactly: per-batch (day, user)
+    dedup partials → keyed exchange on the PAIR (each pair lands once) →
+    per-block distinct count per day → tiny second exchange summing per
+    day.  The companion sketch path (stages/sketch.approx_ndistinct, HLL)
+    does the same in O(groups × 4KB) for unbounded cardinalities; the
+    exact path is the oracled one."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "day": batch.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]")
+                .astype("datetime64[us]"),
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+            }
+        )
+        return from_pandas_clean(df.drop_duplicates())
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["day", "user_id"])
+    )
+
+    def count_per_day(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        out = df.groupby("day", as_index=False).size()
+        return out.rename(columns={"size": "n_users"}).astype({"n_users": np.int64})
+
+    return _grouped_sums(deduped, ["day"], count_per_day, ["n_users"], 4)
+
+
+SQL_Q33 = """
+SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# --- q34: stratified corpus rebalancing sample ------------------------------
+
+_Q34_RATES = {"en": 10, "fr": 40}
+_Q34_DEFAULT = 80
+
+
+def q34_stratified_sample(sf_dir: str):
+    """Corpus rebalancing: downsample the over-represented languages,
+    keep most of the tail — per-stratum deterministic hash-Bernoulli
+    (stages/sample.stratified_sample), summarized per language so the
+    whole operator is value-oracled."""
+    from oma_ray.stages.sample import stratified_sample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    s = stratified_sample(ds, "lang", "doc_id", _Q34_RATES, _Q34_DEFAULT)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+                "sum_chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return _grouped_sums(s, ["lang"], partial, ["n_docs", "sum_chars"], 4)
+
+
+from oma_ray.stages.sample import sql_stratified_predicate as _sql_strat  # noqa: E402
+
+SQL_Q34 = f"""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {_sql_strat('lang', 'doc_id', _Q34_RATES, _Q34_DEFAULT)}
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1452,6 +1621,10 @@ QUERIES = {
     "q28_doc_sample": q28_doc_sample,
     "q29_corpus_curation": q29_corpus_curation,
     "q30_asof_events": q30_asof_events,
+    "q31_rollup_pricing": q31_rollup_pricing,
+    "q32_quantity_quantiles": q32_quantity_quantiles,
+    "q33_distinct_users": q33_distinct_users,
+    "q34_stratified_sample": q34_stratified_sample,
 }
 
 ORACLES = {
@@ -1479,4 +1652,8 @@ ORACLES = {
     "q28_doc_sample": SQL_Q28,
     "q29_corpus_curation": SQL_Q29,
     "q30_asof_events": SQL_Q30,
+    "q31_rollup_pricing": SQL_Q31,
+    "q32_quantity_quantiles": SQL_Q32,
+    "q33_distinct_users": SQL_Q33,
+    "q34_stratified_sample": SQL_Q34,
 }

@@ -1,0 +1,86 @@
+"""ROLLUP-style hierarchical grouped sums (engine addition — the reference
+has single-level grouping only: ChunkGenerator/TypeAnalysis group once by
+(type, tile) and once by key; SURVEY §2.6).
+
+``rollup_sums`` reads the input ONCE at the finest grouping level, then
+derives every coarser level by re-aggregating the finer *aggregate* — one
+row per key combination — so each extra level's exchange moves O(groups),
+never O(rows).  Levels are unioned with grouped-out key columns set to
+null, exactly the ANSI ``GROUP BY ROLLUP`` shape, which keeps the whole
+operator value-oracleable against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _null_filled(batch: pa.Table, keys: list[str], key_types: dict,
+                 sum_cols: list[str]) -> pa.Table:
+    """Project ``batch`` to keys + sum_cols in canonical order, adding
+    all-null columns for keys the level grouped out."""
+    cols = []
+    for k in keys:
+        if k in batch.column_names:
+            cols.append(batch.column(k).cast(key_types[k]))
+        else:
+            cols.append(pa.nulls(batch.num_rows, type=key_types[k]))
+    for c in sum_cols:
+        cols.append(batch.column(c))
+    return pa.table(dict(zip(keys + sum_cols, cols)))
+
+
+def rollup_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
+                key_types: dict, num_partitions: int | None = None):
+    """``GROUP BY ROLLUP(keys...)`` over integer sums.
+
+    ``partial_fn``/``sum_cols`` are as in queries._grouped_sums (the fine
+    level IS a _grouped_sums call).  ``key_types`` maps each key to its
+    Arrow type so null-filled levels union cleanly.  Coarser exchanges use
+    few partitions: their inputs are already one row per finer group.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    coarse_parts = max(1, default_partitions() // 4)
+
+    def reagg(sub: list[str]):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            return batch.select(sub + sum_cols).to_pandas()
+
+        return partial
+
+    levels = []
+    # Each level is BOTH an output branch and the next level's input; Ray
+    # re-executes shared lineage per consumer, so materialize each level —
+    # it is an aggregate, one row per group combination, exactly the
+    # "small result" case where materialization is correct.
+    cur = _grouped_sums(ds, keys, partial_fn, sum_cols, num_partitions).materialize()
+    levels.append(cur)
+    for n in range(len(keys) - 1, 0, -1):
+        sub = keys[:n]
+        cur = _grouped_sums(
+            cur, sub, reagg(sub), sum_cols, coarse_parts
+        ).materialize()
+        levels.append(cur)
+    # grand total: constant-key grouped sum over the coarsest level
+    def total_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(sum_cols).to_pandas()
+        df["_all"] = 0
+        return df
+
+    levels.append(
+        _grouped_sums(cur, ["_all"], total_partial, sum_cols, 1).drop_columns(
+            ["_all"]
+        )
+    )
+
+    out = None
+    for lvl in levels:
+        norm = lvl.map_batches(
+            lambda b: _null_filled(b, keys, key_types, sum_cols),
+            batch_format="pyarrow",
+        )
+        out = norm if out is None else out.union(norm)
+    return out

@@ -41,3 +41,34 @@ def sql_sample_predicate(id_col: str, pct: int, salt: int = KNUTH,
                          base: int = 100) -> str:
     """The identical predicate for a DuckDB oracle."""
     return f"(({id_col} * {salt}) % 4294967296) % {base} < {pct}"
+
+
+def stratified_sample(ds, strata_col: str, id_col: str,
+                      rates: dict[str, int], default_pct: int,
+                      salt: int = KNUTH, base: int = 100):
+    """Per-stratum deterministic Bernoulli sampling: each row's survival
+    threshold comes from its stratum (e.g. keep 5% of English but 50% of
+    low-resource languages — the usual corpus-rebalancing shape).  Same
+    hash predicate as ``hash_sample`` so the whole thing stays
+    SQL-mirrorable; pure per-batch filter, no exchange, fuses."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        strata = pd.Series(batch.column(strata_col).to_numpy(zero_copy_only=False))
+        pcts = strata.map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
+        h = ((ids.astype(np.int64) * salt) % (1 << 32)) % base
+        return batch.filter(pa.array(h < pcts))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_stratified_predicate(strata_col: str, id_col: str,
+                             rates: dict[str, int], default_pct: int,
+                             salt: int = KNUTH, base: int = 100) -> str:
+    """The identical per-stratum predicate for a DuckDB oracle."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items())
+    )
+    case = f"CASE {strata_col} {whens} ELSE {default_pct} END"
+    return f"(({id_col} * {salt}) % 4294967296) % {base} < {case}"

@@ -1,0 +1,101 @@
+"""Rollup, exact grouped quantiles, HLL sketch, stratified sampling."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_disc_index_matches_sorted_selection():
+    from oma_ray.stages.quantile import disc_index
+
+    rng = np.random.default_rng(7)
+    for n in [1, 2, 3, 10, 101]:
+        vals = np.sort(rng.integers(0, 50, size=n))
+        for num, den in [(1, 2), (9, 10), (99, 100), (1, 100), (1, 1)]:
+            k = disc_index(n, num, den)
+            assert 0 <= k < n
+            # the ANSI percentile_disc element: first value whose
+            # cumulative share >= p over the sorted multiset
+            p = num / den
+            expect = vals[int(np.ceil(n * p)) - 1]
+            assert vals[k] == expect
+
+
+def test_grouped_quantiles_multi_group(ray_session):
+    import ray.data as rd
+
+    from oma_ray.stages.quantile import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 5, size=4000)
+    v = rng.integers(0, 30, size=4000)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(8)
+    out = (
+        grouped_quantiles(ds, ["g"], "v", [("med", 1, 2), ("p90", 9, 10)])
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    for gi in range(5):
+        sv = np.sort(v[g == gi])
+        row = out[out["g"] == gi].iloc[0]
+        assert row["n"] == len(sv)
+        assert row["med"] == sv[int(np.ceil(len(sv) * 0.5)) - 1]
+        assert row["p90"] == sv[int(np.ceil(len(sv) * 0.9)) - 1]
+
+
+def test_hll_accuracy_and_merge():
+    from oma_ray.stages.sketch import hll_estimate, hll_partial
+
+    rng = np.random.default_rng(3)
+    for true_n in [100, 5_000, 200_000]:
+        vals = rng.integers(0, 2**62, size=true_n)
+        regs = hll_partial(vals, np.zeros(true_n, dtype=np.int64), 1)
+        est = hll_estimate(regs)[0]
+        assert abs(est - len(np.unique(vals))) / true_n < 0.05
+    # merge associativity: two halves merged == one pass
+    vals = rng.integers(0, 2**62, size=10_000)
+    whole = hll_partial(vals, np.zeros(10_000, dtype=np.int64), 1)
+    a = hll_partial(vals[:6_000], np.zeros(6_000, dtype=np.int64), 1)
+    b = hll_partial(vals[6_000:], np.zeros(4_000, dtype=np.int64), 1)
+    assert np.array_equal(np.maximum(a, b), whole)
+
+
+def test_approx_ndistinct_dataset(ray_session):
+    import ray.data as rd
+
+    from oma_ray.stages.sketch import approx_ndistinct
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    key = rng.integers(0, 3, size=n)
+    # distinct pools of very different sizes per key
+    val = np.where(key == 0, rng.integers(0, 50, n),
+                   np.where(key == 1, rng.integers(0, 2_000, n),
+                            rng.integers(0, 1_000_000, n)))
+    ds = rd.from_arrow(pa.table({"k": key, "v": val})).repartition(8)
+    out = approx_ndistinct(ds, ["k"], "v").to_pandas().set_index("k")["approx_n"]
+    import pandas as pd
+
+    exact = pd.DataFrame({"k": key, "v": val}).groupby("k")["v"].nunique()
+    for k in range(3):
+        assert abs(out[k] - exact[k]) / exact[k] < 0.05, (k, out[k], exact[k])
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data as rd
+
+    from oma_ray.stages.sample import stratified_sample
+
+    n = 30_000
+    ids = np.arange(n, dtype=np.int64)
+    strata = np.where(ids % 3 == 0, "en", np.where(ids % 3 == 1, "fr", "de"))
+    ds = rd.from_arrow(pa.table({"id": ids, "s": strata})).repartition(4)
+    out = stratified_sample(ds, "s", "id", {"en": 10, "fr": 50}, 90).to_pandas()
+    got = out.groupby("s")["id"].count()
+    assert abs(got["en"] / 10_000 - 0.10) < 0.02
+    assert abs(got["fr"] / 10_000 - 0.50) < 0.03
+    assert abs(got["de"] / 10_000 - 0.90) < 0.03
+    # deterministic: same predicate → same rows
+    out2 = stratified_sample(ds, "s", "id", {"en": 10, "fr": 50}, 90).to_pandas()
+    assert sorted(out2["id"]) == sorted(out["id"])
