@@ -1590,6 +1590,212 @@ GROUP BY lang
 """
 
 
+# --- q35: TF-IDF distinctive terms per language -----------------------------
+
+def q35_tfidf_terms(sf_dir: str):
+    """Top-5 distinctive terms per language by a linear-idf TF-IDF score
+    ``tf · 10⁶ · N ∕ df`` (integer arithmetic end-to-end so the DuckDB
+    oracle matches bit-for-bit; the classic log-idf is a one-line swap that
+    loses exact comparability).
+
+    One vectorized tokenization pass (Arrow ``split_pattern_regex`` —
+    no per-row Python) emits BOTH partial kinds per batch — (lang, term)
+    term-frequency sums and per-term distinct-doc counts (each doc lives in
+    exactly one input row, so within-batch distinct is globally correct) —
+    tagged into one schema and routed through a SINGLE term-keyed exchange.
+    Co-location by term makes the tf⋈df join free inside each block; a
+    second tiny exchange on lang ranks the top-5.  The exchange moves
+    O(batches × per-batch vocab) partials, never tokens."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        df = pd.DataFrame(
+            {
+                "term": flat[keep],
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False)[
+                    parent[keep]
+                ],
+                "doc": batch.column("doc_id").to_numpy(zero_copy_only=False)[
+                    parent[keep]
+                ],
+            }
+        )
+        tf = df.groupby(["lang", "term"], as_index=False).size()
+        tf = tf.rename(columns={"size": "cnt"})
+        tf["kind"] = np.int8(0)
+        dfc = (
+            df.drop_duplicates(["term", "doc"])
+            .groupby("term", as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        dfc["lang"] = ""
+        dfc["kind"] = np.int8(1)
+        out = pd.concat([tf, dfc], ignore_index=True)[
+            ["term", "lang", "cnt", "kind"]
+        ]
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        dfreq = (
+            df[df["kind"] == 1].groupby("term")["cnt"].sum().rename("df")
+        )
+        tf = (
+            df[df["kind"] == 0]
+            .groupby(["lang", "term"], as_index=False)["cnt"].sum()
+            .rename(columns={"cnt": "tf"})
+        )
+        tf = tf.join(dfreq, on="term")
+        tf["score_u"] = tf["tf"] * 1_000_000 * n_docs // tf["df"]
+        tf["df"] = tf["df"].astype(np.int64)
+        return from_pandas_clean(tf)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        df = df.sort_values(
+            ["lang", "score_u", "term"], ascending=[True, False, True]
+        )
+        return from_pandas_clean(df.groupby("lang").head(5).reset_index(drop=True))
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["term"])
+        .map_batches(score, batch_format="pyarrow")
+        .repartition(4, keys=["lang"])
+        .map_batches(topk, batch_format="pyarrow")
+    )
+
+
+SQL_Q35 = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+         (tf.tf * 1000000 * n.n_docs) // dfreq.df AS score_u
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY score_u DESC, term) AS rk
+  FROM scored)
+SELECT lang, term, tf, df, score_u FROM ranked WHERE rk <= 5
+"""
+
+
+# --- q36: event-chain connected components (graph op, recursive oracle) ----
+
+def q36_event_chains(sf_dir: str):
+    """Activity chains: events of one user link when ≤ 2 h apart; the
+    transitive closure groups them into chains (multi-hop components, not
+    cliques — a chain spanning hours connects ends that never co-occur in
+    a window).  Edges come from the q26 range-join shape (user-colocated
+    blocks, vectorized two-pointer), components from stages/cc.py, sizes
+    from a grouped sum.  Oracled by a DuckDB RECURSIVE min-label closure."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.cc import connected_components
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    part = ds.repartition(default_partitions(), keys=["user_id"])
+    window_us = 120 * 60 * 1_000_000
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64())}
+        )
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["user_id", "ts"])
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(user[1:] != user[:-1])[0] + 1, [len(user)]]
+        )
+        outs_a, outs_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg + window_us, side="right")
+            lo = np.searchsorted(seg, seg, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if not total:
+                continue
+            src = np.repeat(np.arange(len(seg)), cnt)
+            steps = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            dst = np.repeat(lo, cnt) + steps
+            outs_a.append(eid[s:e][src])
+            outs_b.append(eid[s:e][dst])
+        if not outs_a:
+            return empty
+        return pa.table(
+            {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
+        )
+
+    comp = connected_components(
+        part.map_batches(block_edges, batch_format="pyarrow")
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "comp": batch.column("comp").to_numpy(zero_copy_only=False),
+                "n_events": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(comp, ["comp"], partial, ["n_events"], 4)
+
+
+SQL_Q36 = """
+WITH RECURSIVE
+e AS (
+  SELECT a.event_id AS a, b.event_id AS b
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, lab) AS (
+  SELECT node, node FROM (SELECT a AS node FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+labeled AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node)
+SELECT comp, COUNT(*) AS n_events FROM labeled GROUP BY comp
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1625,6 +1831,8 @@ QUERIES = {
     "q32_quantity_quantiles": q32_quantity_quantiles,
     "q33_distinct_users": q33_distinct_users,
     "q34_stratified_sample": q34_stratified_sample,
+    "q35_tfidf_terms": q35_tfidf_terms,
+    "q36_event_chains": q36_event_chains,
 }
 
 ORACLES = {
@@ -1656,4 +1864,6 @@ ORACLES = {
     "q32_quantity_quantiles": SQL_Q32,
     "q33_distinct_users": SQL_Q33,
     "q34_stratified_sample": SQL_Q34,
+    "q35_tfidf_terms": SQL_Q35,
+    "q36_event_chains": SQL_Q36,
 }
