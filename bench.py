@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "q24_supplier_region_stats",
     "q29_corpus_curation",
     "q30_asof_events",
+    "q35_tfidf_terms",
+    "q36_event_chains",
 ]
 
 
