@@ -452,3 +452,98 @@ def embedding_dup_pairs(
 
     empty = cell_pairs(None, None)
     return _bucketed_block_pairs(assigned, ["ivf_cell"], cell_pairs, empty=empty)
+
+
+# --- distributed Lloyd refinement (iterative algorithm over the Dataset) ----
+
+def kmeans_refine(ds, centroids: np.ndarray, emb_col: str = "embedding",
+                  iters: int = 2, num_partitions: int | None = None):
+    """Refine spherical-k-means centroids with Lloyd iterations over the
+    WHOLE Dataset (the sample-based refine in ``_centroids_and_sample``
+    only ever sees 4096 rows).  Per iteration: each batch assigns its rows
+    to the broadcast centroids and emits ONE partial (cell, count, sum
+    vector) row per non-empty cell — a sorted ``np.add.reduceat``, no
+    per-row Python — then a cell-keyed exchange merges partials and the
+    driver rebuilds the K×d matrix (K rows: the canonical small result).
+    Empty cells keep their previous centroid.  Deterministic: numpy float64
+    sums over block-sorted assignments.
+    """
+    import ray
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.taskcache import CachedStage
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 4)
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    k, d = c.shape
+
+    class AssignPartial:
+        def __init__(self, cref):
+            self.c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col))
+            assign = np.argmax(m @ self.c.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            a_sorted = assign[order]
+            starts = np.flatnonzero(
+                np.r_[True, a_sorted[1:] != a_sorted[:-1]]
+            )
+            cells = a_sorted[starts].astype(np.int32)
+            counts = np.diff(np.r_[starts, len(a_sorted)]).astype(np.int64)
+            sums = np.add.reduceat(m[order], starts, axis=0)
+            return pa.table(
+                {
+                    "cell": pa.array(cells, type=pa.int32()),
+                    "cnt": pa.array(counts, type=pa.int64()),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), type=pa.float64()), d
+                    ),
+                }
+            )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        cnts = batch.column("cnt").to_numpy(zero_copy_only=False)
+        vecs = np.asarray(
+            batch.column("vec").combine_chunks().flatten()
+        ).reshape(len(batch), d)
+        order = np.argsort(cells, kind="stable")
+        cells, cnts, vecs = cells[order], cnts[order], vecs[order]
+        starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+        return pa.table(
+            {
+                "cell": pa.array(cells[starts], type=pa.int32()),
+                "cnt": pa.array(
+                    np.add.reduceat(cnts, starts), type=pa.int64()
+                ),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.add.reduceat(vecs, starts, axis=0).ravel(),
+                        type=pa.float64(),
+                    ),
+                    d,
+                ),
+            }
+        )
+
+    for _ in range(iters):
+        cref = ray.put(c)
+        stats = (
+            ds.map_batches(
+                CachedStage(AssignPartial, cref), batch_format="pyarrow"
+            )
+            .repartition(num_partitions, keys=["cell"])
+            .map_batches(combine, batch_format="pyarrow")
+            .to_pandas()  # K rows max — the aggregate, not the data
+        )
+        new_c = c.copy()
+        for _, row in stats.iterrows():
+            cell = int(row["cell"])
+            if row["cnt"] > 0:
+                new_c[cell] = np.asarray(row["vec"], dtype=np.float64) / row["cnt"]
+        c = _normalize(new_c)
+    return c

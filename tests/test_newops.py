@@ -99,3 +99,43 @@ def test_stratified_sample_rates(ray_session):
     # deterministic: same predicate → same rows
     out2 = stratified_sample(ds, "s", "id", {"en": 10, "fr": 50}, 90).to_pandas()
     assert sorted(out2["id"]) == sorted(out["id"])
+
+
+def test_kmeans_refine_recovers_blobs(ray_session):
+    import ray.data as rd
+
+    from oma_ray.stages.knn import _normalize, kmeans_refine
+
+    rng = np.random.default_rng(23)
+    d, n_blobs, per = 16, 6, 400
+    centers = _normalize(rng.normal(size=(n_blobs, d)))
+    pts = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(
+        size=(n_blobs * per, d)
+    )
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(pts.ravel(), type=pa.float64()), d
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    # deliberately bad init: all centroids seeded from ONE blob's region
+    init = centers[0] + 0.1 * rng.normal(size=(n_blobs, d))
+
+    def inertia(c):
+        m = _normalize(pts)
+        return float((1 - (m @ _normalize(c).T).max(axis=1)).sum())
+
+    refined = kmeans_refine(ds, init, iters=4, num_partitions=2)
+    # Lloyd from a collapsed init guarantees monotone improvement and
+    # recovers most blobs; nearby blobs can stay merged (a local minimum,
+    # not a bug — init quality is the quantizer sample's job).
+    assert inertia(refined) < inertia(init) * 0.5
+    sims = _normalize(centers) @ refined.T
+    assert (sims.max(axis=1) > 0.95).sum() >= n_blobs - 2
+    # a good init converges onto every blob
+    good = kmeans_refine(ds, centers + 0.02 * rng.normal(size=(n_blobs, d)),
+                         iters=2, num_partitions=2)
+    assert ((_normalize(centers) @ good.T).max(axis=1) > 0.99).all()
