@@ -1796,6 +1796,99 @@ SELECT comp, COUNT(*) AS n_events FROM labeled GROUP BY comp
 """
 
 
+# --- q37: windowed running totals + lag (per-key ordered window fns) --------
+
+def q37_user_running_totals(sf_dir: str):
+    """Per-user cumulative spend and previous-event pointer — the ordered
+    window-function shape (SUM OVER ... ROWS UNBOUNDED PRECEDING, LAG):
+    one exchange co-locates each user, then the whole window evaluates as a
+    block-local lexsort + grouped cumsum/shift.  A user's history never
+    spans blocks, so local == global — same partitioning contract as
+    sessionization (stages/sessions.py)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    part = ds.repartition(default_partitions(), keys=["user_id"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        df["val_c"] = _cents(df["value"].to_numpy())
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id")
+        df["cum_val_c"] = g["val_c"].cumsum()
+        # -1 sentinel for "no previous event" instead of null: engine and
+        # oracle then agree without relying on null-hash semantics
+        df["prev_event_id"] = (
+            g["event_id"].shift(1).fillna(-1).astype(np.int64)
+        )
+        return from_pandas_clean(
+            df[["user_id", "event_id", "ts", "cum_val_c", "prev_event_id"]]
+        )
+
+    return part.map_batches(window, batch_format="pyarrow")
+
+
+SQL_Q37 = f"""
+SELECT user_id, event_id, ts,
+  CAST(SUM({SQL_CENTS.format(c='value')}) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_val_c,
+  COALESCE(LAG(event_id) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id
+FROM events
+"""
+
+
+# --- q38: pivot (long → wide counts per day × event type) -------------------
+
+_Q38_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q38_event_pivot(sf_dir: str):
+    """Daily event counts pivoted to one column per type — the long→wide
+    reshape as a single pre-aggregated exchange: each batch emits one row
+    per day with per-type partial counts (a 5-column mask sum, no per-row
+    work), the day-keyed exchange moves O(days × batches) rows, and the
+    combine sums partials.  Mirrored in SQL as CASE-sum pivot columns."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    cols = [f"n_{t}" for t in _Q38_TYPES]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype("datetime64[us]")
+        )
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": day})
+        for t, c in zip(_Q38_TYPES, cols):
+            df[c] = (et == t).astype(np.int64)
+        return df
+
+    return _grouped_sums(ds, ["day"], partial, cols, 4)
+
+
+SQL_Q38 = """
+SELECT date_trunc('day', ts) AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1833,6 +1926,8 @@ QUERIES = {
     "q34_stratified_sample": q34_stratified_sample,
     "q35_tfidf_terms": q35_tfidf_terms,
     "q36_event_chains": q36_event_chains,
+    "q37_user_running_totals": q37_user_running_totals,
+    "q38_event_pivot": q38_event_pivot,
 }
 
 ORACLES = {
@@ -1866,4 +1961,6 @@ ORACLES = {
     "q34_stratified_sample": SQL_Q34,
     "q35_tfidf_terms": SQL_Q35,
     "q36_event_chains": SQL_Q36,
+    "q37_user_running_totals": SQL_Q37,
+    "q38_event_pivot": SQL_Q38,
 }
