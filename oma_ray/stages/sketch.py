@@ -112,3 +112,81 @@ def approx_ndistinct(ds, keys: list[str], val_col: str, p: int = 12,
         .repartition(num_partitions, keys=keys)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+# --- Misra-Gries heavy hitters ----------------------------------------------
+
+def mg_partial(values: np.ndarray, k: int) -> pd.Series:
+    """Misra-Gries summary of one batch: value → lower-bound count, at most
+    ``k`` entries.  Guarantee: any value with true frequency > n/(k+1) is
+    present, and every kept count undercounts by at most (n − Σcounts)/(k+1).
+    Per batch this is one C-speed value_counts + a decrement step."""
+    vc = pd.Series(values).value_counts()
+    if len(vc) <= k:
+        return vc
+    # decrement by the (k+1)-th largest count: all smaller entries vanish,
+    # survivors keep (count − dec) — the classic batched MG decrement
+    dec = int(vc.iloc[k])
+    vc = vc.iloc[:k] - dec
+    return vc[vc > 0]
+
+
+def mg_merge(parts: list[pd.Series], k: int) -> pd.Series:
+    """Merge MG summaries (Agarwal et al. 2013 mergeable-summaries rule):
+    sum counts, then decrement by the (k+1)-th largest so at most ``k``
+    survive.  Error bounds add across merges."""
+    total = pd.concat(parts).groupby(level=0).sum().sort_values(ascending=False)
+    if len(total) <= k:
+        return total
+    dec = int(total.iloc[k])
+    total = total.iloc[:k] - dec
+    return total[total > 0]
+
+
+def heavy_hitters(ds, val_col: str, k: int = 64,
+                  num_partitions: int | None = None):
+    """Approximate top-k frequent values of a column as a Dataset of
+    (value, min_count): per-batch MG summaries (≤ k rows each) ride ONE
+    value-keyed exchange where same-value entries sum, then a single-block
+    merge applies the global decrement.  Counts are LOWER bounds; any value
+    with frequency above n/(k+1) of the corpus is guaranteed present.
+    Exchange moves O(batches × k) rows, never the corpus."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = 4
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        s = mg_partial(vals, k)
+        return from_pandas_clean(
+            pd.DataFrame({"value": s.index.to_numpy(), "cnt": s.to_numpy()})
+        )
+
+    def presum(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        out = df.groupby("value", as_index=False)["cnt"].sum()
+        return from_pandas_clean(out)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        s = mg_merge(
+            [df.set_index("value")["cnt"]], k
+        ).astype(np.int64)
+        return from_pandas_clean(
+            pd.DataFrame({"value": s.index.to_numpy(), "min_count": s.to_numpy()})
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["value"])
+        .map_batches(presum, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

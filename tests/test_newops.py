@@ -139,3 +139,30 @@ def test_kmeans_refine_recovers_blobs(ray_session):
     good = kmeans_refine(ds, centers + 0.02 * rng.normal(size=(n_blobs, d)),
                          iters=2, num_partitions=2)
     assert ((_normalize(centers) @ good.T).max(axis=1) > 0.99).all()
+
+
+def test_heavy_hitters_guarantees(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from oma_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    # skewed corpus: a few hot values over a long uniform tail
+    hot = np.repeat(np.array([7, 13, 42]), [30_000, 20_000, 10_000])
+    tail = rng.integers(1_000, 50_000, size=40_000)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    n = len(vals)
+    k = 64
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    out = heavy_hitters(ds, "v", k=k).to_pandas().set_index("value")["min_count"]
+    true = pd.Series(vals).value_counts()
+    # every value above the n/(k+1) frequency bound is guaranteed present
+    for v in true[true > n // (k + 1)].index:
+        assert v in out.index, v
+    # reported counts are lower bounds on true counts
+    for v, c in out.items():
+        assert c <= true[v], (v, c, true[v])
+    # the hot values dominate the summary
+    assert out.loc[7] > 25_000 and out.loc[13] > 15_000 and out.loc[42] > 5_000
