@@ -253,18 +253,24 @@ def ivf_knn_cosine(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_rows: int | None = None,
+    refine_iters: int = 1,
 ):
     """IVF-bucketed approximate kNN: rows are assigned to cells once; each
     query is searched only in its ``nprobe`` closest cells (vectorized filter
     inside the same brute stage).  Recall < 1.0 by design; the brute path is
     the exactness baseline.  ``n_centroids`` defaults to √n_rows (pass the
-    corpus row count — e.g. from parquet metadata — to let it scale)."""
+    corpus row count — e.g. from parquet metadata — to let it scale).
+    ``refine_iters`` Lloyd passes over the FULL corpus (kmeans_refine)
+    tighten the sample-built centroids before assignment — one extra
+    pre-aggregated exchange per pass."""
     import ray
 
     if n_centroids is None:
         n_centroids = scaled_centroids(n_rows)
     cents = build_ivf_centroids(ds, n_centroids, emb_col,
                                 id_col=id_col, n_rows=n_rows)
+    if refine_iters:
+        cents = kmeans_refine(ds, cents, emb_col, iters=refine_iters)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
     cref = ray.put(cents)
