@@ -166,3 +166,44 @@ def test_heavy_hitters_guarantees(ray_session):
         assert c <= true[v], (v, c, true[v])
     # the hot values dominate the summary
     assert out.loc[7] > 25_000 and out.loc[13] > 15_000 and out.loc[42] > 5_000
+
+
+def test_bloom_semi_join_exact_and_selective(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from oma_ray.stages.bloom import bloom_mask, bloom_semi_join, build_bloom
+
+    rng = np.random.default_rng(31)
+    # small right: 500 keys; big left: 50k rows, ~2% true matches
+    rkeys = rng.choice(10**9, size=500, replace=False).astype(np.int64)
+    lkeys = np.concatenate(
+        [rng.choice(rkeys, 1_000), rng.choice(10**9, 49_000).astype(np.int64)]
+    )
+    rng.shuffle(lkeys)
+    left = rd.from_arrow(
+        pa.table({"k": lkeys, "lv": np.arange(len(lkeys), dtype=np.int64)})
+    ).repartition(8)
+    right = rd.from_arrow(
+        pa.table({"k": rkeys, "rv": rkeys * 2})
+    ).repartition(2).materialize()
+
+    # no false negatives; false-positive rate small at this sizing
+    bits = build_bloom(right, "k", n_bits=1 << 20)
+    assert bloom_mask(rkeys, bits, 4).all()
+    fp = bloom_mask(rng.choice(10**9, 20_000).astype(np.int64), bits, 4).mean()
+    assert fp < 0.01, fp
+
+    got = (
+        bloom_semi_join(left, right, "k", num_partitions=4)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": lkeys, "lv": np.arange(len(lkeys), dtype=np.int64)})
+        .merge(pd.DataFrame({"k": rkeys, "rv": rkeys * 2}), on="k")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
