@@ -1889,6 +1889,92 @@ FROM events GROUP BY 1
 """
 
 
+# --- q39: relational-division / HAVING threshold (habitual purchasers) ------
+
+def q39_habitual_buyers(sf_dir: str):
+    """Users with purchases on ≥ 10 distinct days — the relational-division
+    / HAVING-on-distinct shape: filter fuses into the scan, a (user, day)
+    pair-dedup exchange makes within-block distinct global, and the per-user
+    count + threshold evaluate block-locally after a tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        m = et == "purchase"
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False)[m],
+                "day": batch.column("ts")
+                .to_numpy(zero_copy_only=False)[m]
+                .astype("datetime64[D]")
+                .astype("datetime64[us]"),
+            }
+        )
+        return from_pandas_clean(df.drop_duplicates())
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["user_id", "day"])
+    )
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas().drop_duplicates()
+        out = df.groupby("user_id", as_index=False).size()
+        return out.rename(columns={"size": "n_days"}).astype({"n_days": np.int64})
+
+    counted = _grouped_sums(deduped, ["user_id"], count_partial, ["n_days"], 4)
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("n_days"), 10)
+        )
+
+    return counted.map_batches(having, batch_format="pyarrow")
+
+
+SQL_Q39 = """
+SELECT user_id, COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+HAVING COUNT(DISTINCT date_trunc('day', ts)) >= 10
+"""
+
+
+# --- q40: percent-of-total (ratio-to-report) --------------------------------
+
+def q40_region_revenue_share(sf_dir: str):
+    """Each region's share of global revenue in exact parts-per-million:
+    the grouped cents sums come from the q05 machinery, the global total is
+    the groups' own sum (an aggregate of the aggregate — never a second
+    input pass), and the ratio stays in integer math (rev·10⁶ ∕∕ total) so
+    the oracle matches bit-for-bit."""
+    per_region = q05_region_revenue(sf_dir).materialize()  # r_name, revenue_u
+    total = int(per_region.sum(on="revenue_u"))
+
+    def share(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue_u").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "share_ppm", pa.array(rev * 1_000_000 // total, type=pa.int64())
+        )
+
+    return per_region.map_batches(share, batch_format="pyarrow")
+
+
+SQL_Q40 = f"""
+WITH per AS ({SQL_Q05})
+SELECT r_name, revenue_u,
+  CAST(revenue_u * 1000000 // (SELECT SUM(revenue_u) FROM per) AS BIGINT) AS share_ppm
+FROM per
+"""  # spliced from SQL_Q05 so the revenue formula can never drift
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1928,6 +2014,8 @@ QUERIES = {
     "q36_event_chains": q36_event_chains,
     "q37_user_running_totals": q37_user_running_totals,
     "q38_event_pivot": q38_event_pivot,
+    "q39_habitual_buyers": q39_habitual_buyers,
+    "q40_region_revenue_share": q40_region_revenue_share,
 }
 
 ORACLES = {
@@ -1963,4 +2051,6 @@ ORACLES = {
     "q36_event_chains": SQL_Q36,
     "q37_user_running_totals": SQL_Q37,
     "q38_event_pivot": SQL_Q38,
+    "q39_habitual_buyers": SQL_Q39,
+    "q40_region_revenue_share": SQL_Q40,
 }
