@@ -215,9 +215,11 @@ def write_entry_streams(
     import pyarrow.dataset as pads
 
     from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.osm_dist import _PhaseTimer
     from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
+    _pt = _PhaseTimer("write_streams")
     man = Manifest(out_dir)
     done = man.done_lineages()
     data_dir = os.path.join(out_dir, "data")
@@ -265,6 +267,7 @@ def write_entry_streams(
         )
         for name in pending:
             _mark(name)
+        _pt.mark("fused union write")
     else:
         for name, ds in pending.items():
             stream_dir = os.path.join(data_dir, f"stream={name}")
@@ -277,6 +280,7 @@ def write_entry_streams(
                 partition_cols=["chunk_type", "tile_bucket", "key_part"],
             )
             _mark(name)
+            _pt.mark(f"stream {name} write")
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump({"type_config": type_text, "bbs": bbs_text}, f)
     return out_dir

@@ -1975,6 +1975,262 @@ FROM per
 """  # spliced from SQL_Q05 so the revenue formula can never drift
 
 
+# --- q41: inverted-index build (webtext core: term → posting list + df) -----
+
+def q41_inverted_index(sf_dir: str):
+    """Distributed inverted-index build over the document corpus: term →
+    sorted doc-id posting list (comma-joined for the cross-engine compare) +
+    document frequency, keeping only terms with df ≥ 5.
+
+    Scale shape: one vectorized tokenization pass (Arrow
+    ``split_pattern_regex``, no per-row Python) emits within-batch-distinct
+    (term, doc_id) pairs — each document lives in exactly one input row, so
+    within-batch distinct IS globally distinct — then a single term-keyed
+    exchange co-locates each term's postings in one block, where the list
+    is assembled by one lexsort + offset-sliced ``pc.binary_join`` (no
+    per-group Python).  The exchange moves O(distinct term-doc pairs),
+    never the text; at planet scale hot terms ("the") make posting blocks
+    large but bounded by true posting size, which is the product's own
+    output — the df filter could be pushed pre-exchange with a two-pass
+    df-first plan if only frequent terms were wanted."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"term": flat[keep], "doc_id": doc[parent[keep]]}
+        ).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def build(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "postings": pa.array([], type=pa.string()),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        term = df["term"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        n = len(df)
+        change = np.ones(n, dtype=bool)
+        change[1:] = term[1:] != term[:-1]
+        starts = np.nonzero(change)[0]
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        counts = np.diff(offsets).astype(np.int64)
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(doc.astype(np.int64).astype("U20"), type=pa.string()),
+            ),
+            ",",
+        )
+        keep = pa.array(counts >= 5)
+        out = pa.table(
+            {
+                "term": pa.array(term[starts], type=pa.string()),
+                "df": pa.array(counts, type=pa.int64()),
+                "postings": postings,
+            }
+        )
+        return out.filter(keep)
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["term"])
+        .map_batches(build, batch_format="pyarrow")
+    )
+
+
+SQL_Q41 = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+d AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT term, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM d GROUP BY term HAVING COUNT(*) >= 5
+"""
+
+
+# --- q42: semi-structured JSON field extraction + grouped min/max/avg -------
+
+def q42_event_props_stats(sf_dir: str):
+    """Per-event-type stats of the ``k`` field buried in the ``props`` JSON
+    column — the semi-structured-extraction shape (RE2 ``extract_regex``
+    over the whole column, zero per-row Python; a jq-style parser would be
+    the same stage with a different kernel).  Partial n/sum/min/max per
+    batch → one tiny keyed exchange (O(event types), not O(events)) →
+    fold; the integer mean (``sum·10⁶ ∕∕ n``) keeps the DuckDB compare
+    bit-exact."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=r'"k": (?P<k>\d+)')
+        valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        k = pd.to_numeric(
+            pc.struct_field(ex, "k").to_pandas()[valid]
+        ).to_numpy(dtype=np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)[valid]
+        df = pd.DataFrame({"event_type": et, "k": k})
+        agg = df.groupby("event_type")["k"].agg(["size", "sum", "min", "max"])
+        agg.columns = ["n_events", "sum_k", "min_k", "max_k"]
+        return from_pandas_clean(agg.reset_index())
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        )
+        g["avg_k_u"] = g["sum_k"] * 1_000_000 // g["n_events"]
+        return from_pandas_clean(g)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["event_type"])
+        .map_batches(fold, batch_format="pyarrow")
+    )
+
+
+SQL_Q42 = r"""
+SELECT event_type, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) * 1000000 // COUNT(*) AS BIGINT) AS avg_k_u
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> '')
+GROUP BY event_type
+"""
+
+
+# --- q43: grouped mode + argmax in one exchange -----------------------------
+
+def q43_source_profile(sf_dir: str):
+    """Per-source corpus profile: doc count, modal language (ties → first
+    lexicographically) and the longest document (argmax n_chars, ties →
+    smallest doc_id).  Grouped MODE and ARGMAX are not plain sums, so the
+    partial rows are tagged into one union schema — (source, lang) count
+    partials and per-batch argmax candidates — and resolved after a single
+    source-keyed exchange (the q35 tagged-union shape: two aggregate kinds,
+    one shuffle of O(sources × langs) rows)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "doc_id", "n_chars"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        lc = df.groupby(["source", "lang"], as_index=False).size()
+        lc = lc.rename(columns={"size": "cnt"})
+        lc["kind"] = np.int8(0)
+        lc["doc_id"] = np.int64(0)
+        best = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        ).groupby("source", as_index=False).head(1)
+        best = best.rename(columns={"n_chars": "cnt"})[
+            ["source", "lang", "cnt", "doc_id"]
+        ]
+        best["kind"] = np.int8(1)
+        out = pd.concat([lc, best], ignore_index=True)[
+            ["source", "lang", "cnt", "doc_id", "kind"]
+        ]
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "top_lang": pa.array([], type=pa.string()),
+                    "top_lang_cnt": pa.array([], type=pa.int64()),
+                    "longest_doc": pa.array([], type=pa.int64()),
+                    "longest_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        lc = (
+            df[df["kind"] == 0]
+            .groupby(["source", "lang"], as_index=False)["cnt"].sum()
+        )
+        tot = lc.groupby("source", as_index=False)["cnt"].sum()
+        tot = tot.rename(columns={"cnt": "n_docs"})
+        mode = lc.sort_values(
+            ["source", "cnt", "lang"], ascending=[True, False, True]
+        ).groupby("source", as_index=False).head(1)
+        mode = mode.rename(columns={"lang": "top_lang", "cnt": "top_lang_cnt"})
+        best = df[df["kind"] == 1].sort_values(
+            ["source", "cnt", "doc_id"], ascending=[True, False, True]
+        ).groupby("source", as_index=False).head(1)
+        best = best.rename(columns={"doc_id": "longest_doc", "cnt": "longest_chars"})[
+            ["source", "longest_doc", "longest_chars"]
+        ]
+        out = tot.merge(mode, on="source").merge(best, on="source")
+        return from_pandas_clean(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["source"])
+        .map_batches(resolve, batch_format="pyarrow")
+    )
+
+
+SQL_Q43 = """
+WITH lc AS (SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+md AS (SELECT source, lang AS top_lang, cnt AS top_lang_cnt,
+       row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rk
+       FROM lc),
+big AS (SELECT source, doc_id AS longest_doc, n_chars AS longest_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+          AS rk
+        FROM documents),
+tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+SELECT tot.source AS source, n_docs, top_lang, top_lang_cnt, longest_doc,
+       longest_chars
+FROM tot JOIN (SELECT * FROM md WHERE rk = 1) m ON tot.source = m.source
+JOIN (SELECT * FROM big WHERE rk = 1) b ON tot.source = b.source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2016,6 +2272,9 @@ QUERIES = {
     "q38_event_pivot": q38_event_pivot,
     "q39_habitual_buyers": q39_habitual_buyers,
     "q40_region_revenue_share": q40_region_revenue_share,
+    "q41_inverted_index": q41_inverted_index,
+    "q42_event_props_stats": q42_event_props_stats,
+    "q43_source_profile": q43_source_profile,
 }
 
 ORACLES = {
@@ -2053,4 +2312,7 @@ ORACLES = {
     "q38_event_pivot": SQL_Q38,
     "q39_habitual_buyers": SQL_Q39,
     "q40_region_revenue_share": SQL_Q40,
+    "q41_inverted_index": SQL_Q41,
+    "q42_event_props_stats": SQL_Q42,
+    "q43_source_profile": SQL_Q43,
 }

@@ -19,6 +19,9 @@ SUBSET = [
     "q12_tile_counts",
     "q13_cell_hotspots",
     "q15_knn",
+    "q41_inverted_index",
+    "q42_event_props_stats",
+    "q43_source_profile",
 ]
 
 
