@@ -1,5 +1,6 @@
-"""HyperLogLog approximate distinct counting (engine addition — the
-reference counts only exactly and in-heap; SURVEY §2.6).  At planet scale a
+"""Mergeable sketches: HyperLogLog distinct counting, Misra-Gries heavy
+hitters, and a KLL-style quantile sketch (engine additions — the reference
+counts only exactly and in-heap; SURVEY §2.6).  At planet scale a
 COUNT(DISTINCT) is a full exchange of every distinct value; an HLL register
 vector is a fixed 2^p bytes per group, mergeable with an elementwise max,
 so cardinality estimation moves O(groups) regardless of input size.
@@ -189,4 +190,181 @@ def heavy_hitters(ds, val_col: str, k: int = 64,
         .map_batches(presum, batch_format="pyarrow")
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
+    )
+
+# --- KLL-style quantile sketch ----------------------------------------------
+
+def _kll_compact_once(levels: list[np.ndarray], i: int, k: int,
+                      flip: list[int]) -> None:
+    """Compact level ``i`` (weight 2^i items) into level ``i+1``: sort,
+    keep every other item (alternating start offset per compaction so the
+    kept set is unbiased over repeated compactions), odd leftover stays.
+    Each compaction perturbs any rank by at most 2^i — the standard
+    compactor-stack argument (Karnin, Lang & Liberty 2016, simplified to a
+    uniform per-level capacity: with ≤ n/(k·2^i) compactions at level i the
+    total relative rank error is ≤ levels/(2k))."""
+    lv = np.sort(levels[i])
+    if len(lv) % 2:
+        keep_back, lv = lv[:1], lv[1:]
+    else:
+        keep_back = lv[:0]
+    off = flip[i] & 1
+    flip[i] += 1
+    promoted = lv[off::2]
+    levels[i] = keep_back
+    if i + 1 == len(levels):
+        levels.append(promoted)
+        flip.append(0)
+    else:
+        levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+
+
+class KLLSketch:
+    """Mergeable quantile sketch over float64 values.
+
+    ``levels[i]`` holds items of weight ``2^i``, each level capped at ``k``
+    items; overflow sorts + halves into the level above.  Size is
+    O(k·log(n/k)) regardless of input; relative rank error ≤ levels/(2k)
+    (≈1.2% at k=512, n=10^9), and merging sketches is concatenation +
+    re-compaction, so partials ride a keyed exchange as small blobs.
+    Compaction offsets alternate deterministically — same input, same
+    sketch, reproducible tests."""
+
+    def __init__(self, k: int = 512):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._flip: list[int] = [0]
+
+    def _settle(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                _kll_compact_once(self.levels, i, self.k, self._flip)
+            else:
+                i += 1
+
+    def insert(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._settle()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for i, items in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self._flip.append(0)
+            self.levels[i] = np.concatenate([self.levels[i], items])
+        self._settle()
+        return self
+
+    def weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels) if self.levels else np.empty(0)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, dtype=np.int64)
+             for i, lv in enumerate(self.levels)]
+        ) if self.levels else np.empty(0, dtype=np.int64)
+        return vals, wts
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Value at each quantile q: the first item whose cumulative weight
+        exceeds q·(W−1) in value order (= numpy 'lower' interpolation on
+        the weighted multiset)."""
+        vals, wts = self.weighted_items()
+        if not len(vals):
+            return np.full(len(np.atleast_1d(qs)), np.nan)
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        targets = np.asarray(qs, dtype=np.float64) * (cum[-1] - 1)
+        idx = np.searchsorted(cum, targets, side="right")
+        return vals[np.minimum(idx, len(vals) - 1)]
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        parts = [struct.pack("<ii", self.k, len(self.levels))]
+        for lv in self.levels:
+            parts.append(struct.pack("<i", len(lv)))
+            parts.append(np.ascontiguousarray(lv, dtype=np.float64).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLLSketch":
+        import struct
+
+        k, n_levels = struct.unpack_from("<ii", blob, 0)
+        off = 8
+        s = cls(k)
+        s.levels, s._flip = [], []
+        for _ in range(n_levels):
+            (n,) = struct.unpack_from("<i", blob, off)
+            off += 4
+            s.levels.append(
+                np.frombuffer(blob, dtype=np.float64, count=n, offset=off
+                              ).copy()
+            )
+            s._flip.append(0)
+            off += 8 * n
+        if not s.levels:
+            s.levels, s._flip = [np.empty(0, dtype=np.float64)], [0]
+        return s
+
+
+def grouped_approx_quantiles(ds, keys: list[str], val_col: str,
+                             qs: list[float], k: int = 512,
+                             num_partitions: int | None = None):
+    """Per-group approximate quantiles as a Dataset of
+    ``keys + [p<q> ...]`` (float64): per-batch KLL partials (one
+    O(k·log) blob per group per batch) ride ONE keyed exchange and merge
+    per group — the corpus itself never shuffles, unlike the exact
+    value-count path (stages/quantile.py) whose exchange grows with the
+    number of distinct values."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 2)
+    qcols = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        gid, uniq = pd.factorize(
+            pd.MultiIndex.from_frame(df) if len(keys) > 1 else df[keys[0]]
+        )
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        blobs = []
+        for g in range(len(uniq)):
+            blobs.append(KLLSketch(k).insert(vals[gid == g]).to_bytes())
+        out = (
+            pd.DataFrame(list(uniq), columns=keys)
+            if len(keys) > 1
+            else pd.DataFrame({keys[0]: np.asarray(uniq)})
+        )
+        out["sketch"] = blobs
+        return from_pandas_clean(out)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        rows_keys, rows_q = [], []
+        for gkey, g in df.groupby(keys, sort=False):
+            sk = KLLSketch(k)
+            for blob in g["sketch"]:
+                sk.merge(KLLSketch.from_bytes(blob))
+            rows_keys.append(gkey if isinstance(gkey, tuple) else (gkey,))
+            rows_q.append(sk.quantiles(qs))
+        out = pd.DataFrame(rows_keys, columns=keys)
+        for j, c in enumerate(qcols):
+            out[c] = np.asarray([r[j] for r in rows_q], dtype=np.float64)
+        return from_pandas_clean(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions, keys=keys)
+        .map_batches(merge, batch_format="pyarrow")
     )

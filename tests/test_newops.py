@@ -207,3 +207,53 @@ def test_bloom_semi_join_exact_and_selective(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+
+
+def test_kll_error_bound_across_merges():
+    from oma_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(7)
+    data = rng.random(200_000)
+    parts = [KLLSketch(256).insert(c) for c in np.array_split(data, 32)]
+    sk = parts[0]
+    for p in parts[1:]:
+        sk.merge(p)
+    # documented bound: relative rank error <= levels/(2k); on uniform data
+    # value error ~ rank error.  Assert with a 2x safety margin.
+    bound = 2 * len(sk.levels) / (2 * 256)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = sk.quantiles(qs)
+    true = np.quantile(data, qs, method="lower")
+    assert np.abs(est - true).max() <= bound
+    # sketch size stays O(k log(n/k)), nowhere near n
+    assert sum(len(lv) for lv in sk.levels) < 256 * (len(sk.levels) + 2)
+    # serialization round-trip preserves the level structure
+    rt = KLLSketch.from_bytes(sk.to_bytes())
+    assert all((a == b).all() for a, b in zip(rt.levels, sk.levels))
+    assert (rt.quantiles(qs) == est).all()
+
+
+def test_grouped_approx_quantiles_dataset(ray_session):
+    import ray.data as rd
+
+    from oma_ray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 4, size=40_000)
+    v = rng.normal(loc=g * 10.0, scale=5.0)
+    ds = rd.from_arrow(pa.table({"g": g, "v": v})).repartition(16)
+    out = (
+        grouped_approx_quantiles(ds, ["g"], "v", [0.25, 0.5, 0.75], k=256)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4 and list(out.columns) == ["g", "p25", "p50", "p75"]
+    for gi in range(4):
+        sv = v[g == gi]
+        row = out[out["g"] == gi].iloc[0]
+        for q, c in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+            # rank-space check: the returned value's true rank is within
+            # 2% of the requested quantile
+            rank = (sv < row[c]).mean()
+            assert abs(rank - q) < 0.02, (gi, c, rank)
