@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q30_asof_events",
     "q35_tfidf_terms",
     "q36_event_chains",
+    "q41_inverted_index",
 ]
 
 

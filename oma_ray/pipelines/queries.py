@@ -2231,6 +2231,199 @@ JOIN (SELECT * FROM big WHERE rk = 1) b ON tot.source = b.source
 """
 
 
+# --- q44: sliding-window token chunking (flat_map explode, LLM packing) -----
+
+def q44_token_windows(sf_dir: str):
+    """Sliding-window token chunking — the LLM-context-packing shape: each
+    document explodes into windows of 32 tokens with stride 16 (trailing
+    partial window kept; window w is valid iff w = 0 or w·16 < n_toks−16,
+    mirrored exactly in the oracle's series filter).
+
+    Fully vectorized row explosion inside one fused ``map_batches`` (the
+    flat_map shape without per-row Python): tokenize with Arrow
+    ``split_pattern_regex``, compute per-doc window counts, gather all
+    window tokens with one ``np.repeat``-based index vector, and reassemble
+    chunk strings via offset-sliced ``pc.binary_join``.  No shuffle at all —
+    chunking is embarrassingly parallel and output rows stay in their
+    input block."""
+    import pyarrow.compute as pc
+
+    W, S = 32, 16
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        doc_off = np.asarray(toks.offsets)
+        n_toks = np.diff(doc_off).astype(np.int64)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_win = np.where(
+            n_toks <= W, 1, -(-(n_toks - W) // S) + 1
+        ).astype(np.int64)
+        # one row per (doc, window)
+        d_idx = np.repeat(np.arange(len(batch)), n_win)
+        first = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        win_idx = np.arange(n_win.sum()) - first[d_idx]
+        starts = doc_off[d_idx] + win_idx * S
+        lens = np.minimum(n_toks[d_idx] - win_idx * S, W)
+        # gather every window's tokens in one shot
+        total = int(lens.sum())
+        row_first = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        gather = (
+            np.repeat(starts, lens)
+            + np.arange(total)
+            - np.repeat(row_first, lens)
+        )
+        taken = pc.take(flat, pa.array(gather, type=pa.int64()))
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        chunk = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), taken),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[d_idx], type=pa.int64()),
+                "win_idx": pa.array(win_idx, type=pa.int64()),
+                "chunk": chunk,
+                "chunk_len": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# windows-per-doc bound: 64 windows covers docs up to 32+63·16 = 1040 tokens
+# (corpus max is ~100; generate_series needs a constant, the filter drops
+# the rest)
+SQL_Q44 = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+series AS (SELECT generate_series AS win_idx FROM generate_series(0, 63)),
+w AS (
+  SELECT doc_id, toks, len(toks) AS n_toks, win_idx
+  FROM tok CROSS JOIN series
+  WHERE win_idx = 0 OR win_idx * 16 < len(toks) - 16)
+SELECT doc_id, win_idx,
+       array_to_string(toks[win_idx*16 + 1 : win_idx*16 + 32], ' ') AS chunk,
+       least(n_toks - win_idx*16, 32) AS chunk_len
+FROM w
+"""
+
+
+# --- q45: exact global rank + ntile deciles (distributed order statistic) ---
+
+def q45_doc_deciles(sf_dir: str):
+    """Every document's exact global rank by (n_chars DESC, doc_id ASC) and
+    its ntile(10) decile — the distributed-ranking shape.  Two pieces:
+
+    - a tiny value-count histogram (one exchange of O(distinct n_chars)
+      rows, the stages/quantile.py machinery's shape) broadcast as the
+      exclusive higher-than cumulative, giving every row its cross-value
+      rank base; and
+    - ONE value-keyed exchange co-locating ties, where an in-block sort by
+      doc_id resolves within-value order.
+
+    Rank = base[v] + within-value position; the decile applies DuckDB's
+    ntile fill rule (first N mod 10 tiles get the extra row) in closed
+    form.  No global sort pipeline, no driver-side row data — only the
+    histogram (bounded by the value domain) touches the driver."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"v": batch.column("n_chars").to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("v", as_index=False).size()
+        g["size"] = g["size"].astype(np.int64)
+        return from_pandas_clean(g.rename(columns={"size": "cnt"}))
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .repartition(4, keys=["v"])
+        .map_batches(
+            lambda b: from_pandas_clean(
+                b.to_pandas().groupby("v", as_index=False)["cnt"].sum()
+            )
+            if len(b)
+            else b,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("v", ascending=False)
+    )
+    n_total = int(counts["cnt"].sum())
+    vals_desc = counts["v"].to_numpy()
+    base_desc = np.concatenate(
+        [[0], np.cumsum(counts["cnt"].to_numpy())[:-1]]
+    ).astype(np.int64)  # rows strictly higher in the DESC order
+
+    q, r = divmod(n_total, 10)
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "rk": pa.array([], type=pa.int64()),
+                    "decile": pa.array([], type=pa.int64()),
+                }
+            )
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        v = df["n_chars"].to_numpy()
+        # within-value position: 0,1,2,... per run of equal v
+        n = len(df)
+        newv = np.ones(n, dtype=bool)
+        newv[1:] = v[1:] != v[:-1]
+        starts = np.nonzero(newv)[0]
+        within = np.arange(n) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [n]])))
+        # vals_desc is sorted descending: searchsorted on the reversed view
+        pos = len(vals_desc) - 1 - np.searchsorted(vals_desc[::-1], v)
+        rk0 = base_desc[pos] + within  # 0-based global rank
+        big = (q + 1) * r  # rows living in the r larger tiles
+        decile = np.where(
+            rk0 < big, rk0 // (q + 1) + 1 if q + 1 else 1,
+            (rk0 - big) // max(q, 1) + r + 1,
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars": v,
+                "rk": rk0 + 1,
+                "decile": decile,
+            }
+        )
+        return from_pandas_clean(out)
+
+    return (
+        ds.repartition(default_partitions(), keys=["n_chars"])
+        .map_batches(rank_block, batch_format="pyarrow")
+    )
+
+
+SQL_Q45 = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+       ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2275,6 +2468,8 @@ QUERIES = {
     "q41_inverted_index": q41_inverted_index,
     "q42_event_props_stats": q42_event_props_stats,
     "q43_source_profile": q43_source_profile,
+    "q44_token_windows": q44_token_windows,
+    "q45_doc_deciles": q45_doc_deciles,
 }
 
 ORACLES = {
@@ -2315,4 +2510,6 @@ ORACLES = {
     "q41_inverted_index": SQL_Q41,
     "q42_event_props_stats": SQL_Q42,
     "q43_source_profile": SQL_Q43,
+    "q44_token_windows": SQL_Q44,
+    "q45_doc_deciles": SQL_Q45,
 }

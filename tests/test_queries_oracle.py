@@ -22,6 +22,8 @@ SUBSET = [
     "q41_inverted_index",
     "q42_event_props_stats",
     "q43_source_profile",
+    "q44_token_windows",
+    "q45_doc_deciles",
 ]
 
 
