@@ -130,3 +130,30 @@ def test_pbf_ray_table(ray_session, tmp_path, fixture_elements):
     }
     got_node_ids = sorted(df.loc[df["kind"] == "node", "id"].tolist())
     assert got_node_ids == sorted(n["id"] for n in nodes)
+
+
+def test_oma_ray_table_matches_serial_decode(ray_session):
+    """Dataset-parallel .oma reader ≡ the serial decoder, on both the
+    compressed and the -0 (uncompressed-slices) goldens."""
+    from collections import Counter
+
+    from oma_ray.pipelines.oma_out import table_to_entries
+    from oma_ray.sources.oma_file import decode_oma, read_oma_table
+
+    for name in ("default.oma", "uncompressed.oma"):
+        path = f"tests/golden/{name}"
+        serial = Counter(
+            (
+                e.chunk_type, e.bounds, e.key, e.value,
+                (e.id, e.version, e.timestamp, e.changeset, e.uid, e.user),
+                frozenset(e.tags.items()), frozenset(e.members), e.geo,
+            )
+            for e in decode_oma(path)
+        )
+        t = read_oma_table(path).to_arrow_refs()
+        import pyarrow as pa
+        import ray
+
+        tbl = pa.concat_tables([x for x in ray.get(t) if len(x)])
+        got = Counter(table_to_entries(tbl))
+        assert got == serial and len(serial) > 0
