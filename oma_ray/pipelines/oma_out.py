@@ -345,6 +345,45 @@ def write_entries(
     return out_dir
 
 
+def read_entries_ds(out_dir: str, *, stream: str | None = None,
+                    chunk_type: str | None = None,
+                    tile_buckets: list[int] | None = None,
+                    key_part: str | None = None,
+                    columns: list[str] | None = None):
+    """Prune-at-the-read Dataset over a partitioned conversion directory:
+    every partition axis (stream / chunk_type / tile_bucket / key_part) is
+    a directory level, so pruning is pure driver-side path selection —
+    unmatched partitions never leave storage — and the hive partition
+    columns come back attached.  ``columns`` prunes the file columns on
+    top (e.g. just ``key``/``value`` for an index scan).  At 10^12 rows a
+    one-type one-bucket probe reads 1/(4·64) of the data."""
+    import glob as _glob
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning
+
+    data_dir = os.path.join(out_dir, "data")
+
+    def pat(prefix: str, v) -> str:
+        return f"{prefix}={_glob.escape(str(v))}" if v is not None else "*"
+
+    buckets = tile_buckets if tile_buckets is not None else [None]
+    paths: list[str] = []
+    for b in buckets:
+        paths.extend(
+            _glob.glob(os.path.join(
+                data_dir, pat("stream", stream), pat("chunk_type", chunk_type),
+                pat("tile_bucket", b), pat("key_part", key_part), "*.parquet",
+            ))
+        )
+    if not paths:
+        return rd.from_arrow(entries_to_table([]))
+    kwargs = {"partitioning": Partitioning("hive", base_dir=data_dir)}
+    if columns is not None:
+        kwargs["columns"] = columns
+    return rd.read_parquet(sorted(paths), **kwargs)
+
+
 def read_entries(out_dir: str) -> tuple[list[tuple], dict]:
     """Read back a partitioned conversion → (entries, config dict)."""
     import pyarrow.dataset as pads

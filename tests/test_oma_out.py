@@ -117,3 +117,35 @@ def test_entry_streams_flag_variants(ray_session, tmp_path):
         convert_pbf_to_dir(p, default_bbs_text(), cfg, out, **kw)
         back, _cfg = read_entries(out)
         assert Counter(back) == ref, name
+
+
+def test_read_entries_ds_pruned(ray_session, tmp_path):
+    """Prune-at-the-read Dataset over the partitioned dir: partition-axis
+    pruning matches full-scan filters, partition columns come back, and
+    column pruning works on top."""
+    from oma_ray.pipelines.oma_out import read_entries_ds
+    from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+    from oma_ray.sources.pbf import write_pbf
+
+    nodes, ways, rels = read_osm_xml(osm_fixture_xml())
+    cfg_text = open("/root/reference/default.type").read()
+    cfg = TypeConfig.parse(cfg_text)
+    p = str(tmp_path / "fixture.pbf")
+    write_pbf(p, nodes, ways, rels, block_size=7)
+    out = str(tmp_path / "dir_out")
+    convert_pbf_to_dir(p, default_bbs_text(), cfg, out, type_text=cfg_text)
+
+    full = read_entries_ds(out).to_pandas()
+    assert len(full) > 0 and "chunk_type" in full.columns
+    for ct in sorted(full["chunk_type"].unique()):
+        pruned = read_entries_ds(out, chunk_type=ct).to_pandas()
+        assert len(pruned) == (full["chunk_type"] == ct).sum()
+        assert (pruned["chunk_type"] == ct).all()
+    kp = full["key_part"].iloc[0]
+    pruned = read_entries_ds(out, key_part=kp).to_pandas()
+    assert len(pruned) == (full["key_part"] == kp).sum() > 0
+    # column pruning on top of partition pruning
+    narrow = read_entries_ds(out, chunk_type="N", columns=["key", "value"])
+    assert narrow.count() == (full["chunk_type"] == "N").sum()
+    # empty prune result keeps the flat schema
+    assert read_entries_ds(out, key_part="no_such_key").count() == 0
