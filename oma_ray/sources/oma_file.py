@@ -261,6 +261,249 @@ def decode_oma(path: str) -> list[OmaEntry]:
     return entries
 
 
+def decode_block_columns(buf: bytes, ctype: str, bounds: tuple, key: str,
+                         features: int, zipped: bool):
+    """Decode ONE block straight into the partitioned-conversion flat
+    Arrow schema (``pipelines.oma_out.entries_to_table`` layout) — the
+    reader task's fast path.  The wire scan stays sequential (element
+    boundaries depend on parsed contents), but it appends only primitives
+    to flat builders; ALL JSON wire columns are then assembled with the
+    vectorized ``functions.jsonvec`` kernels — no per-row dataclass /
+    frozenset / ``json.dumps`` (those cost more than the wire scan
+    itself).  JSON byte order differs from ``entries_to_table`` (tags in
+    wire order, compact separators) — every consumer ``json.loads`` these
+    columns, byte-identity is not part of the contract
+    (functions/jsonvec.py escaping contract)."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.jsonvec import _rejoin, quote_strings
+    from oma_ray.pipelines.oma_out import OTHER_KEY, _bucket_of
+
+    rblk = OmaReader(buf)
+    bjump = rblk.read_int()
+    rst = OmaReader(buf, bjump)
+    n_slices = rst.read_small_int()
+    slices = [(rst.read_int(), rst.read_string()) for _ in range(n_slices)]
+
+    values: list[str] = []          # per element: slice value
+    mid, mver, mts, mcs, muid = [], [], [], [], []
+    muser: list[str] = []
+    tag_k: list[str] = []
+    tag_v: list[str] = []
+    tag_n: list[int] = []
+    mem_ref: list[int] = []
+    mem_role: list[str] = []
+    mem_type: list[int] = []
+    mem_n: list[int] = []
+    gx: list[int] = []              # N: one per element; W/A: flat points
+    gy: list[int] = []
+    way_n: list[int] = []           # W: points per element; A: outer points
+    hole_pts: list[int] = []        # A: points per hole (flat)
+    hole_n: list[int] = []          # A: holes per element
+
+    has_id = bool(features & 1) or ctype == "C"
+    has_ver = bool(features & 2)
+    has_ts = bool(features & 4)
+    has_cs = bool(features & 8)
+    has_user = bool(features & 16)
+
+    for soff, value in slices:
+        rs = OmaReader(buf, soff)
+        n_elems = rs.read_int()
+        if zipped:
+            clen = rs.read_int()
+            re = OmaReader(inflate(rs.read_bytes(clen)))
+        else:
+            re = rs
+        re.reset_delta()
+        for _ in range(n_elems):
+            if ctype == "N":
+                gx.append(re.read_delta_x())
+                gy.append(re.read_delta_y())
+            elif ctype == "W":
+                n = re.read_small_int()
+                way_n.append(n)
+                for _i in range(n):
+                    gx.append(re.read_delta_x())
+                    gy.append(re.read_delta_y())
+            elif ctype == "A":
+                n = re.read_small_int()
+                way_n.append(n)
+                for _i in range(n):
+                    gx.append(re.read_delta_x())
+                    gy.append(re.read_delta_y())
+                nh = re.read_small_int()
+                hole_n.append(nh)
+                for _h in range(nh):
+                    m = re.read_small_int()
+                    hole_pts.append(m)
+                    for _i in range(m):
+                        gx.append(re.read_delta_x())
+                        gy.append(re.read_delta_y())
+            elif ctype == "C":
+                re.read_small_int()  # geo placeholder 0
+            taz = re.read_small_int()
+            tag_n.append(taz)
+            for _t in range(taz):
+                tag_k.append(re.read_string())
+                tag_v.append(re.read_string())
+            maz = re.read_small_int()
+            mem_n.append(maz)
+            for _m in range(maz):
+                mem_ref.append(re.read_long())
+                mem_role.append(re.read_string())
+                mem_type.append(re.read_small_int())
+            mid.append(re.read_long() if has_id else 0)
+            mver.append(re.read_small_int() if has_ver else 0)
+            mts.append(re.read_long() if has_ts else 0)
+            mcs.append(re.read_long() if has_cs else 0)
+            if has_user:
+                muid.append(re.read_int())
+                muser.append(re.read_string())
+            else:
+                muid.append(0)
+                muser.append("")
+            values.append(value)
+
+    n_rows = len(values)
+    if not n_rows:
+        from oma_ray.pipelines.oma_out import entries_to_table
+
+        return entries_to_table([])
+
+    def offs(counts: list[int]) -> pa.Array:
+        return pa.array(
+            np.concatenate([[0], np.cumsum(counts)]), type=pa.int32()
+        )
+
+    # meta_json = [id, ver, ts, cs, uid, "user"]
+    def istr(vals) -> pa.Array:
+        return pc.cast(pa.array(vals, type=pa.int64()), pa.string())
+
+    meta_json = pc.binary_join_element_wise(
+        "[", istr(mid), ",", istr(mver), ",", istr(mts), ",", istr(mcs),
+        ",", istr(muid), ",", quote_strings(pa.array(muser)), "]", "",
+    )
+    # tags_json = [["k","v"],...]
+    pairs = pc.binary_join_element_wise(
+        "[", quote_strings(pa.array(tag_k, type=pa.string())), ",",
+        quote_strings(pa.array(tag_v, type=pa.string())), "]", "",
+    )
+    tags_json = _rejoin(pairs, offs(tag_n))
+    # members_json = [[ref,"role",type],...]
+    triples = pc.binary_join_element_wise(
+        "[", istr(mem_ref), ",",
+        quote_strings(pa.array(mem_role, type=pa.string())), ",",
+        istr(mem_type), "]", "",
+    )
+    members_json = _rejoin(triples, offs(mem_n))
+    # geo_json per chunk type
+    if ctype == "N":
+        geo_json = pc.binary_join_element_wise(
+            "[", istr(gx), ",", istr(gy), "]", ""
+        )
+    elif ctype in ("W", "A"):
+        pts = pc.binary_join_element_wise(
+            "[", istr(gx), ",", istr(gy), "]", ""
+        )
+        if ctype == "W":
+            geo_json = _rejoin(pts, offs(way_n))
+        else:
+            # points interleave [outer..., holes...] per element: split by
+            # a gather over flat point positions
+            way_arr = np.asarray(way_n, dtype=np.int64)
+            hn_arr = np.asarray(hole_n, dtype=np.int64)
+            hp_arr = np.asarray(hole_pts, dtype=np.int64)
+            # per-element hole point totals
+            hp_per_elem = np.zeros(n_rows, dtype=np.int64)
+            if len(hp_arr):
+                hole_elem = np.repeat(np.arange(n_rows), hn_arr)
+                np.add.at(hp_per_elem, hole_elem, hp_arr)
+            elem_first = np.concatenate(
+                [[0], np.cumsum(way_arr + hp_per_elem)[:-1]]
+            )
+            outer_str = _rejoin(
+                pc.take(
+                    pts,
+                    pa.array(
+                        np.repeat(elem_first, way_arr)
+                        + _within(way_arr),
+                        type=pa.int64(),
+                    ),
+                ),
+                offs(way_n),
+            )
+            if len(hp_arr):
+                hole_first = (
+                    np.repeat(elem_first + way_arr, hn_arr)
+                    + _exclusive_within(hp_arr, hn_arr)
+                )
+                hole_str = _rejoin(
+                    pc.take(
+                        pts,
+                        pa.array(
+                            np.repeat(hole_first, hp_arr) + _within(hp_arr),
+                            type=pa.int64(),
+                        ),
+                    ),
+                    offs(hole_pts),
+                )
+                holes_json = _rejoin(hole_str, offs(hole_n))
+            else:
+                holes_json = pa.array(["[]"] * n_rows, type=pa.string())
+            geo_json = pc.binary_join_element_wise(
+                "[", outer_str, ",", holes_json, "]", ""
+            )
+    else:
+        geo_json = pa.array(["[]"] * n_rows, type=pa.string())
+
+    bounds_json = _json.dumps(list(bounds), default=int)
+    return pa.table(
+        {
+            "chunk_type": pa.array([ctype] * n_rows, type=pa.string()),
+            "tile_bucket": pa.array(
+                [int(_bucket_of(bounds))] * n_rows, type=pa.int32()
+            ),
+            "key_part": pa.array(
+                [key if key else OTHER_KEY] * n_rows, type=pa.string()
+            ),
+            "bounds_json": pa.array([bounds_json] * n_rows, type=pa.string()),
+            "key": pa.array([key] * n_rows, type=pa.string()),
+            "value": pa.array(values, type=pa.string()),
+            "meta_json": meta_json,
+            "tags_json": tags_json,
+            "members_json": members_json,
+            "geo_json": geo_json,
+        }
+    )
+
+
+def _within(counts: np.ndarray) -> np.ndarray:
+    """0..c-1 per run, concatenated (vectorized per-group arange)."""
+    import numpy as np
+
+    total = int(counts.sum())
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total) - np.repeat(first, counts)
+
+
+def _exclusive_within(sizes: np.ndarray, group_counts: np.ndarray):
+    """Per item: sum of preceding items' ``sizes`` WITHIN its group (the
+    flat start offset of each hole inside its element's hole region)."""
+    import numpy as np
+
+    if not len(sizes):
+        return sizes
+    cum = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    group_first = np.concatenate([[0], np.cumsum(group_counts)[:-1]])
+    base = np.repeat(cum[group_first], group_counts)
+    return cum - base
+
+
 def _entry_signature_rows(entries: list[OmaEntry]) -> list[tuple]:
     return [
         (
@@ -323,11 +566,10 @@ def read_oma_table(path: str):
             with open(row["path"], "rb") as f:
                 f.seek(row["start"])
                 buf = f.read(row["end"] - row["start"])
-            entries = decode_block(
+            tables.append(decode_block_columns(
                 buf, row["ctype"], tuple(row["bounds"]), row["key"],
                 features, zipped,
-            )
-            tables.append(entries_to_table(_entry_signature_rows(entries)))
+            ))
         import pyarrow as pa
 
         return pa.concat_tables(tables)
