@@ -2424,6 +2424,174 @@ FROM documents
 """
 
 
+# --- q46-q50: oracled geospatial join family (stages/geo_join.py) -----------
+#
+# All five run the REAL page path (synth html → GeoParse extraction), so the
+# oracles double-check the geo parser against the doc_id formulas.  The SQL
+# uses the shared integer distance metric d2 = (|Δlon|//100)² + (|Δlat|//100)²
+# (abs-before-divide: floor == truncation, numpy and DuckDB agree).
+
+_SQL_GEO_DOCS = f"""
+  SELECT doc_id, {SQL_LON.format(id='doc_id')} AS lon,
+         {SQL_LAT.format(id='doc_id')} AS lat
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}
+"""
+
+_SQL_D2 = (
+    "(ABS({lon} - ({qlon})) // 100) * (ABS({lon} - ({qlon})) // 100)"
+    " + (ABS({lat} - ({qlat})) // 100) * (ABS({lat} - ({qlat})) // 100)"
+)
+
+
+def _geo_pages(sf_dir: str):
+    """pages → GeoParse → (page_id, lon, lat); the shared front of the
+    geospatial queries (html dropped immediately after the parse)."""
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+    return (
+        pages.map_batches(GeoParse(), batch_format="pyarrow")
+        .select_columns(["page_id", "lon", "lat"])
+    )
+
+
+_GEO_QUERY_POINTS = [  # 3 hot-spot centers + the null island
+    (0, -739_800_000, 407_500_000),
+    (1, -1_200_000, 515_000_000),
+    (2, 1_397_000_000, 356_900_000),
+    (3, 0, 0),
+]
+
+
+def q46_geo_knn(sf_dir: str):
+    from oma_ray.stages.geo_join import geo_knn_join
+
+    q = np.array(_GEO_QUERY_POINTS, dtype=np.int64)
+    out = geo_knn_join(_geo_pages(sf_dir), q[:, 0], q[:, 1], q[:, 2], k=8)
+    return out.select_columns(["query_id", "page_id", "rank", "d2"])
+
+
+SQL_Q46 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+q(query_id, qlon, qlat) AS (VALUES
+  {', '.join(f'({a}, {b}, {c})' for a, b, c in _GEO_QUERY_POINTS)}),
+d AS (
+  SELECT q.query_id, g.doc_id AS page_id,
+         {_SQL_D2.format(lon='g.lon', lat='g.lat', qlon='q.qlon', qlat='q.qlat')} AS d2
+  FROM g CROSS JOIN q)
+SELECT CAST(query_id AS BIGINT) AS query_id, page_id, rank, d2 FROM (
+  SELECT query_id, page_id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, page_id) AS rank
+  FROM d) t
+WHERE rank <= 8
+"""
+
+
+def q47_box_range_join(sf_dir: str):
+    from oma_ray.stages.geo_join import box_count_join
+    from oma_ray.synth import synth_boxes
+
+    return box_count_join(_geo_pages(sf_dir), synth_boxes(64))
+
+
+SQL_Q47 = None  # assembled below (needs the boxes CTE)
+
+
+def q48_grid_neighborhood(sf_dir: str):
+    from oma_ray.stages.geo_join import grid_neighborhood
+
+    out = grid_neighborhood(_geo_pages(sf_dir))
+    return out.select_columns(["cell_id", "n_pages", "neigh_pages"])
+
+
+SQL_Q48 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+c AS (
+  SELECT ((lat + 900000000) * 8192 // 1800000001) * 8192
+         + ((lon + 1800000000) * 8192 // 3600000001) AS cell_id,
+         COUNT(*) AS n_pages
+  FROM g GROUP BY cell_id),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+n AS (
+  SELECT (c.cell_id // 8192 + o.dy) * 8192 + (c.cell_id % 8192 + o.dx) AS cell_id,
+         SUM(c.n_pages) AS neigh_pages
+  FROM c CROSS JOIN o
+  WHERE c.cell_id // 8192 + o.dy BETWEEN 0 AND 8191
+    AND c.cell_id % 8192 + o.dx BETWEEN 0 AND 8191
+  GROUP BY 1)
+SELECT c.cell_id, c.n_pages, CAST(n.neigh_pages AS BIGINT) AS neigh_pages
+FROM c JOIN n USING (cell_id)
+"""
+
+
+def q49_tile_pyramid(sf_dir: str):
+    from oma_ray.stages.geo_join import tile_pyramid
+
+    return tile_pyramid(_geo_pages(sf_dir))
+
+
+SQL_Q49 = f"""
+WITH g AS ({_SQL_GEO_DOCS})
+SELECT CAST(0 AS BIGINT) AS level,
+       ((lat + 900000000) * 8192 // 1800000001) * 8192
+       + ((lon + 1800000000) * 8192 // 3600000001) AS cell_id,
+       COUNT(*) AS n_pages
+FROM g GROUP BY 2
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+       ((lat + 900000000) * 1024 // 1800000001) * 1024
+       + ((lon + 1800000000) * 1024 // 3600000001),
+       COUNT(*) FROM g GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       ((lat + 900000000) * 128 // 1800000001) * 128
+       + ((lon + 1800000000) * 128 // 3600000001),
+       COUNT(*) FROM g GROUP BY 2
+"""
+
+
+def q50_nearest_station(sf_dir: str):
+    from oma_ray.stages.geo_join import nearest_point_join
+    from oma_ray.synth import synth_stations
+
+    out = nearest_point_join(_geo_pages(sf_dir), synth_stations(64))
+    return out.select_columns(["page_id", "station_id", "d2"])
+
+
+SQL_Q50 = None  # assembled below (needs the stations CTE)
+
+
+def _build_geo_ctes():
+    from oma_ray.synth import sql_boxes_cte, sql_stations_cte
+
+    global SQL_Q47, SQL_Q50
+    SQL_Q47 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)})
+SELECT b.box_id, COUNT(*) AS n_pages
+FROM g JOIN b ON g.lon BETWEEN b.minlon AND b.maxlon
+             AND g.lat BETWEEN b.minlat AND b.maxlat
+GROUP BY b.box_id
+"""
+    SQL_Q50 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+s AS ({sql_stations_cte(64)}),
+d AS (
+  SELECT g.doc_id AS page_id, s.station_id,
+         {_SQL_D2.format(lon='g.lon', lat='g.lat', qlon='s.lon', qlat='s.lat')} AS d2
+  FROM g CROSS JOIN s)
+SELECT page_id, station_id, d2 FROM (
+  SELECT page_id, station_id, d2,
+         row_number() OVER (PARTITION BY page_id ORDER BY d2, station_id) AS rn
+  FROM d) t
+WHERE rn = 1
+"""
+
+
+_build_geo_ctes()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2470,6 +2638,11 @@ QUERIES = {
     "q43_source_profile": q43_source_profile,
     "q44_token_windows": q44_token_windows,
     "q45_doc_deciles": q45_doc_deciles,
+    "q46_geo_knn": q46_geo_knn,
+    "q47_box_range_join": q47_box_range_join,
+    "q48_grid_neighborhood": q48_grid_neighborhood,
+    "q49_tile_pyramid": q49_tile_pyramid,
+    "q50_nearest_station": q50_nearest_station,
 }
 
 ORACLES = {
@@ -2512,4 +2685,9 @@ ORACLES = {
     "q43_source_profile": SQL_Q43,
     "q44_token_windows": SQL_Q44,
     "q45_doc_deciles": SQL_Q45,
+    "q46_geo_knn": SQL_Q46,
+    "q47_box_range_join": SQL_Q47,
+    "q48_grid_neighborhood": SQL_Q48,
+    "q49_tile_pyramid": SQL_Q49,
+    "q50_nearest_station": SQL_Q50,
 }

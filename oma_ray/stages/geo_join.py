@@ -1,0 +1,287 @@
+"""Geospatial join operators over fixed-point integer coordinates.
+
+The reference's only spatial joins are first-match bbox containment
+(ChunkGenerator.java:549-574) and PIP hole assignment (Multipolygon.java:
+134-186); a general tiling engine also needs the classic vector-join
+family, each expressed Ray-Data-first here:
+
+- ``geo_knn_join``      — k nearest PAGES per query point (few queries ×
+  huge corpus): per-batch vectorized partial top-k → one keyed exchange
+  bounded by #queries → per-block final top-k.  The exchange moves
+  O(batches × queries × k) rows, never the corpus.
+- ``nearest_point_join`` — nearest STATION per page (huge corpus × small
+  broadcast side): pure per-batch argmin, NO shuffle — the ideal 100 TB
+  shape (embarrassingly parallel, fuses with upstream stages).
+- ``box_count_join``    — interval/range join of points against a
+  broadcast box set with OVERLAP semantics (a point can hit several
+  boxes, unlike the reference's first-match rule), pre-aggregated to
+  per-box counts before the keyed exchange.
+- ``grid_neighborhood`` — 3×3 focal sum over occupied grid cells (the
+  raster-algebra "neighborhood" primitive on a sparse vector grid):
+  per-cell counts → 9-offset scatter → second keyed combine → colocated
+  join back to occupied cells.
+- ``tile_pyramid``      — multi-resolution rollup of point counts to a
+  stack of coarser grids in ONE pass (partials carry (level, cell) keys).
+
+Distances use the SQL-mirrorable integer metric
+``d2 = (|Δlon|//100)² + (|Δlat|//100)²`` — the ``//100`` scale keeps the
+sum below 2.7e15 (int64- and float64-exact), and ``abs`` before the
+division makes floor == truncation so numpy and DuckDB agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from oma_ray.sources.parquet import from_pandas_clean
+
+GRID_W = 8192  # matches stages/cells.py grid resolution and SQL_Q13
+
+
+def _d2(lon: np.ndarray, lat: np.ndarray, qlon: np.ndarray, qlat: np.ndarray):
+    """Squared scaled distance matrix (len(qlon) × len(lon)), int64-exact."""
+    a = np.abs(lon[None, :] - qlon[:, None]) // 100
+    b = np.abs(lat[None, :] - qlat[:, None]) // 100
+    return a * a + b * b
+
+
+def _valid_coords(batch: pa.Table, lon_col: str, lat_col: str):
+    import pyarrow.compute as pc
+
+    lon = batch.column(lon_col)
+    valid = ~pc.is_null(lon).to_numpy(zero_copy_only=False)
+    lon = lon.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+    lat = (
+        batch.column(lat_col)
+        .to_numpy(zero_copy_only=False)[valid]
+        .astype(np.int64)
+    )
+    return lon, lat, valid
+
+
+def geo_knn_join(ds, query_ids, query_lons, query_lats, k: int = 8,
+                 id_col: str = "page_id", lon_col: str = "lon",
+                 lat_col: str = "lat"):
+    """k nearest rows per query point: (query_id, id, rank, d2).
+
+    rank is 1-based by (d2 asc, id asc).  Null-coordinate rows are skipped.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    qid = np.asarray(query_ids, dtype=np.int64)
+    qlon = np.asarray(query_lons, dtype=np.int64)
+    qlat = np.asarray(query_lats, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+        if not len(ids):
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "d2": pa.array([], type=pa.int64()),
+                }
+            )
+        d2 = _d2(lon, lat, qlon, qlat)
+        kk = min(k, d2.shape[1])
+        # per-query partial top-k inside the batch (argpartition, then the
+        # ties-by-id order is settled in the final per-block pass)
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(qid, kk)
+        cols = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rows, type=pa.int64()),
+                id_col: pa.array(ids[cols], type=pa.int64()),
+                "d2": pa.array(np.take_along_axis(d2, part, axis=1).ravel(),
+                               type=pa.int64()),
+            }
+        )
+
+    nparts = max(1, min(default_partitions(), len(qid)))
+    part = ds.map_batches(partial, batch_format="pyarrow").repartition(
+        nparts, keys=["query_id"]
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "d2": pa.array([], type=pa.int64()),
+                }
+            )
+        df = df.sort_values(["query_id", "d2", id_col])
+        df = df.groupby("query_id", as_index=False).head(k).copy()
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return from_pandas_clean(df[["query_id", id_col, "rank", "d2"]])
+
+    return part.map_batches(final, batch_format="pyarrow")
+
+
+def nearest_point_join(ds, points: dict, id_col: str = "page_id",
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       point_id_col: str = "station_id"):
+    """Nearest broadcast point per row: (id, point_id, d2) — no shuffle.
+
+    ``points`` holds parallel arrays ``{point_id_col, lon, lat}``; ties
+    break toward the smaller point id (the arrays are scanned in id order
+    and argmin keeps the first minimum).
+    """
+    p_id = np.asarray(points[point_id_col], dtype=np.int64)
+    order = np.argsort(p_id, kind="stable")
+    p_id = p_id[order]
+    p_lon = np.asarray(points["lon"], dtype=np.int64)[order]
+    p_lat = np.asarray(points["lat"], dtype=np.int64)[order]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+        if not len(ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    point_id_col: pa.array([], type=pa.int64()),
+                    "d2": pa.array([], type=pa.int64()),
+                }
+            )
+        d2 = _d2(lon, lat, p_lon, p_lat)  # |points| × |batch|
+        best = np.argmin(d2, axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                point_id_col: pa.array(p_id[best], type=pa.int64()),
+                "d2": pa.array(d2[best, np.arange(len(ids))], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def box_count_join(ds, boxes: dict, lon_col: str = "lon",
+                   lat_col: str = "lat"):
+    """Points ⋈ broadcast boxes (inclusive bounds, OVERLAP semantics) →
+    (box_id, n_pages) for boxes with ≥1 hit.
+
+    The mask matrix is |boxes| × |batch| booleans per batch — bounded by
+    batch size, never by dataset size; the keyed exchange then moves one
+    partial row per (box, batch).  For box sets too large to broadcast the
+    same partial shape runs behind an interval-tree actor pool instead.
+    """
+    minlon = np.asarray(boxes["minlon"], dtype=np.int64)[:, None]
+    maxlon = np.asarray(boxes["maxlon"], dtype=np.int64)[:, None]
+    minlat = np.asarray(boxes["minlat"], dtype=np.int64)[:, None]
+    maxlat = np.asarray(boxes["maxlat"], dtype=np.int64)[:, None]
+    box_id = np.asarray(boxes["box_id"], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon, lat, _ = _valid_coords(batch, lon_col, lat_col)
+        hit = (
+            (lon[None, :] >= minlon) & (lon[None, :] <= maxlon)
+            & (lat[None, :] >= minlat) & (lat[None, :] <= maxlat)
+        )
+        n = hit.sum(axis=1)
+        nz = n > 0
+        return pd.DataFrame({"box_id": box_id[nz], "n_pages": n[nz]})
+
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    return _grouped_sums(ds, ["box_id"], partial, ["n_pages"])
+
+
+def cell_counts(ds, lon_col: str = "lon", lat_col: str = "lat",
+                width: int = GRID_W):
+    """(cell_id, n_pages) over the fixed-point grid (row-major ids)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon, lat, _ = _valid_coords(batch, lon_col, lat_col)
+        row = (lat + 900_000_000) * width // 1_800_000_001
+        col = (lon + 1_800_000_000) * width // 3_600_000_001
+        return pd.DataFrame(
+            {
+                "cell_id": row * width + col,
+                "n_pages": np.ones(len(row), dtype=np.int64),
+            }
+        )
+
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    return _grouped_sums(ds, ["cell_id"], partial, ["n_pages"])
+
+
+def grid_neighborhood(ds, lon_col: str = "lon", lat_col: str = "lat",
+                      width: int = GRID_W):
+    """3×3 focal sum over occupied grid cells:
+    (cell_id, n_pages, neigh_pages) where neigh_pages sums n_pages over
+    the cell and its ≤8 in-bounds neighbors.
+
+    Shape: per-cell counts (one exchange on O(cells) rows) → 9-offset
+    scatter + second keyed combine → colocated inner join back to the
+    occupied-cell counts.  Both exchanges move cell-count rows, not
+    points.
+    """
+    from oma_ray.stages.join import hash_join
+
+    counts = cell_counts(ds, lon_col, lat_col, width)
+
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def scatter(batch: pa.Table) -> pd.DataFrame:
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n_pages").to_numpy(zero_copy_only=False)
+        row, col = cell // width, cell % width
+        frames = []
+        for dy, dx in offsets:
+            r, c = row + dy, col + dx
+            ok = (r >= 0) & (r < width) & (c >= 0) & (c < width)
+            frames.append(
+                pd.DataFrame({"cell_id": r[ok] * width + c[ok], "neigh_pages": n[ok]})
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby("cell_id", as_index=False)["neigh_pages"].sum()
+
+    from oma_ray.pipelines.queries import _grouped_sums as _gs  # combine shape
+
+    neigh = _gs(counts, ["cell_id"], scatter, ["neigh_pages"])
+    return hash_join(
+        counts, neigh, on="cell_id",
+        left_schema=pa.schema([("cell_id", pa.int64()), ("n_pages", pa.int64())]),
+        right_schema=pa.schema([("cell_id", pa.int64()), ("neigh_pages", pa.int64())]),
+    )
+
+
+def tile_pyramid(ds, widths: tuple[int, ...] = (8192, 1024, 128),
+                 lon_col: str = "lon", lat_col: str = "lat"):
+    """Multi-resolution counts in one pass: (level, cell_id, n_pages) for
+    level i over a widths[i]-wide grid.  ``floor(x*W/D)`` at each W is
+    computed directly (identical to dividing the finest grid down, since
+    floor(floor(a/b)/c) == floor(a/(bc)) for positive ints)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon, lat, _ = _valid_coords(batch, lon_col, lat_col)
+        frames = []
+        for lvl, w in enumerate(widths):
+            row = (lat + 900_000_000) * w // 1_800_000_001
+            col = (lon + 1_800_000_000) * w // 3_600_000_001
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "level": np.full(len(row), lvl, dtype=np.int64),
+                        "cell_id": row * w + col,
+                        "n_pages": np.ones(len(row), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    return _grouped_sums(ds, ["level", "cell_id"], partial, ["n_pages"])

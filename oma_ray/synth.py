@@ -340,3 +340,60 @@ def synth_admin_polygons(n: int = 200) -> dict[str, list]:
         "holes_lon": holes_lon,
         "holes_lat": holes_lat,
     }
+
+
+# --- SQL-mirrorable point/box fixtures (geo join operators) -----------------
+#
+# Unlike the admin polygons above (cos/sin rings — PIP is checked by golden
+# differentials, not SQL), these fixtures are PURE INTEGER formulas of a
+# sequence index so a DuckDB oracle regenerates them bit-identically with
+# ``range(n)``.  Every operand is non-negative before ``%``, so numpy,
+# Python and DuckDB agree on the remainder.
+
+def synth_stations(n: int = 64) -> dict[str, np.ndarray]:
+    """Deterministic "measurement station" points: id, fixed-point lon/lat,
+    and an integer observation value."""
+    i = np.arange(n, dtype=np.int64)
+    return {
+        "station_id": i,
+        "lon": (i * 2654435761 + 777_777_777) % 3_600_000_000 - 1_800_000_000,
+        "lat": (i * 2246822519 + 555_555_555) % 1_800_000_000 - 900_000_000,
+        "value": (i * 7919) % 100_000,
+    }
+
+
+def sql_stations_cte(n: int = 64) -> str:
+    """DuckDB CTE body computing ``synth_stations(n)`` exactly."""
+    return (
+        f"SELECT i AS station_id, "
+        f"(i * 2654435761 + 777777777) % 3600000000 - 1800000000 AS lon, "
+        f"(i * 2246822519 + 555555555) % 1800000000 - 900000000 AS lat, "
+        f"(i * 7919) % 100000 AS value FROM range({n}) t(i)"
+    )
+
+
+def synth_boxes(n: int = 64) -> dict[str, np.ndarray]:
+    """Deterministic query boxes (range-join fixture): wide intervals that
+    overlap each other, so one point can fall in several boxes."""
+    i = np.arange(n, dtype=np.int64)
+    cx = (i * 2654435761 + 987_654_321) % 3_400_000_000 - 1_700_000_000
+    cy = (i * 2246822519 + 123_456_789) % 1_600_000_000 - 800_000_000
+    hw = 30_000_000 + (i * 7_919_333) % 120_000_000
+    hh = 15_000_000 + (i * 10_472_941) % 60_000_000
+    return {
+        "box_id": i,
+        "minlon": cx - hw, "maxlon": cx + hw,
+        "minlat": cy - hh, "maxlat": cy + hh,
+    }
+
+
+def sql_boxes_cte(n: int = 64) -> str:
+    """DuckDB CTE body computing ``synth_boxes(n)`` exactly."""
+    return (
+        f"SELECT i AS box_id, "
+        f"(i * 2654435761 + 987654321) % 3400000000 - 1700000000 - (30000000 + (i * 7919333) % 120000000) AS minlon, "
+        f"(i * 2654435761 + 987654321) % 3400000000 - 1700000000 + (30000000 + (i * 7919333) % 120000000) AS maxlon, "
+        f"(i * 2246822519 + 123456789) % 1600000000 - 800000000 - (15000000 + (i * 10472941) % 60000000) AS minlat, "
+        f"(i * 2246822519 + 123456789) % 1600000000 - 800000000 + (15000000 + (i * 10472941) % 60000000) AS maxlat "
+        f"FROM range({n}) t(i)"
+    )

@@ -1,0 +1,127 @@
+"""Geospatial join operators (stages/geo_join.py) vs brute-force numpy
+oracles on deterministic point sets — including null-coordinate rows and
+multi-block inputs (the keyed-exchange paths must merge partials correctly).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _points_ds(n=5000, blocks=8):
+    import ray.data as rd
+
+    from oma_ray.synth import geo_for_ids
+
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat, has_geo = geo_for_ids(ids)
+    t = pa.table(
+        {
+            "page_id": pa.array(ids),
+            "lon": pa.array(lon.astype(np.int32), mask=~has_geo),
+            "lat": pa.array(lat.astype(np.int32), mask=~has_geo),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks), ids[has_geo], lon[has_geo], lat[has_geo]
+
+
+def _d2_brute(lon, lat, qlon, qlat):
+    a = np.abs(lon.astype(np.int64) - qlon) // 100
+    b = np.abs(lat.astype(np.int64) - qlat) // 100
+    return a * a + b * b
+
+
+def test_geo_knn_join_matches_brute_force():
+    from oma_ray.stages.geo_join import geo_knn_join
+
+    ds, ids, lon, lat = _points_ds()
+    qlon = np.array([0, -739_800_000], dtype=np.int64)
+    qlat = np.array([0, 407_500_000], dtype=np.int64)
+    out = geo_knn_join(ds, [0, 1], qlon, qlat, k=5).to_pandas()
+    assert len(out) == 10
+    for qi in (0, 1):
+        d2 = _d2_brute(lon, lat, qlon[qi], qlat[qi])
+        order = np.lexsort((ids, d2))[:5]
+        got = out[out.query_id == qi].sort_values("rank")
+        assert got["page_id"].tolist() == ids[order].tolist()
+        assert got["d2"].tolist() == d2[order].tolist()
+        assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_nearest_point_join_matches_brute_force_no_shuffle():
+    from oma_ray.stages.geo_join import nearest_point_join
+    from oma_ray.synth import synth_stations
+
+    ds, ids, lon, lat = _points_ds(n=2000)
+    st = synth_stations(16)
+    out = nearest_point_join(ds, st).to_pandas().sort_values("page_id")
+    assert len(out) == len(ids)  # null-coordinate rows dropped
+    d2 = _d2_brute(
+        np.repeat(lon, 1), np.repeat(lat, 1),
+        st["lon"][:, None], st["lat"][:, None],
+    )  # 16 × n
+    best = np.argmin(d2, axis=0)
+    assert out["station_id"].to_numpy().tolist() == st["station_id"][best].tolist()
+    assert out["d2"].to_numpy().tolist() == d2[best, np.arange(len(ids))].tolist()
+
+
+def test_box_count_join_overlap_semantics():
+    from oma_ray.stages.geo_join import box_count_join
+    from oma_ray.synth import synth_boxes
+
+    ds, ids, lon, lat = _points_ds()
+    b = synth_boxes(64)
+    out = box_count_join(ds, b).to_pandas().set_index("box_id")["n_pages"]
+    hit = (
+        (lon[None, :] >= b["minlon"][:, None]) & (lon[None, :] <= b["maxlon"][:, None])
+        & (lat[None, :] >= b["minlat"][:, None]) & (lat[None, :] <= b["maxlat"][:, None])
+    )
+    n = hit.sum(axis=1)
+    want = pd.Series(n[n > 0], index=b["box_id"][n > 0])
+    assert out.sort_index().tolist() == want.sort_index().tolist()
+    assert len(out) == (n > 0).sum()
+    # overlap semantics: strictly more total assignments than any first-match
+    # rule could produce iff some point hits >1 box (true for this fixture)
+    assert n.sum() > (hit.any(axis=0)).sum()
+
+
+def test_grid_neighborhood_focal_sum():
+    from oma_ray.stages.geo_join import GRID_W, grid_neighborhood
+
+    ds, ids, lon, lat = _points_ds(n=3000)
+    out = grid_neighborhood(ds).to_pandas()
+    row = (lat + 900_000_000) * GRID_W // 1_800_000_001
+    col = (lon + 1_800_000_000) * GRID_W // 3_600_000_001
+    cells = pd.Series(row * GRID_W + col).value_counts()
+    counts = dict(cells)
+    for _, r in out.iterrows():
+        cell, n, neigh = r["cell_id"], r["n_pages"], r["neigh_pages"]
+        assert counts[cell] == n
+        rr, cc = cell // GRID_W, cell % GRID_W
+        want = sum(
+            counts.get((rr + dy) * GRID_W + (cc + dx), 0)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if 0 <= rr + dy < GRID_W and 0 <= cc + dx < GRID_W
+        )
+        assert neigh == want, cell
+    assert len(out) == len(counts)
+
+
+def test_tile_pyramid_levels_consistent():
+    from oma_ray.stages.geo_join import tile_pyramid
+
+    ds, ids, lon, lat = _points_ds(n=4000)
+    out = tile_pyramid(ds).to_pandas()
+    # every level's counts sum to the number of geo points
+    for lvl, grp in out.groupby("level"):
+        assert grp["n_pages"].sum() == len(ids)
+    # coarser level has no more cells than finer
+    ncells = out.groupby("level")["cell_id"].nunique()
+    assert ncells[0] >= ncells[1] >= ncells[2]
+    # direct-W formula equals divide-down of the finest level for level 1
+    fine = out[out.level == 0].copy()
+    fine["r1"] = fine.cell_id // 8192 // 8
+    fine["c1"] = fine.cell_id % 8192 // 8
+    agg = fine.groupby(fine.r1 * 1024 + fine.c1)["n_pages"].sum()
+    l1 = out[out.level == 1].set_index("cell_id")["n_pages"]
+    assert agg.sort_index().tolist() == l1.sort_index().tolist()

@@ -24,6 +24,8 @@ SUBSET = [
     "q43_source_profile",
     "q44_token_windows",
     "q45_doc_deciles",
+    "q47_box_range_join",
+    "q50_nearest_station",
 ]
 
 
