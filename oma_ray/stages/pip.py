@@ -139,3 +139,185 @@ class PIPJoin:
             vals[hit] = self.index.admin_id[pidx[hit]]
             admin[valid] = vals
         return batch.append_column("admin_id", pa.array(admin, type=pa.int64()))
+
+
+# --- distributed PIP join (polygon side too large to broadcast) --------------
+#
+# The broadcast PIPJoin above mirrors the reference's own assumption (a
+# bounds list that fits in RAM, ChunkGenerator.java:53-97).  At 100 TB the
+# polygon side can itself be a dataset (millions of admin/cadastral shapes):
+# `pip_join_by_cell` removes the broadcast ceiling by co-partitioning pages
+# and polygon CELL COVERS on a shared grid key and refining with the exact
+# ray cast inside each block.
+#
+# Correctness: a polygon's cover contains every grid cell intersecting its
+# bbox; if a polygon contains a point, the point is inside the bbox, so the
+# page's cell is in the cover, so the (cell, polygon) cover row hashes to
+# the SAME block as the page — every true candidate is co-located, and the
+# exact per-block refine plus min-`ord` keeps global first-match semantics.
+# Pages with no polygon in their cell simply see an empty mini-index (-1).
+
+def polygons_table(polys: dict) -> "pa.Table":
+    """Columnar polygon set (fixture dict → Arrow), with the table-order
+    ``ord`` column that carries first-match priority through the shuffle."""
+    n = len(polys["admin_id"])
+    return pa.table(
+        {
+            "ord": pa.array(np.arange(n, dtype=np.int64)),
+            "admin_id": pa.array(np.asarray(polys["admin_id"], dtype=np.int64)),
+            "ring_lon": pa.array(polys["ring_lon"], type=pa.list_(pa.int64())),
+            "ring_lat": pa.array(polys["ring_lat"], type=pa.list_(pa.int64())),
+            "holes_lon": pa.array(
+                polys["holes_lon"], type=pa.list_(pa.list_(pa.int64()))
+            ),
+            "holes_lat": pa.array(
+                polys["holes_lat"], type=pa.list_(pa.list_(pa.int64()))
+            ),
+        }
+    )
+
+
+def _cover_cells(ring_lon, ring_lat, width: int) -> np.ndarray:
+    """Grid cells intersecting the ring's bbox (row-major ids)."""
+    rmin = int((min(ring_lat) + 900_000_000) * width // 1_800_000_001)
+    rmax = int((max(ring_lat) + 900_000_000) * width // 1_800_000_001)
+    cmin = int((min(ring_lon) + 1_800_000_000) * width // 3_600_000_001)
+    cmax = int((max(ring_lon) + 1_800_000_000) * width // 3_600_000_001)
+    rmin, rmax = max(rmin, 0), min(rmax, width - 1)
+    cmin, cmax = max(cmin, 0), min(cmax, width - 1)
+    rows = np.arange(rmin, rmax + 1, dtype=np.int64)
+    cols = np.arange(cmin, cmax + 1, dtype=np.int64)
+    return (rows[:, None] * width + cols[None, :]).ravel()
+
+
+def explode_polygon_cover(batch: pa.Table, width: int) -> pa.Table:
+    """Polygon rows → one row per (cell, polygon) cover pair.  The loop is
+    over POLYGONS (the small side per batch); output size is the sum of
+    per-polygon cover areas — pick ``width`` so typical shapes cover a few
+    cells (too coarse ⇒ giant candidate blocks, too fine ⇒ cover blow-up
+    for large shapes; production layouts use a hierarchical cover)."""
+    lons = batch.column("ring_lon").to_pylist()
+    lats = batch.column("ring_lat").to_pylist()
+    covers = [_cover_cells(lo, la, width) for lo, la in zip(lons, lats)]
+    reps = np.array([len(c) for c in covers], dtype=np.int64)
+    idx = np.repeat(np.arange(len(batch)), reps)
+    out = batch.take(pa.array(idx))
+    return out.append_column(
+        "cell_id", pa.array(np.concatenate(covers) if covers else
+                            np.zeros(0, dtype=np.int64))
+    )
+
+
+def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
+                     num_partitions: int | None = None,
+                     id_col: str = "page_id", lon_col: str = "lon",
+                     lat_col: str = "lat",
+                     polys_schema: "pa.Schema | None" = None):
+    """Distributed first-match PIP join: (id, admin_id) for every page row
+    with valid coordinates (admin_id = -1 when no polygon contains it).
+
+    Both sides flow through ONE keyed exchange on ``cell_id`` (tagged
+    colocated union, the hash_join shape); each block rebuilds a bbox-overlay
+    ``PolygonIndex`` over the ≤ |polygons-in-block| cover rows (deduped by
+    ``ord``) and runs the vectorized ray cast.  Nothing polygon- or
+    page-scale ever sits on the driver.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    pschema = polys_schema if polys_schema is not None else polys_ds.schema()
+    ptypes = dict(zip(pschema.names, pschema.types))
+    pcols = ["ord", "admin_id", "ring_lon", "ring_lat", "holes_lon", "holes_lat"]
+
+    def pad_pages(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col)
+        valid = ~pa.compute.is_null(lon).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+        lon_np = lon.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        lat_np = (
+            batch.column(lat_col).to_numpy(zero_copy_only=False)[valid]
+            .astype(np.int64)
+        )
+        row = (lat_np + 900_000_000) * width // 1_800_000_001
+        col = (lon_np + 1_800_000_000) * width // 3_600_000_001
+        t = pa.table(
+            {
+                "cell_id": pa.array(row * width + col),
+                "__side": pa.array(np.ones(len(ids), dtype=np.int8)),
+                id_col: pa.array(ids, type=pa.int64()),
+                "pt_lon": pa.array(lon_np),
+                "pt_lat": pa.array(lat_np),
+            }
+        )
+        for c in pcols:
+            t = t.append_column(c, pa.nulls(len(t), type=ptypes[c]))
+        return t
+
+    def pad_polys(batch: pa.Table) -> pa.Table:
+        t = explode_polygon_cover(batch, width)
+        out = pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                id_col: pa.nulls(len(t), type=pa.int64()),
+                "pt_lon": pa.nulls(len(t), type=pa.int64()),
+                "pt_lat": pa.nulls(len(t), type=pa.int64()),
+            }
+        )
+        for c in pcols:
+            out = out.append_column(c, t.column(c))
+        return out
+
+    both = (
+        pages_ds.map_batches(pad_pages, batch_format="pyarrow")
+        .union(polys_ds.map_batches(pad_polys, batch_format="pyarrow"))
+        .repartition(num_partitions, keys=["cell_id"])
+    )
+
+    def block_pip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = batch.column("__side")
+        pages = batch.filter(pc.equal(side, 1))
+        if not len(pages):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "admin_id": pa.array([], type=pa.int64()),
+                }
+            )
+        polys = batch.filter(pc.equal(side, 0))
+        admin = np.full(len(pages), -1, dtype=np.int64)
+        if len(polys):
+            # dedupe cover rows (one polygon may cover several cells of this
+            # block) and restore table order = first-match priority
+            df = polys.select(pcols).to_pandas()
+            df = df.drop_duplicates(subset=["ord"]).sort_values("ord")
+            idx = PolygonIndex(
+                {
+                    "admin_id": df["admin_id"].to_numpy(),
+                    "ring_lon": list(df["ring_lon"]),
+                    "ring_lat": list(df["ring_lat"]),
+                    "holes_lon": [list(h) for h in df["holes_lon"]],
+                    "holes_lat": [list(h) for h in df["holes_lat"]],
+                }
+            )
+            lon = pages.column("pt_lon").to_numpy(zero_copy_only=False)
+            lat = pages.column("pt_lat").to_numpy(zero_copy_only=False)
+            # NB: pages of SEVERAL cells share this block; that only adds
+            # candidates (exact refine rejects them), never loses any
+            pidx = idx.lookup(lon, lat)
+            hit = pidx >= 0
+            admin[hit] = idx.admin_id[pidx[hit]]
+        return pa.table(
+            {
+                id_col: pages.column(id_col),
+                "admin_id": pa.array(admin, type=pa.int64()),
+            }
+        )
+
+    return both.map_batches(block_pip, batch_format="pyarrow")

@@ -1,6 +1,7 @@
 """PolygonIndex / PIPJoin: first-match, holes, nesting, skew hot spots."""
 
 import numpy as np
+import pyarrow as pa
 
 from oma_ray.functions.geo import points_in_ring
 from oma_ray.stages.pip import PolygonIndex
@@ -82,3 +83,49 @@ def test_hotspot_polygons_cover_cluster_centers():
     idx = PolygonIndex(polys)
     got = idx.lookup(HOT_LON.astype(np.int64), HOT_LAT.astype(np.int64))
     assert (got == np.array([0, 1, 2])).all()
+
+
+def test_pip_join_by_cell_matches_broadcast():
+    """Distributed cell-cover PIP join == broadcast first-match lookup,
+    across several cover widths (block composition changes, result must
+    not) and multi-block page inputs."""
+    import ray.data as rd
+
+    from oma_ray.stages.pip import (
+        PolygonIndex, pip_join_by_cell, polygons_table,
+    )
+    from oma_ray.synth import geo_for_ids, synth_admin_polygons
+
+    ids = np.arange(4000, dtype=np.int64)
+    lon, lat, has_geo = geo_for_ids(ids)
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array(ids),
+                "lon": pa.array(lon.astype(np.int32), mask=~has_geo),
+                "lat": pa.array(lat.astype(np.int32), mask=~has_geo),
+            }
+        )
+    ).repartition(6)
+
+    polys = synth_admin_polygons(60)
+    bidx = PolygonIndex(polys)
+    glon, glat = lon[has_geo], lat[has_geo]
+    pidx = bidx.lookup(glon, glat)
+    want = np.full(len(glon), -1, dtype=np.int64)
+    want[pidx >= 0] = bidx.admin_id[pidx[pidx >= 0]]
+
+    ptab = polygons_table(polys)
+    for width in (32, 128):
+        out = (
+            pip_join_by_cell(
+                pages, rd.from_arrow(ptab), width=width,
+                polys_schema=ptab.schema,
+            )
+            .to_pandas()
+            .sort_values("page_id")
+        )
+        assert out["page_id"].to_numpy().tolist() == ids[has_geo].tolist()
+        assert out["admin_id"].to_numpy().tolist() == want.tolist(), width
+    # the fixture must actually exercise hits AND misses
+    assert (want >= 0).any() and (want == -1).any()
