@@ -2562,10 +2562,88 @@ def q50_nearest_station(sf_dir: str):
 SQL_Q50 = None  # assembled below (needs the stations CTE)
 
 
+def q51_user_trajectories(sf_dir: str):
+    """Per-user movement over the event log: synthetic geo fixes derive
+    from event_id (same formulas as pages), ordered by (ts, event_id)."""
+    from oma_ray.stages.geo_join import trajectory_lengths
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        return batch.append_column(
+            "lon", pa.array(lon, type=pa.int64(), mask=~has_geo)
+        ).append_column("lat", pa.array(lat, type=pa.int64(), mask=~has_geo))
+
+    return trajectory_lengths(ds.map_batches(add_geo, batch_format="pyarrow"))
+
+
+SQL_Q51 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+s AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, COUNT(plon) AS n_hops,
+       CAST(COALESCE(SUM(
+         {_SQL_D2.format(lon='lon', lat='lat', qlon='plon', qlat='plat')}
+       ), 0) AS BIGINT) AS sum_step_d2
+FROM s GROUP BY user_id
+"""
+
+
+def q52_unboxed_pages(sf_dir: str):
+    from oma_ray.stages.geo_join import box_anti_join
+    from oma_ray.synth import synth_boxes
+
+    return box_anti_join(_geo_pages(sf_dir), synth_boxes(64))
+
+
+SQL_Q52 = None  # assembled below (needs the boxes CTE)
+
+
+def q53_station_within(sf_dir: str):
+    from oma_ray.stages.geo_join import within_distance_join
+    from oma_ray.synth import synth_stations
+
+    out = within_distance_join(
+        _geo_pages(sf_dir), synth_stations(64), r2=1_000_000_000_000
+    )
+    return out.select_columns(["page_id", "station_id", "d2"])
+
+
+SQL_Q53 = None  # assembled below (needs the stations CTE)
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
-    global SQL_Q47, SQL_Q50
+    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53
+    SQL_Q52 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)})
+SELECT g.doc_id AS page_id FROM g
+WHERE NOT EXISTS (
+  SELECT 1 FROM b WHERE g.lon BETWEEN b.minlon AND b.maxlon
+                    AND g.lat BETWEEN b.minlat AND b.maxlat)
+"""
+    SQL_Q53 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+s AS ({sql_stations_cte(64)}),
+d AS (
+  SELECT g.doc_id AS page_id, s.station_id,
+         {_SQL_D2.format(lon='g.lon', lat='g.lat', qlon='s.lon', qlat='s.lat')} AS d2
+  FROM g CROSS JOIN s)
+SELECT page_id, station_id, d2 FROM d WHERE d2 <= 1000000000000
+"""
     SQL_Q47 = f"""
 WITH g AS ({_SQL_GEO_DOCS}),
 b AS ({sql_boxes_cte(64)})
@@ -2643,6 +2721,9 @@ QUERIES = {
     "q48_grid_neighborhood": q48_grid_neighborhood,
     "q49_tile_pyramid": q49_tile_pyramid,
     "q50_nearest_station": q50_nearest_station,
+    "q51_user_trajectories": q51_user_trajectories,
+    "q52_unboxed_pages": q52_unboxed_pages,
+    "q53_station_within": q53_station_within,
 }
 
 ORACLES = {
@@ -2690,4 +2771,7 @@ ORACLES = {
     "q48_grid_neighborhood": SQL_Q48,
     "q49_tile_pyramid": SQL_Q49,
     "q50_nearest_station": SQL_Q50,
+    "q51_user_trajectories": SQL_Q51,
+    "q52_unboxed_pages": SQL_Q52,
+    "q53_station_within": SQL_Q53,
 }

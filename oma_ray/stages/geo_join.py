@@ -285,3 +285,122 @@ def tile_pyramid(ds, widths: tuple[int, ...] = (8192, 1024, 128),
     from oma_ray.pipelines.queries import _grouped_sums
 
     return _grouped_sums(ds, ["level", "cell_id"], partial, ["n_pages"])
+
+
+def box_anti_join(ds, boxes: dict, id_col: str = "page_id",
+                  lon_col: str = "lon", lat_col: str = "lat"):
+    """Spatial anti-join: ids of rows whose point hits NO broadcast box —
+    a pure per-batch filter (no shuffle), the complement of box_count_join."""
+    minlon = np.asarray(boxes["minlon"], dtype=np.int64)[:, None]
+    maxlon = np.asarray(boxes["maxlon"], dtype=np.int64)[:, None]
+    minlat = np.asarray(boxes["minlat"], dtype=np.int64)[:, None]
+    maxlat = np.asarray(boxes["maxlat"], dtype=np.int64)[:, None]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+        hit = (
+            (lon[None, :] >= minlon) & (lon[None, :] <= maxlon)
+            & (lat[None, :] >= minlat) & (lat[None, :] <= maxlat)
+        ).any(axis=0)
+        return pa.table({id_col: pa.array(ids[~hit], type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def within_distance_join(ds, points: dict, r2: int,
+                         id_col: str = "page_id", lon_col: str = "lon",
+                         lat_col: str = "lat",
+                         point_id_col: str = "station_id"):
+    """DWithin join: all (row, point) pairs with d2 ≤ r2 — per-batch
+    distance matrix against the broadcast point set, pairs emitted where
+    the threshold holds (output is bounded by the true pair count, the
+    matrix by batch_size × |points|).  No shuffle."""
+    p_id = np.asarray(points[point_id_col], dtype=np.int64)
+    p_lon = np.asarray(points["lon"], dtype=np.int64)
+    p_lat = np.asarray(points["lat"], dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+        d2 = _d2(lon, lat, p_lon, p_lat)  # |points| × |batch|
+        pi, ri = np.nonzero(d2 <= r2)
+        return pa.table(
+            {
+                id_col: pa.array(ids[ri], type=pa.int64()),
+                point_id_col: pa.array(p_id[pi], type=pa.int64()),
+                "d2": pa.array(d2[pi, ri], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def trajectory_lengths(ds, user_col: str = "user_id", ts_col: str = "ts",
+                       order_col: str = "event_id", lon_col: str = "lon",
+                       lat_col: str = "lat"):
+    """Per-user movement aggregate over an event log: order each user's
+    geo events by (ts, order_col) and sum the squared scaled step distances
+    between consecutive ones → (user_id, n_hops, sum_step_d2).
+
+    Keyed repartition puts every row of a user in exactly one block
+    (sessionize_counts's contract), so per-block diffs == global diffs; the
+    per-block pass is one lexsort + vectorized deltas.  Null-coordinate
+    events are dropped BEFORE ordering (they are not trajectory fixes).
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def project(batch: pa.Table) -> pa.Table:
+        lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+        return pa.table(
+            {
+                user_col: pa.array(
+                    batch.column(user_col).to_numpy(zero_copy_only=False)[valid]
+                ),
+                ts_col: batch.column(ts_col).filter(pa.array(valid)),
+                order_col: pa.array(
+                    batch.column(order_col).to_numpy(zero_copy_only=False)[valid]
+                ),
+                "t_lon": pa.array(lon),
+                "t_lat": pa.array(lat),
+            }
+        )
+
+    part = ds.map_batches(project, batch_format="pyarrow").repartition(
+        default_partitions(), keys=[user_col]
+    )
+
+    def block(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    user_col: pa.array([], type=pa.int64()),
+                    "n_hops": pa.array([], type=pa.int64()),
+                    "sum_step_d2": pa.array([], type=pa.int64()),
+                }
+            )
+        df = df.sort_values([user_col, ts_col, order_col])
+        user = df[user_col].to_numpy()
+        lon = df["t_lon"].to_numpy()
+        lat = df["t_lat"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = user[1:] == user[:-1]
+        a = np.zeros(len(df), dtype=np.int64)
+        b = np.zeros(len(df), dtype=np.int64)
+        a[1:] = np.abs(lon[1:] - lon[:-1]) // 100
+        b[1:] = np.abs(lat[1:] - lat[:-1]) // 100
+        step = np.where(same, a * a + b * b, 0)
+        out = pd.DataFrame(
+            {
+                user_col: user,
+                "n_hops": same.astype(np.int64),
+                "sum_step_d2": step,
+            }
+        ).groupby(user_col, as_index=False).sum()
+        return from_pandas_clean(out)
+
+    return part.map_batches(block, batch_format="pyarrow")

@@ -125,3 +125,76 @@ def test_tile_pyramid_levels_consistent():
     agg = fine.groupby(fine.r1 * 1024 + fine.c1)["n_pages"].sum()
     l1 = out[out.level == 1].set_index("cell_id")["n_pages"]
     assert agg.sort_index().tolist() == l1.sort_index().tolist()
+
+
+def test_box_anti_join_is_exact_complement():
+    from oma_ray.stages.geo_join import box_anti_join, box_count_join
+    from oma_ray.synth import synth_boxes
+
+    ds, ids, lon, lat = _points_ds(n=2000)
+    b = synth_boxes(64)
+    out = set(box_anti_join(ds, b).to_pandas()["page_id"])
+    hit = (
+        (lon[None, :] >= b["minlon"][:, None]) & (lon[None, :] <= b["maxlon"][:, None])
+        & (lat[None, :] >= b["minlat"][:, None]) & (lat[None, :] <= b["maxlat"][:, None])
+    ).any(axis=0)
+    assert out == set(ids[~hit])
+    # complement check against the count join's total assignment base
+    inside = box_count_join(ds, b).to_pandas()
+    assert len(out) + hit.sum() == len(ids)
+
+
+def test_within_distance_join_pairs():
+    from oma_ray.stages.geo_join import within_distance_join
+    from oma_ray.synth import synth_stations
+
+    ds, ids, lon, lat = _points_ds(n=2000)
+    st = synth_stations(16)
+    r2 = 4_000_000_000_000
+    out = within_distance_join(ds, st, r2=r2).to_pandas()
+    d2 = _d2_brute(lon, lat, st["lon"][:, None], st["lat"][:, None])
+    pi, ri = np.nonzero(d2 <= r2)
+    want = set(zip(ids[ri].tolist(), st["station_id"][pi].tolist(),
+                   d2[pi, ri].tolist()))
+    got = set(zip(out["page_id"], out["station_id"], out["d2"]))
+    assert got == want and len(out) == len(want) and len(want) > 0
+
+
+def test_trajectory_lengths_multiblock_users():
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import trajectory_lengths
+
+    # 40 users × 50 events each, scattered across 10 blocks so every user's
+    # rows span several input blocks; ts ties broken by event_id
+    n = 2000
+    eid = np.arange(n, dtype=np.int64)
+    user = eid % 40
+    ts = np.full(n, 1_700_000_000_000_000, dtype=np.int64) + (eid // 7) * 1_000_000
+    lon = ((eid * 37) % 3_000_000_000 - 1_500_000_000).astype(np.int64)
+    lat = ((eid * 91) % 1_700_000_000 - 850_000_000).astype(np.int64)
+    drop = eid % 13 == 0  # null-coordinate fixes must be skipped
+    t = pa.table(
+        {
+            "user_id": pa.array(user),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_id": pa.array(eid),
+            "lon": pa.array(lon, mask=drop),
+            "lat": pa.array(lat, mask=drop),
+        }
+    )
+    out = (
+        trajectory_lengths(rd.from_arrow(t).repartition(10))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"user_id": user, "ts": ts, "event_id": eid, "lon": lon, "lat": lat}
+    )[~drop].sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in df.groupby("user_id"):
+        a = np.abs(np.diff(grp["lon"].to_numpy())) // 100
+        b = np.abs(np.diff(grp["lat"].to_numpy())) // 100
+        assert out.loc[uid, "n_hops"] == len(grp) - 1
+        assert out.loc[uid, "sum_step_d2"] == (a * a + b * b).sum()
+    assert len(out) == 40
