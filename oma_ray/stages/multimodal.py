@@ -347,3 +347,116 @@ class ImageResizePlan:
                 type=pa.struct([("width", pa.int32()), ("height", pa.int32())]),
             ),
         )
+
+
+# --- RAWV: a real, dependency-free video container ---------------------------
+#
+# Frames are raw RGB24 planes behind a fixed header — the honest analogue of
+# PPM/WAV above: the container logic (header parse, frame gather, keyframe
+# sampling, per-frame features, memory-aware batch sizing) is REAL and runs
+# end-to-end here; MP4/H.264/WebM decoding needs ffmpeg/PyAV (absent in this
+# environment) and enters through the `_decode_video_real` seam.
+
+VIDEO_META = pa.struct(
+    [
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("n_frames", pa.int32()), ("n_sampled", pa.int32()),
+    ]
+)
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, 3) uint8 → RAWV payload."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    return b"RAWV" + struct.pack(">HHH", w, h, n) + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawv(payload: bytes) -> np.ndarray:
+    """RAWV payload → (n_frames, h, w, 3) uint8 (zero-copy frombuffer)."""
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    w, h, n = struct.unpack(">HHH", payload[4:10])
+    data = np.frombuffer(payload, dtype=np.uint8, count=n * h * w * 3, offset=10)
+    return data.reshape(n, h, w, 3)
+
+
+def _decode_video_real(payload: bytes):  # pragma: no cover - deliberate stub
+    """Swap-in point for a real video decoder (ffmpeg / PyAV)."""
+    raise NotImplementedError(
+        "MP4/H.264/WebM codecs are not available in this environment; "
+        "replace VideoFrameSample._decode to use a real library"
+    )
+
+
+def keyframe_indices(n_frames: int, k: int) -> np.ndarray:
+    """Evenly-spaced frame indices (≤ k of them, always includes frame 0;
+    includes the last frame when k > 1)."""
+    k = min(k, n_frames)
+    if k <= 1:
+        return np.zeros(max(k, 0), dtype=np.int64)
+    return np.arange(k) * (n_frames - 1) // (k - 1)
+
+
+def synth_rawv_batch(batch: pa.Table, id_col: str = "doc_id",
+                     col: str = "video") -> pa.Table:
+    """Attach a real deterministic RAWV clip per row (moving gradient with
+    per-frame phase, variable geometry and length)."""
+    ids = batch.column(id_col).to_numpy()
+    payloads = []
+    for i in ids:
+        w = 16 + int(i) % 32
+        h = 12 + int(i * 3) % 24
+        n = 6 + int(i * 7) % 15
+        t = np.arange(n)[:, None, None]
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                (xx[None] * 255 // max(1, w - 1) + t * 11) % 256,
+                (yy[None] * 255 // max(1, h - 1) + t * 5) % 256,
+                (xx[None] + yy[None] + t * 17 + int(i)) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payloads.append(encode_rawv(frames))
+    return batch.append_column(col, pa.array(payloads, type=pa.binary()))
+
+
+class VideoFrameSample:
+    """Actor-pool stage: decode each clip, sample ≤ ``n_keyframes`` evenly
+    spaced frames, and emit per-clip metadata, the sampled indices and a
+    mean-pooled per-frame feature vector.  Use with small ``batch_size`` —
+    clips are the widest payloads in the pipeline (memory-aware sizing:
+    batch_bytes ≈ batch_size × frames × h × w × 3)."""
+
+    def __init__(self, n_keyframes: int = 4, feature_dim: int = 16,
+                 video_col: str = "video"):
+        self.n_keyframes = n_keyframes
+        self.feature_dim = feature_dim
+        self.video_col = video_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, feats, kidx = [], [], []
+        for payload in batch.column(self.video_col).to_pylist():
+            if payload[:4] == b"RAWV":
+                frames = decode_rawv(payload)
+            else:
+                frames = _decode_video_real(payload)
+            n, h, w, _ = frames.shape
+            idx = keyframe_indices(n, self.n_keyframes)
+            per_frame = np.stack(
+                [ppm_features(frames[j], self.feature_dim) for j in idx]
+            )
+            metas.append(
+                {"width": w, "height": h, "n_frames": n, "n_sampled": len(idx)}
+            )
+            feats.append(per_frame.mean(axis=0).tolist())
+            kidx.append(idx.astype(np.int32).tolist())
+        batch = batch.append_column("video_meta", pa.array(metas, type=VIDEO_META))
+        batch = batch.append_column(
+            "keyframe_idx", pa.array(kidx, type=pa.list_(pa.int32()))
+        )
+        return batch.append_column(
+            "video_features",
+            pa.array(feats, type=pa.list_(pa.float32())),
+        )
