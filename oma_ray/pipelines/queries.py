@@ -2623,6 +2623,19 @@ def q53_station_within(sf_dir: str):
 SQL_Q53 = None  # assembled below (needs the stations CTE)
 
 
+def q54_lsh_knn(sf_dir: str):
+    """SRP-LSH bucketed approximate kNN (stateless scale path; recall<1 by
+    design → rows-only check, recall floor pinned by pytest)."""
+    from oma_ray.stages.knn import lsh_knn_cosine
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids, mat = _query_vectors(sf_dir)
+    out = lsh_knn_cosine(ds, ids, mat, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
@@ -2724,6 +2737,7 @@ QUERIES = {
     "q51_user_trajectories": q51_user_trajectories,
     "q52_unboxed_pages": q52_unboxed_pages,
     "q53_station_within": q53_station_within,
+    "q54_lsh_knn": q54_lsh_knn,
 }
 
 ORACLES = {

@@ -553,3 +553,108 @@ def kmeans_refine(ds, centroids: np.ndarray, emb_col: str = "embedding",
                 new_c[cell] = np.asarray(row["vec"], dtype=np.float64) / row["cnt"]
         c = _normalize(new_c)
     return c
+
+
+# --- SRP-LSH bucketed ANN (the stateless scale path) -------------------------
+
+def srp_planes(dim: int, n_tables: int, n_bits: int, seed: int = 0x5eed):
+    """Deterministic signed-random-projection hyperplanes,
+    (n_tables, n_bits, dim) — PCG64 from a fixed seed, identical on every
+    worker, so signatures need no shared state at all."""
+    g = np.random.Generator(np.random.PCG64(seed))
+    return g.standard_normal((n_tables, n_bits, dim))
+
+
+def _srp_sigs(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) → packed uint64 signature per table, (n, n_tables)."""
+    t, b, dim = planes.shape
+    bits = (m @ planes.reshape(t * b, dim).T) > 0  # (n, t*b)
+    weights = (1 << np.arange(b, dtype=np.uint64))
+    return (
+        bits.reshape(-1, t, b).astype(np.uint64) * weights[None, None, :]
+    ).sum(axis=2)
+
+
+def lsh_knn_cosine(ds, query_ids, query_matrix, k: int = 10,
+                   n_tables: int = 16, n_bits: int = 6,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """LSH-bucketed approximate kNN: a row is a candidate for a query iff
+    they share a full SRP signature in ANY of ``n_tables`` tables.
+
+    Unlike IVF there is NO index build and NO training pass — the
+    hyperplanes are a deterministic constant, so the whole operator is one
+    stateless ``map_batches`` filter + the queries-bounded top-k exchange
+    (the best possible shape for streaming 100 TB: fuses with upstream,
+    nothing to broadcast but the query matrix).  Recall rises with
+    ``n_tables`` and falls with ``n_bits`` (bucket selectivity); the brute
+    path is the exactness baseline, the recall test pins the floor.
+
+    Sizing: for target cosine ``s`` the per-table hit rate is
+    ``(1 - arccos(s)/pi) ** n_bits`` — at the synthetic corpus's weakly
+    clustered s≈0.3 that forces few bits (defaults give ~0.5 expected
+    recall at 16 tables); tightly clustered corpora (s≥0.8) support
+    n_bits 12-16 with far better bucket selectivity.
+    """
+    import ray
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    planes = srp_planes(qm.shape[1], n_tables, n_bits)
+    qsig = _srp_sigs(qm, planes)  # (q, t)
+    qref = ray.put(
+        {"query_id": np.asarray(query_ids), "matrix": qm, "qsig": qsig}
+    )
+
+    class LshKnn(BruteKnn):
+        def __init__(self, qor, k, id_col, emb_col):
+            import ray as _r
+
+            q = _r.get(qor) if isinstance(qor, _r.ObjectRef) else qor
+            super().__init__(
+                {"query_id": q["query_id"], "matrix": q["matrix"]},
+                k, id_col, emb_col,
+            )
+            self.qsig = q["qsig"]
+            self.planes = srp_planes(q["matrix"].shape[1], n_tables, n_bits)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(self.id_col).to_numpy()
+            m = _normalize(_batch_matrix(batch, self.emb_col))
+            sig = _srp_sigs(m, self.planes)  # (n, t)
+            out_q, out_id, out_sim = [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = (sig == self.qsig[j][None, :]).any(axis=1)
+                if not mask.any():
+                    continue
+                s = m[mask] @ self.qm[j]
+                sub = ids[mask]
+                kk = min(self.k, len(sub))
+                top = (np.argpartition(-s, kk - 1)[:kk]
+                       if kk < len(sub) else np.arange(len(sub)))
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_id.append(sub[top])
+                out_sim.append(s[top])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                    "sim": pa.array(
+                        np.concatenate(out_sim).round(9), type=pa.float64()
+                    ),
+                }
+            )
+
+    from oma_ray.stages.taskcache import CachedStage
+
+    partial = ds.map_batches(
+        CachedStage(LshKnn, qref, k, id_col, emb_col), batch_format="pyarrow"
+    )
+    return _topk_per_query(partial, k, exclude_self=True,
+                           n_queries=len(np.asarray(query_ids)))

