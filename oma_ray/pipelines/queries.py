@@ -2636,10 +2636,105 @@ def q54_lsh_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q55_pip_districts(sf_dir: str):
+    """Value-oracle for the DISTRIBUTED PIP join: axis-aligned district
+    polygons (5-point rings from the box fixture) flow through
+    pip_join_by_cell — cover explode, keyed exchange, per-block exact ray
+    cast, first-match (= min box_id) — and SQL mirrors containment as
+    BETWEEN + MIN.  The cos/sin polygon path stays golden-verified (q14);
+    this pins the whole distributed machinery to integer-exact SQL."""
+    import ray.data as rd
+
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+    from oma_ray.synth import synth_boxes
+
+    b = synth_boxes(64)
+    polys = {
+        "admin_id": b["box_id"].tolist(),
+        "ring_lon": [
+            [int(lo), int(hi), int(hi), int(lo), int(lo)]
+            for lo, hi in zip(b["minlon"], b["maxlon"])
+        ],
+        "ring_lat": [
+            [int(lo), int(lo), int(hi), int(hi), int(lo)]
+            for lo, hi in zip(b["minlat"], b["maxlat"])
+        ],
+        "holes_lon": [[] for _ in b["box_id"]],
+        "holes_lat": [[] for _ in b["box_id"]],
+    }
+    ptab = polygons_table(polys)
+    joined = pip_join_by_cell(
+        _geo_pages(sf_dir), rd.from_arrow(ptab), polys_schema=ptab.schema
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "admin_id": batch.column("admin_id").to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(joined, ["admin_id"], partial, ["n_pages"])
+
+
+SQL_Q55 = None  # assembled below (needs the boxes CTE)
+
+
+def q56_cell_hour_heatmap(sf_dir: str):
+    """Spatiotemporal binning: events → (grid cell, hour-of-day) counts."""
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        lon, lat = lon[has_geo], lat[has_geo]
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)[has_geo]
+        us = ts.astype("datetime64[us]").astype(np.int64)
+        hour = (us // 3_600_000_000) % 24  # floor, mirrors date_part('hour')
+        row = (lat + 900_000_000) * 128 // 1_800_000_001
+        col = (lon + 1_800_000_000) * 128 // 3_600_000_001
+        return pd.DataFrame(
+            {
+                "cell_id": row * 128 + col,
+                "hour": hour,
+                "n_events": np.ones(len(row), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(ds, ["cell_id", "hour"], partial, ["n_events"])
+
+
+SQL_Q56 = f"""
+WITH e AS (
+  SELECT {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat,
+         date_part('hour', ts) AS hour
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')})
+SELECT ((lat + 900000000) * 128 // 1800000001) * 128
+       + ((lon + 1800000000) * 128 // 3600000001) AS cell_id,
+       CAST(hour AS BIGINT) AS hour, COUNT(*) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
-    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53
+    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55
+    SQL_Q55 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)}),
+hit AS (
+  SELECT g.doc_id,
+         COALESCE(MIN(b.box_id), -1) AS admin_id
+  FROM g LEFT JOIN b ON g.lon BETWEEN b.minlon AND b.maxlon
+                    AND g.lat BETWEEN b.minlat AND b.maxlat
+  GROUP BY g.doc_id)
+SELECT admin_id, COUNT(*) AS n_pages FROM hit GROUP BY admin_id
+"""
     SQL_Q52 = f"""
 WITH g AS ({_SQL_GEO_DOCS}),
 b AS ({sql_boxes_cte(64)})
@@ -2738,6 +2833,8 @@ QUERIES = {
     "q52_unboxed_pages": q52_unboxed_pages,
     "q53_station_within": q53_station_within,
     "q54_lsh_knn": q54_lsh_knn,
+    "q55_pip_districts": q55_pip_districts,
+    "q56_cell_hour_heatmap": q56_cell_hour_heatmap,
 }
 
 ORACLES = {
@@ -2788,4 +2885,6 @@ ORACLES = {
     "q51_user_trajectories": SQL_Q51,
     "q52_unboxed_pages": SQL_Q52,
     "q53_station_within": SQL_Q53,
+    "q55_pip_districts": SQL_Q55,
+    "q56_cell_hour_heatmap": SQL_Q56,
 }
