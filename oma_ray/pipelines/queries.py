@@ -2720,10 +2720,38 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q57_box_overlap_join(sf_dir: str):
+    """Distributed interval-overlap join (two rectangle sets co-partitioned
+    by cell cover, reference-point dedup) — every overlapping (a, b) pair
+    exactly once.  sf_dir is unused except as the driver contract (the
+    fixture sets are deterministic)."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import box_overlap_join
+    from oma_ray.synth import synth_boxes
+
+    def tab(b):
+        return pa.table({k: pa.array(v) for k, v in b.items()})
+
+    a = rd.from_arrow(tab(synth_boxes(64)))
+    b = rd.from_arrow(tab(synth_boxes(64, start=64)))
+    return box_overlap_join(a, b)
+
+
+SQL_Q57 = None  # assembled below (needs both box CTEs)
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
-    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55
+    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57
+    SQL_Q57 = f"""
+WITH a AS ({sql_boxes_cte(64)}),
+b AS ({sql_boxes_cte(64, start=64)})
+SELECT a.box_id AS a_id, b.box_id AS b_id
+FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
+             AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
     SQL_Q55 = f"""
 WITH g AS ({_SQL_GEO_DOCS}),
 b AS ({sql_boxes_cte(64)}),
@@ -2835,6 +2863,7 @@ QUERIES = {
     "q54_lsh_knn": q54_lsh_knn,
     "q55_pip_districts": q55_pip_districts,
     "q56_cell_hour_heatmap": q56_cell_hour_heatmap,
+    "q57_box_overlap_join": q57_box_overlap_join,
 }
 
 ORACLES = {
@@ -2887,4 +2916,5 @@ ORACLES = {
     "q53_station_within": SQL_Q53,
     "q55_pip_districts": SQL_Q55,
     "q56_cell_hour_heatmap": SQL_Q56,
+    "q57_box_overlap_join": SQL_Q57,
 }

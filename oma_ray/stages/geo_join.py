@@ -404,3 +404,129 @@ def trajectory_lengths(ds, user_col: str = "user_id", ts_col: str = "ts",
         return from_pandas_clean(out)
 
     return part.map_batches(block, batch_format="pyarrow")
+
+
+def _box_cover_cells(minlon, minlat, maxlon, maxlat, width: int):
+    """Per-box grid-cell cover (row-major ids), vectorized per box set:
+    returns (cell_ids, box_row_index) flattened across boxes."""
+    rmin = np.clip((minlat + 900_000_000) * width // 1_800_000_001, 0, width - 1)
+    rmax = np.clip((maxlat + 900_000_000) * width // 1_800_000_001, 0, width - 1)
+    cmin = np.clip((minlon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1)
+    cmax = np.clip((maxlon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1)
+    cells, idx = [], []
+    for i in range(len(minlon)):
+        rows = np.arange(rmin[i], rmax[i] + 1, dtype=np.int64)
+        cols = np.arange(cmin[i], cmax[i] + 1, dtype=np.int64)
+        cc = (rows[:, None] * width + cols[None, :]).ravel()
+        cells.append(cc)
+        idx.append(np.full(len(cc), i, dtype=np.int64))
+    if not cells:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(cells), np.concatenate(idx)
+
+
+def box_overlap_join(a_ds, b_ds, *, width: int = 128,
+                     num_partitions: int | None = None,
+                     a_id: str = "a_id", b_id: str = "b_id"):
+    """Distributed interval-overlap join of two RECTANGLE datasets →
+    (a_id, b_id) for every overlapping pair (inclusive bounds), each pair
+    emitted EXACTLY ONCE.
+
+    Scale shape: both sides explode to grid-cell cover rows and co-partition
+    by cell through ONE tagged keyed exchange; each block tests only the
+    boxes sharing a cell (|A_cell| × |B_cell| vectorized interval masks).
+    Duplicate suppression uses the REFERENCE-POINT method (the standard
+    spatial-join dedup): a pair may share many cells, but its overlap
+    region's min corner ``(max(minlon), max(minlat))`` lies in exactly one
+    cell — and that cell is in BOTH covers — so a block emits a pair only
+    when it owns that corner.  No second dedup exchange needed.
+
+    Both inputs need columns ``(box_id, minlon, minlat, maxlon, maxlat)``.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def pad(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {
+                c: batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in ("box_id", "minlon", "minlat", "maxlon", "maxlat")
+            }
+            cells, idx = _box_cover_cells(
+                cols["minlon"], cols["minlat"], cols["maxlon"], cols["maxlat"],
+                width,
+            )
+            return pa.table(
+                {
+                    "cell_id": pa.array(cells),
+                    "__side": pa.array(np.full(len(cells), side, dtype=np.int8)),
+                    **{
+                        c: pa.array(cols[c][idx])
+                        for c in ("box_id", "minlon", "minlat", "maxlon", "maxlat")
+                    },
+                }
+            )
+
+        return fn
+
+    both = (
+        a_ds.map_batches(pad(0), batch_format="pyarrow")
+        .union(b_ds.map_batches(pad(1), batch_format="pyarrow"))
+        .repartition(num_partitions, keys=["cell_id"])
+    )
+
+    def block_join(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        cols = {
+            c: batch.column(c).to_numpy(zero_copy_only=False)
+            for c in ("box_id", "minlon", "minlat", "maxlon", "maxlat")
+        }
+        out_a, out_b = [], []
+        # a block holds several cells; pairs must be tested per cell so the
+        # reference-point ownership check is local to each
+        for cc in np.unique(cell):
+            am = (side == 0) & (cell == cc)
+            bm = (side == 1) & (cell == cc)
+            if not am.any() or not bm.any():
+                continue
+            alo, ahi = cols["minlon"][am][:, None], cols["maxlon"][am][:, None]
+            blo, bhi = cols["minlon"][bm][None, :], cols["maxlon"][bm][None, :]
+            alat0, alat1 = cols["minlat"][am][:, None], cols["maxlat"][am][:, None]
+            blat0, blat1 = cols["minlat"][bm][None, :], cols["maxlat"][bm][None, :]
+            hit = (alo <= bhi) & (blo <= ahi) & (alat0 <= blat1) & (blat0 <= alat1)
+            if not hit.any():
+                continue
+            # reference point = overlap region's min corner; own it here?
+            ref_lon = np.maximum(alo, blo)
+            ref_lat = np.maximum(alat0, blat0)
+            rrow = np.clip(
+                (ref_lat + 900_000_000) * width // 1_800_000_001, 0, width - 1
+            )
+            rcol = np.clip(
+                (ref_lon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1
+            )
+            hit &= (rrow * width + rcol) == cc
+            ai, bi = np.nonzero(hit)
+            out_a.append(cols["box_id"][am][ai])
+            out_b.append(cols["box_id"][bm][bi])
+        if not out_a:
+            return pa.table(
+                {a_id: pa.array([], type=pa.int64()),
+                 b_id: pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                a_id: pa.array(np.concatenate(out_a), type=pa.int64()),
+                b_id: pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    return both.map_batches(block_join, batch_format="pyarrow")

@@ -372,10 +372,11 @@ def sql_stations_cte(n: int = 64) -> str:
     )
 
 
-def synth_boxes(n: int = 64) -> dict[str, np.ndarray]:
+def synth_boxes(n: int = 64, start: int = 0) -> dict[str, np.ndarray]:
     """Deterministic query boxes (range-join fixture): wide intervals that
-    overlap each other, so one point can fall in several boxes."""
-    i = np.arange(n, dtype=np.int64)
+    overlap each other, so one point can fall in several boxes.  ``start``
+    offsets the index range (disjoint fixture sets from one formula)."""
+    i = np.arange(start, start + n, dtype=np.int64)
     cx = (i * 2654435761 + 987_654_321) % 3_400_000_000 - 1_700_000_000
     cy = (i * 2246822519 + 123_456_789) % 1_600_000_000 - 800_000_000
     hw = 30_000_000 + (i * 7_919_333) % 120_000_000
@@ -387,13 +388,13 @@ def synth_boxes(n: int = 64) -> dict[str, np.ndarray]:
     }
 
 
-def sql_boxes_cte(n: int = 64) -> str:
-    """DuckDB CTE body computing ``synth_boxes(n)`` exactly."""
+def sql_boxes_cte(n: int = 64, start: int = 0) -> str:
+    """DuckDB CTE body computing ``synth_boxes(n, start)`` exactly."""
     return (
         f"SELECT i AS box_id, "
         f"(i * 2654435761 + 987654321) % 3400000000 - 1700000000 - (30000000 + (i * 7919333) % 120000000) AS minlon, "
         f"(i * 2654435761 + 987654321) % 3400000000 - 1700000000 + (30000000 + (i * 7919333) % 120000000) AS maxlon, "
         f"(i * 2246822519 + 123456789) % 1600000000 - 800000000 - (15000000 + (i * 10472941) % 60000000) AS minlat, "
         f"(i * 2246822519 + 123456789) % 1600000000 - 800000000 + (15000000 + (i * 10472941) % 60000000) AS maxlat "
-        f"FROM range({n}) t(i)"
+        f"FROM range({start}, {start + n}) t(i)"
     )

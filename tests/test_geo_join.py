@@ -198,3 +198,46 @@ def test_trajectory_lengths_multiblock_users():
         assert out.loc[uid, "n_hops"] == len(grp) - 1
         assert out.loc[uid, "sum_step_d2"] == (a * a + b * b).sum()
     assert len(out) == 40
+
+
+def test_box_overlap_join_reference_point_dedup():
+    """Dense overlapping rectangle sets: every overlapping pair appears
+    EXACTLY once (the reference-point rule), matching a brute-force
+    quadratic oracle, across cover widths (block composition changes)."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import box_overlap_join
+
+    def boxes(n, seed):
+        i = np.arange(n, dtype=np.int64)
+        cx = (i * 48271 + seed) % 2_000_000_000 - 1_000_000_000
+        cy = (i * 69621 + seed * 3) % 1_000_000_000 - 500_000_000
+        hw = 50_000_000 + (i * 104729) % 250_000_000  # up to 30 deg wide
+        hh = 30_000_000 + (i * 7919) % 150_000_000
+        return {
+            "box_id": i, "minlon": cx - hw, "maxlon": cx + hw,
+            "minlat": cy - hh, "maxlat": cy + hh,
+        }
+
+    a, b = boxes(120, 7), boxes(150, 1234567)
+    want = set()
+    for i in range(120):
+        for j in range(150):
+            if (a["minlon"][i] <= b["maxlon"][j] and b["minlon"][j] <= a["maxlon"][i]
+                    and a["minlat"][i] <= b["maxlat"][j]
+                    and b["minlat"][j] <= a["maxlat"][i]):
+                want.add((i, j))
+    assert len(want) > 200  # dense enough to exercise multi-cell overlaps
+
+    def tab(d):
+        return pa.table({k: pa.array(v) for k, v in d.items()})
+
+    for width in (32, 128):
+        out = box_overlap_join(
+            rd.from_arrow(tab(a)).repartition(4),
+            rd.from_arrow(tab(b)).repartition(5),
+            width=width,
+        ).to_pandas()
+        got = list(zip(out["a_id"], out["b_id"]))
+        assert len(got) == len(set(got)), "pair emitted more than once"
+        assert set(got) == want, width
