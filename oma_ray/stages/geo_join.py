@@ -124,7 +124,17 @@ def geo_knn_join(ds, query_ids, query_lons, query_lats, k: int = 8,
         df["rank"] = df.groupby("query_id").cumcount() + 1
         return from_pandas_clean(df[["query_id", id_col, "rank", "d2"]])
 
-    return part.map_batches(final, batch_format="pyarrow")
+    from oma_ray.stages.dedup import _schema_anchor
+
+    return _schema_anchor(
+        part.map_batches(final, batch_format="pyarrow"),
+        pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             id_col: pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64()),
+             "d2": pa.array([], type=pa.int64())}
+        ),
+    )
 
 
 def nearest_point_join(ds, points: dict, id_col: str = "page_id",
@@ -194,7 +204,11 @@ def box_count_join(ds, boxes: dict, lon_col: str = "lon",
 
     from oma_ray.pipelines.queries import _grouped_sums
 
-    return _grouped_sums(ds, ["box_id"], partial, ["n_pages"])
+    anchor = pa.table(
+        {"box_id": pa.array([], type=pa.int64()),
+         "n_pages": pa.array([], type=pa.int64())}
+    )
+    return _grouped_sums(ds, ["box_id"], partial, ["n_pages"], anchor=anchor)
 
 
 def cell_counts(ds, lon_col: str = "lon", lat_col: str = "lat",
@@ -214,7 +228,11 @@ def cell_counts(ds, lon_col: str = "lon", lat_col: str = "lat",
 
     from oma_ray.pipelines.queries import _grouped_sums
 
-    return _grouped_sums(ds, ["cell_id"], partial, ["n_pages"])
+    anchor = pa.table(
+        {"cell_id": pa.array([], type=pa.int64()),
+         "n_pages": pa.array([], type=pa.int64())}
+    )
+    return _grouped_sums(ds, ["cell_id"], partial, ["n_pages"], anchor=anchor)
 
 
 def grid_neighborhood(ds, lon_col: str = "lon", lat_col: str = "lat",
@@ -250,11 +268,30 @@ def grid_neighborhood(ds, lon_col: str = "lon", lat_col: str = "lat",
 
     from oma_ray.pipelines.queries import _grouped_sums as _gs  # combine shape
 
-    neigh = _gs(counts, ["cell_id"], scatter, ["neigh_pages"])
-    return hash_join(
-        counts, neigh, on="cell_id",
-        left_schema=pa.schema([("cell_id", pa.int64()), ("n_pages", pa.int64())]),
-        right_schema=pa.schema([("cell_id", pa.int64()), ("neigh_pages", pa.int64())]),
+    neigh = _gs(
+        counts, ["cell_id"], scatter, ["neigh_pages"],
+        anchor=pa.table(
+            {"cell_id": pa.array([], type=pa.int64()),
+             "neigh_pages": pa.array([], type=pa.int64())}
+        ),
+    )
+    from oma_ray.stages.dedup import _schema_anchor
+
+    return _schema_anchor(
+        hash_join(
+            counts, neigh, on="cell_id",
+            left_schema=pa.schema(
+                [("cell_id", pa.int64()), ("n_pages", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [("cell_id", pa.int64()), ("neigh_pages", pa.int64())]
+            ),
+        ),
+        pa.table(
+            {"cell_id": pa.array([], type=pa.int64()),
+             "n_pages": pa.array([], type=pa.int64()),
+             "neigh_pages": pa.array([], type=pa.int64())}
+        ),
     )
 
 
@@ -284,7 +321,13 @@ def tile_pyramid(ds, widths: tuple[int, ...] = (8192, 1024, 128),
 
     from oma_ray.pipelines.queries import _grouped_sums
 
-    return _grouped_sums(ds, ["level", "cell_id"], partial, ["n_pages"])
+    anchor = pa.table(
+        {"level": pa.array([], type=pa.int64()),
+         "cell_id": pa.array([], type=pa.int64()),
+         "n_pages": pa.array([], type=pa.int64())}
+    )
+    return _grouped_sums(ds, ["level", "cell_id"], partial, ["n_pages"],
+                         anchor=anchor)
 
 
 def box_anti_join(ds, boxes: dict, id_col: str = "page_id",
@@ -403,7 +446,16 @@ def trajectory_lengths(ds, user_col: str = "user_id", ts_col: str = "ts",
         ).groupby(user_col, as_index=False).sum()
         return from_pandas_clean(out)
 
-    return part.map_batches(block, batch_format="pyarrow")
+    from oma_ray.stages.dedup import _schema_anchor
+
+    return _schema_anchor(
+        part.map_batches(block, batch_format="pyarrow"),
+        pa.table(
+            {user_col: pa.array([], type=pa.int64()),
+             "n_hops": pa.array([], type=pa.int64()),
+             "sum_step_d2": pa.array([], type=pa.int64())}
+        ),
+    )
 
 
 def _box_cover_cells(minlon, minlat, maxlon, maxlat, width: int):
@@ -529,4 +581,12 @@ def box_overlap_join(a_ds, b_ds, *, width: int = 128,
             }
         )
 
-    return both.map_batches(block_join, batch_format="pyarrow")
+    from oma_ray.stages.dedup import _schema_anchor
+
+    return _schema_anchor(
+        both.map_batches(block_join, batch_format="pyarrow"),
+        pa.table(
+            {a_id: pa.array([], type=pa.int64()),
+             b_id: pa.array([], type=pa.int64())}
+        ),
+    )

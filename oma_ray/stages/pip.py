@@ -320,4 +320,12 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
             }
         )
 
-    return both.map_batches(block_pip, batch_format="pyarrow")
+    from oma_ray.stages.dedup import _schema_anchor
+
+    return _schema_anchor(
+        both.map_batches(block_pip, batch_format="pyarrow"),
+        pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             "admin_id": pa.array([], type=pa.int64())}
+        ),
+    )

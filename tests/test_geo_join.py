@@ -241,3 +241,49 @@ def test_box_overlap_join_reference_point_dedup():
         got = list(zip(out["a_id"], out["b_id"]))
         assert len(got) == len(set(got)), "pair emitted more than once"
         assert set(got) == want, width
+
+
+def test_geo_ops_survive_fully_empty_input():
+    """Ray's hash shuffle emits ZERO blocks for an empty exchange (schema()
+    is None downstream) — every geo op must anchor its result schema."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import (
+        box_count_join, geo_knn_join, grid_neighborhood, tile_pyramid,
+        trajectory_lengths,
+    )
+    from oma_ray.synth import synth_boxes
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array([], type=pa.int64()),
+                "lon": pa.array([], type=pa.int32()),
+                "lat": pa.array([], type=pa.int32()),
+            }
+        )
+    )
+    for out, cols in (
+        (geo_knn_join(empty, [0], [0], [0], k=3),
+         ["query_id", "page_id", "rank", "d2"]),
+        (box_count_join(empty, synth_boxes(8)), ["box_id", "n_pages"]),
+        (grid_neighborhood(empty), ["cell_id", "n_pages", "neigh_pages"]),
+        (tile_pyramid(empty), ["level", "cell_id", "n_pages"]),
+    ):
+        sch = out.schema()
+        assert sch is not None and set(cols) <= set(sch.names), cols
+        assert out.count() == 0
+
+    empty_ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "event_id": pa.array([], type=pa.int64()),
+                "lon": pa.array([], type=pa.int32()),
+                "lat": pa.array([], type=pa.int32()),
+            }
+        )
+    )
+    out = trajectory_lengths(empty_ev)
+    assert out.schema() is not None and out.count() == 0
