@@ -2741,6 +2741,44 @@ def q57_box_overlap_join(sf_dir: str):
 SQL_Q57 = None  # assembled below (needs both box CTEs)
 
 
+def q58_typo_pairs(sf_dir: str):
+    """Edit-distance similarity join (FastSS deletion-neighborhood blocking)
+    over a deterministic vocabulary with planted single-char typos; exact
+    levenshtein<=1 verified per candidate, oracled by DuckDB levenshtein."""
+    from oma_ray.stages.dedup import edit_distance_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        base = [f"tok{i % 200:04d}" for i in ids]
+        out = list(base)
+        for i, b in zip(ids, base):
+            if i % 5 == 0:
+                p = int(i % 7)
+                out.append(b[:p] + b[p + 1:])
+        return pa.table({"word": pa.array(out, type=pa.string())})
+
+    return edit_distance_pairs(docs.map_batches(words, batch_format="pyarrow"))
+
+
+SQL_Q58 = """
+WITH base AS (
+  SELECT DISTINCT 'tok' || lpad(CAST(doc_id % 200 AS VARCHAR), 4, '0') AS w
+  FROM documents),
+typo AS (
+  SELECT DISTINCT
+    substr('tok' || lpad(CAST(doc_id % 200 AS VARCHAR), 4, '0'),
+           1, CAST(doc_id % 7 AS INT))
+    || substr('tok' || lpad(CAST(doc_id % 200 AS VARCHAR), 4, '0'),
+              CAST(doc_id % 7 AS INT) + 2) AS w
+  FROM documents WHERE doc_id % 5 = 0),
+words AS (SELECT w FROM base UNION SELECT w FROM typo)
+SELECT a.w AS a, b.w AS b
+FROM words a JOIN words b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+"""
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
@@ -2864,6 +2902,7 @@ QUERIES = {
     "q55_pip_districts": q55_pip_districts,
     "q56_cell_hour_heatmap": q56_cell_hour_heatmap,
     "q57_box_overlap_join": q57_box_overlap_join,
+    "q58_typo_pairs": q58_typo_pairs,
 }
 
 ORACLES = {
@@ -2917,4 +2956,5 @@ ORACLES = {
     "q55_pip_districts": SQL_Q55,
     "q56_cell_hour_heatmap": SQL_Q56,
     "q57_box_overlap_join": SQL_Q57,
+    "q58_typo_pairs": SQL_Q58,
 }

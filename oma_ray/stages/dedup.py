@@ -404,3 +404,109 @@ def keep_first_from_pairs(pair_rows: list[dict], all_ids: np.ndarray) -> np.ndar
             parent[b] = a
     drop = {x for x in parent if find(x) != x}
     return np.array([i for i in all_ids if int(i) not in drop], dtype=np.int64)
+
+
+# --- edit-distance similarity join (FastSS deletion-neighborhood) ------------
+
+def _lev_le_1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 for a != b (verify kernel)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a+1 chars: one deletion from b must give a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_pairs(ds, col: str = "word",
+                        num_partitions: int | None = None,
+                        max_bucket: int = 256):
+    """All distinct-string pairs with levenshtein distance ≤ 1 —
+    FastSS-style: each word is indexed under itself and each of its
+    single-character deletions; two words within distance 1 necessarily
+    share a key (equal / deletion / substitution ⇒ common deletion), so
+    candidates come from ONE keyed exchange on the deletion keys, are
+    verified with the exact kernel per block, and pair-deduped by a second
+    (a, b)-keyed exchange (a pair can share several keys).
+
+    Same skeleton as the MinHash/SimHash pair miners: buckets above
+    ``max_bucket`` are truncated (logged) so a degenerate key (e.g. every
+    word sharing a deletion) cannot go quadratic.  At corpus scale the
+    input should already be the DISTINCT vocabulary (one dedup exchange
+    upstream); per-batch distinct here only bounds duplicate keys.
+    """
+    import pandas as pd
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def keys(batch: pa.Table) -> pa.Table:
+        words = pd.unique(
+            batch.column(col).to_numpy(zero_copy_only=False)
+        )
+        ks, ws = [], []
+        for w in words:
+            ks.append(w)
+            ws.append(w)
+            for i in range(len(w)):
+                ks.append(w[:i] + w[i + 1:])
+                ws.append(w)
+        return pa.table(
+            {"key": pa.array(ks, type=pa.string()),
+             col: pa.array(ws, type=pa.string())}
+        )
+
+    part = ds.map_batches(keys, batch_format="pyarrow").repartition(
+        num_partitions, keys=["key"]
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_a, out_b = [], []
+        if len(df):
+            df = df.drop_duplicates()
+            for _key, grp in df.groupby("key"):
+                ws = sorted(grp[col].unique())
+                if len(ws) > max_bucket:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "edit_distance_pairs: truncating bucket %r (%d words)",
+                        _key, len(ws),
+                    )
+                    ws = ws[:max_bucket]
+                for i in range(len(ws)):
+                    for j in range(i + 1, len(ws)):
+                        if _lev_le_1(ws[i], ws[j]):
+                            out_a.append(ws[i])
+                            out_b.append(ws[j])
+        return pa.table(
+            {"a": pa.array(out_a, type=pa.string()),
+             "b": pa.array(out_b, type=pa.string())}
+        )
+
+    pairs = part.map_batches(bucket_pairs, batch_format="pyarrow").repartition(
+        num_partitions, keys=["a", "b"]
+    )
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return from_pandas_clean(df)
+
+    return _schema_anchor(
+        pairs.map_batches(distinct, batch_format="pyarrow"),
+        pa.table(
+            {"a": pa.array([], type=pa.string()),
+             "b": pa.array([], type=pa.string())}
+        ),
+    )

@@ -221,3 +221,37 @@ def test_lsh_knn_recall_vs_brute():
     # within the candidate set ranks follow exact similarity (no dropped
     # better-ranked candidate): rank 1 must be the best bucket-mate
     assert (approx.groupby("query_id")["rank"].min() == 1).all()
+
+
+def test_edit_distance_pairs_matches_brute_force():
+    import itertools
+
+    import ray.data as rd
+
+    from oma_ray.stages.dedup import _lev_le_1, edit_distance_pairs
+
+    # deterministic vocab with substitutions, deletions, insertions, and
+    # far-apart words; spread across blocks
+    words = sorted(
+        {f"al{i%13}ha{i%7}" for i in range(60)}
+        | {"alpha", "alpba", "alph", "xalpha", "beta", "betta", "gamma"}
+    )
+    t = pa.table({"word": pa.array(words * 2)})  # duplicates must not matter
+    out = edit_distance_pairs(rd.from_arrow(t).repartition(5)).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    want = {
+        (a, b) for a, b in itertools.combinations(words, 2) if _lev_le_1(a, b)
+    }
+    assert got == want and len(want) > 10
+    # scalar kernel vs a reference DP levenshtein on every vocab pair
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    for a, b in itertools.combinations(words, 2):
+        assert _lev_le_1(a, b) == (lev(a, b) <= 1), (a, b)
