@@ -1461,6 +1461,44 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q59_cube_pricing(sf_dir: str):
+    """Pricing sums at every CUBE subset of (returnflag, linestatus) —
+    rollup's machinery generalized to all key subsets; each subset
+    re-aggregates the smallest already-built superset (O(groups) moved)."""
+    from oma_ray.stages.rollup import cube_sums
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+                "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False),
+                "sum_qty_c": _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False)),
+                "n_items": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return cube_sums(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        partial,
+        ["sum_qty_c", "n_items"],
+        {"l_returnflag": pa.string(), "l_linestatus": pa.string()},
+    )
+
+
+SQL_Q59 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({SQL_CENTS.format(c='l_quantity')}) AS BIGINT) AS sum_qty_c,
+  COUNT(*) AS n_items
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 # --- q32: exact grouped quantiles via value-count histogram -----------------
 
 def q32_quantity_quantiles(sf_dir: str):
@@ -2903,6 +2941,7 @@ QUERIES = {
     "q56_cell_hour_heatmap": q56_cell_hour_heatmap,
     "q57_box_overlap_join": q57_box_overlap_join,
     "q58_typo_pairs": q58_typo_pairs,
+    "q59_cube_pricing": q59_cube_pricing,
 }
 
 ORACLES = {
@@ -2957,4 +2996,5 @@ ORACLES = {
     "q56_cell_hour_heatmap": SQL_Q56,
     "q57_box_overlap_join": SQL_Q57,
     "q58_typo_pairs": SQL_Q58,
+    "q59_cube_pricing": SQL_Q59,
 }

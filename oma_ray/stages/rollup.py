@@ -84,3 +84,64 @@ def rollup_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
         )
         out = norm if out is None else out.union(norm)
     return out
+
+
+def cube_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
+              key_types: dict, num_partitions: int | None = None):
+    """``GROUP BY CUBE(keys...)``: every subset of the key set.
+
+    Derivation order: the finest level reads the input once; every proper
+    subset re-aggregates the SMALLEST materialized superset already built
+    (fewest groups in, always O(groups) moved).  2^n levels — intended for
+    the 2-3 dimension reporting shapes, like ANSI CUBE itself.
+    """
+    from itertools import combinations
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    coarse_parts = max(1, default_partitions() // 4)
+
+    def reagg(sub: list[str]):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            return batch.select(sub + sum_cols).to_pandas()
+
+        return partial
+
+    full = tuple(keys)
+    done: dict[tuple, "object"] = {
+        full: _grouped_sums(ds, keys, partial_fn, sum_cols,
+                            num_partitions).materialize()
+    }
+    subsets = [
+        tuple(c)
+        for n in range(len(keys) - 1, 0, -1)
+        for c in combinations(keys, n)
+    ]
+    for sub in subsets:
+        parent = min(
+            (p for p in done if set(sub) < set(p)),
+            key=lambda p: len(p),
+        )
+        done[sub] = _grouped_sums(
+            done[parent], list(sub), reagg(list(sub)), sum_cols, coarse_parts
+        ).materialize()
+
+    def total_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(sum_cols).to_pandas()
+        df["_all"] = 0
+        return df
+
+    smallest = done[min(done, key=len)]
+    total = _grouped_sums(
+        smallest, ["_all"], total_partial, sum_cols, 1,
+    ).drop_columns(["_all"])
+
+    out = None
+    for lvl in [*done.values(), total]:
+        norm = lvl.map_batches(
+            lambda b: _null_filled(b, keys, key_types, sum_cols),
+            batch_format="pyarrow",
+        )
+        out = norm if out is None else out.union(norm)
+    return out
