@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q35_tfidf_terms",
     "q36_event_chains",
     "q41_inverted_index",
+    "q46_geo_knn",
+    "q55_pip_districts",
 ]
 
 
