@@ -157,3 +157,30 @@ def test_write_tiled_salted_hot_bucket(tmp_path):
         assert nrows < hot_total, "one file still carries the whole hot bucket"
         t2 = pq.read_table(f, columns=["tile_id", "page_id"]).to_pandas()
         assert t2["page_id"].is_monotonic_increasing  # sorted within file
+
+
+def test_job_entry_tiling_resumes(tmp_path):
+    """scripts/job_entry.py end-to-end in a fresh process (own Ray session):
+    first submit computes, identical re-submit skips via the manifest."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "job_out")
+    cmd = [
+        sys.executable, os.path.join(repo, "scripts", "job_entry.py"),
+        "tiling", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out,
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local", RAY_GRAFT_CPUS="4")
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        check=True, timeout=240)
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert m1["rows"] == 500
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        check=True, timeout=240)
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2["rows"] == 500  # manifest metrics, not recomputation
+    assert m2["wall_sec"] < m1["wall_sec"]  # shard skipped
