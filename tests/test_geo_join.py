@@ -287,3 +287,77 @@ def test_geo_ops_survive_fully_empty_input():
     )
     out = trajectory_lengths(empty_ev)
     assert out.schema() is not None and out.count() == 0
+
+
+def test_cover_cells_contain_every_point_property():
+    """Property: any point inside a box maps to a cell inside the box's
+    cover — the correctness foundation of pip_join_by_cell and
+    box_overlap_join (a missed cell = a silently lost candidate)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.stages.geo_join import _box_cover_cells
+
+    coord = st.integers(-1_800_000_000, 1_800_000_000)
+    lat_c = st.integers(-900_000_000, 900_000_000)
+
+    @settings(max_examples=200, deadline=None)
+    @given(lo1=coord, lo2=coord, la1=lat_c, la2=lat_c,
+           fx=st.floats(0, 1), fy=st.floats(0, 1),
+           width=st.sampled_from([32, 128, 1024]))
+    def check(lo1, lo2, la1, la2, fx, fy, width):
+        minlon, maxlon = sorted((lo1, lo2))
+        minlat, maxlat = sorted((la1, la2))
+        cells, idx = _box_cover_cells(
+            np.array([minlon]), np.array([minlat]),
+            np.array([maxlon]), np.array([maxlat]), width,
+        )
+        # an arbitrary point inside the box
+        plon = int(minlon + fx * (maxlon - minlon))
+        plat = int(minlat + fy * (maxlat - minlat))
+        row = np.clip((plat + 900_000_000) * width // 1_800_000_001, 0, width - 1)
+        col = np.clip((plon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1)
+        assert row * width + col in set(cells.tolist())
+
+    check()
+
+
+def test_pip_join_by_cell_degenerate_polygons():
+    """Zero-area rings and single-cell polygons must not crash or
+    mis-assign (they can contain nothing except their own boundary
+    behavior, which parity with the broadcast index pins)."""
+    import ray.data as rd
+
+    from oma_ray.stages.pip import (
+        PolygonIndex, pip_join_by_cell, polygons_table,
+    )
+
+    polys = {
+        "admin_id": [0, 1],
+        # a degenerate (zero-width) rectangle and a tiny one
+        "ring_lon": [[5, 5, 5, 5, 5], [100, 200, 200, 100, 100]],
+        "ring_lat": [[0, 10, 10, 0, 0], [100, 100, 220, 220, 100]],
+        "holes_lon": [[], []],
+        "holes_lat": [[], []],
+    }
+    ids = np.arange(50, dtype=np.int64)
+    lon = (ids * 17 % 300).astype(np.int64)
+    lat = (ids * 29 % 300).astype(np.int64)
+    pages = rd.from_arrow(
+        pa.table(
+            {"page_id": pa.array(ids),
+             "lon": pa.array(lon.astype(np.int32)),
+             "lat": pa.array(lat.astype(np.int32))}
+        )
+    ).repartition(3)
+    ptab = polygons_table(polys)
+    out = (
+        pip_join_by_cell(pages, rd.from_arrow(ptab), width=64,
+                         polys_schema=ptab.schema)
+        .to_pandas().sort_values("page_id")
+    )
+    bidx = PolygonIndex(polys)
+    pidx = bidx.lookup(lon, lat)
+    want = np.where(pidx >= 0, bidx.admin_id[np.maximum(pidx, 0)], -1)
+    assert out["admin_id"].tolist() == want.tolist()
+    assert (want == 1).any()  # the tiny polygon really catches some points
