@@ -2817,10 +2817,106 @@ FROM words a JOIN words b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
 """
 
 
+def q60_district_profile(sf_dir: str):
+    """Whole-engine geo composition: pages → GeoParse → DISTRIBUTED PIP
+    (district = first containing box) → hash join back to page attributes
+    → per-district profile (count, total chars).  Three exchanges,
+    all O(rows-or-groups); every stage is an already-oracled operator."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+    from oma_ray.synth import make_pages_dataset, synth_boxes
+
+    pages = make_pages_dataset(sf_dir).map_batches(
+        GeoParse(), batch_format="pyarrow"
+    )
+
+    def attrs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "page_id": batch.column("page_id"),
+                "lon": batch.column("lon"),
+                "lat": batch.column("lat"),
+                "n_chars": pc.utf8_length(
+                    pc.cast(batch.column("text"), pa.string())
+                ).cast(pa.int64()),
+            }
+        )
+
+    pages = pages.map_batches(attrs, batch_format="pyarrow")
+
+    b = synth_boxes(64)
+    polys = {
+        "admin_id": b["box_id"].tolist(),
+        "ring_lon": [
+            [int(lo), int(hi), int(hi), int(lo), int(lo)]
+            for lo, hi in zip(b["minlon"], b["maxlon"])
+        ],
+        "ring_lat": [
+            [int(lo), int(lo), int(hi), int(hi), int(lo)]
+            for lo, hi in zip(b["minlat"], b["maxlat"])
+        ],
+        "holes_lon": [[] for _ in b["box_id"]],
+        "holes_lat": [[] for _ in b["box_id"]],
+    }
+    ptab = polygons_table(polys)
+    assigned = pip_join_by_cell(pages, rd.from_arrow(ptab),
+                                polys_schema=ptab.schema)
+    joined = hash_join(
+        assigned,
+        pages.map_batches(
+            lambda t: t.select(["page_id", "n_chars"]), batch_format="pyarrow"
+        ),
+        on="page_id",
+        left_schema=pa.schema(
+            [("page_id", pa.int64()), ("admin_id", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("page_id", pa.int64()), ("n_chars", pa.int64())]
+        ),
+        est_bytes=_fact_bytes(sf_dir, "documents"),
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "admin_id": batch.column("admin_id").to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(batch), dtype=np.int64),
+                "sum_chars": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return _grouped_sums(joined, ["admin_id"], partial,
+                         ["n_pages", "sum_chars"])
+
+
+SQL_Q60 = None  # assembled below (needs the boxes CTE)
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
-    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57
+    global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57, SQL_Q60
+    SQL_Q60 = f"""
+WITH g AS (
+  SELECT doc_id, {SQL_LON.format(id='doc_id')} AS lon,
+         {SQL_LAT.format(id='doc_id')} AS lat,
+         length(text) AS n_chars
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+b AS ({sql_boxes_cte(64)}),
+hit AS (
+  SELECT g.doc_id, ANY_VALUE(g.n_chars) AS n_chars,
+         COALESCE(MIN(b.box_id), -1) AS admin_id
+  FROM g LEFT JOIN b ON g.lon BETWEEN b.minlon AND b.maxlon
+                    AND g.lat BETWEEN b.minlat AND b.maxlat
+  GROUP BY g.doc_id)
+SELECT admin_id, COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM hit GROUP BY admin_id
+"""
     SQL_Q57 = f"""
 WITH a AS ({sql_boxes_cte(64)}),
 b AS ({sql_boxes_cte(64, start=64)})
@@ -2942,6 +3038,7 @@ QUERIES = {
     "q57_box_overlap_join": q57_box_overlap_join,
     "q58_typo_pairs": q58_typo_pairs,
     "q59_cube_pricing": q59_cube_pricing,
+    "q60_district_profile": q60_district_profile,
 }
 
 ORACLES = {
@@ -2997,4 +3094,5 @@ ORACLES = {
     "q57_box_overlap_join": SQL_Q57,
     "q58_typo_pairs": SQL_Q58,
     "q59_cube_pricing": SQL_Q59,
+    "q60_district_profile": SQL_Q60,
 }
