@@ -2846,7 +2846,9 @@ def q60_district_profile(sf_dir: str):
             }
         )
 
-    pages = pages.map_batches(attrs, batch_format="pyarrow")
+    # two consumers (PIP input + join right): materialize the narrow
+    # projection once instead of re-running synth+GeoParse per consumer
+    pages = pages.map_batches(attrs, batch_format="pyarrow").materialize()
 
     b = synth_boxes(64)
     polys = {

@@ -40,6 +40,17 @@ from oma_ray.sources.parquet import from_pandas_clean
 GRID_W = 8192  # matches stages/cells.py grid resolution and SQL_Q13
 
 
+def grid_rowcol(lon, lat, width: int):
+    """Fixed-point coords → (row, col) on a width×width world grid — THE
+    shared cell mapping (SQL mirror: ``(lat+9e8)*W//1800000001`` etc.).
+    Every cover/candidate co-location in this module and stages/pip.py
+    derives from this one function; a divergent copy would silently
+    de-co-locate candidates."""
+    row = (np.asarray(lat, dtype=np.int64) + 900_000_000) * width // 1_800_000_001
+    col = (np.asarray(lon, dtype=np.int64) + 1_800_000_000) * width // 3_600_000_001
+    return row, col
+
+
 def _d2(lon: np.ndarray, lat: np.ndarray, qlon: np.ndarray, qlat: np.ndarray):
     """Squared scaled distance matrix (len(qlon) × len(lon)), int64-exact."""
     a = np.abs(lon[None, :] - qlon[:, None]) // 100
@@ -51,13 +62,15 @@ def _valid_coords(batch: pa.Table, lon_col: str, lat_col: str):
     import pyarrow.compute as pc
 
     lon = batch.column(lon_col)
-    valid = ~pc.is_null(lon).to_numpy(zero_copy_only=False)
-    lon = lon.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
-    lat = (
-        batch.column(lat_col)
-        .to_numpy(zero_copy_only=False)[valid]
-        .astype(np.int64)
+    lat = batch.column(lat_col)
+    # BOTH coordinates must be present: a half-null row would turn the
+    # missing side's NaN into a garbage int64 and silently mis-assign
+    valid = ~(
+        pc.is_null(lon).to_numpy(zero_copy_only=False)
+        | pc.is_null(lat).to_numpy(zero_copy_only=False)
     )
+    lon = lon.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+    lat = lat.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
     return lon, lat, valid
 
 
@@ -89,9 +102,14 @@ def geo_knn_join(ds, query_ids, query_lons, query_lats, k: int = 8,
             )
         d2 = _d2(lon, lat, qlon, qlat)
         kk = min(k, d2.shape[1])
-        # per-query partial top-k inside the batch (argpartition, then the
-        # ties-by-id order is settled in the final per-block pass)
-        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        # per-query partial top-k by the FULL (d2, id) order: selecting by
+        # d2 alone could evict the smaller-id row of a tie at the k-th
+        # boundary, changing top-k MEMBERSHIP vs the oracle (the final
+        # pass can only re-rank survivors).  Queries are few by contract,
+        # so a lexsort per query is fine.
+        part = np.stack([
+            np.lexsort((ids, d2[j]))[:kk] for j in range(d2.shape[0])
+        ])
         rows = np.repeat(qid, kk)
         cols = part.ravel()
         return pa.table(
@@ -217,8 +235,7 @@ def cell_counts(ds, lon_col: str = "lon", lat_col: str = "lat",
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         lon, lat, _ = _valid_coords(batch, lon_col, lat_col)
-        row = (lat + 900_000_000) * width // 1_800_000_001
-        col = (lon + 1_800_000_000) * width // 3_600_000_001
+        row, col = grid_rowcol(lon, lat, width)
         return pd.DataFrame(
             {
                 "cell_id": row * width + col,
@@ -248,7 +265,10 @@ def grid_neighborhood(ds, lon_col: str = "lon", lat_col: str = "lat",
     """
     from oma_ray.stages.join import hash_join
 
-    counts = cell_counts(ds, lon_col, lat_col, width)
+    # two consumers (scatter input + join left): materialize so the full
+    # input scan and count exchange run once — counts are one row per
+    # occupied cell, the small-aggregate case (rollup.py's idiom)
+    counts = cell_counts(ds, lon_col, lat_col, width).materialize()
 
     offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
@@ -306,8 +326,7 @@ def tile_pyramid(ds, widths: tuple[int, ...] = (8192, 1024, 128),
         lon, lat, _ = _valid_coords(batch, lon_col, lat_col)
         frames = []
         for lvl, w in enumerate(widths):
-            row = (lat + 900_000_000) * w // 1_800_000_001
-            col = (lon + 1_800_000_000) * w // 3_600_000_001
+            row, col = grid_rowcol(lat=lat, lon=lon, width=w)
             frames.append(
                 pd.DataFrame(
                     {
@@ -461,10 +480,10 @@ def trajectory_lengths(ds, user_col: str = "user_id", ts_col: str = "ts",
 def _box_cover_cells(minlon, minlat, maxlon, maxlat, width: int):
     """Per-box grid-cell cover (row-major ids), vectorized per box set:
     returns (cell_ids, box_row_index) flattened across boxes."""
-    rmin = np.clip((minlat + 900_000_000) * width // 1_800_000_001, 0, width - 1)
-    rmax = np.clip((maxlat + 900_000_000) * width // 1_800_000_001, 0, width - 1)
-    cmin = np.clip((minlon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1)
-    cmax = np.clip((maxlon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1)
+    rmin, cmin = (np.clip(v, 0, width - 1)
+                  for v in grid_rowcol(minlon, minlat, width))
+    rmax, cmax = (np.clip(v, 0, width - 1)
+                  for v in grid_rowcol(maxlon, maxlat, width))
     cells, idx = [], []
     for i in range(len(minlon)):
         rows = np.arange(rmin[i], rmax[i] + 1, dtype=np.int64)
@@ -559,12 +578,8 @@ def box_overlap_join(a_ds, b_ds, *, width: int = 128,
             # reference point = overlap region's min corner; own it here?
             ref_lon = np.maximum(alo, blo)
             ref_lat = np.maximum(alat0, blat0)
-            rrow = np.clip(
-                (ref_lat + 900_000_000) * width // 1_800_000_001, 0, width - 1
-            )
-            rcol = np.clip(
-                (ref_lon + 1_800_000_000) * width // 3_600_000_001, 0, width - 1
-            )
+            rrow, rcol = (np.clip(v, 0, width - 1)
+                          for v in grid_rowcol(ref_lon, ref_lat, width))
             hit &= (rrow * width + rcol) == cc
             ai, bi = np.nonzero(hit)
             out_a.append(cols["box_id"][am][ai])

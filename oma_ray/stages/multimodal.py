@@ -444,9 +444,12 @@ class VideoFrameSample:
                 frames = _decode_video_real(payload)
             n, h, w, _ = frames.shape
             idx = keyframe_indices(n, self.n_keyframes)
-            per_frame = np.stack(
-                [ppm_features(frames[j], self.feature_dim) for j in idx]
-            )
+            if len(idx):
+                per_frame = np.stack(
+                    [ppm_features(frames[j], self.feature_dim) for j in idx]
+                )
+            else:  # zero-frame clip: valid container, nothing to sample
+                per_frame = np.zeros((1, self.feature_dim), dtype=np.float32)
             metas.append(
                 {"width": w, "height": h, "n_frames": n, "n_sampled": len(idx)}
             )

@@ -178,11 +178,12 @@ def polygons_table(polys: dict) -> "pa.Table":
 
 
 def _cover_cells(ring_lon, ring_lat, width: int) -> np.ndarray:
-    """Grid cells intersecting the ring's bbox (row-major ids)."""
-    rmin = int((min(ring_lat) + 900_000_000) * width // 1_800_000_001)
-    rmax = int((max(ring_lat) + 900_000_000) * width // 1_800_000_001)
-    cmin = int((min(ring_lon) + 1_800_000_000) * width // 3_600_000_001)
-    cmax = int((max(ring_lon) + 1_800_000_000) * width // 3_600_000_001)
+    """Grid cells intersecting the ring's bbox (row-major ids); the cell
+    mapping is the shared geo_join.grid_rowcol."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    rmin, cmin = (int(v) for v in grid_rowcol(min(ring_lon), min(ring_lat), width))
+    rmax, cmax = (int(v) for v in grid_rowcol(max(ring_lon), max(ring_lat), width))
     rmin, rmax = max(rmin, 0), min(rmax, width - 1)
     cmin, cmax = max(cmin, 0), min(cmax, width - 1)
     rows = np.arange(rmin, rmax + 1, dtype=np.int64)
@@ -235,15 +236,17 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
 
     def pad_pages(batch: pa.Table) -> pa.Table:
         lon = batch.column(lon_col)
-        valid = ~pa.compute.is_null(lon).to_numpy(zero_copy_only=False)
+        lat = batch.column(lat_col)
+        valid = ~(
+            pa.compute.is_null(lon).to_numpy(zero_copy_only=False)
+            | pa.compute.is_null(lat).to_numpy(zero_copy_only=False)
+        )
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
         lon_np = lon.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
-        lat_np = (
-            batch.column(lat_col).to_numpy(zero_copy_only=False)[valid]
-            .astype(np.int64)
-        )
-        row = (lat_np + 900_000_000) * width // 1_800_000_001
-        col = (lon_np + 1_800_000_000) * width // 3_600_000_001
+        lat_np = lat.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        from oma_ray.stages.geo_join import grid_rowcol
+
+        row, col = grid_rowcol(lon_np, lat_np, width)
         t = pa.table(
             {
                 "cell_id": pa.array(row * width + col),

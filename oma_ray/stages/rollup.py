@@ -31,6 +31,38 @@ def _null_filled(batch: pa.Table, keys: list[str], key_types: dict,
     return pa.table(dict(zip(keys + sum_cols, cols)))
 
 
+
+
+def _reagg(sub: list[str], sum_cols: list[str]):
+    """Partial fn re-aggregating a finer AGGREGATE at key subset ``sub``."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return batch.select(list(sub) + sum_cols).to_pandas()
+
+    return partial
+
+
+def _total_partial(sum_cols: list[str]):
+    """Partial fn for the grand total (constant grouping key)."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(sum_cols).to_pandas()
+        df["_all"] = 0
+        return df
+
+    return partial
+
+
+def _union_levels(levels, keys, key_types, sum_cols):
+    """Null-fill grouped-out keys and union all levels (ANSI shape)."""
+    out = None
+    for lvl in levels:
+        norm = lvl.map_batches(
+            lambda b: _null_filled(b, keys, key_types, sum_cols),
+            batch_format="pyarrow",
+        )
+        out = norm if out is None else out.union(norm)
+    return out
+
+
 def rollup_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
                 key_types: dict, num_partitions: int | None = None):
     """``GROUP BY ROLLUP(keys...)`` over integer sums.
@@ -45,12 +77,6 @@ def rollup_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
 
     coarse_parts = max(1, default_partitions() // 4)
 
-    def reagg(sub: list[str]):
-        def partial(batch: pa.Table) -> pd.DataFrame:
-            return batch.select(sub + sum_cols).to_pandas()
-
-        return partial
-
     levels = []
     # Each level is BOTH an output branch and the next level's input; Ray
     # re-executes shared lineage per consumer, so materialize each level —
@@ -61,29 +87,15 @@ def rollup_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
     for n in range(len(keys) - 1, 0, -1):
         sub = keys[:n]
         cur = _grouped_sums(
-            cur, sub, reagg(sub), sum_cols, coarse_parts
+            cur, sub, _reagg(sub, sum_cols), sum_cols, coarse_parts
         ).materialize()
         levels.append(cur)
-    # grand total: constant-key grouped sum over the coarsest level
-    def total_partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(sum_cols).to_pandas()
-        df["_all"] = 0
-        return df
-
     levels.append(
-        _grouped_sums(cur, ["_all"], total_partial, sum_cols, 1).drop_columns(
-            ["_all"]
-        )
+        _grouped_sums(
+            cur, ["_all"], _total_partial(sum_cols), sum_cols, 1
+        ).drop_columns(["_all"])
     )
-
-    out = None
-    for lvl in levels:
-        norm = lvl.map_batches(
-            lambda b: _null_filled(b, keys, key_types, sum_cols),
-            batch_format="pyarrow",
-        )
-        out = norm if out is None else out.union(norm)
-    return out
+    return _union_levels(levels, keys, key_types, sum_cols)
 
 
 def cube_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
@@ -102,12 +114,6 @@ def cube_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
 
     coarse_parts = max(1, default_partitions() // 4)
 
-    def reagg(sub: list[str]):
-        def partial(batch: pa.Table) -> pd.DataFrame:
-            return batch.select(sub + sum_cols).to_pandas()
-
-        return partial
-
     full = tuple(keys)
     done: dict[tuple, "object"] = {
         full: _grouped_sums(ds, keys, partial_fn, sum_cols,
@@ -124,24 +130,12 @@ def cube_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
             key=lambda p: len(p),
         )
         done[sub] = _grouped_sums(
-            done[parent], list(sub), reagg(list(sub)), sum_cols, coarse_parts
+            done[parent], list(sub), _reagg(list(sub), sum_cols), sum_cols,
+            coarse_parts,
         ).materialize()
-
-    def total_partial(batch: pa.Table) -> pd.DataFrame:
-        df = batch.select(sum_cols).to_pandas()
-        df["_all"] = 0
-        return df
 
     smallest = done[min(done, key=len)]
     total = _grouped_sums(
-        smallest, ["_all"], total_partial, sum_cols, 1,
+        smallest, ["_all"], _total_partial(sum_cols), sum_cols, 1,
     ).drop_columns(["_all"])
-
-    out = None
-    for lvl in [*done.values(), total]:
-        norm = lvl.map_batches(
-            lambda b: _null_filled(b, keys, key_types, sum_cols),
-            batch_format="pyarrow",
-        )
-        out = norm if out is None else out.union(norm)
-    return out
+    return _union_levels([*done.values(), total], keys, key_types, sum_cols)

@@ -45,6 +45,8 @@ def recover_dir(d: str) -> str | None:
     new = os.path.join(d, j["new"])
     if os.path.exists(new):
         for old in j["olds"]:
+            if old == j["new"]:
+                continue  # defensive: never delete the replacement itself
             p = os.path.join(d, old)
             if os.path.exists(p):
                 os.remove(p)
@@ -79,7 +81,15 @@ def _compact_one(d: str, target_bytes: int) -> dict:
         after += 1
         if len(run) < 2:
             continue
+        # the output name must never collide with an input (a re-compaction
+        # can merge a previous 'compacted-0000-*' file: reusing its name
+        # would delete the merged data in the cleanup loop below, and a
+        # journal whose 'new' equals an 'old' breaks recovery)
+        gen = 0
         new = f"compacted-{ri:04d}-{len(run)}.parquet"
+        while new in files or os.path.exists(os.path.join(d, new)):
+            gen += 1
+            new = f"compacted-{ri:04d}-{len(run)}-g{gen}.parquet"
         jpath = os.path.join(d, JOURNAL)
         tmp = os.path.join(d, f".tmp-{new}")
         import pyarrow as pa

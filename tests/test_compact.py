@@ -97,3 +97,27 @@ def test_recover_rolls_back_missing_new_file(tmp_path):
     assert sorted(f for f in os.listdir(d) if f.endswith(".parquet")) == olds
     assert len(_read_all(root)) == 400
     assert recover_dir(d) is None  # idempotent
+
+
+def test_recompaction_never_reuses_an_input_name(tmp_path):
+    """Regression: merging a previous 'compacted-*' output with a new small
+    file must not name the result identically to its own input (the cleanup
+    loop would delete the merged data)."""
+    from oma_ray.state.compact import compact_dir
+
+    root = _make_dir(str(tmp_path), buckets=1, files_per=3)
+    stats1 = compact_dir(root, target_bytes=1 << 30)
+    assert stats1["files_after"] == 1
+    # a late shard lands; compact again
+    d = os.path.join(root, "tile_bucket=0")
+    ids = np.arange(10_000, 10_050, dtype=np.int64)
+    pq.write_table(
+        pa.table({"page_id": ids, "v": ids * 7 % 97}),
+        os.path.join(d, "part-late.parquet"),
+    )
+    before = _read_all(root)
+    stats2 = compact_dir(root, target_bytes=1 << 30)
+    after = _read_all(root)
+    assert stats2["files_after"] == 1
+    pd.testing.assert_frame_equal(before, after)
+    assert len(after) == 3 * 200 + 50

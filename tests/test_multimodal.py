@@ -209,3 +209,14 @@ def test_video_codec_seam_is_honest():
     bad = pa.table({"video": pa.array([b"\x00\x00\x00\x18ftypmp42"], type=pa.binary())})
     with pytest.raises(NotImplementedError):
         stage(bad)
+
+
+def test_video_zero_frame_clip_is_valid():
+    from oma_ray.stages.multimodal import VideoFrameSample, encode_rawv
+
+    frames = np.zeros((0, 4, 4, 3), dtype=np.uint8)
+    t = pa.table({"video": pa.array([encode_rawv(frames)], type=pa.binary())})
+    out = VideoFrameSample(n_keyframes=3)(t)
+    meta = out.column("video_meta")[0].as_py()
+    assert meta["n_frames"] == 0 and meta["n_sampled"] == 0
+    assert list(out.column("keyframe_idx")[0].as_py()) == []

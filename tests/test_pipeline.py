@@ -179,8 +179,19 @@ def test_job_entry_tiling_resumes(tmp_path):
                         check=True, timeout=240)
     m1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert m1["rows"] == 500
+    # non-timing resume signal (this host's wall clocks spread 5x under
+    # co-tenant bursts): the shard's output files must not be rewritten
+    data_dir = os.path.join(out, "data")
+    def mtimes():
+        out_files = {}
+        for dp, _dn, fs in os.walk(data_dir):
+            for f in fs:
+                path = os.path.join(dp, f)
+                out_files[path] = os.path.getmtime(path)
+        return out_files
+    m_before = mtimes()
     r2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
                         check=True, timeout=240)
     m2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m2["rows"] == 500  # manifest metrics, not recomputation
-    assert m2["wall_sec"] < m1["wall_sec"]  # shard skipped
+    assert mtimes() == m_before  # shard skipped: nothing rewritten
