@@ -2898,6 +2898,63 @@ def q60_district_profile(sf_dir: str):
 SQL_Q60 = None  # assembled below (needs the boxes CTE)
 
 
+def q61_pagerank(sf_dir: str):
+    """Iterative weighted propagation: integer fixed-point PageRank (3
+    rounds, damping 85%) over a deterministic 3-out-degree link graph on
+    doc ids.  All-integer updates make even an ITERATIVE algorithm exactly
+    oracle-able — the SQL unrolls the same three rounds as chained CTEs."""
+    from oma_ray.stages.cc import pagerank_int
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.repeat(ids, 3)
+        j = np.tile(np.arange(1, 4, dtype=np.int64), len(ids))
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array((src * 48271 + j) % n)}
+        )
+
+    return pagerank_int(
+        docs.map_batches(edges, batch_format="pyarrow"), n_nodes=n, iters=3
+    )
+
+
+SQL_Q61 = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id * 48271 + v.j) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+s0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS score FROM documents),
+sh0 AS (SELECT s0.node, 85 * s0.score // (100 * deg.outdeg) AS share
+        FROM s0 JOIN deg ON deg.src = s0.node),
+s1 AS (SELECT d.doc_id AS node,
+              CAST(150000 + COALESCE(SUM(sh0.share), 0) AS BIGINT) AS score
+       FROM documents d
+       LEFT JOIN e ON e.dst = d.doc_id
+       LEFT JOIN sh0 ON sh0.node = e.src
+       GROUP BY d.doc_id),
+sh1 AS (SELECT s1.node, 85 * s1.score // (100 * deg.outdeg) AS share
+        FROM s1 JOIN deg ON deg.src = s1.node),
+s2 AS (SELECT d.doc_id AS node,
+              CAST(150000 + COALESCE(SUM(sh1.share), 0) AS BIGINT) AS score
+       FROM documents d
+       LEFT JOIN e ON e.dst = d.doc_id
+       LEFT JOIN sh1 ON sh1.node = e.src
+       GROUP BY d.doc_id),
+sh2 AS (SELECT s2.node, 85 * s2.score // (100 * deg.outdeg) AS share
+        FROM s2 JOIN deg ON deg.src = s2.node)
+SELECT d.doc_id AS node,
+       CAST(150000 + COALESCE(SUM(sh2.share), 0) AS BIGINT) AS score
+FROM documents d
+LEFT JOIN e ON e.dst = d.doc_id
+LEFT JOIN sh2 ON sh2.node = e.src
+GROUP BY d.doc_id
+"""
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
@@ -3041,6 +3098,7 @@ QUERIES = {
     "q58_typo_pairs": q58_typo_pairs,
     "q59_cube_pricing": q59_cube_pricing,
     "q60_district_profile": q60_district_profile,
+    "q61_pagerank": q61_pagerank,
 }
 
 ORACLES = {
@@ -3097,4 +3155,5 @@ ORACLES = {
     "q58_typo_pairs": SQL_Q58,
     "q59_cube_pricing": SQL_Q59,
     "q60_district_profile": SQL_Q60,
+    "q61_pagerank": SQL_Q61,
 }

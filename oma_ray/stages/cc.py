@@ -181,3 +181,86 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         return batch.rename_columns(["node", "comp"])
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+# --- fixed-point PageRank (iterative weighted propagation) -------------------
+
+def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
+                 damping_pct: int = 85, scale: int = 1_000_000,
+                 num_partitions: int | None = None):
+    """Integer fixed-point PageRank over (src, dst) edges with UNIFORM
+    out-degree per src (the fixture's contract): ``iters`` rounds of
+    s' = (100-d)%·scale/100 + d%·Σ_in s[src]//(outdeg·100//…) — all
+    integer arithmetic (``//`` floor), so the result is bit-exact and a
+    DuckDB oracle can unroll the same iterations as chained CTEs.
+
+    Shape per iteration: one keyed exchange of per-batch PARTIAL
+    contribution sums (O(dst-keys·batches) rows move, not edges), then a
+    tiny driver-side vector update — the scores vector is O(n_nodes)
+    ints, broadcast per iteration via ``ray.put`` (at web scale the update
+    itself becomes a second keyed exchange; the per-iteration structure is
+    identical).  CC (min-label fixpoint) covers unweighted propagation;
+    this is the weighted variant with per-iteration renormalization.
+    """
+    import pandas as pd
+    import ray
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.taskcache import CachedStage
+
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 2)
+
+    # out-degrees: one grouped count over the edge list
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"src": src, "outdeg": np.ones(len(src), dtype=np.int64)}
+        )
+
+    deg_df = (
+        _grouped_sums(edges_ds, ["src"], deg_partial, ["outdeg"],
+                      num_partitions)
+        .to_pandas()
+    )
+    outdeg = np.zeros(n_nodes, dtype=np.int64)
+    outdeg[deg_df["src"].to_numpy()] = deg_df["outdeg"].to_numpy()
+
+    scores = np.full(n_nodes, scale, dtype=np.int64)
+    base = (100 - damping_pct) * scale // 100
+
+    class Contrib:
+        """Per-batch partial: share[src] gathered per edge (the _grouped_sums
+        combiner then sums by dst)."""
+
+        def __init__(self, share_ref):
+            self.share = (
+                ray.get(share_ref)
+                if isinstance(share_ref, ray.ObjectRef) else share_ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            return pd.DataFrame({"dst": dst, "c": self.share[src]})
+
+    for _ in range(iters):
+        # per-src share of its score along each out-edge, precomputed once
+        share = np.zeros(n_nodes, dtype=np.int64)
+        nz = outdeg > 0
+        share[nz] = damping_pct * scores[nz] // (100 * outdeg[nz])
+        sums = _grouped_sums(
+            edges_ds, ["dst"], CachedStage(Contrib, ray.put(share)), ["c"],
+            num_partitions,
+        ).to_pandas()
+        scores = np.full(n_nodes, base, dtype=np.int64)
+        if len(sums):
+            scores[sums["dst"].to_numpy()] += sums["c"].to_numpy()
+
+    return pa.table(
+        {
+            "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+            "score": pa.array(scores, type=pa.int64()),
+        }
+    )
