@@ -37,6 +37,7 @@ __all__ = [
     "cell_grid_decode",
     "cell_morton",
     "cell_hex",
+    "simplify_ring",
 ]
 
 
@@ -277,3 +278,62 @@ def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
     qi = q.astype(np.int64) + (1 << 31)
     ri = r.astype(np.int64) + (1 << 31)
     return ((qi.astype(np.uint64)) << np.uint64(32)) | ri.astype(np.uint64)
+
+
+def simplify_ring(lon: np.ndarray, lat: np.ndarray, eps: int) -> np.ndarray:
+    """Douglas-Peucker polyline/ring simplification in EXACT integer
+    arithmetic: keep a vertex iff its perpendicular distance to the current
+    chord exceeds ``eps`` fixed-point units.  The comparison
+    ``dist > eps``  ⇔  ``cross² > eps² · |chord|²`` runs entirely in
+    (object) integers — no float, no precision loss at int32-range coords
+    (cross ≤ ~2^63 would overflow int64 when squared, so the squares use
+    Python ints via an object array only when needed; the common small-
+    segment case stays in int64).
+
+    Returns a boolean keep-mask over the input vertices (first and last
+    always kept).  Iterative stack, no recursion depth limit.
+    """
+    lon = np.asarray(lon, dtype=np.int64)
+    lat = np.asarray(lat, dtype=np.int64)
+    n = len(lon)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    eps2 = int(eps) * int(eps)
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay = int(lon[a]), int(lat[a])
+        dx, dy = int(lon[b]) - ax, int(lat[b]) - ay
+        seg2 = dx * dx + dy * dy
+        idx = np.arange(a + 1, b)
+        # cross product magnitude per interior vertex (int64-safe at
+        # int32-range coords: |cross| <= 2 * 3.6e9 * 3.6e9 needs object
+        # ints -- use Python-int reduction only for the argmax candidates)
+        px = lon[idx] - ax
+        py = lat[idx] - ay
+        cross = px.astype(object) * dy - py.astype(object) * dx
+        d2 = np.array([int(c) * int(c) for c in cross], dtype=object)
+        far = int(np.argmax(d2))
+        if seg2 == 0:
+            # degenerate chord: fall back to max point-to-point distance
+            dd = px.astype(object) * px.astype(object) \
+                + py.astype(object) * py.astype(object)
+            far = int(np.argmax(dd))
+            if int(dd[far]) <= eps2:
+                continue
+            m = idx[far]
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+            continue
+        if int(d2[far]) <= eps2 * seg2:
+            continue
+        m = idx[far]
+        keep[m] = True
+        stack.append((a, m))
+        stack.append((m, b))
+    return keep

@@ -332,3 +332,41 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
              "admin_id": pa.array([], type=pa.int64())}
         ),
     )
+
+
+def simplify_polygons(polys_ds, eps: int):
+    """Douglas-Peucker boundary simplification over a polygon Dataset
+    (map_batches, no shuffle): each outer ring and hole is simplified with
+    the exact-integer kernel (functions/geo.simplify_ring); closure is
+    preserved (first == last always kept).  The 100 TB use: shrink
+    continent-scale admin boundaries BEFORE they broadcast to the PIP
+    stages — vertex count drops, containment semantics change only within
+    ``eps`` of the boundary (callers pick eps below their tile margin)."""
+    from oma_ray.functions.geo import simplify_ring
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lons = batch.column("ring_lon").to_pylist()
+        lats = batch.column("ring_lat").to_pylist()
+        hlons = batch.column("holes_lon").to_pylist()
+        hlats = batch.column("holes_lat").to_pylist()
+        out_lon, out_lat, out_hlon, out_hlat = [], [], [], []
+        for lo, la, hlo, hla in zip(lons, lats, hlons, hlats):
+            m = simplify_ring(np.asarray(lo), np.asarray(la), eps)
+            out_lon.append([v for v, k in zip(lo, m) if k])
+            out_lat.append([v for v, k in zip(la, m) if k])
+            slo, sla = [], []
+            for one_lon, one_lat in zip(hlo, hla):
+                hm = simplify_ring(np.asarray(one_lon), np.asarray(one_lat), eps)
+                slo.append([v for v, k in zip(one_lon, hm) if k])
+                sla.append([v for v, k in zip(one_lat, hm) if k])
+            out_hlon.append(slo)
+            out_hlat.append(sla)
+        cols = {c: batch.column(c) for c in batch.column_names
+                if c not in ("ring_lon", "ring_lat", "holes_lon", "holes_lat")}
+        cols["ring_lon"] = pa.array(out_lon, type=pa.list_(pa.int64()))
+        cols["ring_lat"] = pa.array(out_lat, type=pa.list_(pa.int64()))
+        cols["holes_lon"] = pa.array(out_hlon, type=pa.list_(pa.list_(pa.int64())))
+        cols["holes_lat"] = pa.array(out_hlat, type=pa.list_(pa.list_(pa.int64())))
+        return pa.table(cols)
+
+    return polys_ds.map_batches(fn, batch_format="pyarrow")

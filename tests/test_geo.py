@@ -137,3 +137,66 @@ def test_cells_deterministic_and_in_range():
     # nearby points share morton prefix after coarsening
     m2 = cell_morton(lon + 1000, lat + 1000)
     assert ((m >> np.uint64(8)) == (m2 >> np.uint64(8))).sum() >= 3
+
+
+def test_simplify_ring_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.functions.geo import simplify_ring
+
+    coords = st.lists(
+        st.tuples(st.integers(-10_000, 10_000), st.integers(-10_000, 10_000)),
+        min_size=2, max_size=40,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(pts=coords, eps=st.integers(0, 5000))
+    def check(pts, eps):
+        lon = np.array([p[0] for p in pts], dtype=np.int64)
+        lat = np.array([p[1] for p in pts], dtype=np.int64)
+        m = simplify_ring(lon, lat, eps)
+        assert m[0] and m[-1]                      # endpoints survive
+        m2 = simplify_ring(lon, lat, eps * 2 + 1)  # coarser keeps a subset
+        assert not np.any(m2 & ~m)
+
+    check()
+
+
+def test_simplify_ring_exact_cases():
+    from oma_ray.functions.geo import simplify_ring
+
+    lon = np.array([0, 5, 10, 15, 20])
+    flat = np.zeros(5, dtype=np.int64)
+    assert simplify_ring(lon, flat, 1).tolist() == [True, False, False, False, True]
+    spike = np.array([0, 0, 8, 0, 0])
+    # interior verts sit 3.12 units off the kept-spike sub-chords
+    assert simplify_ring(lon, spike, 4).tolist() == [True, False, True, False, True]
+    assert simplify_ring(lon, spike, 3).tolist() == [True] * 5
+    assert simplify_ring(lon, spike, 9).tolist() == [True, False, False, False, True]
+
+
+def test_simplify_polygons_stage_preserves_containment_away_from_boundary():
+    import ray.data as rd
+
+    from oma_ray.stages.pip import PolygonIndex, polygons_table, simplify_polygons
+    from oma_ray.synth import HOT_LAT, HOT_LON, synth_admin_polygons
+
+    polys = synth_admin_polygons(20)
+    ptab = polygons_table(polys)
+    simp = simplify_polygons(rd.from_arrow(ptab), eps=10_000).to_pandas()
+    orig_pts = sum(len(r) for r in polys["ring_lon"])
+    simp_pts = sum(len(r) for r in simp["ring_lon"])
+    assert simp_pts <= orig_pts
+    # hot-spot centers sit deep inside their polygons — assignment is
+    # invariant under a boundary-scale eps
+    sp = {
+        "admin_id": simp["admin_id"].tolist(),
+        "ring_lon": list(simp["ring_lon"]),
+        "ring_lat": list(simp["ring_lat"]),
+        "holes_lon": [list(h) for h in simp["holes_lon"]],
+        "holes_lat": [list(h) for h in simp["holes_lat"]],
+    }
+    a = PolygonIndex(polys).lookup(HOT_LON, HOT_LAT)
+    b = PolygonIndex(sp).lookup(HOT_LON, HOT_LAT)
+    assert a.tolist() == b.tolist()
