@@ -232,9 +232,17 @@ def run_tiling(
     pages = make_pages_dataset(sf_dir, replicate=replicate)
     grid_ref = ray.put(default_grid())
     poly_ref = ray.put(default_polygons(n_polygons))
+    # north_rule: every persisted row carries its partition lineage id —
+    # derived from the input identity so a re-run of the same input is
+    # recognizable (run_tiling_resumable refines this to one id per shard)
+    lineage = (
+        lineage_id([f"{sf_dir}:documents:replicate={replicate}"])
+        if out_dir is not None else None
+    )
     ds = build_tiling_pipeline(
         pages, grid_ref, poly_ref,
         pip_concurrency=pip_concurrency, batch_size=batch_size,
+        lineage=lineage,
     )
     if out_dir is not None:
         # hot-bucket detection on a replicate=1 PROXY pipeline (the page
