@@ -66,9 +66,18 @@ def job_tiling(args) -> dict:
 
 def job_convert(args) -> dict:
     from oma_ray.pipelines.osm_dist import convert_pbf_to_dir
+    from oma_ray.stages.classify import TypeConfig
+    from oma_ray.synth import default_bbs_text
 
+    bbs_text = open(args.bbs).read() if args.bbs else default_bbs_text()
+    type_text = open(
+        args.types if args.types else "/root/reference/default.type"
+    ).read()
     t0 = time.time()
-    convert_pbf_to_dir(args.input, args.out)
+    convert_pbf_to_dir(
+        args.input, bbs_text, TypeConfig.parse(type_text), args.out,
+        type_text=type_text,
+    )
     return {"job": "convert", "wall_sec": round(time.time() - t0, 3),
             "out": args.out}
 
@@ -90,6 +99,8 @@ def main(argv=None):
     c = sub.add_parser("convert", help="OSM PBF → partitioned .oma-dir")
     c.add_argument("--input", required=True, help="input .pbf")
     c.add_argument("--out", required=True, help="output partition dir")
+    c.add_argument("--bbs", default=None, help="tiling grid (.bbs)")
+    c.add_argument("--types", default=None, help="classification (.type)")
     c.set_defaults(fn=job_convert)
 
     args = p.parse_args(argv)
