@@ -90,7 +90,10 @@ def run_bench() -> dict:
     from oma_ray.pipelines.queries import QUERIES
 
     qtimes = {}
-    for name in BENCH_QUERIES:
+    bench_queries = (
+        [] if os.environ.get("GRAFT_SCALING_ARM") else BENCH_QUERIES
+    )  # --scaling arms only need the headline; skip the query loop
+    for name in bench_queries:
         best = float("inf")
         for _ in range(2):  # best-of-2 per query (burst protocol, as above)
             t0 = time.time()
@@ -116,7 +119,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALING_ARM="1")
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
