@@ -199,8 +199,13 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
     tiny driver-side vector update — the scores vector is O(n_nodes)
     ints, broadcast per iteration via ``ray.put`` (at web scale the update
     itself becomes a second keyed exchange; the per-iteration structure is
-    identical).  CC (min-label fixpoint) covers unweighted propagation;
-    this is the weighted variant with per-iteration renormalization.
+    identical).  The edge list is deliberately RE-READ per iteration
+    rather than materialized: at graph scale pinning every edge in the
+    object store for the whole job costs more than streaming the (cheap,
+    column-pruned) scan again — the standard iterative-job tradeoff.
+    Node ids must be dense in [0, n_nodes).  CC (min-label fixpoint)
+    covers unweighted propagation; this is the weighted variant with
+    per-iteration renormalization.
     """
     import pandas as pd
     import ray
