@@ -283,12 +283,17 @@ def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
 def simplify_ring(lon: np.ndarray, lat: np.ndarray, eps: int) -> np.ndarray:
     """Douglas-Peucker polyline/ring simplification in EXACT integer
     arithmetic: keep a vertex iff its perpendicular distance to the current
-    chord exceeds ``eps`` fixed-point units.  The comparison
-    ``dist > eps``  ⇔  ``cross² > eps² · |chord|²`` runs entirely in
-    (object) integers — no float, no precision loss at int32-range coords
-    (cross ≤ ~2^63 would overflow int64 when squared, so the squares use
-    Python ints via an object array only when needed; the common small-
-    segment case stays in int64).
+    chord exceeds ``eps`` fixed-point units (``dist > eps`` ⇔
+    ``cross² > eps² · |chord|²`` — no float, no tolerance).
+
+    The per-vertex work is finding the FARTHEST point from the chord, and
+    since the chord is constant within a segment, argmax over distance ==
+    argmax over |cross| — so when the segment's coordinate spans keep
+    ``px·dy`` products inside int64 (sub-chords shrink fast, so almost
+    every segment after the first splits qualifies), the scan is pure
+    vectorized int64 and only the ONE winning candidate pays an exact
+    Python-int threshold comparison.  World-spanning chords (products
+    ≥ 2^62) fall back to object-int arrays for the scan too.
 
     Returns a boolean keep-mask over the input vertices (first and last
     always kept).  Iterative stack, no recursion depth limit.
@@ -310,27 +315,38 @@ def simplify_ring(lon: np.ndarray, lat: np.ndarray, eps: int) -> np.ndarray:
         dx, dy = int(lon[b]) - ax, int(lat[b]) - ay
         seg2 = dx * dx + dy * dy
         idx = np.arange(a + 1, b)
-        # cross product magnitude per interior vertex (int64-safe at
-        # int32-range coords: |cross| <= 2 * 3.6e9 * 3.6e9 needs object
-        # ints -- use Python-int reduction only for the argmax candidates)
         px = lon[idx] - ax
         py = lat[idx] - ay
-        cross = px.astype(object) * dy - py.astype(object) * dx
-        d2 = np.array([int(c) * int(c) for c in cross], dtype=object)
-        far = int(np.argmax(d2))
+        max_p = max(int(np.abs(px).max()), int(np.abs(py).max()), 1)
+        max_d = max(abs(dx), abs(dy), 1)
         if seg2 == 0:
             # degenerate chord: fall back to max point-to-point distance
-            dd = px.astype(object) * px.astype(object) \
-                + py.astype(object) * py.astype(object)
-            far = int(np.argmax(dd))
-            if int(dd[far]) <= eps2:
+            if max_p < 2**31:  # px² + py² fits int64
+                dd = px * px + py * py
+                far = int(np.argmax(dd))
+                best = int(dd[far])
+            else:
+                ddo = [int(x) * int(x) + int(y) * int(y)
+                       for x, y in zip(px, py)]
+                far = int(np.argmax(np.array(ddo, dtype=object)))
+                best = ddo[far]
+            if best <= eps2:
                 continue
             m = idx[far]
             keep[m] = True
             stack.append((a, m))
             stack.append((m, b))
             continue
-        if int(d2[far]) <= eps2 * seg2:
+        if max_p * max_d < 2**62:  # each product < 2^62, |sum| < 2^63
+            cross = np.abs(px * dy - py * dx)
+        else:
+            cross = np.array(
+                [abs(int(x) * dy - int(y) * dx) for x, y in zip(px, py)],
+                dtype=object,
+            )
+        far = int(np.argmax(cross))
+        # exact threshold check on the single winner only
+        if int(cross[far]) * int(cross[far]) <= eps2 * seg2:
             continue
         m = idx[far]
         keep[m] = True

@@ -2674,20 +2674,14 @@ def q54_lsh_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
-def q55_pip_districts(sf_dir: str):
-    """Value-oracle for the DISTRIBUTED PIP join: axis-aligned district
-    polygons (5-point rings from the box fixture) flow through
-    pip_join_by_cell — cover explode, keyed exchange, per-block exact ray
-    cast, first-match (= min box_id) — and SQL mirrors containment as
-    BETWEEN + MIN.  The cos/sin polygon path stays golden-verified (q14);
-    this pins the whole distributed machinery to integer-exact SQL."""
-    import ray.data as rd
-
-    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+def _district_polys(n: int = 64) -> dict:
+    """Axis-aligned district polygons (5-point rectangle rings) built from
+    the SQL-mirrorable box fixture — the shared q55/q60 spatial side (ring
+    winding/closure here must stay in lockstep with the boxes CTE)."""
     from oma_ray.synth import synth_boxes
 
-    b = synth_boxes(64)
-    polys = {
+    b = synth_boxes(n)
+    return {
         "admin_id": b["box_id"].tolist(),
         "ring_lon": [
             [int(lo), int(hi), int(hi), int(lo), int(lo)]
@@ -2700,6 +2694,20 @@ def q55_pip_districts(sf_dir: str):
         "holes_lon": [[] for _ in b["box_id"]],
         "holes_lat": [[] for _ in b["box_id"]],
     }
+
+
+def q55_pip_districts(sf_dir: str):
+    """Value-oracle for the DISTRIBUTED PIP join: axis-aligned district
+    polygons (5-point rings from the box fixture) flow through
+    pip_join_by_cell — cover explode, keyed exchange, per-block exact ray
+    cast, first-match (= min box_id) — and SQL mirrors containment as
+    BETWEEN + MIN.  The cos/sin polygon path stays golden-verified (q14);
+    this pins the whole distributed machinery to integer-exact SQL."""
+    import ray.data as rd
+
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+
+    polys = _district_polys(64)
     ptab = polygons_table(polys)
     joined = pip_join_by_cell(
         _geo_pages(sf_dir), rd.from_arrow(ptab), polys_schema=ptab.schema
@@ -2828,7 +2836,7 @@ def q60_district_profile(sf_dir: str):
     from oma_ray.stages.geo_parse import GeoParse
     from oma_ray.stages.join import hash_join
     from oma_ray.stages.pip import pip_join_by_cell, polygons_table
-    from oma_ray.synth import make_pages_dataset, synth_boxes
+    from oma_ray.synth import make_pages_dataset
 
     pages = make_pages_dataset(sf_dir).map_batches(
         GeoParse(), batch_format="pyarrow"
@@ -2850,20 +2858,7 @@ def q60_district_profile(sf_dir: str):
     # projection once instead of re-running synth+GeoParse per consumer
     pages = pages.map_batches(attrs, batch_format="pyarrow").materialize()
 
-    b = synth_boxes(64)
-    polys = {
-        "admin_id": b["box_id"].tolist(),
-        "ring_lon": [
-            [int(lo), int(hi), int(hi), int(lo), int(lo)]
-            for lo, hi in zip(b["minlon"], b["maxlon"])
-        ],
-        "ring_lat": [
-            [int(lo), int(lo), int(hi), int(hi), int(lo)]
-            for lo, hi in zip(b["minlat"], b["maxlat"])
-        ],
-        "holes_lon": [[] for _ in b["box_id"]],
-        "holes_lat": [[] for _ in b["box_id"]],
-    }
+    polys = _district_polys(64)
     ptab = polygons_table(polys)
     assigned = pip_join_by_cell(pages, rd.from_arrow(ptab),
                                 polys_schema=ptab.schema)

@@ -256,8 +256,9 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
         nz = outdeg > 0
         share[nz] = damping_pct * scores[nz] // (100 * outdeg[nz])
         sums = _grouped_sums(
-            edges_ds, ["dst"], CachedStage(Contrib, ray.put(share)), ["c"],
-            num_partitions,
+            edges_ds, ["dst"],
+            CachedStage(Contrib, ray.put(share), slot="pagerank_share"),
+            ["c"], num_partitions,
         ).to_pandas()
         scores = np.full(n_nodes, base, dtype=np.int64)
         if len(sums):

@@ -92,7 +92,7 @@ def geo_knn_join(ds, query_ids, query_lons, query_lats, k: int = 8,
     def partial(batch: pa.Table) -> pa.Table:
         lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
-        if not len(ids):
+        if not len(ids) or not len(qid):  # np.stack([]) would raise
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),

@@ -22,8 +22,15 @@ def _key_part(x) -> str:
 
 
 class CachedStage:
-    def __init__(self, factory, *args, **kwargs):
+    """``slot``: iterative callers (e.g. pagerank's per-round share array)
+    put a NEW ref each round — without a slot every round's instance (and
+    its pinned object-store copy) would accumulate in the worker cache
+    forever.  Entries with the same (factory, slot) REPLACE each other;
+    the ref stays in the key so a stale instance is never reused."""
+
+    def __init__(self, factory, *args, slot: str | None = None, **kwargs):
         self.factory = factory
+        self.slot = slot
         self.args = args
         self.kwargs = kwargs
 
@@ -39,5 +46,11 @@ class CachedStage:
         fn = _CACHE.get(key)
         if fn is None:
             fn = self.factory(*self.args, **self.kwargs)
+            if self.slot is not None:
+                slot_key = (key[0], self.slot)
+                old = _CACHE.pop(slot_key, None)
+                if old is not None:
+                    _CACHE.pop(old, None)  # evict the previous round's entry
+                _CACHE[slot_key] = key
             _CACHE[key] = fn
         return fn(batch)

@@ -361,3 +361,11 @@ def test_pip_join_by_cell_degenerate_polygons():
     want = np.where(pidx >= 0, bidx.admin_id[np.maximum(pidx, 0)], -1)
     assert out["admin_id"].tolist() == want.tolist()
     assert (want == 1).any()  # the tiny polygon really catches some points
+
+
+def test_geo_knn_join_empty_query_set():
+    from oma_ray.stages.geo_join import geo_knn_join
+
+    ds, _ids, _lon, _lat = _points_ds(n=500, blocks=2)
+    out = geo_knn_join(ds, [], [], [], k=5)
+    assert out.count() == 0 and out.schema() is not None
