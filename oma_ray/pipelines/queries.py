@@ -2950,6 +2950,41 @@ GROUP BY d.doc_id
 """
 
 
+def q62_funnel(sf_dir: str):
+    """Earliest-completion funnel view → click → purchase, each step within
+    7 days of the previous (ordered event-pattern matching)."""
+    from oma_ray.stages.sessions import funnel_counts
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(
+        ds, ["view", "click", "purchase"], within_seconds=7 * 86400
+    )
+
+
+SQL_Q62 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 7 DAY
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3
+"""
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
@@ -3094,6 +3129,7 @@ QUERIES = {
     "q59_cube_pricing": q59_cube_pricing,
     "q60_district_profile": q60_district_profile,
     "q61_pagerank": q61_pagerank,
+    "q62_funnel": q62_funnel,
 }
 
 ORACLES = {
@@ -3151,4 +3187,5 @@ ORACLES = {
     "q59_cube_pricing": SQL_Q59,
     "q60_district_profile": SQL_Q60,
     "q61_pagerank": SQL_Q61,
+    "q62_funnel": SQL_Q62,
 }

@@ -99,3 +99,101 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
         .repartition(default_partitions(), keys=[key_col, "window_start"])
         .map_batches(combine, batch_format="pyarrow")
     )
+
+
+def funnel_counts(ds, steps: list[str], within_seconds: int,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  num_partitions: int | None = None):
+    """Ordered event-pattern matching (funnel): per user, step i+1 must
+    occur STRICTLY after the user's earliest completion of step i and
+    within ``within_seconds`` of it; returns (step, n_users) with 1-based
+    step numbers (classic earliest-completion funnel, deterministic).
+
+    Shape: one user-keyed exchange (each user's events land in exactly one
+    block — the sessionize contract), then a fully vectorized per-block
+    pass: step-1 times are a grouped min, each later step filters its
+    event type against the previous step's per-user time via one merge +
+    mask + grouped min.  The exchange moves (user, ts, type) triples of
+    the step types only.
+    """
+    import pyarrow as pa
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    within_us = within_seconds * 1_000_000
+    step_set = list(steps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(batch.column(type_col), value_set=pa.array(step_set))
+        b = batch.filter(m)
+        return pa.table(
+            {
+                user_col: b.column(user_col),
+                ts_col: b.column(ts_col),
+                type_col: b.column(type_col),
+            }
+        )
+
+    part = ds.map_batches(project, batch_format="pyarrow").repartition(
+        num_partitions, keys=[user_col]
+    )
+
+    def block_funnel(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_step, out_n = [], []
+        if len(df):
+            ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            df = pd.DataFrame(
+                {"u": df[user_col].to_numpy(), "t": ts,
+                 "k": df[type_col].to_numpy()}
+            )
+            cur = df[df["k"] == step_set[0]].groupby("u")["t"].min()
+            out_step.append(1)
+            out_n.append(len(cur))
+            for i, nxt in enumerate(step_set[1:], start=2):
+                cand = df[df["k"] == nxt].copy()
+                # .map, not merge: an empty-left merge with right_index
+                # names the result's index 'u' and poisons the groupby.
+                # tp becomes float64 where unmatched (NaN) — exact for
+                # microsecond epochs (< 2^53)
+                cand["tp"] = cand["u"].map(cur)
+                cand = cand[
+                    cand["tp"].notna()
+                    & (cand["t"] > cand["tp"])
+                    & (cand["t"] <= cand["tp"] + within_us)
+                ]
+                cur = cand.groupby("u")["t"].min()
+                out_step.append(i)
+                out_n.append(len(cur))
+        return from_pandas_clean(
+            pd.DataFrame({"step": out_step, "n_users": out_n})
+        )
+
+    # per-block partial counts → one tiny combine (sum per step)
+    partials = part.map_batches(block_funnel, batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        return from_pandas_clean(
+            df.groupby("step", as_index=False)["n_users"].sum()
+        )
+
+    anchor = pa.table(
+        {"step": pa.array([], type=pa.int64()),
+         "n_users": pa.array([], type=pa.int64())}
+    )
+    return _schema_anchor(
+        partials.repartition(max(1, len(step_set)), keys=["step"])
+        .map_batches(combine, batch_format="pyarrow"),
+        anchor,
+    )

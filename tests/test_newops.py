@@ -257,3 +257,42 @@ def test_grouped_approx_quantiles_dataset(ray_session):
             # 2% of the requested quantile
             rank = (sv < row[c]).mean()
             assert abs(rank - q) < 0.02, (gi, c, rank)
+
+
+def test_funnel_counts_strict_ordering_and_window():
+    """Funnel edge semantics: a step-2 event AT t1 (not strictly after)
+    doesn't count; one outside the window doesn't; users span blocks."""
+    import ray.data as rd
+
+    from oma_ray.stages.sessions import funnel_counts
+
+    base = 1_700_000_000_000_000
+    rows = []
+    # u0: full funnel inside windows
+    rows += [(0, base, "view"), (0, base + 10**6, "click"),
+             (0, base + 2 * 10**6, "purchase")]
+    # u1: click AT t1 exactly -> strict > excludes it
+    rows += [(1, base, "view"), (1, base, "click")]
+    # u2: click outside the 100s window
+    rows += [(2, base, "view"), (2, base + 101_000_000, "click")]
+    # u3: click before the first view -> not a funnel step
+    rows += [(3, base + 50_000_000, "view"), (3, base, "click")]
+    # u4: view only
+    rows += [(4, base, "view")]
+    # noise types must be ignored
+    rows += [(0, base + 1, "error"), (2, base + 2, "signup")]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = (
+        funnel_counts(rd.from_arrow(t).repartition(4),
+                      ["view", "click", "purchase"], within_seconds=100)
+        .to_pandas().set_index("step")["n_users"]
+    )
+    assert out.loc[1] == 5  # all users have a view
+    assert out.loc[2] == 1  # only u0's click qualifies
+    assert out.loc[3] == 1
