@@ -121,7 +121,7 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
 
     from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
-    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
     if num_partitions is None:
@@ -148,6 +148,11 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
 
     def block_funnel(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        if not len(df):  # typed empty: untyped pandas would emit doubles
+            return pa.table(
+                {"step": pa.array([], type=pa.int64()),
+                 "n_users": pa.array([], type=pa.int64())}
+            )
         out_step, out_n = [], []
         if len(df):
             ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -173,12 +178,24 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
                 cur = cand.groupby("u")["t"].min()
                 out_step.append(i)
                 out_n.append(len(cur))
-        return from_pandas_clean(
-            pd.DataFrame({"step": out_step, "n_users": out_n})
+        return pa.table(
+            {"step": pa.array(out_step, type=pa.int64()),
+             "n_users": pa.array(out_n, type=pa.int64())}
         )
 
-    # per-block partial counts → one tiny combine (sum per step)
-    partials = part.map_batches(block_funnel, batch_format="pyarrow")
+    # per-block partial counts → one tiny combine (sum per step).  The
+    # constant zero floor guarantees one row per step even when NO events
+    # match any step type (the SQL shape: COUNT over an empty set is 0,
+    # and an empty keyed exchange would otherwise emit nothing at all).
+    import ray.data as rd
+
+    zeros = rd.from_arrow(
+        pa.table(
+            {"step": pa.array(range(1, len(step_set) + 1), type=pa.int64()),
+             "n_users": pa.array([0] * len(step_set), type=pa.int64())}
+        )
+    )
+    partials = part.map_batches(block_funnel, batch_format="pyarrow").union(zeros)
 
     def combine(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -188,12 +205,7 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
             df.groupby("step", as_index=False)["n_users"].sum()
         )
 
-    anchor = pa.table(
-        {"step": pa.array([], type=pa.int64()),
-         "n_users": pa.array([], type=pa.int64())}
-    )
-    return _schema_anchor(
+    return (
         partials.repartition(max(1, len(step_set)), keys=["step"])
-        .map_batches(combine, batch_format="pyarrow"),
-        anchor,
+        .map_batches(combine, batch_format="pyarrow")
     )

@@ -296,3 +296,25 @@ def test_funnel_counts_strict_ordering_and_window():
     assert out.loc[1] == 5  # all users have a view
     assert out.loc[2] == 1  # only u0's click qualifies
     assert out.loc[3] == 1
+
+
+def test_funnel_counts_no_matching_events_returns_zero_rows():
+    """SQL parity: COUNT over an empty set is 0 — one row per step even
+    when NO event matches any step type (empty-exchange path)."""
+    import ray.data as rd
+
+    from oma_ray.stages.sessions import funnel_counts
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([0, 1], type=pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["error", "signup"]),
+        }
+    )
+    out = (
+        funnel_counts(rd.from_arrow(t), ["view", "click", "purchase"],
+                      within_seconds=60)
+        .to_pandas().set_index("step")["n_users"]
+    )
+    assert out.sort_index().tolist() == [0, 0, 0]
