@@ -2985,6 +2985,33 @@ UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3
 """
 
 
+def q63_weighted_sample(sf_dir: str):
+    """Size-biased corpus sampling: keep each doc with probability
+    ∝ n_chars (clamped at 1) — deterministic, SQL-mirrorable."""
+    from oma_ray.stages.sample import weighted_sample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(ds, "doc_id", "n_chars", rate_num=800)
+
+
+SQL_Q63 = None  # assembled below (shares the predicate builder)
+
+
+def _build_weighted_sql():
+    from oma_ray.stages.sample import sql_weighted_predicate
+
+    global SQL_Q63
+    SQL_Q63 = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {sql_weighted_predicate('doc_id', 'n_chars', 800)}
+"""
+
+
+_build_weighted_sql()
+
+
 def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
@@ -3130,6 +3157,7 @@ QUERIES = {
     "q60_district_profile": q60_district_profile,
     "q61_pagerank": q61_pagerank,
     "q62_funnel": q62_funnel,
+    "q63_weighted_sample": q63_weighted_sample,
 }
 
 ORACLES = {
@@ -3188,4 +3216,5 @@ ORACLES = {
     "q60_district_profile": SQL_Q60,
     "q61_pagerank": SQL_Q61,
     "q62_funnel": SQL_Q62,
+    "q63_weighted_sample": SQL_Q63,
 }

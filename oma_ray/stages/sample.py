@@ -72,3 +72,32 @@ def sql_stratified_predicate(strata_col: str, id_col: str,
     )
     case = f"CASE {strata_col} {whens} ELSE {default_pct} END"
     return f"(({id_col} * {salt}) % 4294967296) % {base} < {case}"
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, rate_num: int,
+                    base: int = 1_000_000, salt: int = KNUTH):
+    """Size-biased deterministic sampling: a row survives with probability
+    ``min(1, weight · rate_num / base)`` — the corpus-curation shape
+    "sample proportional to document length" (upsampling long documents
+    relative to uniform Bernoulli).  Same hash predicate family as
+    ``hash_sample`` (so it stays SQL-mirrorable via
+    ``sql_weighted_predicate``), pure per-batch filter, no exchange.
+    Integer weights only; thresholds clamp at ``base`` (certain keep)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        thresh = np.minimum(w * rate_num, base)
+        h = ((ids.astype(np.int64) * salt) % (1 << 32)) % base
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_weighted_predicate(id_col: str, weight_col: str, rate_num: int,
+                           base: int = 1_000_000, salt: int = KNUTH) -> str:
+    """The identical weighted predicate for a DuckDB oracle."""
+    return (
+        f"(({id_col} * {salt}) % 4294967296) % {base} "
+        f"< LEAST({weight_col} * {rate_num}, {base})"
+    )

@@ -318,3 +318,26 @@ def test_funnel_counts_no_matching_events_returns_zero_rows():
         .to_pandas().set_index("step")["n_users"]
     )
     assert out.sort_index().tolist() == [0, 0, 0]
+
+
+def test_weighted_sample_probability_is_size_biased():
+    import ray.data as rd
+
+    from oma_ray.stages.sample import KNUTH, weighted_sample
+
+    n = 50_000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 2 == 0, 100, 400).astype(np.int64)  # 10% vs 40%
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    out = weighted_sample(
+        rd.from_arrow(t).repartition(4), "doc_id", "n_chars", rate_num=1000
+    ).to_pandas()
+    kept = out.groupby(out.doc_id % 2).size()
+    # exact predicate check (deterministic)
+    h = (ids * KNUTH) % (1 << 32) % 1_000_000
+    want = h < np.minimum(w * 1000, 1_000_000)
+    assert len(out) == want.sum()
+    assert set(out["doc_id"]) == set(ids[want])
+    # size bias: the heavy class keeps ~4x the light class
+    ratio = kept.loc[1] / kept.loc[0]
+    assert 3.0 < ratio < 5.0, ratio
