@@ -80,12 +80,33 @@ def run_bench() -> dict:
     # best-of-2: co-tenant load arrives in bursts (BASELINE.md); a burst
     # landing on the single timed run would measure the neighbours, not the
     # engine — same treatment --scaling already gives each arm
-    headline = float("inf")
-    for _ in range(2):
+    scaling_arm = bool(os.environ.get("GRAFT_SCALING_ARM"))
+    summary_only = float("inf")
+    # scaling arms only need the write-included headline below
+    for _ in range(0 if scaling_arm else 2):
         t0 = time.time()
         summary = run_tiling(SF_DIR, replicate=REPLICATE)
-        headline = min(headline, time.time() - t0)
+        summary_only = min(summary_only, time.time() - t0)
         assert summary["n_pages"].sum() == n_pages, "row-count invariant"
+
+    # WRITE-INCLUDED headline: the product of a tiling engine is the
+    # partitioned, salted, sorted parquet sink — so the headline times the
+    # full job: pipeline → hot-bucket detection → salted keyed exchange →
+    # sort-within-tile → partitioned write → read-back summary (VERDICT r3
+    # finding #1: the sink used to be outside the timed path).
+    import shutil
+    import tempfile
+
+    headline = float("inf")
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="bench_tiled_", dir="/tmp")
+        try:
+            t0 = time.time()
+            summary = run_tiling(SF_DIR, replicate=REPLICATE, out_dir=out)
+            headline = min(headline, time.time() - t0)
+            assert summary["n_pages"].sum() == n_pages, "row-count invariant"
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     from oma_ray.pipelines.queries import QUERIES
 
@@ -104,14 +125,20 @@ def run_bench() -> dict:
         qtimes[name] = round(best, 3)
 
     out = {
-        "metric": "flagship tiling+spatial-join wall time",
+        "metric": "flagship tiling+spatial-join wall time (incl. salted partitioned write)",
         "value": round(headline, 3),
         "unit": "sec",
+        "value_summary_only": (
+            None if scaling_arm else round(summary_only, 3)
+        ),
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / headline),
+        "pages_per_sec_summary_only": (
+            None if scaling_arm else round(n_pages / summary_only)
+        ),
     }
     ray.shutdown()
     return out

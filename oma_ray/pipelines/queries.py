@@ -26,6 +26,9 @@ def _cents(v: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(v, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
 
 
+from oma_ray.stages.taskcache import broadcast_once as _broadcast_once  # noqa: E402
+
+
 SQL_CENTS = "CAST(FLOOR({c}*100 + 0.5) AS BIGINT)"
 
 
@@ -540,7 +543,8 @@ def q12_tile_counts(sf_dir: str):
     from oma_ray.stages.taskcache import CachedStage
 
     ds = ds.map_batches(
-        CachedStage(TileAssign, ray.put(_grid10())), batch_format="pyarrow"
+        CachedStage(TileAssign, _broadcast_once("grid10", _grid10)),
+        batch_format="pyarrow"
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -621,7 +625,9 @@ def q14_admin_join(sf_dir: str):
 
     pages = make_pages_dataset(sf_dir)
     ds = build_tiling_pipeline(
-        pages, ray.put(default_grid()), ray.put(default_polygons()),
+        pages,
+        _broadcast_once("bbs_grid", default_grid),
+        _broadcast_once("admin_polys", default_polygons),
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -816,13 +822,17 @@ def q21_zonal_stats(sf_dir: str):
     pages = make_pages_dataset(sf_dir)
     ds = pages.map_batches(GeoParse(), batch_format="pyarrow").drop_columns(["html"])
     ds = ds.map_batches(
-        CachedStage(TileAssign, ray.put(_grid10())), batch_format="pyarrow"
+        CachedStage(TileAssign, _broadcast_once("grid10", _grid10)),
+        batch_format="pyarrow"
     )
     # TILED raster layout (2×2 = 4 object-store tiles, fetched on touch):
     # the scale shape — no worker holds the whole raster
     ds = ds.map_batches(
         CachedStage(
-            RasterSampleTiled, ray.put(split_raster(synth_raster(), 2, 2))
+            RasterSampleTiled,
+            _broadcast_once(
+                "raster_2x2", lambda: split_raster(synth_raster(), 2, 2)
+            ),
         ),
         batch_format="pyarrow",
     )

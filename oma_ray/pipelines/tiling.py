@@ -230,8 +230,12 @@ def run_tiling(
     from oma_ray.synth import make_pages_dataset
 
     pages = make_pages_dataset(sf_dir, replicate=replicate)
-    grid_ref = ray.put(default_grid())
-    poly_ref = ray.put(default_polygons(n_polygons))
+    from oma_ray.stages.taskcache import broadcast_once
+
+    grid_ref = broadcast_once("tiling_bbs_grid", default_grid)
+    poly_ref = broadcast_once(
+        f"tiling_admin_polys_{n_polygons}", lambda: default_polygons(n_polygons)
+    )
     # north_rule: every persisted row carries its partition lineage id —
     # derived from the input identity so a re-run of the same input is
     # recognizable (run_tiling_resumable refines this to one id per shard)

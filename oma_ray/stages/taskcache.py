@@ -54,3 +54,27 @@ class CachedStage:
                 _CACHE[slot_key] = key
             _CACHE[key] = fn
         return fn(batch)
+
+
+_PUT_CACHE: dict = {}
+
+
+def broadcast_once(name: str, factory):
+    """``ray.put(factory())`` once per Ray session: repeat pipeline calls
+    reuse the SAME ObjectRef, so per-worker ``CachedStage`` instances hit
+    their cache instead of rebuilding (a fresh ref per call re-ships and
+    rebuilds the broadcast index on every worker every run — the q21 bench
+    regression of round 3).  Keyed by job id: refs minted under a previous
+    ``ray.init`` session are dead, and any job-id change drops the cache
+    wholesale."""
+    import ray
+
+    job = ray.get_runtime_context().get_job_id()
+    if any(k[0] != job for k in _PUT_CACHE):
+        _PUT_CACHE.clear()
+    key = (job, name)
+    ref = _PUT_CACHE.get(key)
+    if ref is None:
+        ref = ray.put(factory())
+        _PUT_CACHE[key] = ref
+    return ref
