@@ -2687,7 +2687,14 @@ def q54_lsh_knn(sf_dir: str):
 def _district_polys(n: int = 64) -> dict:
     """Axis-aligned district polygons (5-point rectangle rings) built from
     the SQL-mirrorable box fixture — the shared q55/q60 spatial side (ring
-    winding/closure here must stay in lockstep with the boxes CTE)."""
+    winding/closure here must stay in lockstep with the boxes CTE).
+
+    Edge rule: the integer ray cast (functions/geo.points_in_ring,
+    Point.java parity) classifies a rectangle as
+    ``minlon < lon <= maxlon AND minlat <= lat < maxlat`` — half-open on
+    the left/top edges.  SQL_Q55/SQL_Q60 mirror exactly that rule (NOT an
+    inclusive BETWEEN), so an exact point-on-edge collision can never make
+    the engine and the oracle diverge."""
     from oma_ray.synth import synth_boxes
 
     b = synth_boxes(n)
@@ -2815,7 +2822,11 @@ def q58_typo_pairs(sf_dir: str):
                 out.append(b[:p] + b[p + 1:])
         return pa.table({"word": pa.array(out, type=pa.string())})
 
-    return edit_distance_pairs(docs.map_batches(words, batch_format="pyarrow"))
+    # strict: this query is value-oracled against exact levenshtein — a
+    # silently truncated bucket would diverge, so truncation must raise
+    return edit_distance_pairs(
+        docs.map_batches(words, batch_format="pyarrow"), strict=True
+    )
 
 
 SQL_Q58 = """
@@ -3036,8 +3047,8 @@ b AS ({sql_boxes_cte(64)}),
 hit AS (
   SELECT g.doc_id, ANY_VALUE(g.n_chars) AS n_chars,
          COALESCE(MIN(b.box_id), -1) AS admin_id
-  FROM g LEFT JOIN b ON g.lon BETWEEN b.minlon AND b.maxlon
-                    AND g.lat BETWEEN b.minlat AND b.maxlat
+  FROM g LEFT JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+                    AND g.lat >= b.minlat AND g.lat < b.maxlat
   GROUP BY g.doc_id)
 SELECT admin_id, COUNT(*) AS n_pages,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -3056,8 +3067,8 @@ b AS ({sql_boxes_cte(64)}),
 hit AS (
   SELECT g.doc_id,
          COALESCE(MIN(b.box_id), -1) AS admin_id
-  FROM g LEFT JOIN b ON g.lon BETWEEN b.minlon AND b.maxlon
-                    AND g.lat BETWEEN b.minlat AND b.maxlat
+  FROM g LEFT JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+                    AND g.lat >= b.minlat AND g.lat < b.maxlat
   GROUP BY g.doc_id)
 SELECT admin_id, COUNT(*) AS n_pages FROM hit GROUP BY admin_id
 """

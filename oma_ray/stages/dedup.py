@@ -426,7 +426,8 @@ def _lev_le_1(a: str, b: str) -> bool:
 
 def edit_distance_pairs(ds, col: str = "word",
                         num_partitions: int | None = None,
-                        max_bucket: int = 256):
+                        max_bucket: int = 256,
+                        strict: bool = False):
     """All distinct-string pairs with levenshtein distance ≤ 1 —
     FastSS-style: each word is indexed under itself and each of its
     single-character deletions; two words within distance 1 necessarily
@@ -440,6 +441,10 @@ def edit_distance_pairs(ds, col: str = "word",
     word sharing a deletion) cannot go quadratic.  At corpus scale the
     input should already be the DISTINCT vocabulary (one dedup exchange
     upstream); per-batch distinct here only bounds duplicate keys.
+
+    ``strict=True`` (the oracle-checked q58 path) RAISES on any truncation
+    instead of logging: a silently-dropped bucket would diverge from the
+    exact levenshtein oracle, so dropped coverage must be loud there.
     """
     import pandas as pd
 
@@ -478,6 +483,13 @@ def edit_distance_pairs(ds, col: str = "word",
             for _key, grp in df.groupby("key"):
                 ws = sorted(grp[col].unique())
                 if len(ws) > max_bucket:
+                    if strict:
+                        raise ValueError(
+                            f"edit_distance_pairs: bucket {_key!r} has "
+                            f"{len(ws)} words > max_bucket={max_bucket}; "
+                            "refusing to truncate in strict (oracle-checked)"
+                            " mode — raise max_bucket or pre-filter the key"
+                        )
                     import logging
 
                     logging.getLogger(__name__).warning(

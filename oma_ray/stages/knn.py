@@ -38,8 +38,32 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _partial_topk_idx(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """EXACT partial top-``kk`` by (sim desc, vec_id asc) over one batch.
+
+    argpartition alone breaks sim ties arbitrarily, which makes the final
+    result depend on batch boundaries (a tying candidate with the smaller
+    vec_id can be evicted here while ``_topk_per_query`` would have kept
+    it).  So: partition to find the kk-th value, widen to ALL candidates
+    tying it, then lexsort the (small) superset with the same tie-break
+    the final pass uses.  ``s`` must already be rounded to the comparison
+    precision (9 dp) — selecting on raw floats could keep the wrong member
+    of a post-rounding tie."""
+    n = len(ids)
+    if kk >= n:
+        return np.arange(n)
+    part = np.argpartition(-s, kk - 1)[:kk]
+    cand = np.nonzero(s >= s[part].min())[0]
+    order = np.lexsort((ids[cand], -s[cand]))
+    return cand[order[:kk]]
+
+
 class BruteKnn:
-    """Partial top-k per batch against the broadcast (normalized) queries."""
+    """Partial top-k per batch against the broadcast (normalized) queries.
+
+    Partials keep ``k+1`` rows: the final pass may drop a self-match
+    (exclude_self), and a k-slot partial could have evicted the true k-th
+    neighbour when the query's own vector shares its batch."""
 
     def __init__(self, queries_or_ref, k: int, id_col: str, emb_col: str):
         import ray
@@ -58,12 +82,12 @@ class BruteKnn:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
         m = _normalize(_batch_matrix(batch, self.emb_col))
-        sims = m @ self.qm.T  # (batch, queries)
-        k = min(self.k, len(ids))
+        sims = (m @ self.qm.T).round(9)  # (batch, queries)
+        kk = min(self.k + 1, len(ids))
         out_q, out_id, out_sim = [], [], []
         for j in range(len(self.qids)):
             s = sims[:, j]
-            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            top = _partial_topk_idx(s, ids, kk)
             out_q.append(np.full(len(top), self.qids[j], dtype=np.int64))
             out_id.append(ids[top])
             out_sim.append(s[top])
@@ -71,7 +95,7 @@ class BruteKnn:
             {
                 "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                "sim": pa.array(np.concatenate(out_sim).round(9), type=pa.float64()),
+                "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
             }
         )
 
@@ -301,10 +325,9 @@ def ivf_knn_cosine(
                 mask = np.isin(cells, self.probe[j])
                 if not mask.any():
                     continue
-                s = m[mask] @ self.qm[j]
+                s = (m[mask] @ self.qm[j]).round(9)
                 sub = ids[mask]
-                kk = min(self.k, len(sub))
-                top = np.argpartition(-s, kk - 1)[:kk] if kk < len(sub) else np.arange(len(sub))
+                top = _partial_topk_idx(s, sub, min(self.k + 1, len(sub)))
                 out_q.append(np.full(len(top), qid, dtype=np.int64))
                 out_id.append(sub[top])
                 out_sim.append(s[top])
@@ -320,7 +343,7 @@ def ivf_knn_cosine(
                 {
                     "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
                     "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                    "sim": pa.array(np.concatenate(out_sim).round(9), type=pa.float64()),
+                    "sim": pa.array(np.concatenate(out_sim), type=pa.float64()),
                 }
             )
 
@@ -625,11 +648,9 @@ def lsh_knn_cosine(ds, query_ids, query_matrix, k: int = 10,
                 mask = (sig == self.qsig[j][None, :]).any(axis=1)
                 if not mask.any():
                     continue
-                s = m[mask] @ self.qm[j]
+                s = (m[mask] @ self.qm[j]).round(9)
                 sub = ids[mask]
-                kk = min(self.k, len(sub))
-                top = (np.argpartition(-s, kk - 1)[:kk]
-                       if kk < len(sub) else np.arange(len(sub)))
+                top = _partial_topk_idx(s, sub, min(self.k + 1, len(sub)))
                 out_q.append(np.full(len(top), qid, dtype=np.int64))
                 out_id.append(sub[top])
                 out_sim.append(s[top])

@@ -18,12 +18,23 @@ import pyarrow as pa
 KNUTH = 2654435761  # Knuth's multiplicative hash constant
 
 
+def _hash32(ids: np.ndarray, salt: int) -> np.ndarray:
+    """(id & 0xffffffff) · salt mod 2³², in uint64 (never overflows: the
+    masked id and the salt are both <2³²).  The 32-bit mask keeps the
+    kernel and its SQL mirror identical for ids ≥ ~3.5·10⁹, where an
+    unmasked int64 multiply would silently wrap in numpy but overflow-error
+    (or diverge) in DuckDB — the predicate must stay SQL-mirrorable at
+    10¹²-id scale.  Returns int64 values in [0, 2³²)."""
+    masked = ids.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    return ((masked * np.uint64(salt)) % np.uint64(1 << 32)).astype(np.int64)
+
+
 def hash_sample_mask(ids: np.ndarray, pct: int, salt: int = KNUTH,
                      base: int = 100) -> np.ndarray:
     """Row survives iff hash(id) mod ``base`` < ``pct`` — ``base=100`` is
     percent; pass a larger base (e.g. 1_000_000) for sub-percent rates
     (sampling 4096 quantizer rows out of 10^9)."""
-    return ((ids.astype(np.int64) * salt) % (1 << 32)) % base < pct
+    return _hash32(ids, salt) % base < pct
 
 
 def hash_sample(ds, id_col: str, pct: int, salt: int = KNUTH,
@@ -40,7 +51,10 @@ def hash_sample(ds, id_col: str, pct: int, salt: int = KNUTH,
 def sql_sample_predicate(id_col: str, pct: int, salt: int = KNUTH,
                          base: int = 100) -> str:
     """The identical predicate for a DuckDB oracle."""
-    return f"(({id_col} * {salt}) % 4294967296) % {base} < {pct}"
+    return (
+        f"((CAST(({id_col} & 4294967295) AS HUGEINT) * {salt})"
+        f" % 4294967296) % {base} < {pct}"
+    )
 
 
 def stratified_sample(ds, strata_col: str, id_col: str,
@@ -57,7 +71,7 @@ def stratified_sample(ds, strata_col: str, id_col: str,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         strata = pd.Series(batch.column(strata_col).to_numpy(zero_copy_only=False))
         pcts = strata.map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
-        h = ((ids.astype(np.int64) * salt) % (1 << 32)) % base
+        h = _hash32(ids, salt) % base
         return batch.filter(pa.array(h < pcts))
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -71,7 +85,10 @@ def sql_stratified_predicate(strata_col: str, id_col: str,
         f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items())
     )
     case = f"CASE {strata_col} {whens} ELSE {default_pct} END"
-    return f"(({id_col} * {salt}) % 4294967296) % {base} < {case}"
+    return (
+        f"((CAST(({id_col} & 4294967295) AS HUGEINT) * {salt})"
+        f" % 4294967296) % {base} < {case}"
+    )
 
 
 def weighted_sample(ds, id_col: str, weight_col: str, rate_num: int,
@@ -88,7 +105,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, rate_num: int,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
         thresh = np.minimum(w * rate_num, base)
-        h = ((ids.astype(np.int64) * salt) % (1 << 32)) % base
+        h = _hash32(ids, salt) % base
         return batch.filter(pa.array(h < thresh))
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -98,6 +115,7 @@ def sql_weighted_predicate(id_col: str, weight_col: str, rate_num: int,
                            base: int = 1_000_000, salt: int = KNUTH) -> str:
     """The identical weighted predicate for a DuckDB oracle."""
     return (
-        f"(({id_col} * {salt}) % 4294967296) % {base} "
+        f"((CAST(({id_col} & 4294967295) AS HUGEINT) * {salt})"
+        f" % 4294967296) % {base} "
         f"< LEAST({weight_col} * {rate_num}, {base})"
     )

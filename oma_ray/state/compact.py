@@ -12,7 +12,21 @@ names the replacement and the originals before anything is deleted, so a
 crash anywhere leaves either (a) originals intact (journal without new
 file → discard journal) or (b) new file complete (journal + new file →
 finish deleting originals).  ``recover_dir`` applies that rule; both the
-compactor and readers may call it idempotently.  The multiset of rows is
+compactor and readers may call it idempotently.
+
+READER CONTRACT: between the new file landing and the originals being
+deleted, a directory transiently holds BOTH copies of its rows — a reader
+that scans mid-compaction without first calling ``recover_dir`` (or
+filtering via the journal's ``olds`` list) can observe duplicates.  Call
+``recover_dir`` on each leaf before scanning, or scan only quiescent
+outputs.
+
+CONCURRENCY: a per-directory lock file makes concurrent ``compact_dir``
+calls on the same tree safe — a second compactor skips locked
+directories instead of interleaving with the first (two interleaved
+compactors could each recover the other's journal mid-flight).  Locks
+older than ``stale_lock_secs`` are presumed crashed and broken (the
+journal, not the lock, is what guarantees crash safety).  The multiset of rows is
 preserved exactly; within-file row order is preserved by concatenation in
 file-name order (write_tiled's sort-within-tile emits sorted files, and
 sorted runs concatenated in salt order stay grouped per tile bucket).
@@ -24,6 +38,7 @@ import json
 import os
 
 JOURNAL = ".compact.json"
+LOCK = ".compact.lock"
 
 
 def _leaf_dirs(root: str) -> list[str]:
@@ -56,7 +71,39 @@ def recover_dir(d: str) -> str | None:
     return "rolled_back"
 
 
-def _compact_one(d: str, target_bytes: int) -> dict:
+def _compact_one(d: str, target_bytes: int,
+                 stale_lock_secs: float = 3600.0) -> dict:
+    import time
+
+    import pyarrow.parquet as pq
+
+    lpath = os.path.join(d, LOCK)
+    try:
+        fd = os.open(lpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lpath)
+        except OSError:
+            age = 0.0
+        if age <= stale_lock_secs:
+            # another compactor owns this directory — skip, don't interleave
+            n = len([f for f in os.listdir(d)
+                     if f.endswith(".parquet") and not f.startswith(".")])
+            return {"dir": d, "before": n, "after": n, "skipped": "locked"}
+        os.remove(lpath)  # stale lock from a crashed compactor
+        fd = os.open(lpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        return _compact_locked(d, target_bytes)
+    finally:
+        try:
+            os.remove(lpath)
+        except FileNotFoundError:
+            pass
+
+
+def _compact_locked(d: str, target_bytes: int) -> dict:
     import pyarrow.parquet as pq
 
     recover_dir(d)

@@ -121,3 +121,28 @@ def test_recompaction_never_reuses_an_input_name(tmp_path):
     assert stats2["files_after"] == 1
     pd.testing.assert_frame_equal(before, after)
     assert len(after) == 3 * 200 + 50
+
+
+def test_compact_skips_locked_directory(tmp_path):
+    import os
+
+    from oma_ray.state.compact import LOCK, _compact_one
+
+    d = tmp_path / "part"
+    d.mkdir()
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    for i in range(3):
+        pq.write_table(t, d / f"f{i}.parquet")
+    # fresh lock held by "another" compactor → skip untouched
+    (d / LOCK).write_text("99999")
+    st = _compact_one(str(d), 1 << 30)
+    assert st["skipped"] == "locked" and st["before"] == st["after"] == 3
+    assert sorted(f for f in os.listdir(d) if f.endswith(".parquet")) == [
+        "f0.parquet", "f1.parquet", "f2.parquet"
+    ]
+    # stale lock (mtime pushed back) → broken and compaction proceeds
+    old = (d / LOCK)
+    os.utime(old, (1, 1))
+    st = _compact_one(str(d), 1 << 30)
+    assert st["before"] == 3 and st["after"] == 1
+    assert not old.exists()

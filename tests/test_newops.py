@@ -341,3 +341,23 @@ def test_weighted_sample_probability_is_size_biased():
     # size bias: the heavy class keeps ~4x the light class
     ratio = kept.loc[1] / kept.loc[0]
     assert 3.0 < ratio < 5.0, ratio
+
+
+def test_hash_sample_predicate_matches_duckdb_at_large_ids():
+    """The 32-bit-masked Knuth predicate must agree with its SQL mirror
+    even for ids >= 2^32 (where an unmasked int64 multiply would wrap in
+    numpy but not in SQL) — the 10^12-id-scale contract."""
+    import duckdb
+
+    from oma_ray.stages.sample import KNUTH, _hash32, sql_sample_predicate
+
+    ids = np.array(
+        [0, 1, 12345, 2**32 - 1, 2**32, 5_000_000_000, 10**12, 2**62],
+        dtype=np.int64,
+    )
+    engine = _hash32(ids, KNUTH) % 100 < 37
+    got = next(iter(duckdb.sql(
+        f"SELECT {sql_sample_predicate('id', 37)} "
+        f"FROM (SELECT UNNEST({ids.tolist()}) AS id)"
+    ).fetchnumpy().values()))
+    assert (engine == got).all()
