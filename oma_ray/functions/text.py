@@ -3,17 +3,16 @@ stats, language ID, fingerprints, shingles / MinHash / SimHash.
 
 Counting kernels are Arrow-vectorized (``pyarrow.compute``
 ``count_substring_regex`` / ``utf8_length``); signature kernels (MinHash /
-SimHash) loop over documents in Python but do all per-document math in
-numpy / zlib.crc32 (C speed) — documents are the unit of work, shingles the
-hot axis.
+SimHash / fingerprints) are vectorized end-to-end as well: Arrow C++
+whitespace split → one flat SipHash pass over every token in the batch →
+numpy segment folds (``reduceat``).  No per-document Python anywhere on
+the hot axis.
 
 ``TOKEN_RE`` is chosen to evaluate identically under Python ``re``, Arrow
 RE2 and DuckDB RE2 so the DuckDB oracle can mirror token counts exactly.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -70,9 +69,10 @@ def quality_scores(texts) -> np.ndarray:
     return (0.4 * len_score + 0.3 * punct_pen + 0.3 * wlen_score).round(6)
 
 
-def lang_id(texts) -> list[str]:
+def lang_id(texts) -> np.ndarray:
     """n-gram/stopword-heuristic language ID over {en,de,fr,es}; 'und' when
-    no stopwords hit.  Vectorized: one RE2 count pass per language."""
+    no stopwords hit.  Vectorized end-to-end: one RE2 count pass per
+    language, then a numpy select (no per-row Python)."""
     scores = np.stack(
         [
             pc.count_substring_regex(texts, pat)
@@ -82,46 +82,71 @@ def lang_id(texts) -> list[str]:
         ],
         axis=1,
     )
-    langs = list(_STOPWORDS.keys())
+    langs = np.asarray(list(_STOPWORDS.keys()))
     best = np.argmax(scores, axis=1)
     hit = scores.max(axis=1) > 0
-    return [langs[b] if h else "und" for b, h in zip(best, hit)]
+    return np.where(hit, langs[best], "und")
 
 
-def crc_fingerprints(texts) -> np.ndarray:
-    """Per-document rolling fingerprint: crc32 over the normalized
-    (lowercased, whitespace-collapsed) text.  uint32 → int64 column."""
+def content_fingerprints(texts) -> np.ndarray:
+    """Per-document 64-bit content fingerprint over the normalized
+    (lowercased, whitespace-collapsed) text: SipHash-1-3
+    (``pd.util.hash_array``) in ONE vectorized pass over the flat batch —
+    no per-row Python.  Top bit cleared → non-negative int64, so the value
+    round-trips parquet/SQL dtypes cleanly."""
+    import pandas as pd
+
     norm = pc.replace_substring_regex(pc.utf8_lower(texts), r"\s+", " ")
-    return np.fromiter(
-        (zlib.crc32(s.encode()) for s in norm.to_pylist()),
-        dtype=np.int64,
-        count=len(norm),
-    )
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    h = pd.util.hash_array(norm.to_numpy(zero_copy_only=False))
+    return (h.astype(np.uint64) >> np.uint64(1)).astype(np.int64)
 
 
 _POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for rolling combine
 
 
-def _token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def _token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize a whole batch and hash every token in one vectorized pass.
+
+    ``texts`` is an Arrow string Array/ChunkedArray (preferred: the split
+    runs in Arrow C++, so no Python-level ``str.split`` per document) or a
+    Python list (tests/convenience).  Boundary empties that Arrow's
+    whitespace split emits are filtered out, so token streams and per-doc
+    counts are identical to ``str.split()``.
 
     Returns (flat uint64 token hashes, per-doc token counts).  Hashing is
     pandas' SipHash-1-3 (``pd.util.hash_array`` with its fixed default key)
-    — C speed over the flat token array, deterministic across processes.
+    — ONE C pass over the flat token array, deterministic across processes.
     """
     import pandas as pd
 
-    tok_lists = [t.split() for t in texts]
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                         count=len(tok_lists))
-    flat = [tok for toks in tok_lists for tok in toks]
-    if not flat:
+    if isinstance(texts, list):
+        texts = pa.array(texts, type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    lists = pc.utf8_split_whitespace(texts)
+    lens = (
+        pc.list_value_length(lists)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = lists.flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+    counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    toks = flat.to_numpy(zero_copy_only=False)[keep]
+    if len(toks) == 0:
         return np.empty(0, dtype=np.uint64), counts
-    hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+    hashes = pd.util.hash_array(toks)
     return hashes.astype(np.uint64), counts
 
 
-def shingle_hash_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def shingle_hash_batch(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Word-k-gram shingle hashes for a BATCH of documents, fully vectorized.
 
     Shingle hash = polynomial combine of k consecutive token hashes
@@ -177,7 +202,7 @@ def shingle_hash_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.nda
     return out, n_sh
 
 
-def minhash_signatures_batch(texts: list[str], k: int = 3) -> np.ndarray:
+def minhash_signatures_batch(texts, k: int = 3) -> np.ndarray:
     """64-permutation MinHash signatures, (n_docs, 64) uint64, vectorized
     over the whole batch (shingle hashing + permutation mins at C speed;
     ``np.minimum.reduceat`` folds per-doc segments).
@@ -228,7 +253,7 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((np.asarray(sig_a) == np.asarray(sig_b)).mean())
 
 
-def simhash64_batch(texts: list[str]) -> np.ndarray:
+def simhash64_batch(texts) -> np.ndarray:
     """64-bit SimHash per document, (n_docs,) uint64, vectorized: one
     tokenize+hash pass for the batch, per-doc bit votes folded with
     ``np.add.reduceat``.  Empty documents hash to 0."""

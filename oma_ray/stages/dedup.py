@@ -93,9 +93,7 @@ class MinHashStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = minhash_signatures_batch(
-            batch.column(self.text_col).to_pylist(), self.k
-        )
+        sigs = minhash_signatures_batch(batch.column(self.text_col), self.k)
         n = len(sigs)
         arr = pa.ListArray.from_arrays(
             pa.array(np.arange(0, 64 * (n + 1), 64, dtype=np.int32)),
@@ -309,7 +307,7 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = simhash64_batch(batch.column(self.text_col).to_pylist())
+        vals = simhash64_batch(batch.column(self.text_col))
         return batch.append_column("simhash", pa.array(vals, type=pa.uint64()))
 
 

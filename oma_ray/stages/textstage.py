@@ -9,7 +9,7 @@ import pyarrow as pa
 
 from oma_ray.functions.text import (
     char_counts,
-    crc_fingerprints,
+    content_fingerprints,
     lang_id,
     quality_scores,
     token_counts,
@@ -39,7 +39,7 @@ class TextStats:
         if self.extended:
             batch = batch.append_column("quality", pa.array(quality_scores(t)))
             batch = batch.append_column(
-                "fingerprint", pa.array(crc_fingerprints(t), type=pa.int64())
+                "fingerprint", pa.array(content_fingerprints(t), type=pa.int64())
             )
             batch = batch.append_column("lang_pred", pa.array(lang_id(t)))
         return batch

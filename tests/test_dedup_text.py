@@ -157,7 +157,7 @@ def test_text_kernels():
     langs = lang_id(pa.array(["the quick and the dead of it",
                               "der hund und die katze ist da",
                               "xyzzy qwerty"]))
-    assert langs == ["en", "de", "und"]
+    assert list(langs) == ["en", "de", "und"]
     assert simhash64("a b c") == simhash64("a b c")
     assert simhash64("a b c") != simhash64("x y z")
 
