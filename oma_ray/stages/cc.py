@@ -187,7 +187,8 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
 
 def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
                  damping_pct: int = 85, scale: int = 1_000_000,
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 dist_min_nodes: int = 2_000_000):
     """Integer fixed-point PageRank over (src, dst) edges with UNIFORM
     out-degree per src (the fixture's contract): ``iters`` rounds of
     s' = (100-d)%·scale/100 + d%·Σ_in s[src]//(outdeg·100//…) — all
@@ -197,9 +198,11 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
     Shape per iteration: one keyed exchange of per-batch PARTIAL
     contribution sums (O(dst-keys·batches) rows move, not edges), then a
     tiny driver-side vector update — the scores vector is O(n_nodes)
-    ints, broadcast per iteration via ``ray.put`` (at web scale the update
-    itself becomes a second keyed exchange; the per-iteration structure is
-    identical).  The edge list is deliberately RE-READ per iteration
+    ints, broadcast per iteration via ``ray.put``.  Above
+    ``dist_min_nodes`` this routes to ``pagerank_int_dist`` (bit-identical,
+    scores as a Dataset, the update a second keyed exchange) — the driver
+    vector is a deliberate FAST PATH for small graphs, not a scale ceiling.
+    The edge list is deliberately RE-READ per iteration
     rather than materialized: at graph scale pinning every edge in the
     object store for the whole job costs more than streaming the (cheap,
     column-pruned) scan again — the standard iterative-job tradeoff.
@@ -213,6 +216,15 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
     from oma_ray.cluster import default_partitions
     from oma_ray.pipelines.queries import _grouped_sums
     from oma_ray.stages.taskcache import CachedStage
+
+    if n_nodes >= dist_min_nodes:
+        # web-graph regime: the O(n_nodes) driver vector below would not
+        # fit / re-broadcast cheaply — switch to the score-as-Dataset path
+        # (bit-identical results; forced-gate parity test in test_cc.py)
+        return pagerank_int_dist(
+            edges_ds, n_nodes, iters=iters, damping_pct=damping_pct,
+            scale=scale, num_partitions=num_partitions,
+        )
 
     if num_partitions is None:
         num_partitions = max(1, default_partitions() // 2)
@@ -270,3 +282,196 @@ def pagerank_int(edges_ds, n_nodes: int, iters: int = 3,
             "score": pa.array(scores, type=pa.int64()),
         }
     )
+
+
+def pagerank_int_dist(edges_ds, n_nodes: int, iters: int = 3,
+                      damping_pct: int = 85, scale: int = 1_000_000,
+                      num_partitions: int | None = None):
+    """Fully-DISTRIBUTED fixed-point PageRank: scores live in a Dataset
+    keyed by node, never on the driver (the web-graph path — pagerank_int's
+    O(n_nodes) driver vector re-broadcast per round is its one scale seam).
+
+    Bit-identical integer semantics to ``pagerank_int`` (same share /
+    floor-div / base formulas; parity-tested).  Per iteration, exactly two
+    keyed exchanges:
+
+      1. on ``src``: the (node, score, outdeg) state co-locates with the
+         edges leaving that node; each block computes the per-src share
+         ``damping%·score // (100·outdeg)`` and emits per-dst PARTIAL
+         contribution sums (O(distinct dst per block) rows move);
+      2. on ``dst``: partials co-locate with the static all-nodes side and
+         fold into ``base + Σc`` — every node gets a row even with no
+         in-edges, so sinks and isolated nodes keep the base score.
+
+    The edge list is re-scanned per iteration (same deliberate tradeoff as
+    pagerank_int: pinning every edge in the object store for the whole job
+    costs more than re-streaming a column-pruned scan).  Node ids must be
+    dense in [0, n_nodes).
+    """
+    import ray.data as rd
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 2)
+    base = (100 - damping_pct) * scale // 100
+
+    # static all-nodes side: (node, outdeg) — range anchor guarantees every
+    # node a row; one grouped-count exchange over the edges
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"node": src, "outdeg": np.ones(len(src), np.int64)})
+        return from_pandas_clean(df.groupby("node", as_index=False)["outdeg"].sum())
+
+    def zero_nodes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(ids), "outdeg": pa.array(np.zeros(len(ids), np.int64))}
+        )
+
+    def sum_outdeg(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        agg = df.groupby("node", as_index=False)["outdeg"].sum()
+        return from_pandas_clean(agg)
+
+    nodes_static = (
+        rd.range(n_nodes).map_batches(zero_nodes, batch_format="pyarrow")
+        .union(edges_ds.map_batches(deg_partial, batch_format="pyarrow"))
+        .repartition(num_partitions, keys=["node"])
+        .map_batches(sum_outdeg, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "score", pa.array(np.full(len(batch), scale, np.int64))
+        )
+
+    state = nodes_static.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    # --- exchange 1 schema: node, dst, score, outdeg, kind --------------
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "node": batch.column("src").cast(pa.int64()),
+                "dst": batch.column("dst").cast(pa.int64()),
+                "score": pa.nulls(n, type=pa.int64()),
+                "outdeg": pa.nulls(n, type=pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "dst": pa.nulls(n, type=pa.int64()),
+                "score": batch.column("score"),
+                "outdeg": batch.column("outdeg"),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def flow(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "c": pa.array([], type=pa.int64())}
+        )
+        df = batch.to_pandas()
+        if not len(df):
+            return empty
+        st = df[df["kind"] == 1]
+        ed = df[df["kind"] == 0]
+        if not len(ed) or not len(st):
+            return empty
+        # null-padded int columns arrive as float64 in pandas — cast back
+        nodes = st["node"].to_numpy(np.int64)
+        sc = st["score"].to_numpy(np.int64)
+        od = st["outdeg"].to_numpy(np.int64)
+        order = np.argsort(nodes)
+        nodes, sc, od = nodes[order], sc[order], od[order]
+        share = np.zeros(len(nodes), np.int64)
+        nz = od > 0
+        share[nz] = damping_pct * sc[nz] // (100 * od[nz])
+        # every src in this block has its one state row co-located here
+        idx = np.searchsorted(nodes, ed["node"].to_numpy(np.int64))
+        out = pd.DataFrame(
+            {"node": ed["dst"].to_numpy(np.int64), "c": share[idx]}
+        )
+        return from_pandas_clean(out.groupby("node", as_index=False)["c"].sum())
+
+    # --- exchange 2 schema: node, outdeg, c, kind ------------------------
+    def tag_static(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "outdeg": batch.column("outdeg"),
+                "c": pa.nulls(n, type=pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_contrib(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "outdeg": pa.nulls(n, type=pa.int64()),
+                "c": batch.column("c"),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table(
+                {"node": pa.array([], type=pa.int64()),
+                 "outdeg": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.int64())}
+            )
+        st = df[df["kind"] == 0]
+        co = df[df["kind"] == 1]
+        node = st["node"].to_numpy(np.int64)
+        od = st["outdeg"].to_numpy(np.int64)
+        order = np.argsort(node)
+        node, od = node[order], od[order]
+        score = np.full(len(node), base, np.int64)
+        if len(co):
+            sums = co.groupby("node")["c"].sum()
+            pos = np.searchsorted(node, sums.index.to_numpy(np.int64))
+            score[pos] += sums.to_numpy(np.int64)
+        return pa.table(
+            {"node": pa.array(node), "outdeg": pa.array(od),
+             "score": pa.array(score)}
+        )
+
+    tagged_static = nodes_static.map_batches(tag_static, batch_format="pyarrow")
+    for _ in range(iters):
+        contribs = (
+            edges_ds.map_batches(tag_edges, batch_format="pyarrow")
+            .union(state.map_batches(tag_state, batch_format="pyarrow"))
+            .repartition(num_partitions, keys=["node"])
+            .map_batches(flow, batch_format="pyarrow")
+        )
+        state = (
+            tagged_static.union(
+                contribs.map_batches(tag_contrib, batch_format="pyarrow")
+            )
+            .repartition(num_partitions, keys=["node"])
+            .map_batches(combine, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "score"])
+
+    return state.map_batches(project, batch_format="pyarrow")

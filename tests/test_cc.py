@@ -71,3 +71,38 @@ def test_components_empty(ray_session):
     )
     out = connected_components(edges)
     assert out.count() == 0
+
+
+def test_pagerank_distributed_matches_driver_path(ray_session):
+    """Forced-gate parity (VERDICT r3 #4): the score-as-Dataset PageRank is
+    bit-identical to the driver-vector path on a random multi-edge graph
+    with sinks and isolated nodes."""
+    import ray.data as rd
+
+    from oma_ray.stages.cc import pagerank_int, pagerank_int_dist
+
+    rng = np.random.default_rng(7)
+    n_nodes = 60
+    src = rng.integers(0, 40, 300)  # nodes 40..59 are sinks/isolated
+    dst = rng.integers(0, n_nodes, 300)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    ).repartition(4)
+
+    drv = pagerank_int(edges, n_nodes, iters=3).to_pandas()
+    dist = (
+        pagerank_int_dist(edges, n_nodes, iters=3, num_partitions=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert len(dist) == n_nodes
+    assert (drv["node"].to_numpy() == dist["node"].to_numpy()).all()
+    assert (drv["score"].to_numpy() == dist["score"].to_numpy()).all()
+
+    # the gate itself: a tiny dist_min_nodes routes pagerank_int to the
+    # distributed path (returns a Dataset, same values)
+    gated = pagerank_int(edges, n_nodes, iters=3, dist_min_nodes=1)
+    g = gated.to_pandas().sort_values("node").reset_index(drop=True)
+    assert (g["score"].to_numpy() == drv["score"].to_numpy()).all()
