@@ -1,16 +1,31 @@
 """Stream-shaped operators over the events table.
 
 Ray Data has no event-time windows; the engine treats events as a
-partitioned log — partition by key (``groupby``), order by ts *within* the
-group, window with pandas inside ``map_groups`` (ray guide "streaming-shaped
-workloads").  The ordering assumption (per-key, in-group sort) is local to
-each group, so no global sort is needed.
+partitioned log — partition by key (keyed repartition), order by ts
+*within* the block, window with vectorized numpy kernels (ray guide
+"streaming-shaped workloads").  The ordering assumption (per-key,
+in-block sort) is local to each block, so no global sort is needed.
+
+Block kernels are Arrow→numpy lexsort/reduceat throughout (no pandas
+conversion — the osm_dist idiom): a ``to_pandas`` inside a keyed block is
+bounded but copies the whole block every batch.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
+
+def _grouped_min(users: np.ndarray, times: np.ndarray):
+    """(sorted unique users, per-user min time) via one lexsort."""
+    if len(users) == 0:
+        return users[:0], times[:0]
+    order = np.lexsort((times, users))
+    us, ts = users[order], times[order]
+    new = np.ones(len(us), dtype=bool)
+    new[1:] = us[1:] != us[:-1]
+    starts = np.nonzero(new)[0]
+    return us[starts], ts[starts]
 
 
 def sessionize_counts(ds, gap_seconds: int = 1800, user_col: str = "user_id",
@@ -27,29 +42,32 @@ def sessionize_counts(ds, gap_seconds: int = 1800, user_col: str = "user_id",
     ensure_hash_shuffle()
     part = ds.repartition(default_partitions(), keys=[user_col])
 
-    def block_sessions(batch) -> "pd.DataFrame":
+    def block_sessions(batch) -> "pa.Table":
         import pyarrow as pa
 
-        df = batch.to_pandas()
-        if not len(df):
+        if not len(batch):
             return pa.table(
                 {user_col: pa.array([], type=pa.int64()),
                  "n_sessions": pa.array([], type=pa.int64())}
             )
-        df = df.sort_values([user_col, ts_col])
-        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        user = df[user_col].to_numpy()
-        new_user = np.ones(len(df), dtype=bool)
+        user = batch.column(user_col).to_numpy(zero_copy_only=False)
+        ts = (
+            batch.column(ts_col).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((ts, user))
+        user, ts = user[order], ts[order]
+        new_user = np.ones(len(user), dtype=bool)
         new_user[1:] = user[1:] != user[:-1]
-        gap = np.zeros(len(df))
-        gap[1:] = (ts[1:] - ts[:-1]) / 1_000_000.0
-        new_session = new_user | (gap > gap_seconds)
-        out = pd.DataFrame({user_col: user, "s": new_session.astype(np.int64)})
-        agg = out.groupby(user_col, as_index=False)["s"].sum()
-        agg = agg.rename(columns={"s": "n_sessions"})
-        from oma_ray.sources.parquet import from_pandas_clean
-
-        return from_pandas_clean(agg)
+        gap_us = np.zeros(len(user), dtype=np.int64)
+        gap_us[1:] = ts[1:] - ts[:-1]
+        new_session = new_user | (gap_us > gap_seconds * 1_000_000)
+        starts = np.nonzero(new_user)[0]
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pa.table(
+            {user_col: pa.array(user[starts]),
+             "n_sessions": pa.array(n_sessions, type=pa.int64())}
+        )
 
     # every row of a user is in exactly one block (keyed repartition), so
     # per-block sessionization == global sessionization
@@ -63,6 +81,28 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
     before the groupby, so the shuffle moves O(keys × windows)."""
     import pyarrow as pa
 
+    def _window_sums(key, win, n_events, value_cents) -> pa.Table:
+        """Grouped int sums over (key, window_start): one lexsort + two
+        reduceats — no pandas block copy."""
+        uk, ki = np.unique(key, return_inverse=True)
+        order = np.lexsort((win, ki))
+        ki_s, win_s = ki[order], win[order]
+        new = np.ones(len(ki_s), dtype=bool)
+        new[1:] = (ki_s[1:] != ki_s[:-1]) | (win_s[1:] != win_s[:-1])
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                key_col: pa.array(uk[ki_s[starts]]),
+                "window_start": pa.array(win_s[starts], type=pa.int64()),
+                "n_events": pa.array(
+                    np.add.reduceat(n_events[order], starts), type=pa.int64()
+                ),
+                "value_cents": pa.array(
+                    np.add.reduceat(value_cents[order], starts), type=pa.int64()
+                ),
+            }
+        )
+
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
         epoch = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
@@ -70,27 +110,24 @@ def tumbling_window_agg(ds, window_seconds: int = 3600, key_col: str = "event_ty
         key = batch.column(key_col).to_numpy(zero_copy_only=False)
         val = batch.column(value_col).to_numpy(zero_copy_only=False)
         cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
-        df = pd.DataFrame({key_col: key, "window_start": win, "c": 1, "v": cents})
-        agg = df.groupby([key_col, "window_start"], as_index=False).agg(
-            n_events=("c", "sum"), value_cents=("v", "sum")
-        )
-        from oma_ray.sources.parquet import from_pandas_clean
-        return from_pandas_clean(agg)
+        return _window_sums(key, win, np.ones(len(batch), np.int64), cents)
 
     from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
 
     def combine(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
+        if not len(batch):
             return batch
-        agg = df.groupby([key_col, "window_start"], as_index=False)[
-            ["n_events", "value_cents"]
-        ].sum()
-        from oma_ray.sources.parquet import from_pandas_clean
-
-        return from_pandas_clean(agg)
+        return _window_sums(
+            batch.column(key_col).to_numpy(zero_copy_only=False),
+            batch.column("window_start").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            batch.column("n_events").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            batch.column("value_cents").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        )
 
     from oma_ray.cluster import default_partitions
 
@@ -112,15 +149,14 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
 
     Shape: one user-keyed exchange (each user's events land in exactly one
     block — the sessionize contract), then a fully vectorized per-block
-    pass: step-1 times are a grouped min, each later step filters its
-    event type against the previous step's per-user time via one merge +
-    mask + grouped min.  The exchange moves (user, ts, type) triples of
-    the step types only.
+    pass: step-1 times are a grouped min (lexsort), each later step looks
+    up the previous step's per-user time by searchsorted against the
+    sorted user vector, masks, and grouped-mins again.  The exchange moves
+    (user, ts, type) triples of the step types only.
     """
     import pyarrow as pa
 
     from oma_ray.cluster import default_partitions
-    from oma_ray.sources.parquet import from_pandas_clean
     from oma_ray.stages.dedup import ensure_hash_shuffle
 
     ensure_hash_shuffle()
@@ -147,37 +183,35 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
     )
 
     def block_funnel(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):  # typed empty: untyped pandas would emit doubles
+        if not len(batch):  # typed empty keeps the exchange schema intact
             return pa.table(
                 {"step": pa.array([], type=pa.int64()),
                  "n_users": pa.array([], type=pa.int64())}
             )
+        u = batch.column(user_col).to_numpy(zero_copy_only=False)
+        t = (
+            batch.column(ts_col).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        k = batch.column(type_col).to_numpy(zero_copy_only=False)
         out_step, out_n = [], []
-        if len(df):
-            ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-            df = pd.DataFrame(
-                {"u": df[user_col].to_numpy(), "t": ts,
-                 "k": df[type_col].to_numpy()}
-            )
-            cur = df[df["k"] == step_set[0]].groupby("u")["t"].min()
-            out_step.append(1)
-            out_n.append(len(cur))
-            for i, nxt in enumerate(step_set[1:], start=2):
-                cand = df[df["k"] == nxt].copy()
-                # .map, not merge: an empty-left merge with right_index
-                # names the result's index 'u' and poisons the groupby.
-                # tp becomes float64 where unmatched (NaN) — exact for
-                # microsecond epochs (< 2^53)
-                cand["tp"] = cand["u"].map(cur)
-                cand = cand[
-                    cand["tp"].notna()
-                    & (cand["t"] > cand["tp"])
-                    & (cand["t"] <= cand["tp"] + within_us)
-                ]
-                cur = cand.groupby("u")["t"].min()
-                out_step.append(i)
-                out_n.append(len(cur))
+        m = k == step_set[0]
+        cur_u, cur_t = _grouped_min(u[m], t[m])  # sorted users → searchsorted
+        out_step.append(1)
+        out_n.append(len(cur_u))
+        for i, nxt in enumerate(step_set[1:], start=2):
+            m = k == nxt
+            cu, ct = u[m], t[m]
+            if len(cur_u) and len(cu):
+                pos = np.searchsorted(cur_u, cu)
+                pos_c = np.minimum(pos, len(cur_u) - 1)
+                tp = cur_t[pos_c]
+                ok = (cur_u[pos_c] == cu) & (ct > tp) & (ct <= tp + within_us)
+                cur_u, cur_t = _grouped_min(cu[ok], ct[ok])
+            else:
+                cur_u, cur_t = cu[:0], ct[:0]
+            out_step.append(i)
+            out_n.append(len(cur_u))
         return pa.table(
             {"step": pa.array(out_step, type=pa.int64()),
              "n_users": pa.array(out_n, type=pa.int64())}
@@ -198,11 +232,16 @@ def funnel_counts(ds, steps: list[str], within_seconds: int,
     partials = part.map_batches(block_funnel, batch_format="pyarrow").union(zeros)
 
     def combine(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
+        if not len(batch):
             return batch
-        return from_pandas_clean(
-            df.groupby("step", as_index=False)["n_users"].sum()
+        step = batch.column("step").to_numpy(zero_copy_only=False)
+        n = batch.column("n_users").to_numpy(zero_copy_only=False)
+        us, inv = np.unique(step, return_inverse=True)
+        sums = np.zeros(len(us), dtype=np.int64)
+        np.add.at(sums, inv, n)
+        return pa.table(
+            {"step": pa.array(us, type=pa.int64()),
+             "n_users": pa.array(sums, type=pa.int64())}
         )
 
     return (
