@@ -678,6 +678,34 @@ WHERE rank <= 10
 
 # --- q16/q17: near-dup pairs (LSH; rows-only oracles) -----------------------
 
+def _quality_gate(df: "pd.DataFrame", metric: str, value: float,
+                  floor: float) -> pa.Table:
+    """Embedded self-check for rows-only queries (VERDICT r3 #6): the
+    quality metric rides along as a constant per-mille column (visible in
+    the driver's record) and the query RAISES when the floor breaks — a
+    silent quality regression can no longer pass as a green rows-only
+    check.  Floors sit ~25-35%% below the measured value at sf0.001/0.01
+    so co-incidental fixture drift doesn't flap them."""
+    if value < floor:
+        raise AssertionError(
+            f"quality self-check failed: {metric}={value:.3f} < floor {floor}"
+        )
+    df = df.copy()
+    df[metric] = np.int64(round(value * 1000))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _planted_pair_recall(pairs: "pd.DataFrame", sf_dir: str) -> float:
+    """Recall over _docs_with_mutants' planted near-dup pairs
+    (doc_id%5==0 ↔ doc_id+1_000_000)."""
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    planted = (n_docs + 4) // 5
+    lo = np.minimum(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+    hi = np.maximum(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+    found = int(((hi == lo + 1_000_000) & (lo % 5 == 0)).sum())
+    return found / max(planted, 1)
+
+
 def _docs_with_mutants(sf_dir: str):
     """documents ∪ near-duplicate mutants (deterministic: every 5th doc gets
     a copy with one appended token, id+1_000_000)."""
@@ -705,16 +733,24 @@ def _docs_with_mutants(sf_dir: str):
 def q16_minhash_pairs(sf_dir: str):
     from oma_ray.stages.dedup import minhash_candidate_pairs
 
-    return minhash_candidate_pairs(
+    pairs = minhash_candidate_pairs(
         _docs_with_mutants(sf_dir), threshold=0.5
-    ).select_columns(["id_a", "id_b"])
+    ).select_columns(["id_a", "id_b"]).to_pandas()  # bounded: near-dup pairs
+    return _quality_gate(
+        pairs, "planted_recall_x1000", _planted_pair_recall(pairs, sf_dir),
+        floor=0.95,
+    )
 
 
 def q17_simhash_pairs(sf_dir: str):
     from oma_ray.stages.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_with_mutants(sf_dir), max_hamming=3).select_columns(
-        ["id_a", "id_b"]
+    pairs = simhash_pairs(
+        _docs_with_mutants(sf_dir), max_hamming=3
+    ).select_columns(["id_a", "id_b"]).to_pandas()  # bounded: near-dup pairs
+    return _quality_gate(
+        pairs, "planted_recall_x1000", _planted_pair_recall(pairs, sf_dir),
+        floor=0.60,  # measured 0.75 at sf0.001/0.01 (hamming<=3 misses some)
     )
 
 
@@ -760,29 +796,39 @@ FROM both_e a JOIN both_e b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
 # --- q19: IVF approximate kNN (rows-only) -----------------------------------
 
 def q19_ivf_knn(sf_dir: str):
-    import ray.data as rd
-
-    from oma_ray.stages.knn import ivf_knn_cosine
+    from oma_ray.stages.knn import ivf_knn_cosine, knn_cosine
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids, mat = _query_vectors(sf_dir)
     n_emb = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     out = ivf_knn_cosine(ds, ids, mat, k=10, n_rows=n_emb)
-    return out.select_columns(["query_id", "vec_id", "rank"])
+    approx = out.select_columns(["query_id", "vec_id", "rank"]).to_pandas()
+    brute = knn_cosine(ds, ids, mat, k=10).to_pandas()  # exactness baseline
+    b = set(zip(brute["query_id"], brute["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    return _quality_gate(
+        approx, "recall_vs_brute_x1000", len(a & b) / max(len(b), 1),
+        floor=0.40,  # measured 0.56-0.58 (nprobe=4 of sqrt-n cells)
+    )
 
 
 # --- q20: language ID + quality (heuristic; rows-only) ----------------------
 
 def q20_langid_quality(sf_dir: str):
-    import ray.data as rd
-
     from oma_ray.stages.textstage import TextStats
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
     out = ds.map_batches(TextStats(extended=True), batch_format="pyarrow")
+
+    _KNOWN = ("en", "de", "fr", "es")
 
     def fn(batch: pa.Table) -> pa.Table:
         q = batch.column("quality").to_numpy(zero_copy_only=False)
+        pred = batch.column("lang_pred").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        known = np.isin(lang, _KNOWN)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -791,10 +837,27 @@ def q20_langid_quality(sf_dir: str):
                     np.clip((q * 10).astype(np.int64), 0, 9), type=pa.int64()
                 ),
                 "fingerprint": batch.column("fingerprint"),
+                "lang_known": pa.array(known.astype(np.int64)),
+                "lang_match": pa.array(
+                    (known & (pred == lang)).astype(np.int64)
+                ),
             }
         )
 
-    return out.map_batches(fn, batch_format="pyarrow")
+    # embedded self-check (VERDICT r3 #6): accuracy against the synth's
+    # PLANTED languages, aggregated distributedly (Dataset.sum — no row
+    # pull beyond the result the driver reads anyway); raises on a silent
+    # heuristic regression.  Floor sits below the measured 0.47 (the synth
+    # text is only weakly language-marked).
+    mat = out.map_batches(fn, batch_format="pyarrow").materialize()
+    n_known = int(mat.sum(on="lang_known") or 0)
+    n_match = int(mat.sum(on="lang_match") or 0)
+    acc = n_match / max(n_known, 1)
+    if acc < 0.35:
+        raise AssertionError(
+            f"quality self-check failed: lang-ID accuracy {acc:.3f} < 0.35"
+        )
+    return mat
 
 
 
@@ -2676,12 +2739,21 @@ def q54_lsh_knn(sf_dir: str):
     design → rows-only check, recall floor pinned by pytest)."""
     from oma_ray.stages.knn import lsh_knn_cosine
 
+    from oma_ray.stages.knn import knn_cosine
+
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids, mat = _query_vectors(sf_dir)
     out = lsh_knn_cosine(ds, ids, mat, k=10)
-    return out.select_columns(["query_id", "vec_id", "rank"])
+    approx = out.select_columns(["query_id", "vec_id", "rank"]).to_pandas()
+    brute = knn_cosine(ds, ids, mat, k=10).to_pandas()  # exactness baseline
+    b = set(zip(brute["query_id"], brute["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    return _quality_gate(
+        approx, "recall_vs_brute_x1000", len(a & b) / max(len(b), 1),
+        floor=0.35,  # measured 0.50-0.54 (16 tables x 6 bits, weak clusters)
+    )
 
 
 def _district_polys(n: int = 64) -> dict:
