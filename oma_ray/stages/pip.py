@@ -191,15 +191,29 @@ def _cover_cells(ring_lon, ring_lat, width: int) -> np.ndarray:
     return (rows[:, None] * width + cols[None, :]).ravel()
 
 
-def explode_polygon_cover(batch: pa.Table, width: int) -> pa.Table:
+def explode_polygon_cover(batch: pa.Table, width: int,
+                          coarse_width: int | None = None,
+                          max_cells: int = 256) -> pa.Table:
     """Polygon rows → one row per (cell, polygon) cover pair.  The loop is
     over POLYGONS (the small side per batch); output size is the sum of
-    per-polygon cover areas — pick ``width`` so typical shapes cover a few
-    cells (too coarse ⇒ giant candidate blocks, too fine ⇒ cover blow-up
-    for large shapes; production layouts use a hierarchical cover)."""
+    per-polygon cover areas.
+
+    HIERARCHICAL cover (``coarse_width``): a polygon whose fine-grid bbox
+    cover exceeds ``max_cells`` is registered under the COARSE grid instead
+    (cell keys offset by ``width²`` into their own keyspace), so one
+    continent-scale shape emits ≤ ``coarse_width²`` rows instead of an
+    O(width²) blow-up — each cover row replicates the full ring geometry,
+    which is what makes the quadratic cover expensive.  Callers joining
+    against a hierarchical cover must probe BOTH keyspaces (see
+    ``pip_join_by_cell``)."""
     lons = batch.column("ring_lon").to_pylist()
     lats = batch.column("ring_lat").to_pylist()
-    covers = [_cover_cells(lo, la, width) for lo, la in zip(lons, lats)]
+    covers = []
+    for lo, la in zip(lons, lats):
+        c = _cover_cells(lo, la, width)
+        if coarse_width is not None and len(c) > max_cells:
+            c = width * width + _cover_cells(lo, la, coarse_width)
+        covers.append(c)
     reps = np.array([len(c) for c in covers], dtype=np.int64)
     idx = np.repeat(np.arange(len(batch)), reps)
     out = batch.take(pa.array(idx))
@@ -213,7 +227,9 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
                      num_partitions: int | None = None,
                      id_col: str = "page_id", lon_col: str = "lon",
                      lat_col: str = "lat",
-                     polys_schema: "pa.Schema | None" = None):
+                     polys_schema: "pa.Schema | None" = None,
+                     coarse_width: int | None = None,
+                     max_cells: int = 256):
     """Distributed first-match PIP join: (id, admin_id) for every page row
     with valid coordinates (admin_id = -1 when no polygon contains it).
 
@@ -222,6 +238,15 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
     ``PolygonIndex`` over the ≤ |polygons-in-block| cover rows (deduped by
     ``ord``) and runs the vectorized ray cast.  Nothing polygon- or
     page-scale ever sits on the driver.
+
+    ``coarse_width`` switches on the HIERARCHICAL cover for continent-scale
+    shapes: polygons whose fine cover exceeds ``max_cells`` register under
+    the coarse grid (their geometry replicates ≤ coarse_width² times, not
+    O(width²)); pages then probe both keyspaces (one extra narrow row per
+    page in the exchange) and a second id-keyed exchange folds the
+    per-level candidates back to global first-match (min ``ord``).  With
+    the default ``coarse_width=None`` the pipeline is byte-identical to
+    the single-level path — no extra exchange, no ord column.
     """
     from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import ensure_hash_shuffle
@@ -247,9 +272,17 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
         from oma_ray.stages.geo_join import grid_rowcol
 
         row, col = grid_rowcol(lon_np, lat_np, width)
+        cells = row * width + col
+        if coarse_width is not None:
+            crow, ccol = grid_rowcol(lon_np, lat_np, coarse_width)
+            ccells = width * width + crow * coarse_width + ccol
+            cells = np.concatenate([cells, ccells])
+            ids = np.concatenate([ids, ids])
+            lon_np = np.concatenate([lon_np, lon_np])
+            lat_np = np.concatenate([lat_np, lat_np])
         t = pa.table(
             {
-                "cell_id": pa.array(row * width + col),
+                "cell_id": pa.array(cells),
                 "__side": pa.array(np.ones(len(ids), dtype=np.int8)),
                 id_col: pa.array(ids, type=pa.int64()),
                 "pt_lon": pa.array(lon_np),
@@ -261,7 +294,8 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
         return t
 
     def pad_polys(batch: pa.Table) -> pa.Table:
-        t = explode_polygon_cover(batch, width)
+        t = explode_polygon_cover(batch, width, coarse_width=coarse_width,
+                                  max_cells=max_cells)
         out = pa.table(
             {
                 "cell_id": t.column("cell_id"),
@@ -281,20 +315,24 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
         .repartition(num_partitions, keys=["cell_id"])
     )
 
+    MISS_ORD = 1 << 62  # first-match sentinel: any real ord beats a miss
+
     def block_pip(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        empty = {
+            id_col: pa.array([], type=pa.int64()),
+            "admin_id": pa.array([], type=pa.int64()),
+        }
+        if coarse_width is not None:
+            empty["ord"] = pa.array([], type=pa.int64())
         side = batch.column("__side")
         pages = batch.filter(pc.equal(side, 1))
         if not len(pages):
-            return pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    "admin_id": pa.array([], type=pa.int64()),
-                }
-            )
+            return pa.table(empty)
         polys = batch.filter(pc.equal(side, 0))
         admin = np.full(len(pages), -1, dtype=np.int64)
+        word = np.full(len(pages), MISS_ORD, dtype=np.int64)
         if len(polys):
             # dedupe cover rows (one polygon may cover several cells of this
             # block) and restore table order = first-match priority
@@ -316,21 +354,54 @@ def pip_join_by_cell(pages_ds, polys_ds, *, width: int = 128,
             pidx = idx.lookup(lon, lat)
             hit = pidx >= 0
             admin[hit] = idx.admin_id[pidx[hit]]
-        return pa.table(
-            {
-                id_col: pages.column(id_col),
-                "admin_id": pa.array(admin, type=pa.int64()),
-            }
-        )
+            word[hit] = df["ord"].to_numpy()[pidx[hit]]
+        out = {
+            id_col: pages.column(id_col),
+            "admin_id": pa.array(admin, type=pa.int64()),
+        }
+        if coarse_width is not None:
+            out["ord"] = pa.array(word, type=pa.int64())
+        return pa.table(out)
 
     from oma_ray.stages.dedup import _schema_anchor
 
-    return _schema_anchor(
+    anchor_cols = {id_col: pa.array([], type=pa.int64()),
+                   "admin_id": pa.array([], type=pa.int64())}
+    if coarse_width is None:
+        return _schema_anchor(
+            both.map_batches(block_pip, batch_format="pyarrow"),
+            pa.table(anchor_cols),
+        )
+
+    # hierarchical: each page has one candidate row per level — fold to
+    # global first-match (min ord; misses carry MISS_ORD) with a second
+    # id-keyed exchange
+    cand = _schema_anchor(
         both.map_batches(block_pip, batch_format="pyarrow"),
-        pa.table(
-            {id_col: pa.array([], type=pa.int64()),
-             "admin_id": pa.array([], type=pa.int64())}
-        ),
+        pa.table({**anchor_cols, "ord": pa.array([], type=pa.int64())}),
+    ).repartition(num_partitions, keys=[id_col])
+
+    def first_match(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(anchor_cols)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ords = batch.column("ord").to_numpy(zero_copy_only=False)
+        adm = batch.column("admin_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ords, ids))
+        ids_s, adm_s = ids[order], adm[order]
+        new = np.ones(len(ids_s), dtype=bool)
+        new[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[starts], type=pa.int64()),
+                "admin_id": pa.array(adm_s[starts], type=pa.int64()),
+            }
+        )
+
+    return _schema_anchor(
+        cand.map_batches(first_match, batch_format="pyarrow"),
+        pa.table(anchor_cols),
     )
 
 
