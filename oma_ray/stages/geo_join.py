@@ -194,16 +194,85 @@ def nearest_point_join(ds, points: dict, id_col: str = "page_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class BoxIndex:
+    """Grid-bucketed rectangle index — the STRtree role, integer-exact.
+
+    Boxes are bucketed under every grid cell their rectangle covers (one
+    flat (cell, box) table sorted by cell); a point's candidates are its
+    cell's bucket, verified with the exact inclusive-bounds test.  Per
+    batch that is O(points × candidates-per-cell) instead of the dense
+    O(points × boxes) mask — the scale path for large box sets.  Build it
+    once per worker (``CachedStage`` around a ``ray.put`` of the columnar
+    dict); lookups are pure numpy."""
+
+    def __init__(self, boxes_or_ref, width: int = 256):
+        import ray
+
+        boxes = (
+            ray.get(boxes_or_ref)
+            if isinstance(boxes_or_ref, ray.ObjectRef) else boxes_or_ref
+        )
+        self.width = width
+        self.box_id = np.asarray(boxes["box_id"], dtype=np.int64)
+        self.minlon = np.asarray(boxes["minlon"], dtype=np.int64)
+        self.maxlon = np.asarray(boxes["maxlon"], dtype=np.int64)
+        self.minlat = np.asarray(boxes["minlat"], dtype=np.int64)
+        self.maxlat = np.asarray(boxes["maxlat"], dtype=np.int64)
+        cells, idx = _box_cover_cells(
+            self.minlon, self.minlat, self.maxlon, self.maxlat, width
+        )
+        order = np.argsort(cells, kind="stable")
+        self._cells = cells[order]
+        self._cell_box = idx[order]
+
+    def hits(self, lon: np.ndarray, lat: np.ndarray):
+        """(point_idx, box_row_idx) for every inclusive containment pair."""
+        if len(lon) == 0 or len(self._cells) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        row, col = grid_rowcol(lon, lat, self.width)
+        cell = np.clip(row, 0, self.width - 1) * self.width + np.clip(
+            col, 0, self.width - 1
+        )
+        lo = np.searchsorted(self._cells, cell, side="left")
+        hi = np.searchsorted(self._cells, cell, side="right")
+        reps = hi - lo
+        pi = np.repeat(np.arange(len(lon), dtype=np.int64), reps)
+        if not len(pi):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        bi = self._cell_box[np.repeat(lo, reps) + offs]
+        ok = (
+            (lon[pi] >= self.minlon[bi]) & (lon[pi] <= self.maxlon[bi])
+            & (lat[pi] >= self.minlat[bi]) & (lat[pi] <= self.maxlat[bi])
+        )
+        return pi[ok], bi[ok]
+
+
+# above this many boxes the dense |boxes|×|batch| mask matrix is the wrong
+# shape — the indexed kernel takes over (forced low in the parity tests)
+BOX_INDEX_MIN = 4096
+
+
 def box_count_join(ds, boxes: dict, lon_col: str = "lon",
-                   lat_col: str = "lat"):
+                   lat_col: str = "lat",
+                   index_min_boxes: int = BOX_INDEX_MIN):
     """Points ⋈ broadcast boxes (inclusive bounds, OVERLAP semantics) →
     (box_id, n_pages) for boxes with ≥1 hit.
 
-    The mask matrix is |boxes| × |batch| booleans per batch — bounded by
-    batch size, never by dataset size; the keyed exchange then moves one
-    partial row per (box, batch).  For box sets too large to broadcast the
-    same partial shape runs behind an interval-tree actor pool instead.
+    Below ``index_min_boxes`` the kernel is the dense mask matrix
+    (|boxes| × |batch| booleans — the fastest shape for small box sets);
+    above it, a per-worker ``BoxIndex`` (grid-bucketed interval index,
+    built once per worker through the task cache) prunes candidates by
+    cell so per-batch work is O(points × candidates-per-cell).  Both
+    regimes emit identical partials (forced-threshold parity test).
     """
+    n_boxes = len(np.asarray(boxes["box_id"]))
+    if n_boxes >= index_min_boxes:
+        return _box_count_join_indexed(ds, boxes, lon_col, lat_col)
     minlon = np.asarray(boxes["minlon"], dtype=np.int64)[:, None]
     maxlon = np.asarray(boxes["maxlon"], dtype=np.int64)[:, None]
     minlat = np.asarray(boxes["minlat"], dtype=np.int64)[:, None]
@@ -227,6 +296,38 @@ def box_count_join(ds, boxes: dict, lon_col: str = "lon",
          "n_pages": pa.array([], type=pa.int64())}
     )
     return _grouped_sums(ds, ["box_id"], partial, ["n_pages"], anchor=anchor)
+
+
+def _box_count_join_indexed(ds, boxes: dict, lon_col: str, lat_col: str):
+    """Indexed regime of box_count_join: one BoxIndex per worker."""
+    import ray
+
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.taskcache import CachedStage
+
+    bref = ray.put(boxes)
+
+    class Partial:
+        def __init__(self, ref):
+            self.idx = BoxIndex(ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            lon, lat, _ = _valid_coords(batch, lon_col, lat_col)
+            _, bi = self.idx.hits(lon, lat)
+            if not len(bi):
+                return pd.DataFrame({"box_id": [], "n_pages": []}).astype(np.int64)
+            u, counts = np.unique(bi, return_counts=True)
+            return pd.DataFrame(
+                {"box_id": self.idx.box_id[u], "n_pages": counts.astype(np.int64)}
+            )
+
+    anchor = pa.table(
+        {"box_id": pa.array([], type=pa.int64()),
+         "n_pages": pa.array([], type=pa.int64())}
+    )
+    return _grouped_sums(
+        ds, ["box_id"], CachedStage(Partial, bref), ["n_pages"], anchor=anchor
+    )
 
 
 def cell_counts(ds, lon_col: str = "lon", lat_col: str = "lat",
@@ -350,9 +451,33 @@ def tile_pyramid(ds, widths: tuple[int, ...] = (8192, 1024, 128),
 
 
 def box_anti_join(ds, boxes: dict, id_col: str = "page_id",
-                  lon_col: str = "lon", lat_col: str = "lat"):
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  index_min_boxes: int = BOX_INDEX_MIN):
     """Spatial anti-join: ids of rows whose point hits NO broadcast box —
-    a pure per-batch filter (no shuffle), the complement of box_count_join."""
+    a pure per-batch filter (no shuffle), the complement of box_count_join.
+    Same two regimes: dense mask below ``index_min_boxes``, per-worker
+    ``BoxIndex`` above (parity-tested at a forced threshold)."""
+    if len(np.asarray(boxes["box_id"])) >= index_min_boxes:
+        import ray
+
+        from oma_ray.stages.taskcache import CachedStage
+
+        bref = ray.put(boxes)
+
+        class AntiFn:
+            def __init__(self, ref):
+                self.idx = BoxIndex(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+                pi, _ = self.idx.hits(lon, lat)
+                unhit = np.ones(len(ids), dtype=bool)
+                unhit[pi] = False
+                return pa.table({id_col: pa.array(ids[unhit], type=pa.int64())})
+
+        return ds.map_batches(CachedStage(AntiFn, bref), batch_format="pyarrow")
+
     minlon = np.asarray(boxes["minlon"], dtype=np.int64)[:, None]
     maxlon = np.asarray(boxes["maxlon"], dtype=np.int64)[:, None]
     minlat = np.asarray(boxes["minlat"], dtype=np.int64)[:, None]

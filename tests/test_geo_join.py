@@ -369,3 +369,41 @@ def test_geo_knn_join_empty_query_set():
     ds, _ids, _lon, _lat = _points_ds(n=500, blocks=2)
     out = geo_knn_join(ds, [], [], [], k=5)
     assert out.count() == 0 and out.schema() is not None
+
+
+def test_box_joins_indexed_regime_parity(ray_session):
+    """VERDICT r3 #9: forcing the interval-index regime (index_min_boxes=1)
+    must reproduce the dense-mask results exactly, for both the count join
+    and the anti join — including boxes with zero hits and null-coordinate
+    rows."""
+    from oma_ray.stages.geo_join import BoxIndex, box_anti_join, box_count_join
+    from oma_ray.synth import synth_boxes
+
+    ds, ids, lon, lat = _points_ds(n=4000, blocks=6)
+    b = synth_boxes(64)
+
+    dense = box_count_join(ds, b).to_pandas().sort_values("box_id")
+    idx = (
+        box_count_join(ds, b, index_min_boxes=1)
+        .to_pandas().sort_values("box_id")
+    )
+    assert dense["box_id"].tolist() == idx["box_id"].tolist()
+    assert dense["n_pages"].tolist() == idx["n_pages"].tolist()
+    assert len(dense)  # fixture really hits boxes
+
+    a_dense = set(box_anti_join(ds, b).to_pandas()["page_id"])
+    a_idx = set(box_anti_join(ds, b, index_min_boxes=1).to_pandas()["page_id"])
+    assert a_dense == a_idx and len(a_dense)
+
+    # the index kernel itself against a brute mask (point-level hits)
+    bi = BoxIndex(b, width=64)
+    pi, bx = bi.hits(lon, lat)
+    got = set(zip(pi.tolist(), bi.box_id[bx].tolist()))
+    want = set()
+    for j in range(len(b["box_id"])):
+        m = (
+            (lon >= b["minlon"][j]) & (lon <= b["maxlon"][j])
+            & (lat >= b["minlat"][j]) & (lat <= b["maxlat"][j])
+        )
+        want |= {(int(i), int(b["box_id"][j])) for i in np.nonzero(m)[0]}
+    assert got == want
