@@ -262,7 +262,9 @@ def run_tiling(
         write_tiled(ds, out_dir, hot_buckets=hot)
         import ray.data as rd
 
-        ds = rd.read_parquet(out_dir)
+        # verify-what-you-wrote summary needs only two int columns — prune
+        # the read-back instead of re-reading the wide text/url payload
+        ds = rd.read_parquet(out_dir, columns=["tile_id", "admin_id"])
     return tile_summary(ds)
 
 
