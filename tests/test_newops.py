@@ -361,3 +361,23 @@ def test_hash_sample_predicate_matches_duckdb_at_large_ids():
         f"FROM (SELECT UNNEST({ids.tolist()}) AS id)"
     ).fetchnumpy().values()))
     assert (engine == got).all()
+
+
+def test_broadcast_once_reuses_refs_within_session(ray_session):
+    """Repeat pipeline calls must reuse the SAME ObjectRef (worker-side
+    CachedStage keys on the ref hex — a fresh ref per call rebuilds every
+    worker's state per run, the round-3 q21 regression)."""
+    import ray
+
+    from oma_ray.stages.taskcache import broadcast_once
+
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return {"x": 42}
+
+    r1 = broadcast_once("test_bo_slot", factory)
+    r2 = broadcast_once("test_bo_slot", factory)
+    assert r1 == r2 and len(calls) == 1
+    assert ray.get(r1)["x"] == 42
