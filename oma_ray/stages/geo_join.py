@@ -495,14 +495,111 @@ def box_anti_join(ds, boxes: dict, id_col: str = "page_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class PointIndex:
+    """Radius-scoped grid index over a point set (the DWithin analogue of
+    ``BoxIndex``): cells are sized to the coordinate-space radius bound
+    R = (isqrt(r2)+1)·100 (safe because d2 uses |Δ|//100 quantization, so
+    d2 ≤ r2 ⇒ |Δ| ≤ R on each axis), hence a query point's candidates all
+    live in its 3×3 cell neighbourhood — exact superset, verified with the
+    exact integer d2.  Build once per worker; lookups are pure numpy."""
+
+    def __init__(self, points_or_ref, r2: int,
+                 point_id_col: str = "station_id"):
+        import math
+
+        import ray
+
+        points = (
+            ray.get(points_or_ref)
+            if isinstance(points_or_ref, ray.ObjectRef) else points_or_ref
+        )
+        self.p_id = np.asarray(points[point_id_col], dtype=np.int64)
+        self.p_lon = np.asarray(points["lon"], dtype=np.int64)
+        self.p_lat = np.asarray(points["lat"], dtype=np.int64)
+        self.r2 = int(r2)
+        self.R = (math.isqrt(max(int(r2), 0)) + 1) * 100
+        self.ncols = 3_600_000_001 // self.R + 2
+        key = self._cell(self.p_lon, self.p_lat)
+        order = np.argsort(key, kind="stable")
+        self._key = key[order]
+        self._row = order
+
+    def _cell(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        r = (lat + 1_800_000_000) // self.R
+        c = (lon + 1_800_000_000) // self.R
+        return r * self.ncols + c
+
+    def pairs(self, lon: np.ndarray, lat: np.ndarray):
+        """(query_idx, point_row_idx, d2) for every pair with d2 ≤ r2."""
+        if len(lon) == 0 or len(self.p_id) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        base = self._cell(lon, lat)
+        qi_all, pi_all = [], []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                cell = base + dr * self.ncols + dc
+                lo = np.searchsorted(self._key, cell, side="left")
+                hi = np.searchsorted(self._key, cell, side="right")
+                reps = hi - lo
+                if not reps.any():
+                    continue
+                qi = np.repeat(np.arange(len(lon), dtype=np.int64), reps)
+                offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(reps) - reps, reps
+                )
+                qi_all.append(qi)
+                pi_all.append(self._row[np.repeat(lo, reps) + offs])
+        if not qi_all:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        qi = np.concatenate(qi_all)
+        pi = np.concatenate(pi_all)
+        dlon = np.abs(lon[qi] - self.p_lon[pi]) // 100
+        dlat = np.abs(lat[qi] - self.p_lat[pi]) // 100
+        d2 = dlon * dlon + dlat * dlat
+        ok = d2 <= self.r2
+        return qi[ok], pi[ok], d2[ok]
+
+
 def within_distance_join(ds, points: dict, r2: int,
                          id_col: str = "page_id", lon_col: str = "lon",
                          lat_col: str = "lat",
-                         point_id_col: str = "station_id"):
-    """DWithin join: all (row, point) pairs with d2 ≤ r2 — per-batch
-    distance matrix against the broadcast point set, pairs emitted where
-    the threshold holds (output is bounded by the true pair count, the
-    matrix by batch_size × |points|).  No shuffle."""
+                         point_id_col: str = "station_id",
+                         index_min_points: int = BOX_INDEX_MIN):
+    """DWithin join: all (row, point) pairs with d2 ≤ r2.
+
+    Below ``index_min_points``: per-batch distance matrix against the
+    broadcast point set (|points| × batch_size — fastest for small sets).
+    Above: a per-worker ``PointIndex`` (radius-sized grid, 3×3 probe,
+    exact verify) so per-batch work is O(rows × candidates-per-cell).
+    Both regimes emit identical pairs (forced-threshold parity test).
+    No shuffle either way."""
+    if len(np.asarray(points[point_id_col])) >= index_min_points:
+        import ray
+
+        from oma_ray.stages.taskcache import CachedStage
+
+        pref = ray.put(points)
+
+        class IndexedFn:
+            def __init__(self, ref):
+                self.idx = PointIndex(ref, r2, point_id_col)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+                qi, pi, d2 = self.idx.pairs(lon, lat)
+                return pa.table(
+                    {
+                        id_col: pa.array(ids[qi], type=pa.int64()),
+                        point_id_col: pa.array(self.idx.p_id[pi], type=pa.int64()),
+                        "d2": pa.array(d2, type=pa.int64()),
+                    }
+                )
+
+        return ds.map_batches(CachedStage(IndexedFn, pref), batch_format="pyarrow")
+
     p_id = np.asarray(points[point_id_col], dtype=np.int64)
     p_lon = np.asarray(points["lon"], dtype=np.int64)
     p_lat = np.asarray(points["lat"], dtype=np.int64)

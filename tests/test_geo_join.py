@@ -407,3 +407,25 @@ def test_box_joins_indexed_regime_parity(ray_session):
         )
         want |= {(int(i), int(b["box_id"][j])) for i in np.nonzero(m)[0]}
     assert got == want
+
+
+def test_within_distance_indexed_regime_parity(ray_session):
+    """Forcing the PointIndex regime (index_min_points=1) must reproduce
+    the dense-matrix DWithin pairs exactly — same (id, station, d2)
+    multiset — including grid-edge points (cell aliasing only ever adds
+    candidates; the exact d2 filter rejects them)."""
+    from oma_ray.stages.geo_join import within_distance_join
+    from oma_ray.synth import synth_stations
+
+    ds, ids, lon, lat = _points_ds(n=4000, blocks=6)
+    st = synth_stations(64)
+    r2 = 1_000_000_000_000
+
+    def canon(df):
+        return sorted(map(tuple, df[["page_id", "station_id", "d2"]].to_numpy()))
+
+    dense = canon(within_distance_join(ds, st, r2).to_pandas())
+    idx = canon(
+        within_distance_join(ds, st, r2, index_min_points=1).to_pandas()
+    )
+    assert dense == idx and len(dense)
