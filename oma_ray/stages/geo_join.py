@@ -74,6 +74,11 @@ def _valid_coords(batch: pa.Table, lon_col: str, lat_col: str):
     return lon, lat, valid
 
 
+# above this many broadcast rows the dense |boxes|×|batch| mask matrix is the wrong
+# shape — the indexed kernel takes over (forced low in the parity tests)
+BOX_INDEX_MIN = 4096
+
+
 def geo_knn_join(ds, query_ids, query_lons, query_lats, k: int = 8,
                  id_col: str = "page_id", lon_col: str = "lon",
                  lat_col: str = "lat"):
@@ -155,15 +160,122 @@ def geo_knn_join(ds, query_ids, query_lons, query_lats, k: int = 8,
     )
 
 
+class NearestIndex:
+    """Grid index for exact nearest-point lookup over a LARGE point set:
+    points bucketed by cell (width ``cell``), queries probe the
+    (2k+1)×(2k+1) block of cells at growing k and stop once the best
+    quantized d2 is STRICTLY below ((k·cell)//100)² — any point in an
+    unexplored cell is ≥ that bound away, so the minimum (and its
+    min-id tie-break) is exact.  Queries unresolved after ``max_ring``
+    rounds (deep-empty regions) fall back to the dense kernel — bounded
+    by the leftover count, never the batch."""
+
+    def __init__(self, points_or_ref, cell: int | None = None,
+                 point_id_col: str = "station_id"):
+        import math
+
+        import ray
+
+        points = (
+            ray.get(points_or_ref)
+            if isinstance(points_or_ref, ray.ObjectRef) else points_or_ref
+        )
+        p_id = np.asarray(points[point_id_col], dtype=np.int64)
+        order = np.argsort(p_id, kind="stable")
+        self.p_id = p_id[order]
+        self.p_lon = np.asarray(points["lon"], dtype=np.int64)[order]
+        self.p_lat = np.asarray(points["lat"], dtype=np.int64)[order]
+        n = max(1, len(self.p_id))
+        # ~4 points per cell for a uniform set: probes usually stop at k≤1
+        self.R = cell if cell is not None else max(
+            100, 3_600_000_000 // max(1, math.isqrt(n) // 2)
+        )
+        self.ncols = 3_600_000_001 // self.R + 2
+        key = self._cell(self.p_lon, self.p_lat)
+        o2 = np.argsort(key, kind="stable")
+        self._key = key[o2]
+        self._row = o2
+
+    def _cell(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        return ((lat + 1_800_000_000) // self.R) * self.ncols + (
+            (lon + 1_800_000_000) // self.R
+        )
+
+    def nearest(self, lon: np.ndarray, lat: np.ndarray, max_ring: int = 8):
+        """(best_point_row, best_d2, unresolved_query_idx).  Ties break to
+        the smaller point id (rows are stored in id order and candidate
+        selection prefers the lower row on equal d2)."""
+        n = len(lon)
+        best_d2 = np.full(n, 1 << 62, dtype=np.int64)
+        best_row = np.full(n, -1, dtype=np.int64)
+        if n == 0 or len(self.p_id) == 0:
+            return best_row, best_d2, np.arange(n, dtype=np.int64)
+        base_r = (lat + 1_800_000_000) // self.R
+        base_c = (lon + 1_800_000_000) // self.R
+        unresolved = np.arange(n, dtype=np.int64)
+        k = 0
+        while len(unresolved) and k <= max_ring:
+            lon_u, lat_u = lon[unresolved], lat[unresolved]
+            for dr in range(-k, k + 1):
+                for dc in range(-k, k + 1):
+                    if k and max(abs(dr), abs(dc)) != k:
+                        continue  # inner block already probed at k-1
+                    cell = (base_r[unresolved] + dr) * self.ncols + (
+                        base_c[unresolved] + dc
+                    )
+                    lo = np.searchsorted(self._key, cell, side="left")
+                    hi = np.searchsorted(self._key, cell, side="right")
+                    reps = hi - lo
+                    if not reps.any():
+                        continue
+                    qi = np.repeat(
+                        np.arange(len(unresolved), dtype=np.int64), reps
+                    )
+                    offs = np.arange(int(reps.sum()), dtype=np.int64) \
+                        - np.repeat(np.cumsum(reps) - reps, reps)
+                    pi = self._row[np.repeat(lo, reps) + offs]
+                    dlon = np.abs(lon_u[qi] - self.p_lon[pi]) // 100
+                    dlat = np.abs(lat_u[qi] - self.p_lat[pi]) // 100
+                    d2 = dlon * dlon + dlat * dlat
+                    # per-query min with min-row tie-break, then fold into
+                    # the running best (also min-row on ties)
+                    g = unresolved[qi]
+                    order = np.lexsort((pi, d2, g))
+                    gs, d2s, pis = g[order], d2[order], pi[order]
+                    first = np.ones(len(gs), dtype=bool)
+                    first[1:] = gs[1:] != gs[:-1]
+                    gs, d2s, pis = gs[first], d2s[first], pis[first]
+                    better = (d2s < best_d2[gs]) | (
+                        (d2s == best_d2[gs]) & (pis < best_row[gs])
+                    )
+                    best_d2[gs[better]] = d2s[better]
+                    best_row[gs[better]] = pis[better]
+            stop_bound = ((k * self.R) // 100) ** 2
+            done = best_d2[unresolved] < stop_bound if k else np.zeros(
+                len(unresolved), dtype=bool
+            )
+            unresolved = unresolved[~done]
+            k += 1
+        return best_row, best_d2, unresolved
+
+
 def nearest_point_join(ds, points: dict, id_col: str = "page_id",
                        lon_col: str = "lon", lat_col: str = "lat",
-                       point_id_col: str = "station_id"):
+                       point_id_col: str = "station_id",
+                       index_min_points: int = BOX_INDEX_MIN):
     """Nearest broadcast point per row: (id, point_id, d2) — no shuffle.
 
     ``points`` holds parallel arrays ``{point_id_col, lon, lat}``; ties
     break toward the smaller point id (the arrays are scanned in id order
-    and argmin keeps the first minimum).
+    and argmin keeps the first minimum).  Above ``index_min_points`` the
+    dense |points|×|batch| matrix swaps for a per-worker ``NearestIndex``
+    ring search (exact, same tie-break; dense fallback for queries in
+    deep-empty regions) — forced-threshold parity test.
     """
+    if len(np.asarray(points[point_id_col])) >= index_min_points:
+        return _nearest_point_join_indexed(
+            ds, points, id_col, lon_col, lat_col, point_id_col
+        )
     p_id = np.asarray(points[point_id_col], dtype=np.int64)
     order = np.argsort(p_id, kind="stable")
     p_id = p_id[order]
@@ -192,6 +304,49 @@ def nearest_point_join(ds, points: dict, id_col: str = "page_id",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _nearest_point_join_indexed(ds, points: dict, id_col: str, lon_col: str,
+                                lat_col: str, point_id_col: str):
+    """Indexed regime of nearest_point_join: ring search per worker, dense
+    fallback only for ring-exhausted queries."""
+    import ray
+
+    from oma_ray.stages.taskcache import CachedStage
+
+    pref = ray.put(points)
+
+    class NearestFn:
+        def __init__(self, ref):
+            self.idx = NearestIndex(ref, point_id_col=point_id_col)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon, lat, valid = _valid_coords(batch, lon_col, lat_col)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)[valid]
+            if not len(ids):
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        point_id_col: pa.array([], type=pa.int64()),
+                        "d2": pa.array([], type=pa.int64()),
+                    }
+                )
+            row, d2, leftover = self.idx.nearest(lon, lat)
+            if len(leftover):  # deep-empty regions: exact dense, bounded
+                sub = _d2(lon[leftover], lat[leftover],
+                          self.idx.p_lon, self.idx.p_lat)
+                b = np.argmin(sub, axis=0)
+                row[leftover] = b
+                d2[leftover] = sub[b, np.arange(len(leftover))]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, type=pa.int64()),
+                    point_id_col: pa.array(self.idx.p_id[row], type=pa.int64()),
+                    "d2": pa.array(d2, type=pa.int64()),
+                }
+            )
+
+    return ds.map_batches(CachedStage(NearestFn, pref), batch_format="pyarrow")
 
 
 class BoxIndex:
@@ -250,11 +405,6 @@ class BoxIndex:
             & (lat[pi] >= self.minlat[bi]) & (lat[pi] <= self.maxlat[bi])
         )
         return pi[ok], bi[ok]
-
-
-# above this many boxes the dense |boxes|×|batch| mask matrix is the wrong
-# shape — the indexed kernel takes over (forced low in the parity tests)
-BOX_INDEX_MIN = 4096
 
 
 def box_count_join(ds, boxes: dict, lon_col: str = "lon",

@@ -429,3 +429,52 @@ def test_within_distance_indexed_regime_parity(ray_session):
         within_distance_join(ds, st, r2, index_min_points=1).to_pandas()
     )
     assert dense == idx and len(dense)
+
+
+def test_nearest_point_indexed_regime_parity(ray_session):
+    """Forced NearestIndex regime == dense argmin, including the min-id
+    tie-break on duplicate station coordinates."""
+    from oma_ray.stages.geo_join import nearest_point_join
+    from oma_ray.synth import synth_stations
+
+    ds, ids, lon, lat = _points_ds(n=3000, blocks=5)
+    st = synth_stations(64)
+    # plant an exact duplicate coordinate under a larger id: the tie must
+    # still resolve to the smaller id
+    st = {k: np.concatenate([v, v[:1]]) for k, v in st.items()}
+    st["station_id"][-1] = 10_000
+
+    dense = (
+        nearest_point_join(ds, st).to_pandas().sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    idx = (
+        nearest_point_join(ds, st, index_min_points=1)
+        .to_pandas().sort_values("page_id").reset_index(drop=True)
+    )
+    assert dense["page_id"].tolist() == idx["page_id"].tolist()
+    assert dense["station_id"].tolist() == idx["station_id"].tolist()
+    assert dense["d2"].tolist() == idx["d2"].tolist()
+
+
+def test_nearest_index_matches_brute_on_random_points():
+    from oma_ray.stages.geo_join import NearestIndex
+
+    rng = np.random.default_rng(3)
+    n_pts, n_q = 500, 800
+    plon = rng.integers(-1_000_000_000, 1_000_000_000, n_pts)
+    plat = rng.integers(-800_000_000, 800_000_000, n_pts)
+    pts = {"station_id": np.arange(n_pts, dtype=np.int64),
+           "lon": plon, "lat": plat}
+    qlon = rng.integers(-1_100_000_000, 1_100_000_000, n_q)
+    qlat = rng.integers(-850_000_000, 850_000_000, n_q)
+
+    idx = NearestIndex(pts)
+    row, d2, leftover = idx.nearest(qlon, qlat, max_ring=64)
+    assert len(leftover) == 0
+    dl = np.abs(qlon[:, None] - plon[None, :]) // 100
+    dt = np.abs(qlat[:, None] - plat[None, :]) // 100
+    bd2 = dl * dl + dt * dt
+    want = np.argmin(bd2, axis=1)
+    assert (d2 == bd2[np.arange(n_q), want]).all()
+    assert (idx.p_id[row] == want).all()  # ids == positions here
