@@ -93,8 +93,15 @@ def build_tiling_pipeline(
         bucket = (tile.astype(np.int64) % 64).astype(np.int32)
         batch = batch.append_column("tile_bucket", pa.array(bucket, type=pa.int32()))
         if lineage is not None:
+            # dictionary-encoded: the column is constant per shard, so the
+            # sink exchange moves one dictionary entry + int8 indices
+            # instead of ~30 B of string per row
             batch = batch.append_column(
-                "lineage", pa.array([lineage] * len(batch), type=pa.string())
+                "lineage",
+                pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(len(batch), dtype=np.int8)),
+                    pa.array([lineage], type=pa.string()),
+                ),
             )
         return batch
 
