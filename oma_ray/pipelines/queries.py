@@ -3092,6 +3092,152 @@ def q63_weighted_sample(sf_dir: str):
 SQL_Q63 = None  # assembled below (shares the predicate builder)
 
 
+# --- q64: per-host web aggregation (URL parsing + grouped distinct) ---------
+
+def q64_host_stats(sf_dir: str):
+    """Per-host corpus stats — the canonical web-pipeline rollup: parse the
+    HOST out of every url STRING (Arrow RE2, no shortcut through the id
+    formula), then one host-keyed exchange of per-(host, lang) partials →
+    per-block combine to (n_pages, sum_chars, distinct-lang count).  The
+    oracle mirrors the synth's url construction, so a parsing bug (not
+    just an aggregation bug) fails the value hash."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    pages = make_pages_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column("url"), r"^https?://([^/]+)/.*$", r"\1"
+        )
+        chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "host": host.to_numpy(zero_copy_only=False),
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(batch), dtype=np.int64),
+                "sum_chars": chars,
+            }
+        )
+        agg = df.groupby(["host", "lang"], as_index=False)[
+            ["n_pages", "sum_chars"]
+        ].sum()
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(agg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {
+                    "host": pa.array([], type=pa.string()),
+                    "n_pages": pa.array([], type=pa.int64()),
+                    "sum_chars": pa.array([], type=pa.int64()),
+                    "n_langs": pa.array([], type=pa.int64()),
+                }
+            )
+        df = batch.to_pandas()
+        agg = df.groupby("host").agg(
+            n_pages=("n_pages", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            n_langs=("lang", "nunique"),
+        ).reset_index()
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(agg)
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["host"])
+        .map_batches(combine, batch_format="pyarrow")
+    )
+
+
+SQL_Q64 = """
+WITH p AS (
+  SELECT 'site' || CAST(doc_id % 1000 AS VARCHAR) || '.example' AS host,
+         text, lang
+  FROM documents)
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM p GROUP BY host
+"""
+
+
+# --- q65: per-host page cap (crawl-curation quota) ---------------------------
+
+def q65_host_cap(sf_dir: str, cap: int = 3, replicate: int = 4):
+    """Domain capping — keep at most ``cap`` pages per host (deterministic:
+    the smallest page_ids win), THE standard crawl-curation quota against
+    domain dominance.  Host parsed from the url string; one host-keyed
+    exchange; per-block vectorized rank (lexsort + segment arange), no
+    pandas.  Replicated pages make the cap actually bind."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    pages = make_pages_dataset(sf_dir, replicate=replicate)
+
+    def project(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column("url"), r"^https?://([^/]+)/.*$", r"\1"
+        )
+        return pa.table({"host": host, "page_id": batch.column("page_id")})
+
+    def block_cap(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"host": pa.array([], type=pa.string()),
+                 "page_id": pa.array([], type=pa.int64())}
+            )
+        host = batch.column("host").to_numpy(zero_copy_only=False)
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pid, host))
+        host, pid = host[order], pid[order]
+        new = np.ones(len(host), dtype=bool)
+        new[1:] = host[1:] != host[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.repeat(starts, np.diff(np.append(starts, len(host))))
+        rank = np.arange(len(host)) - seg
+        keep = rank < cap
+        return pa.table(
+            {"host": pa.array(host[keep]),
+             "page_id": pa.array(pid[keep], type=pa.int64())}
+        )
+
+    return (
+        pages.map_batches(project, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["host"])
+        .map_batches(block_cap, batch_format="pyarrow")
+    )
+
+
+SQL_Q65 = """
+WITH pages AS (
+  SELECT d.doc_id * 4 + r.range AS page_id
+  FROM documents d CROSS JOIN range(4) r),
+p AS (
+  SELECT 'site' || CAST(page_id % 1000 AS VARCHAR) || '.example' AS host,
+         page_id
+  FROM pages)
+SELECT host, page_id FROM (
+  SELECT host, page_id,
+         row_number() OVER (PARTITION BY host ORDER BY page_id) AS rn
+  FROM p) t
+WHERE rn <= 3
+"""
+
+
 def _build_weighted_sql():
     from oma_ray.stages.sample import sql_weighted_predicate
 
@@ -3251,6 +3397,8 @@ QUERIES = {
     "q61_pagerank": q61_pagerank,
     "q62_funnel": q62_funnel,
     "q63_weighted_sample": q63_weighted_sample,
+    "q64_host_stats": q64_host_stats,
+    "q65_host_cap": q65_host_cap,
 }
 
 ORACLES = {
@@ -3310,4 +3458,6 @@ ORACLES = {
     "q61_pagerank": SQL_Q61,
     "q62_funnel": SQL_Q62,
     "q63_weighted_sample": SQL_Q63,
+    "q64_host_stats": SQL_Q64,
+    "q65_host_cap": SQL_Q65,
 }
