@@ -116,7 +116,7 @@ def run_bench() -> dict:
 
     qtimes = {}
     bench_queries = (
-        [] if os.environ.get("GRAFT_SCALING_ARM") else BENCH_QUERIES
+        [] if scaling_arm else BENCH_QUERIES
     )  # --scaling arms only need the headline; skip the query loop
     for name in bench_queries:
         best = float("inf")
@@ -156,13 +156,23 @@ def run_scaling() -> dict:
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     def best_of(ncpu: int, runs: int = 2) -> dict:
-        """Min wall over repeated fresh-process runs: the machine is
-        co-tenant loaded in bursts (±30%, occasionally 4× — BASELINE.md),
-        and a burst landing on one arm would measure the neighbours, not
-        the engine.  The minimum estimates unloaded capacity; both arms
-        get the same treatment."""
+        """PER-METRIC minima over repeated fresh-process runs: the machine
+        is co-tenant loaded in bursts (±30%, occasionally 4× — BASELINE.md)
+        and a burst can land on ONE phase of one run — picking a single
+        "best run" could pair a quiet sink with a burst-hit compute number.
+        Each reported metric independently takes its quietest measurement;
+        both arms get the same treatment."""
         results = [one(ncpu) for _ in range(runs)]
-        return min(results, key=lambda r: r["value"])
+        best = dict(results[0])
+        best["value"] = min(r["value"] for r in results)
+        best["value_summary_only"] = min(
+            r["value_summary_only"] for r in results
+        )
+        best["pages_per_sec"] = max(r["pages_per_sec"] for r in results)
+        best["pages_per_sec_summary_only"] = max(
+            r["pages_per_sec_summary_only"] for r in results
+        )
+        return best
 
     lo, hi = best_of(8), best_of(32)
     eff_sink = (lo["value"] / hi["value"]) / (32 / 8)

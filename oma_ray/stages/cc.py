@@ -380,32 +380,46 @@ def pagerank_int_dist(edges_ds, n_nodes: int, iters: int = 3,
         )
 
     def flow(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         empty = pa.table(
             {"node": pa.array([], type=pa.int64()),
              "c": pa.array([], type=pa.int64())}
         )
-        df = batch.to_pandas()
-        if not len(df):
+        if not len(batch):
             return empty
-        st = df[df["kind"] == 1]
-        ed = df[df["kind"] == 0]
+        # filter by kind IN ARROW before touching columns: a pandas
+        # conversion of the null-padded union would go through float64 and
+        # silently round scores > 2^53 (the web-graph regime this path is
+        # gated to serve) — the filtered sides are null-free int64
+        kind = batch.column("kind")
+        st = batch.filter(pc.equal(kind, 1))
+        ed = batch.filter(pc.equal(kind, 0))
         if not len(ed) or not len(st):
             return empty
-        # null-padded int columns arrive as float64 in pandas — cast back
-        nodes = st["node"].to_numpy(np.int64)
-        sc = st["score"].to_numpy(np.int64)
-        od = st["outdeg"].to_numpy(np.int64)
+        nodes = st.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = st.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = st.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(nodes)
         nodes, sc, od = nodes[order], sc[order], od[order]
         share = np.zeros(len(nodes), np.int64)
         nz = od > 0
         share[nz] = damping_pct * sc[nz] // (100 * od[nz])
         # every src in this block has its one state row co-located here
-        idx = np.searchsorted(nodes, ed["node"].to_numpy(np.int64))
-        out = pd.DataFrame(
-            {"node": ed["dst"].to_numpy(np.int64), "c": share[idx]}
+        idx = np.searchsorted(
+            nodes, ed.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        return from_pandas_clean(out.groupby("node", as_index=False)["c"].sum())
+        dst = ed.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = share[idx]
+        o2 = np.argsort(dst)
+        dst_s, c_s = dst[o2], c[o2]
+        new = np.ones(len(dst_s), dtype=bool)
+        new[1:] = dst_s[1:] != dst_s[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {"node": pa.array(dst_s[starts], type=pa.int64()),
+             "c": pa.array(np.add.reduceat(c_s, starts), type=pa.int64())}
+        )
 
     # --- exchange 2 schema: node, outdeg, c, kind ------------------------
     def tag_static(batch: pa.Table) -> pa.Table:
@@ -431,24 +445,32 @@ def pagerank_int_dist(edges_ds, n_nodes: int, iters: int = 3,
         )
 
     def combine(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
+        import pyarrow.compute as pc
+
+        if not len(batch):
             return pa.table(
                 {"node": pa.array([], type=pa.int64()),
                  "outdeg": pa.array([], type=pa.int64()),
                  "score": pa.array([], type=pa.int64())}
             )
-        st = df[df["kind"] == 0]
-        co = df[df["kind"] == 1]
-        node = st["node"].to_numpy(np.int64)
-        od = st["outdeg"].to_numpy(np.int64)
+        kind = batch.column("kind")
+        st = batch.filter(pc.equal(kind, 0))
+        co = batch.filter(pc.equal(kind, 1))
+        node = st.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = st.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(node)
         node, od = node[order], od[order]
         score = np.full(len(node), base, np.int64)
         if len(co):
-            sums = co.groupby("node")["c"].sum()
-            pos = np.searchsorted(node, sums.index.to_numpy(np.int64))
-            score[pos] += sums.to_numpy(np.int64)
+            cn = co.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            cc = co.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            o2 = np.argsort(cn)
+            cn, cc = cn[o2], cc[o2]
+            new = np.ones(len(cn), dtype=bool)
+            new[1:] = cn[1:] != cn[:-1]
+            starts = np.nonzero(new)[0]
+            pos = np.searchsorted(node, cn[starts])
+            score[pos] += np.add.reduceat(cc, starts)
         return pa.table(
             {"node": pa.array(node), "outdeg": pa.array(od),
              "score": pa.array(score)}

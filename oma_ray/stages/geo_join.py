@@ -74,6 +74,23 @@ def _valid_coords(batch: pa.Table, lon_col: str, lat_col: str):
     return lon, lat, valid
 
 
+def _expand_sorted_hits(sorted_keys: np.ndarray, probe_keys: np.ndarray):
+    """Candidate expansion against a SORTED key column: for each probe key,
+    the flat positions of its matching run.  Returns (probe_idx, positions)
+    — the shared kernel of every grid index here (Box/Point/Nearest)."""
+    lo = np.searchsorted(sorted_keys, probe_keys, side="left")
+    hi = np.searchsorted(sorted_keys, probe_keys, side="right")
+    reps = hi - lo
+    if not reps.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    probe_idx = np.repeat(np.arange(len(probe_keys), dtype=np.int64), reps)
+    offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps
+    )
+    return probe_idx, np.repeat(lo, reps) + offs
+
+
 # above this many broadcast rows the dense |boxes|×|batch| mask matrix is the wrong
 # shape — the indexed kernel takes over (forced low in the parity tests)
 BOX_INDEX_MIN = 4096
@@ -223,17 +240,10 @@ class NearestIndex:
                     cell = (base_r[unresolved] + dr) * self.ncols + (
                         base_c[unresolved] + dc
                     )
-                    lo = np.searchsorted(self._key, cell, side="left")
-                    hi = np.searchsorted(self._key, cell, side="right")
-                    reps = hi - lo
-                    if not reps.any():
+                    qi, pos = _expand_sorted_hits(self._key, cell)
+                    if not len(qi):
                         continue
-                    qi = np.repeat(
-                        np.arange(len(unresolved), dtype=np.int64), reps
-                    )
-                    offs = np.arange(int(reps.sum()), dtype=np.int64) \
-                        - np.repeat(np.cumsum(reps) - reps, reps)
-                    pi = self._row[np.repeat(lo, reps) + offs]
+                    pi = self._row[pos]
                     dlon = np.abs(lon_u[qi] - self.p_lon[pi]) // 100
                     dlat = np.abs(lat_u[qi] - self.p_lat[pi]) // 100
                     d2 = dlon * dlon + dlat * dlat
@@ -389,17 +399,11 @@ class BoxIndex:
         cell = np.clip(row, 0, self.width - 1) * self.width + np.clip(
             col, 0, self.width - 1
         )
-        lo = np.searchsorted(self._cells, cell, side="left")
-        hi = np.searchsorted(self._cells, cell, side="right")
-        reps = hi - lo
-        pi = np.repeat(np.arange(len(lon), dtype=np.int64), reps)
+        pi, pos = _expand_sorted_hits(self._cells, cell)
         if not len(pi):
             z = np.zeros(0, dtype=np.int64)
             return z, z
-        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(reps) - reps, reps
-        )
-        bi = self._cell_box[np.repeat(lo, reps) + offs]
+        bi = self._cell_box[pos]
         ok = (
             (lon[pi] >= self.minlon[bi]) & (lon[pi] <= self.maxlon[bi])
             & (lat[pi] >= self.minlat[bi]) & (lat[pi] <= self.maxlat[bi])
@@ -689,22 +693,24 @@ class PointIndex:
         for dr in (-1, 0, 1):
             for dc in (-1, 0, 1):
                 cell = base + dr * self.ncols + dc
-                lo = np.searchsorted(self._key, cell, side="left")
-                hi = np.searchsorted(self._key, cell, side="right")
-                reps = hi - lo
-                if not reps.any():
+                qi, pos = _expand_sorted_hits(self._key, cell)
+                if not len(qi):
                     continue
-                qi = np.repeat(np.arange(len(lon), dtype=np.int64), reps)
-                offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-                    np.cumsum(reps) - reps, reps
-                )
                 qi_all.append(qi)
-                pi_all.append(self._row[np.repeat(lo, reps) + offs])
+                pi_all.append(self._row[pos])
         if not qi_all:
             z = np.zeros(0, dtype=np.int64)
             return z, z, z
         qi = np.concatenate(qi_all)
         pi = np.concatenate(pi_all)
+        if self.ncols < 5:
+            # world-scale radius (R > ~¼ of the lon extent): distinct
+            # (dr,dc) offsets can ALIAS to the same cell key (e.g. ncols=2
+            # makes (-1,+1) == (0,-1)), so a pair may be gathered twice —
+            # dedupe candidates before the exact filter
+            key = qi * np.int64(len(self.p_id)) + pi
+            _, first = np.unique(key, return_index=True)
+            qi, pi = qi[first], pi[first]
         dlon = np.abs(lon[qi] - self.p_lon[pi]) // 100
         dlat = np.abs(lat[qi] - self.p_lat[pi]) // 100
         d2 = dlon * dlon + dlat * dlat

@@ -79,17 +79,3 @@ def broadcast_once(name: str, factory):
         _PUT_CACHE[key] = ref
     return ref
 
-
-def session_memo(name: str, factory):
-    """Like ``broadcast_once`` but for small driver-side VALUES (e.g. a
-    hot-key set derived from a proxy pass over the input): compute once per
-    Ray session, reuse on repeat invocations of the same pipeline."""
-    import ray
-
-    job = ray.get_runtime_context().get_job_id()
-    key = (job, "__memo__", name)
-    if any(k[0] != job for k in _PUT_CACHE):
-        _PUT_CACHE.clear()
-    if key not in _PUT_CACHE:
-        _PUT_CACHE[key] = factory()
-    return _PUT_CACHE[key]

@@ -73,34 +73,37 @@ def recover_dir(d: str) -> str | None:
 
 def _compact_one(d: str, target_bytes: int,
                  stale_lock_secs: float = 3600.0) -> dict:
-    import time
+    """``stale_lock_secs`` is retained for API compatibility but unused:
+    the lock is a kernel-arbitrated ``flock`` (atomic, auto-released when
+    the holder exits or crashes), so there is no staleness heuristic and
+    no remove-then-recreate TOCTOU window.  The lock FILE persists on disk
+    by design — deleting it while a peer holds the fd would let a third
+    compactor lock a fresh inode and run concurrently.  Advisory flock
+    coordinates compactors sharing a host/local fs; a multi-node deployment
+    over a shared fs should route compaction through one Ray job (as
+    ``compact_dir`` does: one task per directory) or an external lock
+    service."""
+    import fcntl
 
-    import pyarrow.parquet as pq
+    def _skipped(reason: str) -> dict:
+        n = len([f for f in os.listdir(d)
+                 if f.endswith(".parquet") and not f.startswith(".")])
+        return {"dir": d, "before": n, "after": n, "skipped": reason}
 
     lpath = os.path.join(d, LOCK)
+    fd = os.open(lpath, os.O_CREAT | os.O_WRONLY)
     try:
-        fd = os.open(lpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        try:
-            age = time.time() - os.path.getmtime(lpath)
-        except OSError:
-            age = 0.0
-        if age <= stale_lock_secs:
-            # another compactor owns this directory — skip, don't interleave
-            n = len([f for f in os.listdir(d)
-                     if f.endswith(".parquet") and not f.startswith(".")])
-            return {"dir": d, "before": n, "after": n, "skipped": "locked"}
-        os.remove(lpath)  # stale lock from a crashed compactor
-        fd = os.open(lpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, str(os.getpid()).encode())
-    os.close(fd)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        # another compactor owns this directory — skip, don't interleave
+        return _skipped("locked")
     try:
+        os.truncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
         return _compact_locked(d, target_bytes)
     finally:
-        try:
-            os.remove(lpath)
-        except FileNotFoundError:
-            pass
+        os.close(fd)  # releases the flock; the lock file stays
 
 
 def _compact_locked(d: str, target_bytes: int) -> dict:

@@ -124,6 +124,7 @@ def test_recompaction_never_reuses_an_input_name(tmp_path):
 
 
 def test_compact_skips_locked_directory(tmp_path):
+    import fcntl
     import os
 
     from oma_ray.state.compact import LOCK, _compact_one
@@ -133,16 +134,18 @@ def test_compact_skips_locked_directory(tmp_path):
     t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
     for i in range(3):
         pq.write_table(t, d / f"f{i}.parquet")
-    # fresh lock held by "another" compactor → skip untouched
-    (d / LOCK).write_text("99999")
+    # flock held by "another" compactor → skip untouched (kernel-arbitrated:
+    # a crashed holder's lock auto-releases, so no staleness heuristic)
+    fd = os.open(str(d / LOCK), os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
     st = _compact_one(str(d), 1 << 30)
     assert st["skipped"] == "locked" and st["before"] == st["after"] == 3
     assert sorted(f for f in os.listdir(d) if f.endswith(".parquet")) == [
         "f0.parquet", "f1.parquet", "f2.parquet"
     ]
-    # stale lock (mtime pushed back) → broken and compaction proceeds
-    old = (d / LOCK)
-    os.utime(old, (1, 1))
+    # holder releases (process exit / crash) → compaction proceeds; the
+    # lock FILE remaining on disk must not block anyone
+    os.close(fd)
+    assert (d / LOCK).exists()
     st = _compact_one(str(d), 1 << 30)
     assert st["before"] == 3 and st["after"] == 1
-    assert not old.exists()

@@ -478,3 +478,24 @@ def test_nearest_index_matches_brute_on_random_points():
     want = np.argmin(bd2, axis=1)
     assert (d2 == bd2[np.arange(n_q), want]).all()
     assert (idx.p_id[row] == want).all()  # ids == positions here
+
+
+def test_within_distance_world_scale_radius_no_duplicates(ray_session):
+    """World-scale radius (grid collapses to ncols<5): aliased 3×3 probes
+    must not emit duplicate pairs — indexed multiset == dense multiset."""
+    from oma_ray.stages.geo_join import within_distance_join
+    from oma_ray.synth import synth_stations
+
+    ds, ids, lon, lat = _points_ds(n=800, blocks=3)
+    st = synth_stations(16)
+    r2 = 2 * (1_800_000_000 // 100) ** 2  # covers the whole world
+
+    def canon(df):
+        return sorted(map(tuple, df[["page_id", "station_id", "d2"]].to_numpy()))
+
+    dense = canon(within_distance_join(ds, st, r2).to_pandas())
+    idx = canon(
+        within_distance_join(ds, st, r2, index_min_points=1).to_pandas()
+    )
+    assert dense == idx
+    assert len(dense) == len(set(dense))  # no duplicate pairs anywhere
