@@ -3238,6 +3238,70 @@ WHERE rn <= 3
 """
 
 
+# --- q66-q69: SCALE-REGIME variants, value-oracled end-to-end ----------------
+# Each forces the large-input regime of an operator that normally picks it
+# by threshold (hierarchical PIP cover, BoxIndex, PointIndex, NearestIndex)
+# and runs against the SAME SQL oracle as its default-regime twin — so every
+# regime, not just the small-input path, is pinned by the driver's value
+# hash (pytest parity tests force the thresholds too; this is the
+# end-to-end evidence).
+
+def q66_pip_districts_hier(sf_dir: str):
+    """q55 through the HIERARCHICAL cover (coarse_width=8, max_cells=2
+    pushes nearly every district to the coarse level + min-ord combine)."""
+    import ray.data as rd
+
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+
+    polys = _district_polys(64)
+    ptab = polygons_table(polys)
+    joined = pip_join_by_cell(
+        _geo_pages(sf_dir), rd.from_arrow(ptab), polys_schema=ptab.schema,
+        coarse_width=8, max_cells=2,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "admin_id": batch.column("admin_id").to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return _grouped_sums(joined, ["admin_id"], partial, ["n_pages"])
+
+
+def q67_box_range_join_indexed(sf_dir: str):
+    """q47 through the BoxIndex regime (index_min_boxes=1)."""
+    from oma_ray.stages.geo_join import box_count_join
+    from oma_ray.synth import synth_boxes
+
+    return box_count_join(_geo_pages(sf_dir), synth_boxes(64),
+                          index_min_boxes=1)
+
+
+def q68_station_within_indexed(sf_dir: str):
+    """q53 through the PointIndex regime (index_min_points=1)."""
+    from oma_ray.stages.geo_join import within_distance_join
+    from oma_ray.synth import synth_stations
+
+    out = within_distance_join(
+        _geo_pages(sf_dir), synth_stations(64), r2=1_000_000_000_000,
+        index_min_points=1,
+    )
+    return out.select_columns(["page_id", "station_id", "d2"])
+
+
+def q69_nearest_station_indexed(sf_dir: str):
+    """q50 through the NearestIndex ring-search regime (index_min_points=1)."""
+    from oma_ray.stages.geo_join import nearest_point_join
+    from oma_ray.synth import synth_stations
+
+    out = nearest_point_join(_geo_pages(sf_dir), synth_stations(64),
+                             index_min_points=1)
+    return out.select_columns(["page_id", "station_id", "d2"])
+
+
 def _build_weighted_sql():
     from oma_ray.stages.sample import sql_weighted_predicate
 
@@ -3399,6 +3463,10 @@ QUERIES = {
     "q63_weighted_sample": q63_weighted_sample,
     "q64_host_stats": q64_host_stats,
     "q65_host_cap": q65_host_cap,
+    "q66_pip_districts_hier": q66_pip_districts_hier,
+    "q67_box_range_join_indexed": q67_box_range_join_indexed,
+    "q68_station_within_indexed": q68_station_within_indexed,
+    "q69_nearest_station_indexed": q69_nearest_station_indexed,
 }
 
 ORACLES = {
@@ -3460,4 +3528,8 @@ ORACLES = {
     "q63_weighted_sample": SQL_Q63,
     "q64_host_stats": SQL_Q64,
     "q65_host_cap": SQL_Q65,
+    "q66_pip_districts_hier": SQL_Q55,
+    "q67_box_range_join_indexed": SQL_Q47,
+    "q68_station_within_indexed": SQL_Q53,
+    "q69_nearest_station_indexed": SQL_Q50,
 }
