@@ -272,7 +272,8 @@ class NearestIndex:
 def nearest_point_join(ds, points: dict, id_col: str = "page_id",
                        lon_col: str = "lon", lat_col: str = "lat",
                        point_id_col: str = "station_id",
-                       index_min_points: int = BOX_INDEX_MIN):
+                       index_min_points: int = BOX_INDEX_MIN,
+                       index_cell: int | None = None):
     """Nearest broadcast point per row: (id, point_id, d2) — no shuffle.
 
     ``points`` holds parallel arrays ``{point_id_col, lon, lat}``; ties
@@ -284,7 +285,8 @@ def nearest_point_join(ds, points: dict, id_col: str = "page_id",
     """
     if len(np.asarray(points[point_id_col])) >= index_min_points:
         return _nearest_point_join_indexed(
-            ds, points, id_col, lon_col, lat_col, point_id_col
+            ds, points, id_col, lon_col, lat_col, point_id_col,
+            index_cell,
         )
     p_id = np.asarray(points[point_id_col], dtype=np.int64)
     order = np.argsort(p_id, kind="stable")
@@ -317,9 +319,12 @@ def nearest_point_join(ds, points: dict, id_col: str = "page_id",
 
 
 def _nearest_point_join_indexed(ds, points: dict, id_col: str, lon_col: str,
-                                lat_col: str, point_id_col: str):
+                                lat_col: str, point_id_col: str,
+                                index_cell: int | None = None):
     """Indexed regime of nearest_point_join: ring search per worker, dense
-    fallback only for ring-exhausted queries."""
+    fallback only for ring-exhausted queries.  ``index_cell`` overrides the
+    density-derived cell width (tests force a tiny cell to exercise the
+    fallback branch)."""
     import ray
 
     from oma_ray.stages.taskcache import CachedStage
@@ -328,7 +333,8 @@ def _nearest_point_join_indexed(ds, points: dict, id_col: str, lon_col: str,
 
     class NearestFn:
         def __init__(self, ref):
-            self.idx = NearestIndex(ref, point_id_col=point_id_col)
+            self.idx = NearestIndex(ref, cell=index_cell,
+                                    point_id_col=point_id_col)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lon, lat, valid = _valid_coords(batch, lon_col, lat_col)

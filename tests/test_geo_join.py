@@ -499,3 +499,30 @@ def test_within_distance_world_scale_radius_no_duplicates(ray_session):
     )
     assert dense == idx
     assert len(dense) == len(set(dense))  # no duplicate pairs anywhere
+
+
+def test_nearest_indexed_dense_fallback_parity(ray_session):
+    """A pathologically tiny index cell exhausts the ring search for every
+    query, forcing the dense-fallback branch — results must still equal
+    the dense regime exactly."""
+    from oma_ray.stages.geo_join import NearestIndex, nearest_point_join
+    from oma_ray.synth import synth_stations
+
+    ds, ids, lon, lat = _points_ds(n=1000, blocks=3)
+    st = synth_stations(32)
+
+    # the index itself reports the exhaustion
+    idx = NearestIndex(st, cell=100)
+    _row, _d2, leftover = idx.nearest(lon[:50], lat[:50], max_ring=2)
+    assert len(leftover) > 0
+
+    dense = (
+        nearest_point_join(ds, st).to_pandas()
+        .sort_values("page_id").reset_index(drop=True)
+    )
+    fb = (
+        nearest_point_join(ds, st, index_min_points=1, index_cell=100)
+        .to_pandas().sort_values("page_id").reset_index(drop=True)
+    )
+    assert dense["station_id"].tolist() == fb["station_id"].tolist()
+    assert dense["d2"].tolist() == fb["d2"].tolist()
