@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q41_inverted_index",
     "q46_geo_knn",
     "q55_pip_districts",
+    "q64_host_stats",
 ]
 
 
