@@ -106,3 +106,29 @@ def test_pagerank_distributed_matches_driver_path(ray_session):
     gated = pagerank_int(edges, n_nodes, iters=3, dist_min_nodes=1)
     g = gated.to_pandas().sort_values("node").reset_index(drop=True)
     assert (g["score"].to_numpy() == drv["score"].to_numpy()).all()
+
+
+def test_pagerank_distributed_exact_above_float53(ray_session):
+    """Self-review r4 regression: contribution sums above 2^53 must stay
+    int64-exact through the distributed kernels (the old pandas path went
+    through float64 via the null-padded union and silently rounded)."""
+    import ray.data as rd
+
+    from oma_ray.stages.cc import pagerank_int, pagerank_int_dist
+
+    # 4 spokes each pointing at hub 0; giant scale pushes the hub's
+    # incoming sum past 2^53
+    src = np.array([1, 2, 3, 4], dtype=np.int64)
+    dst = np.zeros(4, dtype=np.int64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(2)
+    scale = 5_000_000_000_000_000  # hub sum ≈ 1.7e16 > 2^53
+
+    drv = pagerank_int(edges, 5, iters=1, scale=scale).to_pandas()
+    dist = (
+        pagerank_int_dist(edges, 5, iters=1, scale=scale, num_partitions=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert int(drv.loc[0, "score"]) > 2**53  # the test actually bites
+    assert drv["score"].tolist() == dist["score"].tolist()
