@@ -140,26 +140,49 @@ def connected_components(edges, a_col: str = "a", b_col: str = "b",
         )
 
     def propagate(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if not len(df):
+        import pyarrow.compute as pc
+
+        if not len(batch):
             return batch
-        lab_rows = df[df["kind"] == 1]
-        edge_rows = df[df["kind"] == 0]
-        # null-padded union columns arrive as float64 in pandas (int64 has
-        # no null) — cast every id/label back to int64, or the next round's
-        # exchange hashes floats and stops co-locating with the int edges
-        lnodes = lab_rows["node"].to_numpy(np.int64)
-        lvals = lab_rows["lab"].to_numpy(np.int64)
+        # filter the tagged union IN ARROW before touching columns: a
+        # whole-batch pandas conversion routes the null-padded int columns
+        # through float64, which silently rounds node ids / labels above
+        # 2^53 — at web scale node ids are often 64-bit hashes, exactly
+        # that range (same hazard class as the pagerank kernels)
+        kind = batch.column("kind")
+        lab_rows = batch.filter(pc.equal(kind, 1))
+        edge_rows = batch.filter(pc.equal(kind, 0))
+        lnodes = (
+            lab_rows.column("node").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lvals = (
+            lab_rows.column("lab").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         order = np.argsort(lnodes)
         lnodes, lvals = lnodes[order], lvals[order]
         # every src in this block has its one label row co-located here
-        idx = np.searchsorted(lnodes, edge_rows["node"].to_numpy(np.int64))
-        flowed = pd.DataFrame(
-            {"node": edge_rows["dst"].to_numpy(np.int64), "lab": lvals[idx]}
+        idx = np.searchsorted(
+            lnodes,
+            edge_rows.column("node").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
         )
-        keep = pd.DataFrame({"node": lnodes, "lab": lvals})
-        out = pd.concat([flowed, keep], ignore_index=True)
-        return from_pandas_clean(out.groupby("node", as_index=False)["lab"].min())
+        node = np.concatenate([
+            edge_rows.column("dst").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            lnodes,
+        ])
+        lab = np.concatenate([lvals[idx], lvals])
+        o2 = np.lexsort((lab, node))
+        node, lab = node[o2], lab[o2]
+        new = np.ones(len(node), dtype=bool)
+        new[1:] = node[1:] != node[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {"node": pa.array(node[starts], type=pa.int64()),
+             "lab": pa.array(lab[starts], type=pa.int64())}
+        )
 
     sym_tagged = sym.map_batches(tag_edges, batch_format="pyarrow")
     prev_sum = None

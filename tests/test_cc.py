@@ -132,3 +132,25 @@ def test_pagerank_distributed_exact_above_float53(ray_session):
     )
     assert int(drv.loc[0, "score"]) > 2**53  # the test actually bites
     assert drv["score"].tolist() == dist["score"].tolist()
+
+
+def test_components_exact_with_hash_scale_node_ids(ray_session):
+    """Node ids above 2^53 (64-bit-hash territory) must survive the
+    distributed min-label rounds exactly — the old pandas union path
+    rounded them through float64."""
+    import ray.data as rd
+
+    from oma_ray.stages.cc import connected_components
+
+    base = (1 << 60) + 1  # adjacent ids here are indistinguishable in f64
+    a = np.array([base, base + 1, base + 5], dtype=np.int64)
+    b = np.array([base + 1, base + 2, base + 6], dtype=np.int64)
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(a), "b": pa.array(b)})
+    ).repartition(2)
+    out = (
+        connected_components(edges, driver_max_edges=0, max_rounds=10)
+        .to_pandas().set_index("node")["comp"]
+    )
+    assert out[base] == out[base + 1] == out[base + 2] == base
+    assert out[base + 5] == out[base + 6] == base + 5
