@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q46_geo_knn",
     "q55_pip_districts",
     "q64_host_stats",
+    "q70_decontaminate",
 ]
 
 

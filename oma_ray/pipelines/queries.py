@@ -3302,6 +3302,204 @@ def q69_nearest_station_indexed(sf_dir: str):
     return out.select_columns(["page_id", "station_id", "d2"])
 
 
+# --- q70-q74: corpus-curation operator suite ---------------------------------
+
+def q70_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (the train/test-overlap gate every
+    LLM corpus runs through) over a deterministically contaminated corpus:
+    candidate doc d (d % 13 == 0, not itself a benchmark doc) gets the
+    first-8-token snippet of benchmark doc ((d // 13) mod n_bench)
+    appended — a pure integer/string formula the oracle regenerates in a
+    CTE — then every candidate sharing ≥1 DISTINCT 8-gram with ANY
+    benchmark doc (d % 97 == 0) is reported with its distinct-hit count.
+
+    Shapes: benchmark snippets are a bounded driver pull + broadcast
+    (benchmark sets are fixed and small against a 10^12-doc corpus);
+    gram matching is per-doc in-batch dedup → ONE gram-keyed exchange →
+    exact in-block string match → one O(matched) doc-keyed sum."""
+    from oma_ray.stages.curation import (decontaminate_ngrams,
+                                         plant_contamination,
+                                         pull_bench_snippets)
+
+    snips = pull_bench_snippets(sf_dir, bench_mod=97, snip_tokens=8)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    planted = plant_contamination(ds, snips, plant_mod=13, bench_mod=97)
+    return decontaminate_ngrams(planted, lambda ids: ids % 97 == 0, n=8)
+
+
+SQL_Q70 = r"""
+WITH nb AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 97 = 0),
+snip AS (
+  SELECT doc_id // 97 AS bi,
+         array_to_string(string_split_regex(text, '\s+')[1:8], ' ') AS s
+  FROM documents WHERE doc_id % 97 = 0),
+pl AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 13 = 0 AND d.doc_id % 97 <> 0
+              THEN d.text || ' ' ||
+                   (SELECT s FROM snip, nb WHERE bi = (d.doc_id // 13) % nb.c)
+              ELSE d.text END AS text
+  FROM documents d),
+tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM pl),
+series AS (SELECT generate_series AS i FROM generate_series(0, 127)),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i+1 : i+8], ' ') AS g
+  FROM tok CROSS JOIN series WHERE i + 8 <= len(toks)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+cand AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT cand.doc_id, COUNT(*) AS n_hits
+FROM cand JOIN bench USING (g)
+GROUP BY cand.doc_id
+"""
+
+
+def q71_paragraph_dedup(sf_dir: str, replicate: int = 4):
+    """Paragraph-level keep-first dedup statistics (CCNet/C4 shape) over a
+    4×-replicated corpus (page_id = doc_id·4 + j, same text — replication
+    makes the dedup actually bind): documents split into non-overlapping
+    16-token paragraphs; the copy with the smallest (page_id, win_idx)
+    keeps, every other copy drops.  Output per page: (n_paras, n_kept).
+    ONE paragraph-keyed exchange + one O(pages) keyed sum."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.curation import paragraph_dedup_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    r = int(replicate)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(ids)), r)
+        page_id = ids.repeat(r) * r + np.tile(np.arange(r), len(ids))
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table({
+            "page_id": pa.array(page_id, type=pa.int64()),
+            "text": pc.take(text, pa.array(idx, type=pa.int64())),
+        })
+
+    pages = ds.map_batches(rep, batch_format="pyarrow")
+    return paragraph_dedup_stats(pages, width=16, id_col="page_id")
+
+
+SQL_Q71 = r"""
+WITH pages AS (
+  SELECT d.doc_id * 4 + r.range AS page_id, d.text
+  FROM documents d CROSS JOIN range(4) r),
+tok AS (SELECT page_id, string_split_regex(text, '\s+') AS toks FROM pages),
+series AS (SELECT generate_series AS w FROM generate_series(0, 15)),
+paras AS (
+  SELECT page_id, w, array_to_string(toks[w*16+1 : w*16+16], ' ') AS p
+  FROM tok CROSS JOIN series WHERE w*16 < len(toks)),
+rk AS (
+  SELECT page_id, w, p,
+         row_number() OVER (PARTITION BY p ORDER BY page_id, w) AS rn
+  FROM paras)
+SELECT page_id, COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM rk GROUP BY page_id
+"""
+
+
+def q72_repetition(sf_dir: str):
+    """Within-document repetition signal (Gopher-style duplicate-3-gram
+    fraction), exact integers, completely shuffle-free — the cheapest
+    quality filter in the curation battery."""
+    from oma_ray.stages.curation import repetition_stats
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return repetition_stats(ds, n=3)
+
+
+SQL_Q72 = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+series AS (SELECT generate_series AS i FROM generate_series(0, 127)),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i+1 : i+3], ' ') AS g
+  FROM tok CROSS JOIN series WHERE i + 3 <= len(toks))
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT g)) * 1000 // COUNT(*) AS BIGINT)
+         AS dup_permille
+FROM grams GROUP BY doc_id
+"""
+
+
+def q73_blocklist_filter(sf_dir: str):
+    """Bloom-prefiltered blocklist anti-join — crawl curation's "drop every
+    page on a blocked host" with the host parsed from the url string
+    (RE2), the blocklist folded into a broadcast Bloom filter, and ONLY
+    bloom-positive rows paying the exact-confirm keyed exchange (false
+    positives get rescued there, so the result is value-exact regardless
+    of filter size).  Blocklist: hosts site{7k}.example, k < 143."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from oma_ray.stages.bloom import bloom_anti_join
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column("url"), r"^https?://([^/]+)/.*$", r"\1"
+        )
+        return pa.table({"page_id": batch.column("page_id"), "host": host})
+
+    proj = pages.map_batches(project, batch_format="pyarrow")
+    blocklist = rd.from_arrow(pa.table(
+        {"host": pa.array([f"site{7 * k}.example" for k in range(143)])}
+    ))
+    schema = pa.schema([("page_id", pa.int64()), ("host", pa.string())])
+    return bloom_anti_join(proj, blocklist, "host", page_schema=schema)
+
+
+SQL_Q73 = """
+WITH p AS (
+  SELECT doc_id AS page_id,
+         'site' || CAST(doc_id % 1000 AS VARCHAR) || '.example' AS host
+  FROM documents),
+bl AS (
+  SELECT 'site' || CAST(r.range * 7 AS VARCHAR) || '.example' AS host
+  FROM range(143) r)
+SELECT page_id, host FROM p
+WHERE host NOT IN (SELECT host FROM bl)
+"""
+
+
+def q74_mix_budget(sf_dir: str, budget: int = 3000):
+    """Dataset mixing to a per-source budget: every source capped at
+    ~``budget`` chars by deterministic Bernoulli sampling at
+    rate = min(1000, budget·1000 // source_chars) per mille — the
+    corpus-assembly rebalancing shape.  One O(sources) keyed sum, rates
+    broadcast, then the shuffle-free hash predicate; the oracle
+    recomputes the rates with identical integer arithmetic."""
+    from oma_ray.stages.sample import mix_to_budget
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "n_chars"])
+    return mix_to_budget(ds, "source", "doc_id", "n_chars", budget)
+
+
+SQL_Q74 = None  # assembled below (shares the predicate builder)
+
+
+def _build_mix_sql():
+    from oma_ray.stages.sample import sql_mix_query
+
+    global SQL_Q74
+    SQL_Q74 = sql_mix_query("documents", "source", "doc_id", "n_chars",
+                            3000, ["doc_id", "source", "n_chars"])
+
+
+_build_mix_sql()
+
+
 def _build_weighted_sql():
     from oma_ray.stages.sample import sql_weighted_predicate
 
@@ -3467,6 +3665,11 @@ QUERIES = {
     "q67_box_range_join_indexed": q67_box_range_join_indexed,
     "q68_station_within_indexed": q68_station_within_indexed,
     "q69_nearest_station_indexed": q69_nearest_station_indexed,
+    "q70_decontaminate": q70_decontaminate,
+    "q71_paragraph_dedup": q71_paragraph_dedup,
+    "q72_repetition": q72_repetition,
+    "q73_blocklist_filter": q73_blocklist_filter,
+    "q74_mix_budget": q74_mix_budget,
 }
 
 ORACLES = {
@@ -3532,4 +3735,9 @@ ORACLES = {
     "q67_box_range_join_indexed": SQL_Q47,
     "q68_station_within_indexed": SQL_Q53,
     "q69_nearest_station_indexed": SQL_Q50,
+    "q70_decontaminate": SQL_Q70,
+    "q71_paragraph_dedup": SQL_Q71,
+    "q72_repetition": SQL_Q72,
+    "q73_blocklist_filter": SQL_Q73,
+    "q74_mix_budget": SQL_Q74,
 }

@@ -119,3 +119,81 @@ def sql_weighted_predicate(id_col: str, weight_col: str, rate_num: int,
         f" % 4294967296) % {base} "
         f"< LEAST({weight_col} * {rate_num}, {base})"
     )
+
+
+def mix_to_budget(ds, source_col: str, id_col: str, weight_col: str,
+                  budget: int, *, base: int = 1000, salt: int = KNUTH,
+                  num_partitions: int | None = None):
+    """Dataset mixing to a per-source budget — the corpus-assembly shape:
+    cap every source's contribution at ``budget`` weight units (chars/
+    tokens) by sampling each source at
+    ``rate = min(base, budget·base // source_total)`` per mille.
+
+    Two stages: an O(sources) keyed sum (partial-per-batch, one small
+    exchange — the per-source totals table is bounded by the number of
+    sources, which is the small side by definition), the rates map rides
+    to every task as a broadcast dict, then the same deterministic
+    ``_hash32`` Bernoulli predicate as the rest of the sampling family —
+    so the whole operator stays SQL-mirrorable (``sql_mix_query``
+    recomputes the rates with identical integer arithmetic in a CTE).
+
+    Output: input columns + ``rate_permille``."""
+    import pandas as pd
+
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.taskcache import broadcast_once
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        return pd.DataFrame({
+            source_col: batch.column(source_col).to_numpy(zero_copy_only=False),
+            "_tot": batch.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+
+    totals = _grouped_sums(ds, [source_col], partial, ["_tot"],
+                           num_partitions=num_partitions)
+    rates = {
+        r[source_col]: min(base, budget * base // int(r["_tot"]))
+        for r in totals.take_all()
+    }
+    import hashlib
+
+    digest = hashlib.sha1(repr(sorted(rates.items())).encode()).hexdigest()[:16]
+    ref = broadcast_once(f"mix_rates:{source_col}:{budget}:{base}:{digest}",
+                         lambda: rates)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        rmap = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        src = pd.Series(batch.column(source_col).to_numpy(zero_copy_only=False))
+        rate = src.map(rmap).fillna(0).to_numpy(dtype=np.int64)
+        h = _hash32(ids, salt) % base
+        out = batch.append_column("rate_permille",
+                                  pa.array(rate, type=pa.int64()))
+        return out.filter(pa.array(h < rate))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_mix_query(table: str, source_col: str, id_col: str,
+                  weight_col: str, budget: int, select_cols: list[str],
+                  *, base: int = 1000, salt: int = KNUTH) -> str:
+    """DuckDB mirror of ``mix_to_budget``: recomputes the per-source
+    totals and rates with the same integer arithmetic, then applies the
+    identical hash predicate."""
+    cols = ", ".join(f"d.{c}" for c in select_cols)
+    return f"""
+WITH s AS (
+  SELECT {source_col}, CAST(SUM({weight_col}) AS BIGINT) AS tot
+  FROM {table} GROUP BY {source_col}),
+r AS (
+  SELECT {source_col},
+         LEAST({base}, (CAST({budget} AS BIGINT) * {base}) // tot) AS rate
+  FROM s)
+SELECT {cols}, CAST(r.rate AS BIGINT) AS rate_permille
+FROM {table} d JOIN r USING ({source_col})
+WHERE ((CAST((d.{id_col} & 4294967295) AS HUGEINT) * {salt})
+       % 4294967296) % {base} < r.rate
+"""
