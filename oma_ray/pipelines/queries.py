@@ -3486,6 +3486,36 @@ def q74_mix_budget(sf_dir: str, budget: int = 3000):
     return mix_to_budget(ds, "source", "doc_id", "n_chars", budget)
 
 
+def q75_boilerplate(sf_dir: str):
+    """Boilerplate n-gram detection: bigrams appearing in ≥ 7% of all
+    documents (template chrome / navigation residue — the standard
+    pre-dedup cleanup signal).  Pre-aggregated end-to-end: per-doc
+    in-batch gram dedup collapses to ONE partial row per (gram, batch),
+    so the single gram-keyed exchange moves O(distinct grams), never
+    O(occurrences).  The doc-count threshold comes from parquet metadata
+    (a driver-side scalar, no extra pass)."""
+    from oma_ray.stages.curation import gram_doc_freq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return gram_doc_freq(ds, n=2, min_docs=n_docs * 7 // 100)
+
+
+SQL_Q75 = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+series AS (SELECT generate_series AS i FROM generate_series(0, 127)),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i+1 : i+2], ' ') AS g
+  FROM tok CROSS JOIN series WHERE i + 2 <= len(toks)),
+dg AS (SELECT DISTINCT doc_id, g FROM grams)
+SELECT g AS gram, COUNT(*) AS doc_freq
+FROM dg GROUP BY g
+HAVING COUNT(*) >= (SELECT COUNT(*) FROM documents) * 7 // 100
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -3670,6 +3700,7 @@ QUERIES = {
     "q72_repetition": q72_repetition,
     "q73_blocklist_filter": q73_blocklist_filter,
     "q74_mix_budget": q74_mix_budget,
+    "q75_boilerplate": q75_boilerplate,
 }
 
 ORACLES = {
@@ -3740,4 +3771,5 @@ ORACLES = {
     "q72_repetition": SQL_Q72,
     "q73_blocklist_filter": SQL_Q73,
     "q74_mix_budget": SQL_Q74,
+    "q75_boilerplate": SQL_Q75,
 }

@@ -351,3 +351,48 @@ def repetition_stats(docs, *, n: int = 3, id_col: str = "doc_id",
         })
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+# --- cross-corpus gram document frequency --------------------------------------
+
+def gram_doc_freq(docs, *, n: int = 2, min_docs: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_partitions: int | None = None):
+    """Boilerplate detection: for every ``n``-gram, the number of DISTINCT
+    documents containing it, thresholded at ``min_docs`` — grams shared by
+    a large corpus fraction are navigation chrome / templates, the
+    standard pre-dedup cleanup signal.
+
+    Pre-aggregated the whole way: per-doc in-batch gram dedup (each doc
+    lives in one batch row), a per-batch pandas count collapses to ONE
+    partial row per (gram, batch), and the single gram-keyed exchange
+    moves O(distinct grams per batch) rows — never O(gram occurrences).
+    Output: ``(gram, doc_freq)`` for grams in ≥ ``min_docs`` docs."""
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        out = window_explode(batch, text_col=text_col, id_col=id_col,
+                             width=n, stride=1, full_only=True)
+        if not out.num_rows:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "doc_freq": pd.Series([], dtype=np.int64)})
+        ids = out.column(id_col).to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(out.column("gram")).combine_chunks() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _pair_distinct(ids, codes)
+        return pd.DataFrame({
+            "gram": out.column("gram").filter(pa.array(keep)).to_pandas(),
+            "doc_freq": np.ones(int(keep.sum()), dtype=np.int64),
+        })
+
+    freq = _grouped_sums(docs, ["gram"], partial, ["doc_freq"],
+                         num_partitions=num_partitions)
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "doc_freq" not in batch.column_names:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "doc_freq": pa.array([], type=pa.int64())})
+        return batch.filter(
+            pc.greater_equal(batch.column("doc_freq"), min_docs))
+
+    return freq.map_batches(threshold, batch_format="pyarrow")

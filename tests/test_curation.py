@@ -230,3 +230,25 @@ def test_mix_to_budget_rates_and_predicate(ray_session):
     )
     # the cap must genuinely bind (some source sampled below 100%)
     assert any(v < 1000 for v in rates.values())
+
+
+def test_gram_doc_freq_matches_brute(ray_session):
+    import ray.data as rd
+
+    from oma_ray.stages.curation import gram_doc_freq
+
+    rng = np.random.default_rng(23)
+    texts, ids = _corpus(rng, 60, max_len=20)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                 "text": pa.array(texts)})).repartition(5)
+    got = {r["gram"]: r["doc_freq"]
+           for r in gram_doc_freq(ds, n=2, min_docs=6,
+                                  num_partitions=4).take_all()}
+    from collections import Counter
+
+    df = Counter()
+    for t in texts:
+        toks = t.split()
+        df.update({" ".join(toks[s:s + 2]) for s in range(len(toks) - 1)})
+    want = {g: c for g, c in df.items() if c >= 6}
+    assert got == want and len(want) > 3  # threshold must actually select
