@@ -3516,6 +3516,244 @@ HAVING COUNT(*) >= (SELECT COUNT(*) FROM documents) * 7 // 100
 """
 
 
+# --- q76: host link graph from raw HTML anchors -----------------------------
+
+def q76_link_graph(sf_dir: str):
+    """Host-level web link graph: parse every ``<a href>`` target out of the
+    raw HTML (one Arrow split + anchored extract_regex per batch — no id
+    shortcut, so a parsing bug fails the value hash), pair it with the
+    page's own url host, and aggregate to (src_host, dst_host, n_links).
+    Only pre-aggregated host pairs enter the exchange; the HTML never
+    shuffles — at 10^12 pages the edge table is ~10^3×10^3 hosts, driver-
+    safe, while the extraction streams."""
+    from oma_ray.stages.links import host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    return host_link_edges(make_pages_dataset(sf_dir))
+
+
+SQL_Q76 = """
+WITH l AS (
+  SELECT doc_id, j FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j)
+SELECT 'site' || CAST(doc_id % 1000 AS VARCHAR) || '.example' AS src_host,
+       'site' || CAST((doc_id * 48271 + j) % 1000 AS VARCHAR) || '.example'
+         AS dst_host,
+       COUNT(*) AS n_links
+FROM l GROUP BY src_host, dst_host
+"""
+
+
+# --- q77: PageRank over the extracted host graph ----------------------------
+
+def q77_host_pagerank(sf_dir: str):
+    """Integer PageRank over the host graph EXTRACTED FROM HTML (q76's
+    edges, multiplicity preserved), restricted to crawled hosts (hosts
+    with ≥1 page; out-links to uncrawled hosts are dropped and out-degrees
+    counted after the drop — the standard closed-world web-graph
+    convention).  The host universe is a bounded aggregate (≤ |host
+    namespace|, here 1000), so the dense-id mapping is a legitimate
+    small-dimension driver table; the rank iterations themselves run on
+    the distributed integer kernel (stages/cc.py::pagerank_int)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.cc import pagerank_int
+    from oma_ray.stages.links import host_int, host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir)
+
+    # crawled-host universe: one grouped count over page urls (bounded)
+    def host_partial(batch: pa.Table) -> pd.DataFrame:
+        host = pc.replace_substring_regex(
+            pc.cast(batch.column("url"), pa.string()),
+            r"^https?://([^/]+)/.*$", r"\1",
+        )
+        return pd.DataFrame(
+            {"host": host.to_numpy(zero_copy_only=False),
+             "n": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    hosts_df = _grouped_sums(pages, ["host"], host_partial, ["n"]).to_pandas()
+    host_ids = np.sort(
+        host_int(pa.array(hosts_df["host"])).to_numpy(zero_copy_only=False)
+    )
+
+    # aggregated edges (with multiplicity) → dense node ids, closed world
+    edges = host_link_edges(make_pages_dataset(sf_dir)).materialize()
+
+    def densify(batch: pa.Table) -> pa.Table:
+        src_k = host_int(batch.column("src_host")).to_numpy(
+            zero_copy_only=False)
+        dst_k = host_int(batch.column("dst_host")).to_numpy(
+            zero_copy_only=False)
+        n = batch.column("n_links").to_numpy(zero_copy_only=False)
+        keep = np.isin(dst_k, host_ids)
+        src = np.searchsorted(host_ids, src_k[keep])
+        dst = np.searchsorted(host_ids, dst_k[keep])
+        # expand multiplicity: pagerank_int counts each edge row
+        reps = n[keep]
+        return pa.table(
+            {"src": pa.array(src.repeat(reps), type=pa.int64()),
+             "dst": pa.array(dst.repeat(reps), type=pa.int64())}
+        )
+
+    edge_ds = edges.map_batches(densify, batch_format="pyarrow").materialize()
+    ranks = pagerank_int(edge_ds, n_nodes=len(host_ids), iters=3)
+    node = ranks.column("node").to_numpy(zero_copy_only=False)
+    host = pc.binary_join_element_wise(
+        "site",
+        pc.cast(pa.array(host_ids[node]), pa.string()),
+        ".example", "",
+    )
+    return pa.table({"host": host, "score": ranks.column("score")})
+
+
+SQL_Q77 = """
+WITH hosts AS (SELECT DISTINCT doc_id % 1000 AS h FROM documents),
+e AS (
+  SELECT doc_id % 1000 AS src, (doc_id * 48271 + j) % 1000 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j
+    AND (doc_id * 48271 + j) % 1000 IN (SELECT h FROM hosts)),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+s0 AS (SELECT h AS node, CAST(1000000 AS BIGINT) AS score FROM hosts),
+sh0 AS (SELECT s0.node, 85 * s0.score // (100 * deg.outdeg) AS share
+        FROM s0 JOIN deg ON deg.src = s0.node),
+s1 AS (SELECT hosts.h AS node,
+              CAST(150000 + COALESCE(SUM(sh0.share), 0) AS BIGINT) AS score
+       FROM hosts LEFT JOIN e ON e.dst = hosts.h
+       LEFT JOIN sh0 ON sh0.node = e.src
+       GROUP BY hosts.h),
+sh1 AS (SELECT s1.node, 85 * s1.score // (100 * deg.outdeg) AS share
+        FROM s1 JOIN deg ON deg.src = s1.node),
+s2 AS (SELECT hosts.h AS node,
+              CAST(150000 + COALESCE(SUM(sh1.share), 0) AS BIGINT) AS score
+       FROM hosts LEFT JOIN e ON e.dst = hosts.h
+       LEFT JOIN sh1 ON sh1.node = e.src
+       GROUP BY hosts.h),
+sh2 AS (SELECT s2.node, 85 * s2.score // (100 * deg.outdeg) AS share
+        FROM s2 JOIN deg ON deg.src = s2.node)
+SELECT 'site' || CAST(hosts.h AS VARCHAR) || '.example' AS host,
+       CAST(150000 + COALESCE(SUM(sh2.share), 0) AS BIGINT) AS score
+FROM hosts LEFT JOIN e ON e.dst = hosts.h
+LEFT JOIN sh2 ON sh2.node = e.src
+GROUP BY hosts.h
+"""
+
+
+# --- q78: PII scan + redaction ----------------------------------------------
+
+def q78_pii_scan(sf_dir: str):
+    """PII compliance pass: per-doc email/phone/IP counts plus the length of
+    the redacted text — pure streaming map (fuses, never shuffles).  The
+    corpus is planted deterministically (stages/pii.py::plant_pii, formulas
+    mirrored in SQL), and the RE2 patterns are shared verbatim with the
+    oracle, so detection AND redaction must both be right to hash-match."""
+    from oma_ray.stages.pii import pii_scan, plant_pii
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(plant_pii, batch_format="pyarrow").map_batches(
+        pii_scan, batch_format="pyarrow"
+    )
+
+
+SQL_Q78 = r"""
+WITH planted AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 3 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.example now'
+      ELSE '' END ||
+    CASE WHEN doc_id % 11 = 5 THEN ' call +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      ELSE '' END ||
+    CASE WHEN doc_id % 13 = 2 THEN ' origin 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.'
+      || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+      || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+      ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t,
+    '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+  CAST(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS BIGINT)
+    AS red_len
+FROM planted
+"""
+
+
+# --- q79: near-dup clustering → canonical document --------------------------
+
+def q79_dup_clusters(sf_dir: str):
+    """Near-dup clustering end-to-end: rare shared trigrams (global
+    doc-freq ≤ 3) become chain edges, connected components merge them
+    transitively, and each clustered doc maps to its cluster's minimum id
+    (the canonical copy a dedup pass would keep).  The corpus is unioned
+    with planted near-dup copies (q27's ``text || ' zzz'`` convention,
+    id + 1,000,000) so the cluster structure is non-trivial; the oracle
+    reproduces the whole chain — gram stats, edge choice and the CC
+    min-label fixpoint — via a recursive CTE."""
+    from oma_ray.stages.curation import dup_clusters
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def with_copies(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = pa.array(ids % 5 == 0)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        copy_text = pc.binary_join_element_wise(
+            text.filter(sel), " zzz", ""
+        )
+        copies = pa.table({
+            "doc_id": pa.array(ids[ids % 5 == 0] + 1_000_000,
+                               type=pa.int64()),
+            "text": copy_text,
+        })
+        return pa.concat_tables([batch.select(["doc_id", "text"]), copies])
+
+    base = ds.map_batches(with_copies, batch_format="pyarrow")
+    return dup_clusters(base, n=3, max_df=3)
+
+
+SQL_Q79 = r"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id % 5 = 0),
+tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM base),
+series AS (SELECT generate_series AS i FROM generate_series(0, 127)),
+grams AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1 : i+3], ' ') AS g
+  FROM tok CROSS JOIN series WHERE i + 3 <= len(toks)),
+gd AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 3),
+pairs AS (SELECT g, doc_id, LEAD(doc_id) OVER (PARTITION BY g ORDER BY doc_id)
+            AS nxt
+  FROM grams WHERE g IN (SELECT g FROM gd)),
+e AS (SELECT DISTINCT doc_id AS a, nxt AS b FROM pairs WHERE nxt IS NOT NULL),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, lab) AS (
+  SELECT node, node FROM (SELECT a AS node FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
+SELECT node AS doc_id, MIN(lab) AS canon_id FROM reach GROUP BY node
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -3701,6 +3939,10 @@ QUERIES = {
     "q73_blocklist_filter": q73_blocklist_filter,
     "q74_mix_budget": q74_mix_budget,
     "q75_boilerplate": q75_boilerplate,
+    "q76_link_graph": q76_link_graph,
+    "q77_host_pagerank": q77_host_pagerank,
+    "q78_pii_scan": q78_pii_scan,
+    "q79_dup_clusters": q79_dup_clusters,
 }
 
 ORACLES = {
@@ -3772,4 +4014,8 @@ ORACLES = {
     "q73_blocklist_filter": SQL_Q73,
     "q74_mix_budget": SQL_Q74,
     "q75_boilerplate": SQL_Q75,
+    "q76_link_graph": SQL_Q76,
+    "q77_host_pagerank": SQL_Q77,
+    "q78_pii_scan": SQL_Q78,
+    "q79_dup_clusters": SQL_Q79,
 }

@@ -396,3 +396,123 @@ def gram_doc_freq(docs, *, n: int = 2, min_docs: int = 1,
             pc.greater_equal(batch.column("doc_freq"), min_docs))
 
     return freq.map_batches(threshold, batch_format="pyarrow")
+
+
+# --- near-dup clustering via rare shared n-grams ----------------------------
+
+def rare_gram_edges(docs, *, n: int = 3, max_df: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_partitions: int | None = None):
+    """Dataset[(a, b)] — chain edges between documents sharing a RARE
+    ``n``-gram (global doc-freq in [2, ``max_df``]).
+
+    Per gram, the sorted member docs are linked as a CHAIN (d1-d2, d2-d3,
+    …), not a clique — linear edge count, same connected components.  The
+    single gram-keyed exchange moves distinct (gram, doc) pairs, exactly
+    the volume ``gram_doc_freq`` already moves; boilerplate grams (the
+    skew hazard — one gram keyed to O(corpus) docs) are collapsed at
+    BATCH granularity: a gram with > ``max_df`` distinct docs inside one
+    batch is globally over the cap, so its rows are replaced by ONE
+    overflow sentinel row (doc_id = -1) and any post-exchange group
+    containing a sentinel is dropped.  Groups without sentinels carry
+    every one of their global rows, so their size IS the global doc-freq
+    — batch splits cannot make an over-cap gram look rare.  Per-key
+    exchange volume is bounded by max_df × n_batches + sentinels.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = window_explode(batch, text_col=text_col, id_col=id_col,
+                             width=n, stride=1, full_only=True)
+        empty = pa.table({"gram": pa.array([], type=pa.string()),
+                          id_col: pa.array([], type=pa.int64())})
+        if not out.num_rows:
+            return empty
+        ids = out.column(id_col).to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(out.column("gram")).combine_chunks() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _pair_distinct(ids, codes)
+        ids, codes = ids[keep], codes[keep]
+        gram = out.column("gram").filter(pa.array(keep))
+        # batch-local overflow collapse (see docstring): over-cap grams
+        # shrink to one sentinel row so the exchange stays skew-bounded
+        # while post-exchange group sizes remain exact for rare grams
+        df_local = np.bincount(codes, minlength=int(codes.max()) + 1)
+        over = df_local[codes] > max_df
+        ok = ~over
+        if isinstance(gram, pa.ChunkedArray):
+            gram = gram.combine_chunks()
+        n_over = int(np.count_nonzero(np.unique(codes[over]) >= 0)) \
+            if over.any() else 0
+        if n_over:
+            first_over = _segment_first(codes, ids) & over
+            gram = pa.concat_arrays(
+                [gram.filter(pa.array(ok)),
+                 gram.filter(pa.array(first_over))]
+            )
+            ids = np.concatenate(
+                [ids[ok], np.full(n_over, -1, dtype=np.int64)]
+            )
+        else:
+            gram = gram.filter(pa.array(ok))
+            ids = ids[ok]
+        return pa.table({"gram": gram,
+                         id_col: pa.array(ids, type=pa.int64())})
+
+    def edges_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if not batch.num_rows or "gram" not in batch.column_names:
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(batch.column("gram")).combine_chunks() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        c, d = codes[order], ids[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(c)))
+        # a sentinel (-1 sorts first in its group) marks an over-cap gram
+        keep_group = (sizes >= 2) & (sizes <= max_df) & (d[starts] != -1)
+        in_kept = np.repeat(keep_group, sizes)
+        link = (~new[1:]) & in_kept[1:]
+        a, b = d[:-1][link], d[1:][link]
+        keep = _pair_distinct(a, b)
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64())})
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["gram"])
+        .map_batches(edges_block, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, pa.table({
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+    }))
+
+
+def dup_clusters(docs, *, n: int = 3, max_df: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 num_partitions: int | None = None):
+    """(doc_id, canon_id) for every document in a near-dup cluster —
+    rare-shared-``n``-gram edges → connected components → canonical id =
+    the cluster's minimum doc id (stages/cc.py min-label convention, so
+    the DuckDB recursive-CTE oracle reproduces it exactly)."""
+    from oma_ray.stages.cc import connected_components
+
+    edges = rare_gram_edges(docs, n=n, max_df=max_df, id_col=id_col,
+                            text_col=text_col, num_partitions=num_partitions)
+    comp = connected_components(edges, "a", "b",
+                                num_partitions=num_partitions)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "canon_id"])
+
+    return comp.map_batches(rename, batch_format="pyarrow")

@@ -42,6 +42,7 @@ from oma_ray import WORLD
 # lat      = hot ? center_lat[hot_ix] + off_lat : base_lat
 # has_geo  = (id % 23) != 0
 # ts       = epoch 2024-01-01 + (id * 7919) % 63072000 seconds  (2 years)
+# n_links  = id % 4; outlink j (1..n_links) → host (id * 48271 + j) % 1000
 
 HOT_LON = np.array([-739_800_000, -1_200_000, 1_397_000_000], dtype=np.int64)
 HOT_LAT = np.array([407_500_000, 515_000_000, 356_900_000], dtype=np.int64)
@@ -153,9 +154,22 @@ def synth_pages_batch(batch: pa.Table, *, replicate: int = 1) -> pa.Table:
     )
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+
+    # outlinks (host link graph fixture; mirrored in SQL_Q76/SQL_Q77):
+    #   n_links = id % 4;  link j (1-based, j <= n_links) targets host
+    #   (id * 48271 + j) % 1000 — same host namespace as `urls` above
+    def anchor(j: int) -> pa.Array:
+        k = pa.array((page_id * 48271 + j) % 1000)
+        a = pc.binary_join_element_wise(
+            '<a href="https://site', pc.cast(k, pa.string()),
+            '.example/p/x">l</a>', "",
+        )
+        return pc.if_else(pa.array(page_id % 4 >= j), a, "")
+
+    links = pc.binary_join_element_wise(anchor(1), anchor(2), anchor(3), "")
     html = pc.binary_join_element_wise(
         "<html><head>", geo_meta, "<title>p", ids_str,
-        "</title></head><body>", text, "</body></html>", "",
+        "</title></head><body>", links, text, "</body></html>", "",
     )
 
     return pa.table(
