@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q55_pip_districts",
     "q64_host_stats",
     "q70_decontaminate",
+    "q76_link_graph",
+    "q78_pii_scan",
 ]
 
 

@@ -3754,6 +3754,156 @@ SELECT node AS doc_id, MIN(lab) AS canon_id FROM reach GROUP BY node
 """
 
 
+# --- q80: byte-identical text extraction (the north-star invariant) ---------
+
+def q80_extract_text(sf_dir: str):
+    """The per-row invariant as a query: extract the document text back OUT
+    of the raw HTML (strip head, anchor chrome, close tags — three chained
+    RE2 kernels, stages/extract.py) and verify byte-identity against the
+    ``text`` column.  The oracle pins every match flag to 1 and every
+    length to ``length(text)``, so any extraction or synthesis drift fails
+    the value hash."""
+    from oma_ray.stages.extract import verify_extraction
+    from oma_ray.synth import make_pages_dataset
+
+    return make_pages_dataset(sf_dir).map_batches(
+        verify_extraction, batch_format="pyarrow"
+    )
+
+
+SQL_Q80 = """
+SELECT doc_id AS page_id, CAST(length(text) AS BIGINT) AS extracted_len,
+       CAST(1 AS BIGINT) AS matches
+FROM documents
+"""
+
+
+# --- q81: crawl-snapshot delta ----------------------------------------------
+
+def q81_crawl_delta(sf_dir: str):
+    """Incremental re-crawl diff: two crawl snapshots full-outer-joined on
+    url, every url classified added / removed / changed / unchanged, then
+    rolled up per host.  Snapshot B is a deterministic mutation of A
+    (id%9==0 gone, id%6==0 edited ``text || ' v2'``, id%8==0 re-crawled
+    under id+2,000,000 — formulas mirrored in SQL).  Shape: ONE url-keyed
+    exchange co-locates each url's ≤2 sides, the classification is a
+    block-local lexsort kernel emitting per-host PARTIAL counters, and a
+    second (tiny — O(hosts)) keyed exchange combines them.  Content
+    comparison is by value here; at 10^12 urls the same pipeline runs on
+    digests (stages/textstage.Md5Hash) so text never shuffles."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def snapshots(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # A: every doc as-is
+        a_ids, a_text = ids, text
+        # B: drop id%9==0, edit id%6==0, add id%8==0 under id+2e6
+        keep = ids % 9 != 0
+        b_text = pc.if_else(
+            pa.array(ids % 6 == 0),
+            pc.binary_join_element_wise(text, " v2", ""), text
+        ).filter(pa.array(keep))
+        b_ids = ids[keep]
+        addm = ids % 8 == 0
+        n_ids = ids[addm] + 2_000_000
+        n_text = text.filter(pa.array(addm))
+
+        def rows(i, t, side):
+            url = pc.binary_join_element_wise(
+                "https://site", pc.cast(pa.array(i % 1000), pa.string()),
+                ".example/p/", pc.cast(pa.array(i), pa.string()), "",
+            )
+            return pa.table({
+                "url": url, "text": t,
+                "side": pa.array(np.full(len(i), side, dtype=np.int8)),
+            })
+
+        return pa.concat_tables([
+            rows(a_ids, a_text, 0), rows(b_ids, b_text, 1),
+            rows(n_ids, n_text, 1),
+        ])
+
+    def classify(batch: pa.Table) -> pd.DataFrame:
+        cols = ["host", "n_added", "n_removed", "n_changed", "n_unchanged"]
+        if not batch.num_rows or "url" not in batch.column_names:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=object if c == "host" else np.int64)
+                for c in cols})
+        url = batch.column("url")
+        codes = pc.dictionary_encode(url).combine_chunks() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, codes))
+        c, s = codes[order], side[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(c)))
+        both = sizes == 2
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t_sorted = text.take(pa.array(order))
+        ia, ib = starts[both], starts[both] + 1
+        changed = np.zeros(len(starts), dtype=bool)
+        if both.any():
+            eq = pc.equal(t_sorted.take(pa.array(ia)),
+                          t_sorted.take(pa.array(ib))).to_numpy(
+                              zero_copy_only=False)
+            changed[both] = ~eq
+        only = sizes == 1
+        added = only & (s[starts] == 1)
+        removed = only & (s[starts] == 0)
+        unchanged = both & ~changed
+        host = pc.replace_substring_regex(
+            pc.cast(url, pa.string()), r"^https?://([^/]+)/.*$", r"\1"
+        ).take(pa.array(order[starts])).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "host": host,
+            "n_added": added.astype(np.int64),
+            "n_removed": removed.astype(np.int64),
+            "n_changed": changed.astype(np.int64),
+            "n_unchanged": unchanged.astype(np.int64),
+        })
+
+    tagged = ds.map_batches(snapshots, batch_format="pyarrow")
+    co = tagged.repartition(default_partitions(), keys=["url"])
+    return _grouped_sums(
+        co, ["host"], classify,
+        ["n_added", "n_removed", "n_changed", "n_unchanged"],
+    )
+
+
+SQL_Q81 = """
+WITH a AS (SELECT doc_id AS id, text FROM documents),
+b AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 6 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 9 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 0),
+j AS (SELECT COALESCE(a.id, b.id) AS id, a.text AS ta, b.text AS tb
+      FROM a FULL OUTER JOIN b ON a.id = b.id)
+SELECT 'site' || CAST(id % 1000 AS VARCHAR) || '.example' AS host,
+  CAST(SUM(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN tb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta <> tb
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN ta = tb THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY host
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -3943,6 +4093,8 @@ QUERIES = {
     "q77_host_pagerank": q77_host_pagerank,
     "q78_pii_scan": q78_pii_scan,
     "q79_dup_clusters": q79_dup_clusters,
+    "q80_extract_text": q80_extract_text,
+    "q81_crawl_delta": q81_crawl_delta,
 }
 
 ORACLES = {
@@ -4018,4 +4170,6 @@ ORACLES = {
     "q77_host_pagerank": SQL_Q77,
     "q78_pii_scan": SQL_Q78,
     "q79_dup_clusters": SQL_Q79,
+    "q80_extract_text": SQL_Q80,
+    "q81_crawl_delta": SQL_Q81,
 }
