@@ -3904,6 +3904,135 @@ FROM j GROUP BY host
 """
 
 
+# --- q82: URL canonicalization ----------------------------------------------
+
+def q82_url_canon(sf_dir: str):
+    """Crawl-frontier URL canonicalization: messy URL variants (uppercased
+    scheme+host, explicit :443, tracking params, fragments, trailing
+    slashes — planted by integer formula) normalized by the Arrow rewrite
+    chain in stages/links.py.  The oracle states the EXPECTED canonical
+    string directly, so every rewrite rule is value-checked.  Pure fused
+    map — zero exchange."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.links import canonicalize_urls
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        k_s = pc.cast(pa.array(ids % 1000), pa.string())
+        id_s = pc.cast(pa.array(ids), pa.string())
+        base = pc.binary_join_element_wise(
+            "https://site", k_s, ".example/p/", id_s, "")
+        upper = pc.binary_join_element_wise(
+            "HTTPS://SITE", k_s, ".EXAMPLE/p/", id_s, "")
+        tracked = pc.binary_join_element_wise(
+            "https://site", k_s, ".example:443/p/", id_s,
+            "?a=1&utm_source=x&ref=feed#frag", "")
+        slashed = pc.binary_join_element_wise(base, "/", "")
+        m = ids % 4
+        url = pc.if_else(pa.array(m == 1), upper,
+              pc.if_else(pa.array(m == 2), tracked,
+              pc.if_else(pa.array(m == 3), slashed, base)))
+        return pa.table({"doc_id": batch.column("doc_id"), "url": url})
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "canon_url": canonicalize_urls(batch.column("url")),
+        })
+
+    return ds.map_batches(messy, batch_format="pyarrow").map_batches(
+        canon, batch_format="pyarrow")
+
+
+SQL_Q82 = """
+SELECT doc_id,
+  'https://site' || CAST(doc_id % 1000 AS VARCHAR) || '.example/p/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 4 = 2 THEN '?a=1' ELSE '' END AS canon_url
+FROM documents
+"""
+
+
+# --- q83: token-budget sequence packing -------------------------------------
+
+def q83_seq_pack(sf_dir: str, budget: int = 128):
+    """Pretraining sequence packing: documents concatenate per source in
+    doc_id order into fixed ``budget``-token sequences (docs may straddle
+    boundaries — the standard packed-pretraining layout); each doc maps to
+    the sequence its first token lands in.  ONE source-keyed exchange,
+    then the whole assignment is a block-local lexsort + grouped exclusive
+    cumsum — a source's docs never span blocks, so local == global (the
+    q37 window contract).  Token counts use the corpus-wide BPE-ish regex
+    (q10's convention)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.functions.text import token_counts
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+
+    def counted(batch: pa.Table) -> pa.Table:
+        n = token_counts(batch.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tok": pa.array(n, type=pa.int64()),
+        })
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "source" not in batch.column_names:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "source": pa.array([], type=pa.string()),
+                "n_tok": pa.array([], type=pa.int64()),
+                "seq_id": pa.array([], type=pa.int64()),
+            })
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(batch.column("source")) \
+            .combine_chunks().indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        c, nn = codes[order], n[order]
+        cum = np.cumsum(nn) - nn
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        # per-source exclusive cumsum: subtract the running total at the
+        # source boundary (vectorized segment reset)
+        cum = cum - np.repeat(cum[starts], np.diff(np.append(starts, len(c))))
+        seq = cum // budget
+        out = np.empty(len(c), dtype=np.int64)
+        out[order] = seq
+        return batch.append_column("seq_id", pa.array(out, type=pa.int64()))
+
+    return (
+        ds.map_batches(counted, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["source"])
+        .map_batches(pack, batch_format="pyarrow")
+    )
+
+
+SQL_Q83 = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+         AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, source, n_tok,
+  CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 128
+       AS BIGINT) AS seq_id
+FROM t
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4095,6 +4224,8 @@ QUERIES = {
     "q79_dup_clusters": q79_dup_clusters,
     "q80_extract_text": q80_extract_text,
     "q81_crawl_delta": q81_crawl_delta,
+    "q82_url_canon": q82_url_canon,
+    "q83_seq_pack": q83_seq_pack,
 }
 
 ORACLES = {
@@ -4172,4 +4303,6 @@ ORACLES = {
     "q79_dup_clusters": SQL_Q79,
     "q80_extract_text": SQL_Q80,
     "q81_crawl_delta": SQL_Q81,
+    "q82_url_canon": SQL_Q82,
+    "q83_seq_pack": SQL_Q83,
 }

