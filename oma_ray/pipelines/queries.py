@@ -4033,6 +4033,74 @@ FROM t
 """
 
 
+# --- q84: exact triangle counting on the host graph -------------------------
+
+def q84_triangles(sf_dir: str):
+    """Exact triangle count of the EXTRACTED host link graph (q76's edges,
+    undirected simple graph) via the degree-oriented wedge algorithm —
+    wedges generated only among each pivot's higher-(degree,id) neighbors
+    bound total work at O(m^1.5) under hub skew (stages/graph.py).  All
+    steps are keyed exchanges + block kernels; nothing graph-sized touches
+    the driver."""
+    from oma_ray.stages.graph import host_edge_ints, triangle_count
+    from oma_ray.stages.links import host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    edges = host_edge_ints(host_link_edges(make_pages_dataset(sf_dir)))
+    return triangle_count(edges)
+
+
+SQL_Q84 = """
+WITH e0 AS (
+  SELECT DISTINCT doc_id % 1000 AS src, (doc_id * 48271 + j) % 1000 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j AND doc_id % 1000 <> (doc_id * 48271 + j) % 1000),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM adj GROUP BY u),
+hi AS (
+  SELECT adj.u, adj.v FROM adj
+  JOIN deg du ON du.node = adj.u JOIN deg dv ON dv.node = adj.v
+  WHERE dv.d > du.d OR (dv.d = du.d AND adj.v > adj.u)),
+wed AS (
+  SELECT h1.u, h1.v AS x, h2.v AS y
+  FROM hi h1 JOIN hi h2 ON h2.u = h1.u AND h2.v > h1.v)
+SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*) FROM wed) AS BIGINT) AS n_wedges,
+  CAST((SELECT COUNT(*)
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT) AS n_triangles
+"""
+
+
+# --- q85: edge reciprocity of the host graph --------------------------------
+
+def q85_reciprocity(sf_dir: str):
+    """Reciprocity of the extracted host graph: distinct directed edges and
+    the unordered pairs linked in BOTH directions — one unordered-pair-
+    keyed exchange, each pair's ≤2 directions decided in one block."""
+    from oma_ray.stages.graph import host_edge_ints, reciprocity
+    from oma_ray.stages.links import host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    edges = host_edge_ints(host_link_edges(make_pages_dataset(sf_dir)))
+    return reciprocity(edges)
+
+
+SQL_Q85 = """
+WITH e0 AS (
+  SELECT DISTINCT doc_id % 1000 AS src, (doc_id * 48271 + j) % 1000 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j AND doc_id % 1000 <> (doc_id * 48271 + j) % 1000)
+SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_directed,
+  CAST((SELECT COUNT(*) FROM e0 x JOIN e0 y
+        ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst) AS BIGINT)
+    AS n_mutual
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4226,6 +4294,8 @@ QUERIES = {
     "q81_crawl_delta": q81_crawl_delta,
     "q82_url_canon": q82_url_canon,
     "q83_seq_pack": q83_seq_pack,
+    "q84_triangles": q84_triangles,
+    "q85_reciprocity": q85_reciprocity,
 }
 
 ORACLES = {
@@ -4305,4 +4375,6 @@ ORACLES = {
     "q81_crawl_delta": SQL_Q81,
     "q82_url_canon": SQL_Q82,
     "q83_seq_pack": SQL_Q83,
+    "q84_triangles": SQL_Q84,
+    "q85_reciprocity": SQL_Q85,
 }

@@ -1,0 +1,306 @@
+"""Distributed graph analytics over extracted edge tables (host link graph).
+
+Complements ``stages/cc.py`` (components, PageRank) with the two classic
+edge-shape statistics a web-graph pipeline reports: exact triangle counting
+and edge reciprocity.
+
+Triangle counting uses the standard degree-oriented wedge algorithm
+(MapReduce "node-iterator++"): orient every undirected edge from its
+lower-(degree, id) endpoint to the higher one, generate wedges only among a
+pivot's HIGHER-ordered neighbors, and close them against the edge set.
+Degree orientation bounds total wedge work at O(m^1.5) regardless of hub
+skew — an id-only orientation would let one 10^6-degree hub emit 10^12
+wedges.  Every step is a keyed exchange + block-local vectorized kernel:
+
+1. symmetric adjacency → per-endpoint degree (one grouped sum),
+2. degree attach to the non-pivot endpoint (one tagged-union exchange),
+3. wedge generation grouped by pivot (pivot degree = its group size —
+   free), pairs via ``np.triu_indices`` segments,
+4. wedge ∈ edge-set membership by lexsort group boundaries (no composite
+   int key — ids stay raw int64, the 10^12-id convention).
+
+No driver-side state anywhere; every intermediate is a Dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _empty(schema: dict[str, pa.DataType]) -> pa.Table:
+    return pa.table({k: pa.array([], type=v) for k, v in schema.items()})
+
+
+def host_edge_ints(edges, src_col: str = "src_host",
+                   dst_col: str = "dst_host"):
+    """(src, dst) int64 rows from a host-pair table (self-loops dropped,
+    multiplicity collapsed per batch; global dedup happens at the first
+    keyed exchange of whichever consumer runs next)."""
+    from oma_ray.stages.links import host_int
+
+    def ints(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _empty({"src": pa.int64(), "dst": pa.int64()})
+        s = host_int(batch.column(src_col)).to_numpy(zero_copy_only=False)
+        d = host_int(batch.column(dst_col)).to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], type=pa.int64()),
+                         "dst": pa.array(d[keep], type=pa.int64())})
+
+    return edges.map_batches(ints, batch_format="pyarrow")
+
+
+def _und_distinct(edges, num_partitions: int):
+    """Globally-distinct undirected (a<b) edges via one keyed exchange."""
+    from oma_ray.stages.curation import _pair_distinct
+    from oma_ray.stages.dedup import _schema_anchor
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "src" not in batch.column_names:
+            return _empty({"a": pa.int64(), "b": pa.int64()})
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        nl = s != d  # simple graph: self-loops out
+        s, d = s[nl], d[nl]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        keep = _pair_distinct(a, b)
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64())})
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return _empty({"a": pa.int64(), "b": pa.int64()})
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = _pair_distinct(a, b)
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64())})
+
+    out = (
+        edges.map_batches(fold, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["a", "b"])
+        .map_batches(dedup, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, _empty({"a": pa.int64(), "b": pa.int64()}))
+
+
+def triangle_count(edges, num_partitions: int | None = None) -> pa.Table:
+    """Exact triangle count of the undirected simple graph underlying the
+    (src, dst) edge Dataset.  Returns a 1-row table
+    ``(n_edges, n_wedges, n_triangles)``."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 2)
+
+    und = _und_distinct(edges, num_partitions).materialize()
+    n_edges = und.count()
+
+    # 1. degrees over the symmetric adjacency
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "deg": np.ones(2 * len(a), dtype=np.int64)})
+
+    deg = _grouped_sums(und, ["node"], deg_partial, ["deg"], num_partitions)
+
+    # 2. attach deg(v) to adjacency rows keyed by v (tagged union exchange)
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return _empty({"u": pa.int64(), "v": pa.int64(),
+                           "deg": pa.int64()})
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "deg": pa.array(np.full(2 * len(a), -1, dtype=np.int64)),
+        })
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "node" not in batch.column_names:
+            return _empty({"u": pa.int64(), "v": pa.int64(),
+                           "deg": pa.int64()})
+        return pa.table({
+            "u": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            "v": batch.column("node"),
+            "deg": batch.column("deg"),
+        })
+
+    tagged = und.map_batches(adj_rows, batch_format="pyarrow").union(
+        deg.map_batches(deg_rows, batch_format="pyarrow")
+    ).repartition(num_partitions, keys=["v"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        out_schema = {"u": pa.int64(), "v": pa.int64(), "deg_v": pa.int64()}
+        if not batch.num_rows or "v" not in batch.column_names:
+            return _empty(out_schema)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        dg = batch.column("deg").to_numpy(zero_copy_only=False)
+        is_deg = u == -1
+        # map v -> deg via sorted lookup over this block's deg rows (every
+        # row with key v is in this block, including its deg row)
+        dv, dd = v[is_deg], dg[is_deg]
+        o = np.argsort(dv, kind="stable")
+        dv, dd = dv[o], dd[o]
+        adj = ~is_deg
+        pos = np.searchsorted(dv, v[adj])
+        return pa.table({
+            "u": pa.array(u[adj], type=pa.int64()),
+            "v": pa.array(v[adj], type=pa.int64()),
+            "deg_v": pa.array(dd[pos], type=pa.int64()),
+        })
+
+    adj_degv = tagged.map_batches(attach, batch_format="pyarrow")
+
+    # 3. wedges among each pivot's higher-(deg, id) neighbors
+    def wedges_block(batch: pa.Table) -> pa.Table:
+        out_schema = {"a": pa.int64(), "b": pa.int64(),
+                      "tag": pa.int64()}
+        if not batch.num_rows or "u" not in batch.column_names:
+            return _empty(out_schema)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, dv, u))  # group by u, neighbors by (deg, id)
+        su, sv, sdv = u[order], v[order], dv[order]
+        new = np.ones(len(su), dtype=bool)
+        new[1:] = su[1:] != su[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(su)))
+        deg_u = np.repeat(sizes, sizes)  # pivot degree = group size
+        higher = (sdv > deg_u) | ((sdv == deg_u) & (sv > su))
+        # re-segment the kept (higher-ordered) neighbors per pivot
+        kept_per_grp = np.add.reduceat(higher.astype(np.int64), starts)
+        kv = sv[higher]
+        ks = np.concatenate([[0], np.cumsum(kept_per_grp)[:-1]])
+        from oma_ray.stages.dedup import pair_indices
+
+        ia, ib = pair_indices(
+            [(int(s), int(s + c)) for s, c in zip(ks, kept_per_grp) if c >= 2]
+        )
+        if not len(ia):
+            return _empty(out_schema)
+        x, y = kv[ia], kv[ib]
+        return pa.table({
+            "a": pa.array(np.minimum(x, y), type=pa.int64()),
+            "b": pa.array(np.maximum(x, y), type=pa.int64()),
+            "tag": pa.array(np.ones(len(x), dtype=np.int64)),
+        })
+
+    wedges = adj_degv.repartition(num_partitions, keys=["u"]).map_batches(
+        wedges_block, batch_format="pyarrow"
+    )
+
+    # 4. close wedges against the edge set (tagged union, one exchange)
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return _empty({"a": pa.int64(), "b": pa.int64(),
+                           "tag": pa.int64()})
+        return batch.append_column(
+            "tag", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    def close_block(batch: pa.Table) -> pd.DataFrame:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return pd.DataFrame({"k": np.array([0], dtype=np.int64),
+                                 "n_wedges": np.array([0], dtype=np.int64),
+                                 "n_triangles": np.array([0], dtype=np.int64)})
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        t = batch.column("tag").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, b, a))  # edges (tag 0) first within a pair
+        sa, sb, st = a[order], b[order], t[order]
+        new = np.ones(len(sa), dtype=bool)
+        new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(sa)))
+        has_edge = st[starts] == 0
+        wedge_rows = sizes - has_edge.astype(np.int64)
+        tri = int((wedge_rows * has_edge).sum())
+        return pd.DataFrame({"k": np.array([0], dtype=np.int64),
+                             "n_wedges": np.array([int(st.sum())],
+                                                  dtype=np.int64),
+                             "n_triangles": np.array([tri], dtype=np.int64)})
+
+    closed = _grouped_sums(
+        und.map_batches(edge_tag, batch_format="pyarrow").union(wedges)
+        .repartition(num_partitions, keys=["a", "b"]),
+        ["k"], close_block, ["n_wedges", "n_triangles"], 1,
+    ).to_pandas()
+    n_w = int(closed["n_wedges"].sum()) if len(closed) else 0
+    n_t = int(closed["n_triangles"].sum()) if len(closed) else 0
+    return pa.table({
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_wedges": pa.array([n_w], type=pa.int64()),
+        "n_triangles": pa.array([n_t], type=pa.int64()),
+    })
+
+
+def reciprocity(edges, num_partitions: int | None = None) -> pa.Table:
+    """1-row table ``(n_directed, n_mutual)`` — distinct directed edges
+    (self-loops excluded) and unordered pairs linked in BOTH directions.
+    One unordered-pair-keyed exchange; each pair's ≤2 directions land in
+    one block."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.curation import _pair_distinct
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 2)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        schema = {"a": pa.int64(), "b": pa.int64(), "fwd": pa.int64()}
+        if not batch.num_rows or "src" not in batch.column_names:
+            return _empty(schema)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        nl = s != d  # self-loops out
+        s, d = s[nl], d[nl]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        fwd = (s < d).astype(np.int64)
+        keep = _pair_distinct(a, b * 2 + fwd)
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(b[keep], type=pa.int64()),
+                         "fwd": pa.array(fwd[keep], type=pa.int64())})
+
+    def count_block(batch: pa.Table) -> pd.DataFrame:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return pd.DataFrame({"k": np.array([0], dtype=np.int64),
+                                 "n_directed": np.array([0], dtype=np.int64),
+                                 "n_mutual": np.array([0], dtype=np.int64)})
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        f = batch.column("fwd").to_numpy(zero_copy_only=False)
+        keep = _pair_distinct(a, b * 2 + f)  # global dedup after exchange
+        a, b, f = a[keep], b[keep], f[keep]
+        order = np.lexsort((f, b, a))
+        sa, sb = a[order], b[order]
+        new = np.ones(len(sa), dtype=bool)
+        new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(sa)))
+        return pd.DataFrame({
+            "k": np.array([0], dtype=np.int64),
+            "n_directed": np.array([len(sa)], dtype=np.int64),
+            "n_mutual": np.array([int((sizes == 2).sum())], dtype=np.int64),
+        })
+
+    out = _grouped_sums(
+        edges.map_batches(fold, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["a", "b"]),
+        ["k"], count_block, ["n_directed", "n_mutual"], 1,
+    ).to_pandas()
+    nd = int(out["n_directed"].sum()) if len(out) else 0
+    nm = int(out["n_mutual"].sum()) if len(out) else 0
+    return pa.table({"n_directed": pa.array([nd], type=pa.int64()),
+                     "n_mutual": pa.array([nm], type=pa.int64())})
