@@ -4101,6 +4101,190 @@ SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_directed,
 """
 
 
+# --- q86: MIME sniffing on the binary payload -------------------------------
+
+def q86_mime_sniff(sf_dir: str):
+    """Content-type detection by MAGIC BYTES on the binary payload column —
+    the filter every crawl pipeline runs before text extraction (PDFs,
+    images and other non-HTML bytes masquerade under text/html headers).
+    The fixture swaps the payload of some pages for %PDF / \\x89PNG stubs
+    by integer formula; detection reads the BYTES (``binary_slice``
+    prefix compare — no id shortcut, html detected by its own magic, not
+    by elimination), then one host-keyed exchange sums per-(host, mime)
+    counts.  Pure Arrow; the payload never shuffles."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    pages = make_pages_dataset(sf_dir)
+
+    def swap_payload(batch: pa.Table) -> pa.Table:
+        # fixture: id%23==1 → PDF stub, id%23==2 → PNG stub (mirrored in SQL)
+        ids = batch.column("page_id").to_numpy(zero_copy_only=False)
+        # NB: stubs are built in BINARY space — a "\\x89" in a str literal
+        # would UTF-8-encode to TWO bytes and corrupt the PNG magic
+        ids_b = pc.cast(pc.cast(pa.array(ids), pa.string()), pa.binary())
+        pdf = pc.binary_join_element_wise(
+            pa.scalar(b"%PDF-1.7 stub ", type=pa.binary()), ids_b,
+            pa.scalar(b"", type=pa.binary()))
+        png = pc.binary_join_element_wise(
+            pa.scalar(b"\x89PNG\r\n stub ", type=pa.binary()), ids_b,
+            pa.scalar(b"", type=pa.binary()))
+        html = batch.column("html")
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        html = pc.cast(html, pa.binary())
+        m = ids % 23
+        payload = pc.if_else(pa.array(m == 1), pdf,
+                  pc.if_else(pa.array(m == 2), png, html))
+        return batch.set_column(
+            batch.schema.get_field_index("html"), "html", payload,
+        )
+
+    def sniff(batch: pa.Table) -> pd.DataFrame:
+        payload = batch.column("html")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        head = pc.binary_slice(payload, 0, 5)
+        mime = np.full(len(batch), "application/octet-stream", dtype=object)
+        mime[pc.equal(head, b"%PDF-").to_numpy(zero_copy_only=False)] = \
+            "application/pdf"
+        mime[pc.equal(pc.binary_slice(payload, 0, 4), b"\x89PNG")
+             .to_numpy(zero_copy_only=False)] = "image/png"
+        mime[pc.equal(pc.binary_slice(payload, 0, 6), b"<html>")
+             .to_numpy(zero_copy_only=False)] = "text/html"
+        host = pc.replace_substring_regex(
+            pc.cast(batch.column("url"), pa.string()),
+            r"^https?://([^/]+)/.*$", r"\1",
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "host": host, "mime": mime,
+            "n": np.ones(len(batch), dtype=np.int64),
+        })
+
+    return _grouped_sums(
+        pages.map_batches(swap_payload, batch_format="pyarrow"),
+        ["host", "mime"], sniff, ["n"],
+    )
+
+
+SQL_Q86 = """
+SELECT 'site' || CAST(doc_id % 1000 AS VARCHAR) || '.example' AS host,
+       CASE doc_id % 23 WHEN 1 THEN 'application/pdf'
+            WHEN 2 THEN 'image/png' ELSE 'text/html' END AS mime,
+       COUNT(*) AS n
+FROM documents GROUP BY host, mime
+"""
+
+
+# --- q87: corpus-LM surprisal scoring ---------------------------------------
+
+def q87_surprisal(sf_dir: str):
+    """Language-model-style quality scoring with a unigram LM trained on
+    the corpus ITSELF: per doc, ``surprisal = Σ_tokens (blen(N) −
+    blen(cnt(token)))`` where ``blen`` is integer bit-length (an exact
+    ⌈log2⌉ surrogate — the float-free stand-in for cross-entropy, so the
+    DuckDB oracle matches bit-for-bit via ``length(bin(x))``).  Shape is
+    q35's: one term-keyed tagged-union exchange co-locates each term's
+    global count with its (doc, tf) rows (attach free in-block), then a
+    doc-keyed exchange sums per-doc partials.  ``blen`` is exact for
+    counts < 2^53 (np.frexp on exactly-represented ints) — 5×10^14 token
+    occurrences at the 10^12-doc scale stays under it."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def tok_frame(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        return pd.DataFrame({
+            "term": flat[keep],
+            "doc": batch.column("doc_id").to_numpy(
+                zero_copy_only=False)[parent[keep]],
+        })
+
+    # total token occurrences N (one streaming count, driver scalar)
+    n_total = int(
+        ds.map_batches(
+            lambda b: pa.table({"n": pa.array(
+                [len(tok_frame(b))], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    blen_n = int(n_total).bit_length()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = tok_frame(batch)
+        tf = df.groupby(["term", "doc"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        tf["kind"] = np.int8(0)
+        gc = df.groupby("term", as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        gc["doc"] = np.int64(-1)
+        gc["kind"] = np.int8(1)
+        out = pd.concat([tf, gc], ignore_index=True)[
+            ["term", "doc", "cnt", "kind"]]
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def _blen(x: np.ndarray) -> np.ndarray:
+        # exact bit length for positive ints < 2^53
+        _, e = np.frexp(x.astype(np.float64))
+        return e.astype(np.int64)
+
+    def attach(batch: pa.Table) -> pd.DataFrame:
+        if not batch.num_rows or "term" not in batch.column_names:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tok": pd.Series([], dtype=np.int64),
+                "surprisal": pd.Series([], dtype=np.int64)})
+        df = batch.to_pandas()
+        cnt = df[df["kind"] == 1].groupby("term")["cnt"].sum()
+        tf = df[df["kind"] == 0]
+        gb = tf["term"].map(cnt).to_numpy(dtype=np.int64)
+        per = tf["cnt"].to_numpy(dtype=np.int64)
+        s = per * (blen_n - _blen(gb))
+        return pd.DataFrame({
+            "doc_id": tf["doc"].to_numpy(dtype=np.int64),
+            "n_tok": per, "surprisal": s,
+        }, copy=False)
+
+    co = ds.map_batches(partials, batch_format="pyarrow").repartition(
+        default_partitions(), keys=["term"])
+    return _grouped_sums(co, ["doc_id"], attach, ["n_tok", "surprisal"])
+
+
+SQL_Q87 = """
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+tok AS (SELECT doc_id, term FROM tok0 WHERE term <> ''),
+cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+n AS (SELECT length(bin(COUNT(*))) AS blen_n FROM tok)
+SELECT tok.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tok,
+  CAST(SUM((SELECT blen_n FROM n) - length(bin(cnt.c))) AS BIGINT)
+    AS surprisal
+FROM tok JOIN cnt USING (term)
+GROUP BY tok.doc_id
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4296,6 +4480,8 @@ QUERIES = {
     "q83_seq_pack": q83_seq_pack,
     "q84_triangles": q84_triangles,
     "q85_reciprocity": q85_reciprocity,
+    "q86_mime_sniff": q86_mime_sniff,
+    "q87_surprisal": q87_surprisal,
 }
 
 ORACLES = {
@@ -4377,4 +4563,6 @@ ORACLES = {
     "q83_seq_pack": SQL_Q83,
     "q84_triangles": SQL_Q84,
     "q85_reciprocity": SQL_Q85,
+    "q86_mime_sniff": SQL_Q86,
+    "q87_surprisal": SQL_Q87,
 }
