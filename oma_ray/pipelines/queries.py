@@ -4285,6 +4285,86 @@ GROUP BY tok.doc_id
 """
 
 
+# --- q88: Gopher-style quality-rule gate ------------------------------------
+
+def q88_gopher_rules(sf_dir: str):
+    """The Gopher/C4-style quality-rule battery as per-doc 0/1 flags, all
+    ratio thresholds rewritten as INTEGER cross-multiplications so engine
+    and oracle agree bit-for-bit (no float division anywhere):
+
+      r_words:  50 ≤ n_words ≤ 100000
+      r_meanlen: 3·n_words ≤ n_word_chars ≤ 10·n_words  (mean word length)
+      r_symbol: 10·n_hash ≤ n_words                     (symbol ratio ≤ 0.1)
+      r_stop:   50·n_stop ≥ n_words                     (stopword share ≥ 2%)
+
+    Pure fused map over one batch pass of RE2 counting kernels — the
+    classic pre-training filter runs at full stream rate with zero
+    exchange."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+
+        def cnt(pat: str) -> np.ndarray:
+            return pc.count_substring_regex(t, pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        n_words = cnt(r"\S+")
+        n_ws = cnt(r"\s")
+        n_chars = pc.utf8_length(t).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_word_chars = n_chars - n_ws
+        n_hash = cnt(r"[#…]")
+        n_stop = pc.count_substring_regex(
+            pc.utf8_lower(t), r"\b(the|of|and|to|in)\b"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        r_words = ((n_words >= 50) & (n_words <= 100000)).astype(np.int64)
+        r_meanlen = ((3 * n_words <= n_word_chars)
+                     & (n_word_chars <= 10 * n_words)).astype(np.int64)
+        r_symbol = (10 * n_hash <= n_words).astype(np.int64)
+        r_stop = (50 * n_stop >= n_words).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "r_words": pa.array(r_words),
+            "r_meanlen": pa.array(r_meanlen),
+            "r_symbol": pa.array(r_symbol),
+            "r_stop": pa.array(r_stop),
+            "pass_all": pa.array(r_words * r_meanlen * r_symbol * r_stop),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+SQL_Q88 = r"""
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+    CAST(length(text) - len(regexp_extract_all(text, '\s')) AS BIGINT)
+      AS n_word_chars,
+    CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS n_hash,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b'))
+      AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id,
+  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+  CAST(3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+       AS BIGINT) AS r_meanlen,
+  CAST(10 * n_hash <= n_words AS BIGINT) AS r_symbol,
+  CAST(50 * n_stop >= n_words AS BIGINT) AS r_stop,
+  CAST((n_words >= 50 AND n_words <= 100000)
+       AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+       AND (10 * n_hash <= n_words)
+       AND (50 * n_stop >= n_words) AS BIGINT) AS pass_all
+FROM c
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4482,6 +4562,7 @@ QUERIES = {
     "q85_reciprocity": q85_reciprocity,
     "q86_mime_sniff": q86_mime_sniff,
     "q87_surprisal": q87_surprisal,
+    "q88_gopher_rules": q88_gopher_rules,
 }
 
 ORACLES = {
@@ -4565,4 +4646,5 @@ ORACLES = {
     "q85_reciprocity": SQL_Q85,
     "q86_mime_sniff": SQL_Q86,
     "q87_surprisal": SQL_Q87,
+    "q88_gopher_rules": SQL_Q88,
 }
