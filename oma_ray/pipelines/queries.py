@@ -4365,6 +4365,63 @@ FROM c
 """
 
 
+# --- q89: charset detection + transcoding -----------------------------------
+
+def q89_charset(sf_dir: str):
+    """WHATWG fallback decoding of lying crawl payloads: bytes that
+    validate as UTF-8 are UTF-8, anything else decodes as Latin-1 — both
+    halves fully vectorized numpy kernels over the Arrow flat byte buffer
+    (stages/charset.py; validation incl. 4-byte sequences, truncated
+    leads, orphan continuations — codec-parity unit tests).  The fixture
+    plants Latin-1 payloads by formula; the engine must DETECT them from
+    the bytes and produce the exact decoded char/byte lengths the oracle
+    states."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.charset import detect_and_decode
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    SUFFIX = " caf\xe9 r\xe9sum\xe9".encode("latin-1")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        ascii_b = pc.cast(t, pa.binary())
+        lat = pc.binary_join_element_wise(
+            ascii_b, pa.scalar(SUFFIX, type=pa.binary()),
+            pa.scalar(b"", type=pa.binary()))
+        payload = pc.if_else(pa.array(ids % 19 == 7), lat, ascii_b)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": payload})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        is_utf8, text = detect_and_decode(batch.column("payload"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "is_utf8": pa.array(is_utf8.astype(np.int64)),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(text, pa.binary())), pa.int64()),
+        })
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")
+
+
+SQL_Q89 = """
+SELECT doc_id,
+  CAST(doc_id % 19 <> 7 AS BIGINT) AS is_utf8,
+  CAST(length(text) + CASE WHEN doc_id % 19 = 7 THEN 12 ELSE 0 END
+       AS BIGINT) AS n_chars,
+  CAST(length(text) + CASE WHEN doc_id % 19 = 7 THEN 15 ELSE 0 END
+       AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4563,6 +4620,7 @@ QUERIES = {
     "q86_mime_sniff": q86_mime_sniff,
     "q87_surprisal": q87_surprisal,
     "q88_gopher_rules": q88_gopher_rules,
+    "q89_charset": q89_charset,
 }
 
 ORACLES = {
@@ -4647,4 +4705,5 @@ ORACLES = {
     "q86_mime_sniff": SQL_Q86,
     "q87_surprisal": SQL_Q87,
     "q88_gopher_rules": SQL_Q88,
+    "q89_charset": SQL_Q89,
 }
