@@ -4422,6 +4422,78 @@ FROM documents
 """
 
 
+# --- q90: HTML structure stats (tag balance + nesting depth) ----------------
+
+def q90_html_depth(sf_dir: str):
+    """Structural HTML statistics without a DOM parser: open/close tag
+    counts and MAXIMUM NESTING DEPTH per document, computed as one
+    segmented scan over the batch's flat byte buffer — tag positions from
+    a byte compare, ±1 deltas, global cumsum rebased per document, segment
+    max via ``np.maximum.reduceat``.  The fixture wraps each doc's text in
+    ``doc_id % 7`` nested <div>s (mirrored in SQL), so the depth value
+    checks the scan, not just the counts.  Zero exchange; at 10^12 docs
+    this runs at byte-stream rate."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.charset import _flat_bytes
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        k = ids % 7
+        opens = pa.array([("<div>" * int(x)) for x in k])
+        closes = pa.array([("</div>" * int(x)) for x in k])
+        html = pc.binary_join_element_wise(
+            "<html><head><title>x</title></head><body>", opens, t,
+            closes, "</body></html>", "")
+        return pa.table({"doc_id": batch.column("doc_id"), "html": html})
+
+    def depth_stats(batch: pa.Table) -> pa.Table:
+        b, off = _flat_bytes(batch.column("html"))
+        lt = b == 0x3C  # '<'
+        slash = np.zeros(len(b), dtype=bool)
+        slash[:-1] = b[1:] == 0x2F  # '</'
+        pos = np.flatnonzero(lt)
+        d = np.where(slash[pos], np.int64(-1), np.int64(1))
+        doc_of = np.searchsorted(off, pos, side="right") - 1
+        n_docs = len(off) - 1
+        counts = np.bincount(doc_of, minlength=n_docs)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        cs = np.cumsum(d)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        depth = cs - np.repeat(base, counts)
+        max_depth = np.zeros(n_docs, dtype=np.int64)
+        nz = counts > 0
+        max_depth[nz] = np.maximum.reduceat(depth, starts[nz])[
+            : int(nz.sum())] if nz.any() else 0
+        n_open = np.bincount(doc_of[d == 1], minlength=n_docs)
+        n_close = np.bincount(doc_of[d == -1], minlength=n_docs)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_open": pa.array(n_open.astype(np.int64)),
+            "n_close": pa.array(n_close.astype(np.int64)),
+            "max_depth": pa.array(max_depth),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow").map_batches(
+        depth_stats, batch_format="pyarrow")
+
+
+SQL_Q90 = """
+SELECT doc_id,
+  CAST(4 + doc_id % 7 AS BIGINT) AS n_open,
+  CAST(4 + doc_id % 7 AS BIGINT) AS n_close,
+  CAST(CASE WHEN doc_id % 7 >= 1 THEN 2 + doc_id % 7 ELSE 3 END
+       AS BIGINT) AS max_depth
+FROM documents
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4621,6 +4693,7 @@ QUERIES = {
     "q87_surprisal": q87_surprisal,
     "q88_gopher_rules": q88_gopher_rules,
     "q89_charset": q89_charset,
+    "q90_html_depth": q90_html_depth,
 }
 
 ORACLES = {
@@ -4706,4 +4779,5 @@ ORACLES = {
     "q87_surprisal": SQL_Q87,
     "q88_gopher_rules": SQL_Q88,
     "q89_charset": SQL_Q89,
+    "q90_html_depth": SQL_Q90,
 }

@@ -38,3 +38,21 @@ def test_bit_length_frexp_exact():
     got = e.astype(np.int64)
     want = np.array([int(x).bit_length() for x in xs], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_q90_depth_scan_sf0001():
+    import duckdb
+
+    from oma_ray.pipelines.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    eng = QUERIES["q90_html_depth"](sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ora = con.execute(ORACLES["q90_html_depth"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    for c in ("n_open", "n_close", "max_depth"):
+        assert eng[c].tolist() == ora[c].tolist(), c
+    assert eng["max_depth"].max() == 8  # deepest planted nesting (k=6)
