@@ -42,3 +42,57 @@ def test_q83_packing_matches_brute_force():
     for src, g in out.groupby("source"):
         s = np.sort(g["seq_id"].unique())
         assert (np.diff(s) <= 1).all() and s[0] == 0
+
+
+# --- property: Arrow rewrite chain == independent Python reference -----------
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_canon(u: str) -> str:
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)(.*)$", u, re.S)
+    if not m:
+        return ""
+    scheme, hostport, rest = m.groups()
+    host = re.sub(r":443$", "", hostport.lower())
+    rest = re.sub(r"#.*$", "", rest, flags=re.S)
+    rest = re.sub(r"(utm_[a-z]+|ref)=[^&#]*", "", rest)
+    rest = re.sub(r"&&+", "&", rest)
+    rest = re.sub(r"\?&", "?", rest)
+    rest = re.sub(r"[?&]$", "", rest)
+    rest = re.sub(r"^(.+)/$", r"\1", rest, flags=re.S)
+    return scheme.lower() + "://" + host + rest
+
+
+_seg = st.text(
+    alphabet="abcXYZ059._-~", min_size=0, max_size=8)
+_param = st.one_of(
+    st.just("utm_source=x"), st.just("utm_medium=mm"), st.just("ref=r1"),
+    st.sampled_from(["a=1", "b=2", "q=term", "page=3"]),
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HtTpS"]))
+    host = draw(st.sampled_from(
+        ["Site7.Example", "a.example", "X.Y.example", "site0.example"]))
+    port = draw(st.sampled_from(["", ":443", ":8080"]))
+    path = "/" + "/".join(draw(st.lists(_seg, max_size=3)))
+    params = draw(st.lists(_param, max_size=4))
+    q = ("?" + "&".join(params)) if params else ""
+    frag = draw(st.sampled_from(["", "#f", "#a/b?c"]))
+    slash = draw(st.sampled_from(["", "/"]))
+    return f"{scheme}://{host}{port}{path}{slash}{q}{frag}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_urls(), min_size=1, max_size=10))
+def test_canonicalize_matches_python_reference(urls):
+    import pyarrow as pa
+
+    got = canonicalize_urls(pa.array(urls)).to_pylist()
+    assert got == [_py_canon(u) for u in urls]
