@@ -116,6 +116,21 @@ def run_bench() -> dict:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    # SECOND headline: the fused web-curation pass (extract → quality →
+    # PII → fingerprint-distinct; one narrow keyed exchange) — the webtext
+    # counterpart of the spatial flagship
+    curation = float("inf")
+    if not scaling_arm:
+        from oma_ray.pipelines.web_curation import run_curation
+
+        for _ in range(2):
+            t0 = time.time()
+            cur = run_curation(SF_DIR, replicate=REPLICATE)
+            curation = min(curation, time.time() - t0)
+            assert int(cur["n_pages"].iloc[0]) == n_pages
+            assert int(cur["n_extract_ok"].iloc[0]) == n_pages
+            assert int(cur["n_distinct"].iloc[0]) <= n_docs
+
     from oma_ray.pipelines.queries import QUERIES
 
     qtimes = {}
@@ -144,6 +159,9 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / headline),
         "pages_per_sec_summary_only": round(n_pages / summary_only),
     }
+    if curation != float("inf"):
+        out["value_curation"] = round(curation, 3)
+        out["curation_pages_per_sec"] = round(n_pages / curation)
     ray.shutdown()
     return out
 

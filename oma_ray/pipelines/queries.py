@@ -4494,6 +4494,47 @@ FROM documents
 """
 
 
+# --- q91: fused web-curation pass (second flagship as a query) --------------
+
+def q91_web_curation(sf_dir: str):
+    """The fused curation flagship (pipelines/web_curation.py) as an
+    oracle-checked query: one streaming pass over raw pages runs text
+    extraction (byte-identity invariant), the Gopher word/stopword gate,
+    PII detection, and a 64-bit content fingerprint, then ONE narrow
+    fp-keyed exchange yields the exact distinct count.  The oracle mirrors
+    every counter — extraction-ok is pinned to COUNT(*) (the q80
+    invariant), the gate is integer cross-multiplied, and distinct-by-
+    fingerprint equals distinct-by-normalized-text (SipHash collisions at
+    sf scale: ~1e-12)."""
+    from oma_ray.pipelines.web_curation import run_curation
+
+    return run_curation(sf_dir)
+
+
+SQL_Q91 = r"""
+WITH c AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b'))
+      AS BIGINT) AS n_stop,
+    CAST(len(regexp_extract_all(text,
+        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+      + len(regexp_extract_all(text, '\+1-555-[0-9]{4}'))
+      + len(regexp_extract_all(text,
+        '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_pii
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(COUNT(*) AS BIGINT) AS n_extract_ok,
+  CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND 50 * n_stop >= n_words THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_gopher_pass,
+  CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_pages,
+  CAST(COUNT(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))
+       AS BIGINT) AS n_distinct
+FROM c
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4694,6 +4735,7 @@ QUERIES = {
     "q88_gopher_rules": q88_gopher_rules,
     "q89_charset": q89_charset,
     "q90_html_depth": q90_html_depth,
+    "q91_web_curation": q91_web_curation,
 }
 
 ORACLES = {
@@ -4780,4 +4822,5 @@ ORACLES = {
     "q88_gopher_rules": SQL_Q88,
     "q89_charset": SQL_Q89,
     "q90_html_depth": SQL_Q90,
+    "q91_web_curation": SQL_Q91,
 }

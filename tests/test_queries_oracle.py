@@ -26,6 +26,7 @@ SUBSET = [
     "q45_doc_deciles",
     "q47_box_range_join",
     "q50_nearest_station",
+    "q91_web_curation",
 ]
 
 
