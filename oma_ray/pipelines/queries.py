@@ -4512,17 +4512,31 @@ def q91_web_curation(sf_dir: str):
 
 
 SQL_Q91 = r"""
-WITH c AS (
+WITH planted AS (
+  SELECT doc_id, text, text ||
+    CASE WHEN doc_id % 7 = 3 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail' || CAST(doc_id % 50 AS VARCHAR) || '.example now'
+      ELSE '' END ||
+    CASE WHEN doc_id % 11 = 5 THEN ' call +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      ELSE '' END ||
+    CASE WHEN doc_id % 13 = 2 THEN ' origin 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.'
+      || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+      || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+      ELSE '' END AS t
+  FROM documents),
+c AS (
   SELECT doc_id, text,
     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
     CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b'))
       AS BIGINT) AS n_stop,
-    CAST(len(regexp_extract_all(text,
+    CAST(len(regexp_extract_all(t,
         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
-      + len(regexp_extract_all(text, '\+1-555-[0-9]{4}'))
-      + len(regexp_extract_all(text,
+      + len(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+      + len(regexp_extract_all(t,
         '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_pii
-  FROM documents)
+  FROM planted)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
   CAST(COUNT(*) AS BIGINT) AS n_extract_ok,
   CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000

@@ -32,7 +32,7 @@ def run_curation(sf_dir: str, *, replicate: int = 1) -> pd.DataFrame:
     from oma_ray.pipelines.queries import _grouped_sums
     from oma_ray.stages.dedup import ensure_hash_shuffle
     from oma_ray.stages.extract import extract_text
-    from oma_ray.stages.pii import EMAIL_RE, IP_RE, PHONE_RE
+    from oma_ray.stages.pii import EMAIL_RE, IP_RE, PHONE_RE, plant_pii
     from oma_ray.synth import make_pages_dataset
 
     ensure_hash_shuffle()
@@ -54,8 +54,15 @@ def run_curation(sf_dir: str, *, replicate: int = 1) -> pd.DataFrame:
         n_stop = cnt(pc.utf8_lower(text), r"\b(the|of|and|to|in)\b")
         gopher = ((n_words >= 50) & (n_words <= 100000)
                   & (50 * n_stop >= n_words)).astype(np.int8)
-        pii = ((cnt(text, EMAIL_RE) + cnt(text, PHONE_RE)
-                + cnt(text, IP_RE)) > 0).astype(np.int8)
+        # PII is scanned on PLANTED text (the q78 fixture — raw synth text
+        # carries none, so the counter would be a constant 0 otherwise);
+        # fingerprints stay on the UNplanted text so n_distinct is real.
+        # Only the any-PII flag is needed here, so one alternation pass
+        # replaces three scans (q78 keeps the per-kind counts).
+        planted = plant_pii(pa.table(
+            {"doc_id": batch.column("page_id"), "text": text}))
+        pii = (cnt(planted.column("text"),
+                   f"({EMAIL_RE})|({PHONE_RE})|({IP_RE})") > 0).astype(np.int8)
         fp = content_fingerprints(text)
         return pa.table({
             "fp": pa.array(fp, type=pa.int64()),
