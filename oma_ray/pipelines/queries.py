@@ -4549,6 +4549,57 @@ FROM c
 """
 
 
+# --- q92: WARC shard round-trip (Common Crawl's native container) -----------
+
+def q92_warc_roundtrip(sf_dir: str):
+    """WARC as a first-class source/sink: pages → one-gzip-member-per-record
+    shards + CDX offset sidecar (`sources/warc.py::write_warc`), read back
+    via the INDEXED range reader (adjacent members coalesce into one
+    contiguous read), text re-extracted from the decoded payload.  The
+    oracle reconstructs url / WARC-Date timestamp / extracted length per
+    page from the synthesis formulas, so record framing, member offsets,
+    date round-trip AND payload fidelity are all value-checked (byte-level
+    html identity is pinned by tests/test_warc.py)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from oma_ray.sources.warc import read_warc, write_warc
+    from oma_ray.stages.extract import extract_text
+    from oma_ray.synth import make_pages_dataset
+
+    with tempfile.TemporaryDirectory() as td:
+        write_warc(make_pages_dataset(sf_dir), td)
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            url = batch.column("url")
+            if isinstance(url, pa.ChunkedArray):
+                url = url.combine_chunks()
+            pid = pc.cast(
+                pc.replace_substring_regex(url, r"^.*/p/", ""), pa.int64())
+            ext = extract_text(batch.column("html"))
+            return pa.table({
+                "page_id": pid,
+                "url": url,
+                "ts_us": batch.column("ts_us"),
+                "extracted_len": pc.cast(pc.utf8_length(ext), pa.int64()),
+            })
+
+        return read_warc(td).map_batches(
+            summarize, batch_format="pyarrow").to_pandas()
+
+
+SQL_Q92 = """
+SELECT doc_id AS page_id,
+  'https://site' || CAST(doc_id % 1000 AS VARCHAR) || '.example/p/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  CAST(1704067200000000 + ((doc_id * 7919) % 63072000) * 1000000
+       AS BIGINT) AS ts_us,
+  CAST(length(text) AS BIGINT) AS extracted_len
+FROM documents
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4750,6 +4801,7 @@ QUERIES = {
     "q89_charset": q89_charset,
     "q90_html_depth": q90_html_depth,
     "q91_web_curation": q91_web_curation,
+    "q92_warc_roundtrip": q92_warc_roundtrip,
 }
 
 ORACLES = {
@@ -4837,4 +4889,5 @@ ORACLES = {
     "q89_charset": SQL_Q89,
     "q90_html_depth": SQL_Q90,
     "q91_web_curation": SQL_Q91,
+    "q92_warc_roundtrip": SQL_Q92,
 }
