@@ -4600,6 +4600,45 @@ FROM documents
 """
 
 
+# --- q93: robots.txt rule gate ----------------------------------------------
+
+def q93_robots_gate(sf_dir: str):
+    """Crawl-politeness gate: per-host robots.txt Disallow prefixes parsed
+    from synthesized robots bodies (`stages/robots.py` — comments, non-*
+    sections and duplicate rules exercised), grouped by identical rule
+    lists, broadcast ONCE per session, applied as one vectorized
+    `starts_with` pass per distinct (group, prefix) pair.  Zero exchange —
+    the page stream never shuffles; the oracle restates every rule from
+    the planting formulas, so parser AND matcher are value-checked."""
+    from oma_ray.stages.robots import (RobotsGate, RuleTable, parse_robots,
+                                       synth_robots)
+    from oma_ray.stages.taskcache import CachedStage, broadcast_once
+    from oma_ray.synth import make_pages_dataset
+
+    def build():
+        return RuleTable(parse_robots(*synth_robots()))
+
+    pages = make_pages_dataset(sf_dir)
+    return pages.map_batches(
+        CachedStage(RobotsGate, broadcast_once("robots_rules", build)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_Q93 = """
+WITH g AS (
+  SELECT doc_id, doc_id % 1000 AS k, CAST(doc_id AS VARCHAR) AS ids
+  FROM documents)
+SELECT doc_id AS page_id,
+  'site' || CAST(k AS VARCHAR) || '.example' AS host,
+  CAST(NOT (ids LIKE CAST((k * 7) % 10 AS VARCHAR) || '%'
+            OR (k % 5 = 0
+                AND ids LIKE CAST((k * 3 + 1) % 10 AS VARCHAR) || '%'))
+       AS BIGINT) AS allowed
+FROM g
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4802,6 +4841,7 @@ QUERIES = {
     "q90_html_depth": q90_html_depth,
     "q91_web_curation": q91_web_curation,
     "q92_warc_roundtrip": q92_warc_roundtrip,
+    "q93_robots_gate": q93_robots_gate,
 }
 
 ORACLES = {
@@ -4890,4 +4930,5 @@ ORACLES = {
     "q90_html_depth": SQL_Q90,
     "q91_web_curation": SQL_Q91,
     "q92_warc_roundtrip": SQL_Q92,
+    "q93_robots_gate": SQL_Q93,
 }
