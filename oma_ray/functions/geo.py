@@ -251,6 +251,24 @@ def cell_morton(lon: np.ndarray, lat: np.ndarray, level: int = 13) -> np.ndarray
     ).astype(np.uint64)
 
 
+def quadkey(lon: np.ndarray, lat: np.ndarray, level: int = 8) -> np.ndarray:
+    """Bing-tile-system-style quadkey strings (public scheme): digit i
+    (msb-first) is ``x_bit + 2*y_bit`` at depth i, so a quadkey's PREFIX is
+    its ancestor tile — substring = coarsen, LIKE 'qk%' = spatial range.
+    Encodes over `cell_grid`'s equirectangular integer grid (no Mercator:
+    the formula stays integer-exact and ANSI-SQL-mirrorable with shifts).
+    Returns a numpy ``S<level>`` byte-string array (vectorized build: one
+    (n, level) digit matrix viewed as fixed-width bytes)."""
+    x, y = cell_grid_decode(cell_grid(lon, lat, level), level)
+    digits = np.empty((len(x), level), dtype=np.uint8)
+    for i in range(level):
+        sh = level - 1 - i
+        digits[:, i] = (((x >> sh) & 1) + (((y >> sh) & 1) << 1) + 48).astype(
+            np.uint8)
+    return np.frombuffer(
+        np.ascontiguousarray(digits).tobytes(), dtype=f"S{level}")
+
+
 def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
     """Axial hex-grid cell id (H3-res-7 stand-in), vectorized cube rounding.
 

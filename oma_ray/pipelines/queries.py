@@ -4639,6 +4639,50 @@ FROM g
 """
 
 
+# --- q94: quadkey tile encoding ---------------------------------------------
+
+def q94_quadkey(sf_dir: str):
+    """Quadkey tile ids for every geo-parsed page (functions/geo.py::
+    quadkey — Bing-style base-4 strings whose prefixes are ancestor
+    tiles), emitted at level 8 plus the level-4 prefix, so hierarchical
+    coarsening is value-checked, not just the leaf id.  Pure fused map
+    over the geo parse; the oracle rebuilds every digit with integer
+    shifts."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.geo import quadkey
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon")
+        valid = ~pc.is_null(lon).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        qk = quadkey(t.column("lon").to_numpy(zero_copy_only=False),
+                     t.column("lat").to_numpy(zero_copy_only=False), level=8)
+        qk_arr = pa.array(qk).cast(pa.string())
+        return pa.table({
+            "page_id": t.column("page_id"),
+            "quadkey": qk_arr,
+            "qk4": pc.utf8_slice_codeunits(qk_arr, 0, 4),
+        })
+
+    return _geo_pages(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_Q94 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+t AS (SELECT doc_id,
+    LEAST(GREATEST((lon + 1800000000) * 256 // 3600000001, 0), 255) AS tx,
+    LEAST(GREATEST((lat + 900000000) * 256 // 1800000001, 0), 255) AS ty
+  FROM g),
+qk AS (SELECT doc_id,
+    string_agg(CAST(((tx >> (7 - i)) & 1) + 2 * ((ty >> (7 - i)) & 1)
+                    AS VARCHAR), '' ORDER BY i) AS quadkey
+  FROM t, (SELECT generate_series AS i FROM generate_series(0, 7)) s
+  GROUP BY doc_id)
+SELECT doc_id AS page_id, quadkey, substr(quadkey, 1, 4) AS qk4 FROM qk
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4842,6 +4886,7 @@ QUERIES = {
     "q91_web_curation": q91_web_curation,
     "q92_warc_roundtrip": q92_warc_roundtrip,
     "q93_robots_gate": q93_robots_gate,
+    "q94_quadkey": q94_quadkey,
 }
 
 ORACLES = {
@@ -4931,4 +4976,5 @@ ORACLES = {
     "q91_web_curation": SQL_Q91,
     "q92_warc_roundtrip": SQL_Q92,
     "q93_robots_gate": SQL_Q93,
+    "q94_quadkey": SQL_Q94,
 }

@@ -200,3 +200,25 @@ def test_simplify_polygons_stage_preserves_containment_away_from_boundary():
     a = PolygonIndex(polys).lookup(HOT_LON, HOT_LAT)
     b = PolygonIndex(sp).lookup(HOT_LON, HOT_LAT)
     assert a.tolist() == b.tolist()
+
+
+def test_quadkey_prefix_and_reference():
+    from oma_ray.functions.geo import quadkey
+
+    rng = np.random.default_rng(5)
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, 2000)
+    lat = rng.integers(-900_000_000, 900_000_000, 2000)
+    qk8 = quadkey(lon, lat, 8)
+    qk4 = quadkey(lon, lat, 4)
+    assert all(a[:4] == b for a, b in zip(qk8.astype(str), qk4.astype(str)))
+
+    def ref(lo, la, level):
+        n = 1 << level
+        x = min(max((lo + 1_800_000_000) * n // 3_600_000_001, 0), n - 1)
+        y = min(max((la + 900_000_000) * n // 1_800_000_001, 0), n - 1)
+        return "".join(
+            str(((x >> (level - 1 - i)) & 1) + 2 * ((y >> (level - 1 - i)) & 1))
+            for i in range(level))
+
+    for i in range(0, 2000, 37):
+        assert qk8[i].decode() == ref(int(lon[i]), int(lat[i]), 8)
