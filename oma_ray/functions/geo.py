@@ -269,6 +269,50 @@ def quadkey(lon: np.ndarray, lat: np.ndarray, level: int = 8) -> np.ndarray:
         np.ascontiguousarray(digits).tobytes(), dtype=f"S{level}")
 
 
+def hilbert_d(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
+    """Hilbert-curve index of grid cell (x, y) on a 2^level × 2^level grid.
+
+    The true S2-style space-filling curve (S2 cell ids ARE Hilbert positions
+    on each cube face): unlike Morton, EVERY pair of d-consecutive cells is
+    grid-adjacent, so a contiguous d-range is a connected region — range
+    scans over Hilbert-sorted data touch spatially compact sets.  Public
+    algorithm (Wikipedia "Hilbert curve" xy2d), restated in a masked-step
+    form so each of the ``level`` iterations reads only bits below the
+    current one — which makes it expressible as a chain of SQL CTEs for the
+    DuckDB oracle (see queries.py::_hilbert_sql_steps).
+
+    Hierarchical: ``hilbert_d(x >> k, y >> k, level - k) == d >> 2k``
+    (the curve is self-similar, property-tested).  Vectorized: ``level``
+    numpy passes, no per-row Python.
+    """
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    d = np.zeros_like(x)
+    for b in range(level - 1, -1, -1):
+        rx = (x >> b) & 1
+        ry = (y >> b) & 1
+        # quadrant order (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3  == (3*rx)^ry
+        d += (np.int64(1) << (2 * b)) * ((3 * rx) ^ ry)
+        mask = (np.int64(1) << b) - 1
+        xm = x & mask
+        ym = y & mask
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        nx = np.where(swap, np.where(refl, mask - ym, ym), xm)
+        ny = np.where(swap, np.where(refl, mask - xm, xm), ym)
+        x, y = nx, ny
+    return d
+
+
+def cell_hilbert(lon: np.ndarray, lat: np.ndarray, level: int = 13) -> np.ndarray:
+    """Hilbert cell id at ``level`` bits per axis over `cell_grid`'s
+    equirectangular integer grid — the locality-strongest of the three
+    curve options (grid row-major < Morton < Hilbert).  int64 result in
+    [0, 4^level)."""
+    x, y = cell_grid_decode(cell_grid(lon, lat, level), level)
+    return hilbert_d(x, y, level)
+
+
 def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
     """Axial hex-grid cell id (H3-res-7 stand-in), vectorized cube rounding.
 

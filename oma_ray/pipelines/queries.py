@@ -4683,6 +4683,72 @@ SELECT doc_id AS page_id, quadkey, substr(quadkey, 1, 4) AS qk4 FROM qk
 """
 
 
+def q95_hilbert_cells(sf_dir: str):
+    """Hilbert-curve cell ids (the true S2-style space-filling curve —
+    S2 cell ids are Hilbert positions per cube face) for every geo-parsed
+    page at level 13, plus the level-7 ancestor via the curve's prefix
+    property ``d7 == d13 >> 12`` (functions/geo.py::hilbert_d).  Unlike
+    the Morton id (q13's cell_s2), every d-consecutive pair of Hilbert
+    cells is grid-ADJACENT, so sorting output partitions by hilbert13
+    makes any contiguous id range a connected region — the locality story
+    behind sort-within-tile writes.  Pure fused map; the oracle replays
+    all 13 masked rotation steps as chained CTEs."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.geo import cell_hilbert
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon")
+        valid = ~pc.is_null(lon).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        d = cell_hilbert(t.column("lon").to_numpy(zero_copy_only=False),
+                         t.column("lat").to_numpy(zero_copy_only=False),
+                         level=13)
+        return pa.table({
+            "page_id": t.column("page_id"),
+            "hilbert13": pa.array(d, type=pa.int64()),
+            "hilbert7": pa.array(d >> 12, type=pa.int64()),
+        })
+
+    return _geo_pages(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def _hilbert_sql_steps(level: int) -> str:
+    """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
+    bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
+    the low b bits — mirror-identical to the numpy kernel."""
+    steps = []
+    for b in range(level - 1, -1, -1):
+        mask = (1 << b) - 1
+        w = 1 << (2 * b)
+        rx = f"((x >> {b}) & 1)"
+        ry = f"((y >> {b}) & 1)"
+        quad = (f"CASE WHEN {ry} = 1 THEN CASE WHEN {rx} = 1 THEN 2 ELSE 1 END"
+                f" ELSE CASE WHEN {rx} = 1 THEN 3 ELSE 0 END END")
+        steps.append(f"""s{b} AS (
+  SELECT page_id, d + {w} * ({quad}) AS d,
+    CASE WHEN {ry} = 1 THEN x & {mask}
+         WHEN {rx} = 1 THEN {mask} - (y & {mask})
+         ELSE y & {mask} END AS x,
+    CASE WHEN {ry} = 1 THEN y & {mask}
+         WHEN {rx} = 1 THEN {mask} - (x & {mask})
+         ELSE x & {mask} END AS y
+  FROM s{b + 1})""")
+    return ",\n".join(steps)
+
+
+SQL_Q95 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+s13 AS (SELECT doc_id AS page_id,
+    LEAST(GREATEST((lon + 1800000000) * 8192 // 3600000001, 0), 8191) AS x,
+    LEAST(GREATEST((lat + 900000000) * 8192 // 1800000001, 0), 8191) AS y,
+    CAST(0 AS BIGINT) AS d
+  FROM g),
+{_hilbert_sql_steps(13)}
+SELECT page_id, d AS hilbert13, d >> 12 AS hilbert7 FROM s0
+"""
+
+
 SQL_Q74 = None  # assembled below (shares the predicate builder)
 
 
@@ -4887,6 +4953,7 @@ QUERIES = {
     "q92_warc_roundtrip": q92_warc_roundtrip,
     "q93_robots_gate": q93_robots_gate,
     "q94_quadkey": q94_quadkey,
+    "q95_hilbert_cells": q95_hilbert_cells,
 }
 
 ORACLES = {
@@ -4977,4 +5044,5 @@ ORACLES = {
     "q92_warc_roundtrip": SQL_Q92,
     "q93_robots_gate": SQL_Q93,
     "q94_quadkey": SQL_Q94,
+    "q95_hilbert_cells": SQL_Q95,
 }

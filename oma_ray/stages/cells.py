@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from oma_ray.functions.geo import cell_grid, cell_hex, cell_morton
+from oma_ray.functions.geo import cell_grid, cell_hex, cell_hilbert, cell_morton
 
 
 class CellAssign:
@@ -57,5 +57,10 @@ class CellAssign:
         if "hex" in self.which:
             batch = batch.append_column(
                 "cell_h3", masked(cell_hex(lo, la, self.hex_res), pa.uint64())
+            )
+        if "hilbert" in self.which:
+            batch = batch.append_column(
+                "cell_hilbert",
+                masked(cell_hilbert(lo, la, self.level), pa.int64()),
             )
         return batch

@@ -222,3 +222,43 @@ def test_quadkey_prefix_and_reference():
 
     for i in range(0, 2000, 37):
         assert qk8[i].decode() == ref(int(lon[i]), int(lat[i]), 8)
+
+
+def test_hilbert_reference_adjacency_prefix():
+    """hilbert_d vs the public xy2d algorithm, plus the two properties that
+    make it a Hilbert curve: consecutive d's are grid-adjacent (the locality
+    guarantee Morton lacks) and ancestor cells are d-prefixes."""
+    from oma_ray.functions.geo import cell_hilbert, hilbert_d
+
+    def wiki_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    level = 5
+    n = 1 << level
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    got = hilbert_d(xs, ys, level)
+    assert got.tolist() == [wiki_xy2d(n, int(x), int(y)) for x, y in zip(xs, ys)]
+    order = np.argsort(got)
+    assert sorted(got.tolist()) == list(range(n * n))  # bijective
+    step = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (step == 1).all()  # unit-step adjacency
+    for k in (1, 2, 4):
+        assert (hilbert_d(xs >> k, ys >> k, level - k) == (got >> (2 * k))).all()
+
+    rng = np.random.default_rng(9)
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, 500)
+    lat = rng.integers(-900_000_000, 900_000_000, 500)
+    d13 = cell_hilbert(lon, lat, 13)
+    assert (d13 >= 0).all() and (d13 < 1 << 26).all()
+    assert (cell_hilbert(lon, lat, 7) == (d13 >> 12)).all()
