@@ -4713,6 +4713,89 @@ def q95_hilbert_cells(sf_dir: str):
     return _geo_pages(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+def q96_tile_terms(sf_dir: str):
+    """Geo × text fusion: the top-3 most frequent terms per level-4 map
+    tile — the per-region vocabulary profile a curation pipeline uses to
+    spot geographically skewed boilerplate.  One vectorized pass fuses
+    GeoParse with q35's Arrow tokenization and pre-aggregates (tile, term)
+    counts per batch, so the single tile-keyed exchange moves partial
+    count rows (O(batches × per-batch vocab)), never tokens; co-location
+    by tile makes the global sum AND the per-tile top-3 one block kernel.
+    Ties break on term asc, mirrored by the oracle's ROW_NUMBER."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.functions.geo import cell_grid
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    pages = make_pages_dataset(sf_dir).map_batches(
+        GeoParse(), batch_format="pyarrow"
+    )
+    empty = pa.table({
+        "tile": pa.array([], pa.int64()),
+        "term": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+    })
+
+    def partials(batch: pa.Table) -> pa.Table:
+        valid = ~pc.is_null(batch.column("lon")).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        if t.num_rows == 0:
+            return empty
+        tile = cell_grid(
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False), level=4)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(t.column("text"), pa.string())),
+            pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        df = pd.DataFrame({"tile": tile[parent[keep]], "term": flat[keep]})
+        out = df.groupby(["tile", "term"], as_index=False).size().rename(
+            columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def tile_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        df = df.groupby(["tile", "term"], as_index=False)["cnt"].sum()
+        df = df.sort_values(["tile", "cnt", "term"],
+                            ascending=[True, False, True])
+        return from_pandas_clean(df.groupby("tile").head(3).reset_index(drop=True))
+
+    return (
+        pages.map_batches(partials, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["tile"])
+        .map_batches(tile_topk, batch_format="pyarrow")
+    )
+
+
+SQL_Q96 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+cell AS (SELECT doc_id,
+    LEAST(GREATEST((lat + 900000000) * 16 // 1800000001, 0), 15) * 16
+  + LEAST(GREATEST((lon + 1800000000) * 16 // 3600000001, 0), 15) AS tile
+  FROM g),
+tok AS (SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+cnts AS (SELECT tile, term, COUNT(*) AS cnt
+  FROM tok JOIN cell USING (doc_id) GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY tile ORDER BY cnt DESC, term) AS rk FROM cnts)
+SELECT tile, term, cnt FROM ranked WHERE rk <= 3
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -4954,6 +5037,7 @@ QUERIES = {
     "q93_robots_gate": q93_robots_gate,
     "q94_quadkey": q94_quadkey,
     "q95_hilbert_cells": q95_hilbert_cells,
+    "q96_tile_terms": q96_tile_terms,
 }
 
 ORACLES = {
@@ -5045,4 +5129,5 @@ ORACLES = {
     "q93_robots_gate": SQL_Q93,
     "q94_quadkey": SQL_Q94,
     "q95_hilbert_cells": SQL_Q95,
+    "q96_tile_terms": SQL_Q96,
 }
