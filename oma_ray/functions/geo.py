@@ -313,6 +313,67 @@ def cell_hilbert(lon: np.ndarray, lat: np.ndarray, level: int = 13) -> np.ndarra
     return hilbert_d(x, y, level)
 
 
+def hilbert_ranges(
+    x0: int, x1: int, y0: int, y1: int, level: int, *, max_depth: int = 8
+) -> np.ndarray:
+    """S2-region-coverer-shaped range decomposition: disjoint, sorted,
+    merged ``[d_lo, d_hi)`` Hilbert-index ranges covering every level-
+    ``level`` cell intersecting the inclusive grid box [x0,x1]×[y0,y1].
+
+    Recursive quadrant descent using the prefix property (a depth-k
+    quadrant's cells are exactly the contiguous d-range
+    ``[hilbert_d(cx,cy,k) << 2(L-k), +4^(L-k))``, so no curve-rotation
+    state needs tracking): fully-inside quadrants emit their whole range,
+    disjoint quadrants prune, partial quadrants split until ``max_depth``
+    where they emit a superset range — the list stays O(perimeter at
+    max_depth), never O(area).  Supersets are safe because callers re-check
+    the exact predicate after the prune (index-scan semantics).  Returns an
+    (n, 2) int64 array.
+    """
+    out: list[tuple[int, int]] = []
+    shift_full = 2 * level
+
+    def visit(k: int, cx: int, cy: int) -> None:
+        sh = level - k
+        lo_x, hi_x = cx << sh, ((cx + 1) << sh) - 1
+        lo_y, hi_y = cy << sh, ((cy + 1) << sh) - 1
+        if hi_x < x0 or lo_x > x1 or hi_y < y0 or lo_y > y1:
+            return
+        d = int(hilbert_d(np.array([cx]), np.array([cy]), k)[0]) if k else 0
+        if (lo_x >= x0 and hi_x <= x1 and lo_y >= y0 and hi_y <= y1) or (
+            k >= min(level, max_depth)
+        ):
+            base = d << (2 * sh)
+            out.append((base, base + (1 << (2 * sh))))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                visit(k + 1, cx * 2 + dx, cy * 2 + dy)
+
+    visit(0, 0, 0)
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    out.sort()
+    merged = [list(out[0])]
+    for lo, hi in out[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    assert merged[-1][1] <= 1 << shift_full
+    return np.asarray(merged, dtype=np.int64)
+
+
+def in_ranges(d: np.ndarray, ranges: np.ndarray) -> np.ndarray:
+    """Vectorized membership of Hilbert indexes in sorted disjoint
+    ``[lo, hi)`` ranges (one searchsorted pass)."""
+    if not len(ranges):
+        return np.zeros(len(d), dtype=bool)
+    idx = np.searchsorted(ranges[:, 0], d, side="right") - 1
+    safe = np.maximum(idx, 0)
+    return (idx >= 0) & (d < ranges[safe, 1])
+
+
 def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
     """Axial hex-grid cell id (H3-res-7 stand-in), vectorized cube rounding.
 

@@ -4796,6 +4796,136 @@ SELECT tile, term, cnt FROM ranked WHERE rk <= 3
 """
 
 
+def q97_window_lookup(sf_dir: str):
+    """1D interval join (the IP-range / maintenance-window lookup shape):
+    events land in deterministic non-overlapping time windows derived from
+    the supplier table (window k = [T0 + k·gap, +3/4·gap)), leaving 1/4
+    unmatched gaps that exercise the miss path.  The window table is the
+    broadcast small side (dimension contract); the probe is ONE
+    searchsorted per batch — no shuffle touches event rows.  Per-batch
+    partials pre-dedup (window, user) pairs so the single window-keyed
+    exchange moves O(distinct pairs per batch), giving exact
+    COUNT(DISTINCT user_id) in one block kernel."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    n_supp = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+    t0 = 1_704_067_200_000_000  # epoch_us(2024-01-01)
+    gap = 2_592_000_000_000 // n_supp  # 30 days / n windows
+    dur = gap * 3 // 4
+    los = t0 + np.arange(n_supp, dtype=np.int64) * gap
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        user = batch.column("user_id").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, ts, side="right") - 1
+        safe = np.maximum(idx, 0)
+        hit = (idx >= 0) & (ts < los[safe] + dur)
+        df = pd.DataFrame({"window_id": idx[hit], "user_id": user[hit]})
+        out = df.groupby(["window_id", "user_id"], as_index=False).size()
+        out = out.rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"window_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        out = df.groupby("window_id").agg(
+            n_events=("cnt", "sum"), n_users=("user_id", "nunique")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["window_id"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_Q97 = """
+WITH n AS (SELECT COUNT(*) AS n_supp FROM supplier),
+w AS (SELECT s_suppkey AS window_id,
+        1704067200000000 + s_suppkey * (2592000000000 // n.n_supp) AS lo,
+        (2592000000000 // n.n_supp) * 3 // 4 AS dur
+      FROM supplier, n)
+SELECT w.window_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN w ON epoch_us(e.ts) >= w.lo
+                    AND epoch_us(e.ts) < w.lo + w.dur
+GROUP BY w.window_id
+"""
+
+
+def q98_box_count_hilbert(sf_dir: str):
+    """q47's box-count join re-executed through Hilbert index-scan
+    semantics: each query box decomposes into S2-coverer-style d-ranges
+    (functions/geo.py::hilbert_ranges, driver-side, O(perimeter) per box),
+    pages compute their Hilbert index ONCE per batch, and per-box
+    candidates come from one searchsorted range probe before the exact
+    inclusive bbox check.  Same oracle as q47 — the regime-twin pattern
+    (q66-q69): value-equality proves the prune is a true superset.  On
+    Hilbert-SORTED storage the range probe becomes a row-group skip at
+    the read, which is the 100 TB point of q95's ordering."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.geo import cell_hilbert, hilbert_ranges, in_ranges
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.synth import synth_boxes
+
+    boxes = synth_boxes(64)
+    n = np.int64(1) << 13
+    bx0 = np.clip((boxes["minlon"] + 1_800_000_000) * n // 3_600_000_001, 0, n - 1)
+    bx1 = np.clip((boxes["maxlon"] + 1_800_000_000) * n // 3_600_000_001, 0, n - 1)
+    by0 = np.clip((boxes["minlat"] + 900_000_000) * n // 1_800_000_001, 0, n - 1)
+    by1 = np.clip((boxes["maxlat"] + 900_000_000) * n // 1_800_000_001, 0, n - 1)
+    ranges = [
+        hilbert_ranges(int(bx0[i]), int(bx1[i]), int(by0[i]), int(by1[i]), 13)
+        for i in range(len(boxes["box_id"]))
+    ]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        valid = ~pc.is_null(batch.column("lon")).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        d = cell_hilbert(lon, lat, 13)
+        ids, cnts = [], []
+        for i, rg in enumerate(ranges):
+            cand = in_ranges(d, rg)
+            if not cand.any():
+                continue
+            m = cand & (lon >= boxes["minlon"][i]) & (lon <= boxes["maxlon"][i]) \
+                & (lat >= boxes["minlat"][i]) & (lat <= boxes["maxlat"][i])
+            c = int(m.sum())
+            if c:
+                ids.append(int(boxes["box_id"][i]))
+                cnts.append(c)
+        return pa.table({"box_id": pa.array(ids, pa.int64()),
+                         "n_pages": pa.array(cnts, pa.int64())})
+
+    partial = _geo_pages(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        return from_pandas_clean(
+            df.groupby("box_id", as_index=False)["n_pages"].sum())
+
+    return partial.repartition(4, keys=["box_id"]).map_batches(
+        combine, batch_format="pyarrow")
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5038,6 +5168,8 @@ QUERIES = {
     "q94_quadkey": q94_quadkey,
     "q95_hilbert_cells": q95_hilbert_cells,
     "q96_tile_terms": q96_tile_terms,
+    "q97_window_lookup": q97_window_lookup,
+    "q98_box_count_hilbert": q98_box_count_hilbert,
 }
 
 ORACLES = {
@@ -5130,4 +5262,6 @@ ORACLES = {
     "q94_quadkey": SQL_Q94,
     "q95_hilbert_cells": SQL_Q95,
     "q96_tile_terms": SQL_Q96,
+    "q97_window_lookup": SQL_Q97,
+    "q98_box_count_hilbert": SQL_Q47,
 }

@@ -262,3 +262,29 @@ def test_hilbert_reference_adjacency_prefix():
     d13 = cell_hilbert(lon, lat, 13)
     assert (d13 >= 0).all() and (d13 < 1 << 26).all()
     assert (cell_hilbert(lon, lat, 7) == (d13 >> 12)).all()
+
+
+def test_hilbert_ranges_cover_properties():
+    """Region-coverer contract: full-depth ranges are TIGHT (membership ==
+    exact box membership over every cell), capped-depth ranges are a
+    superset, and the output list is sorted/disjoint/merged."""
+    from oma_ray.functions.geo import hilbert_d, hilbert_ranges, in_ranges
+
+    rng = np.random.default_rng(3)
+    level = 7
+    n = 1 << level
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    d = hilbert_d(xs, ys, level)
+    for _ in range(20):
+        x0, x1 = sorted(rng.integers(0, n, 2).tolist())
+        y0, y1 = sorted(rng.integers(0, n, 2).tolist())
+        exact = (xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)
+        tight = in_ranges(d, hilbert_ranges(x0, x1, y0, y1, level,
+                                            max_depth=level))
+        assert (tight == exact).all()
+        r_cap = hilbert_ranges(x0, x1, y0, y1, level, max_depth=4)
+        cap = in_ranges(d, r_cap)
+        assert (cap >= exact).all()
+        assert (np.diff(r_cap[:, 0]) > 0).all()
+        assert (r_cap[1:, 0] > r_cap[:-1, 1]).all()
