@@ -4796,37 +4796,27 @@ SELECT tile, term, cnt FROM ranked WHERE rk <= 3
 """
 
 
-def q97_window_lookup(sf_dir: str):
-    """1D interval join (the IP-range / maintenance-window lookup shape):
-    events land in deterministic non-overlapping time windows derived from
-    the supplier table (window k = [T0 + k·gap, +3/4·gap)), leaving 1/4
-    unmatched gaps that exercise the miss path.  The window table is the
-    broadcast small side (dimension contract); the probe is ONE
-    searchsorted per batch — no shuffle touches event rows.  Per-batch
-    partials pre-dedup (window, user) pairs so the single window-keyed
-    exchange moves O(distinct pairs per batch), giving exact
-    COUNT(DISTINCT user_id) in one block kernel."""
-    from oma_ray.cluster import default_partitions
-    from oma_ray.sources.parquet import from_pandas_clean
-    from oma_ray.stages.dedup import ensure_hash_shuffle
-
-    ensure_hash_shuffle()
+def _supplier_windows(sf_dir: str):
+    """Deterministic non-overlapping time windows derived from the supplier
+    table: window k = [T0 + k·gap, +3/4·gap) over the 30-day event span,
+    leaving 1/4 unmatched gaps that exercise the interval-join miss path."""
     n_supp = pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
     t0 = 1_704_067_200_000_000  # epoch_us(2024-01-01)
     gap = 2_592_000_000_000 // n_supp  # 30 days / n windows
-    dur = gap * 3 // 4
-    los = t0 + np.arange(n_supp, dtype=np.int64) * gap
+    ids = np.arange(n_supp, dtype=np.int64)
+    los = t0 + ids * gap
+    return {"id": ids, "lo": los, "hi": los + gap * 3 // 4}, int(gap)
 
-    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["ts", "user_id"])
 
-    def probe(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        user = batch.column("user_id").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(los, ts, side="right") - 1
-        safe = np.maximum(idx, 0)
-        hit = (idx >= 0) & (ts < los[safe] + dur)
-        df = pd.DataFrame({"window_id": idx[hit], "user_id": user[hit]})
+def _window_user_rollup(pairs):
+    """(user_id, window_id) pair rows → per-window n_events + exact
+    distinct users: per-batch (window, user) dedup fuses with the join
+    task, so the single window-keyed exchange moves partial pair counts."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
         out = df.groupby(["window_id", "user_id"], as_index=False).size()
         out = out.rename(columns={"size": "cnt"})
         out["cnt"] = out["cnt"].astype(np.int64)
@@ -4846,10 +4836,25 @@ def q97_window_lookup(sf_dir: str):
         return from_pandas_clean(out)
 
     return (
-        ds.map_batches(probe, batch_format="pyarrow")
+        pairs.map_batches(partial, batch_format="pyarrow")
         .repartition(default_partitions(), keys=["window_id"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def q97_window_lookup(sf_dir: str):
+    """1D interval join (the IP-range / maintenance-window lookup shape),
+    broadcast regime: the window table rides the object store once
+    (dimension contract) and each event batch runs one vectorized
+    two-pointer probe — no shuffle touches event rows
+    (stages/interval.py::interval_join)."""
+    from oma_ray.stages.interval import interval_join
+
+    windows, _gap = _supplier_windows(sf_dir)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+    return _window_user_rollup(
+        interval_join(ds, "ts", windows, carry_cols=["user_id"]))
 
 
 SQL_Q97 = """
@@ -4864,6 +4869,24 @@ FROM events e JOIN w ON epoch_us(e.ts) >= w.lo
                     AND epoch_us(e.ts) < w.lo + w.dur
 GROUP BY w.window_id
 """
+
+
+def q99_window_lookup_dist(sf_dir: str):
+    """q97's interval join in the DISTRIBUTED regime (forced, the
+    regime-twin pattern): the interval table is treated as too big to
+    broadcast — intervals register under every slot-width time slot they
+    overlap, events key by their slot, and ONE slot-keyed exchange
+    co-locates each event with exactly the intervals that can contain it.
+    Same oracle as q97: value-equality proves regime parity, the scale
+    path for 10^9-row interval tables (per-IP geolocation)."""
+    from oma_ray.stages.interval import interval_join
+
+    windows, gap = _supplier_windows(sf_dir)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+    return _window_user_rollup(
+        interval_join(ds, "ts", windows, carry_cols=["user_id"],
+                      broadcast_max=0, slot_width=gap))
 
 
 def q98_box_count_hilbert(sf_dir: str):
@@ -5170,6 +5193,7 @@ QUERIES = {
     "q96_tile_terms": q96_tile_terms,
     "q97_window_lookup": q97_window_lookup,
     "q98_box_count_hilbert": q98_box_count_hilbert,
+    "q99_window_lookup_dist": q99_window_lookup_dist,
 }
 
 ORACLES = {
@@ -5264,4 +5288,5 @@ ORACLES = {
     "q96_tile_terms": SQL_Q96,
     "q97_window_lookup": SQL_Q97,
     "q98_box_count_hilbert": SQL_Q47,
+    "q99_window_lookup_dist": SQL_Q97,
 }
