@@ -4949,6 +4949,102 @@ def q98_box_count_hilbert(sf_dir: str):
         combine, batch_format="pyarrow")
 
 
+def q100_cell_embeddings(sf_dir: str):
+    """Geo × embedding fusion: per level-3 map tile, the count and the
+    integer-quantized per-dimension SUM of every geo-page's embedding —
+    the exact content of a per-region centroid (divide by n_vecs off
+    engine).  Both sides are fact-sized (page→tile from the geo parse,
+    the 64-dim vector table), so they meet in ONE colocated hash exchange
+    on doc id; per-batch segment partials (np.add.at into a (tiles, 64)
+    accumulator) then shrink the second exchange to O(tiles × 64) ints.
+    Quantization floor(x·1024) is exact in float64 (×2¹⁰ is a scale by a
+    power of two), making all 64 oracle SUM columns bit-exact."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.geo import cell_grid
+    from oma_ray.stages.join import hash_join
+
+    def to_tile(batch: pa.Table) -> pa.Table:
+        valid = ~pc.is_null(batch.column("lon")).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        tile = cell_grid(
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False), level=3)
+        return pa.table({"page_id": t.column("page_id"),
+                         "tile": pa.array(tile, pa.int64())})
+
+    pages = _geo_pages(sf_dir).map_batches(to_tile, batch_format="pyarrow")
+    qcols = [f"d{i:02d}" for i in range(64)]
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        # Acero (pyarrow Table.join) can't carry list<float> payloads, and
+        # the exchange prefers fixed-width anyway: quantize to int32 BEFORE
+        # the join (floor(x·1024) ∈ [-1024, 1024], exact in float64).
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        q = np.floor(flat.reshape(len(batch), 64).astype(np.float64)
+                     * 1024.0).astype(np.int32)
+        cols = {"vec_id": batch.column("vec_id")}
+        for i, name in enumerate(qcols):
+            cols[name] = pa.array(q[:, i])
+        return pa.table(cols)
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow")
+    joined = hash_join(
+        pages, emb, on="page_id", right_on="vec_id",
+        left_schema=pa.schema([("page_id", pa.int64()),
+                               ("tile", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64())]
+                               + [(c, pa.int32()) for c in qcols]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tiles = batch.column("tile").to_numpy(zero_copy_only=False)
+        q = np.stack(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in qcols],
+            axis=1).astype(np.int64) if len(batch) else np.zeros(
+                (0, 64), np.int64)
+        uniq, inv = np.unique(tiles, return_inverse=True)
+        acc = np.zeros((len(uniq), 64), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        cols = {"tile": pa.array(uniq),
+                "n_vecs": pa.array(np.bincount(
+                    inv, minlength=len(uniq)).astype(np.int64))}
+        for i in range(64):
+            cols[f"d{i:02d}"] = pa.array(acc[:, i])
+        return pa.table(cols)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        return from_pandas_clean(df.groupby("tile", as_index=False).sum())
+
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    return joined.map_batches(partial, batch_format="pyarrow").repartition(
+        4, keys=["tile"]).map_batches(combine, batch_format="pyarrow")
+
+
+SQL_Q100 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+cell AS (SELECT doc_id,
+    LEAST(GREATEST((lat + 900000000) * 8 // 1800000001, 0), 7) * 8
+  + LEAST(GREATEST((lon + 1800000000) * 8 // 3600000001, 0), 7) AS tile
+  FROM g)
+SELECT cell.tile AS tile, COUNT(*) AS n_vecs,
+  {", ".join(
+      f"CAST(SUM(CAST(FLOOR(CAST(e.embedding[{i + 1}] AS DOUBLE) * 1024) "
+      f"AS BIGINT)) AS BIGINT) AS d{i:02d}" for i in range(64))}
+FROM cell JOIN embeddings e ON e.vec_id = cell.doc_id
+GROUP BY cell.tile
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5194,6 +5290,7 @@ QUERIES = {
     "q97_window_lookup": q97_window_lookup,
     "q98_box_count_hilbert": q98_box_count_hilbert,
     "q99_window_lookup_dist": q99_window_lookup_dist,
+    "q100_cell_embeddings": q100_cell_embeddings,
 }
 
 ORACLES = {
@@ -5289,4 +5386,5 @@ ORACLES = {
     "q97_window_lookup": SQL_Q97,
     "q98_box_count_hilbert": SQL_Q47,
     "q99_window_lookup_dist": SQL_Q97,
+    "q100_cell_embeddings": SQL_Q100,
 }
