@@ -5045,6 +5045,33 @@ GROUP BY cell.tile
 """
 
 
+def q101_geo_pairs(sf_dir: str):
+    """Fact × fact spatial SELF-join: every unordered pair of geo pages
+    within integer distance r (co-located-page discovery — the spatial
+    analogue of near-dup pairing, where NO side fits a broadcast).  Each
+    point replicates to its 3×3 neighborhood of r-sized cells (9 copies
+    of a 25-B row; page payloads never move) and ONE cell-keyed exchange
+    co-locates every candidate pair; exactly-once emission happens in the
+    home cell of the pair's min-id endpoint, so no dedup exchange is
+    needed (stages/geo_join.py::dwithin_self_join)."""
+    from oma_ray.stages.geo_join import dwithin_self_join
+
+    return dwithin_self_join(_geo_pages(sf_dir), r2=10_000_000_000,
+                             id_col="page_id")
+
+
+_SQL_D2_AB = (
+    "(ABS(a.lon - b.lon) // 100) * (ABS(a.lon - b.lon) // 100)"
+    " + (ABS(a.lat - b.lat) // 100) * (ABS(a.lat - b.lat) // 100)"
+)
+
+SQL_Q101 = f"""
+WITH g AS ({_SQL_GEO_DOCS})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, {_SQL_D2_AB} AS d2
+FROM g a JOIN g b ON a.doc_id < b.doc_id AND {_SQL_D2_AB} <= 10000000000
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5291,6 +5318,7 @@ QUERIES = {
     "q98_box_count_hilbert": q98_box_count_hilbert,
     "q99_window_lookup_dist": q99_window_lookup_dist,
     "q100_cell_embeddings": q100_cell_embeddings,
+    "q101_geo_pairs": q101_geo_pairs,
 }
 
 ORACLES = {
@@ -5387,4 +5415,5 @@ ORACLES = {
     "q98_box_count_hilbert": SQL_Q47,
     "q99_window_lookup_dist": SQL_Q97,
     "q100_cell_embeddings": SQL_Q100,
+    "q101_geo_pairs": SQL_Q101,
 }

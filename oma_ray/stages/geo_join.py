@@ -989,3 +989,106 @@ def box_overlap_join(a_ds, b_ds, *, width: int = 128,
              b_id: pa.array([], type=pa.int64())}
         ),
     )
+
+
+def dwithin_self_join(ds, r2: int, id_col: str = "page_id",
+                      lon_col: str = "lon", lat_col: str = "lat",
+                      partitions: int | None = None):
+    """All unordered point pairs with integer distance ``d2 <= r2`` — the
+    fact × fact spatial SELF-join (co-located-page discovery), where both
+    sides are too big for any broadcast regime.
+
+    Shape: each point replicates to its 3×3 neighborhood of r-sized cells
+    (9 copies of a 25-byte (key, id, lon, lat, home) row — page payloads
+    never move), then ONE cell-keyed exchange co-locates every candidate
+    pair.  Exactly-once emission without a dedup exchange: a pair is
+    emitted only in the HOME cell of its min-id endpoint (the two home
+    cells are always grid-adjacent, so that cell holds a copy of both).
+    Per-cell work is occupancy² — the radius-sized-cell contract shared
+    with PointIndex; skewed hot cells are bounded by how many points can
+    physically sit within one radius.  d2 is the shared integer metric
+    ``(|Δlon|//100)² + (|Δlat|//100)²`` (abs-before-divide).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    w = 100 * (math.isqrt(int(r2)) + 1)  # cell width ≥ max match distance
+    if w < 3600:  # keep packed cell coords inside 2^20
+        raise ValueError(f"r2={r2} too small: cell width {w} < 3600")
+    off = np.int64(1 << 20)
+    empty = pa.table({
+        "a_id": pa.array([], pa.int64()),
+        "b_id": pa.array([], pa.int64()),
+        "d2": pa.array([], pa.int64()),
+    })
+
+    def explode(batch: pa.Table) -> pa.Table:
+        valid = ~pc.is_null(batch.column(lon_col)).to_numpy(
+            zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = lon // w, lat // w
+        n = len(ids)
+        ids9 = np.tile(ids, 9)
+        lon9 = np.tile(lon, 9)
+        lat9 = np.tile(lat, 9)
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1],
+                                dtype=np.int64), n)
+        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1],
+                                dtype=np.int64), n)
+        key = ((np.tile(cx, 9) + dx + off) << np.int64(21)) + (
+            np.tile(cy, 9) + dy + off)
+        home = (dx == 0) & (dy == 0)
+        return pa.table({
+            "key": pa.array(key), "pid": pa.array(ids9.astype(np.int64)),
+            "plon": pa.array(lon9), "plat": pa.array(lat9),
+            "home": pa.array(home),
+        })
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        lon = batch.column("plon").to_numpy(zero_copy_only=False)
+        lat = batch.column("plat").to_numpy(zero_copy_only=False)
+        home = batch.column("home").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, pid, lon, lat, home = (a[order] for a in
+                                    (key, pid, lon, lat, home))
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        segs = zip(np.r_[0, bounds], np.r_[bounds, len(key)])
+        a_out, b_out, d_out = [], [], []
+        for s, e in segs:
+            h = np.flatnonzero(home[s:e]) + s
+            if not len(h):
+                continue
+            dlon = np.abs(lon[h, None] - lon[None, s:e]) // 100
+            dlat = np.abs(lat[h, None] - lat[None, s:e]) // 100
+            d2 = dlon * dlon + dlat * dlat
+            m = (d2 <= r2) & (pid[h, None] < pid[None, s:e])
+            hi, ai = np.nonzero(m)
+            a_out.append(pid[h][hi])
+            b_out.append(pid[s:e][ai])
+            d_out.append(d2[hi, ai])
+        if not a_out:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_out)),
+            "b_id": pa.array(np.concatenate(b_out)),
+            "d2": pa.array(np.concatenate(d_out)),
+        })
+
+    ensure_hash_shuffle()
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .repartition(partitions or default_partitions(), keys=["key"])
+        .map_batches(block_pairs, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, empty)

@@ -526,3 +526,42 @@ def test_nearest_indexed_dense_fallback_parity(ray_session):
     )
     assert dense["station_id"].tolist() == fb["station_id"].tolist()
     assert dense["d2"].tolist() == fb["d2"].tolist()
+
+
+def test_dwithin_self_join_brute_parity(ray_session):
+    """Random world-spread + clustered points vs an O(n²) reference;
+    multiple partitions force cross-block cells and the exactly-once
+    (home-cell-of-min-id) emission rule."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import dwithin_self_join
+
+    rng = np.random.default_rng(21)
+    n = 300
+    lon = np.concatenate([
+        rng.integers(-1_800_000_000, 1_800_000_000, n // 2),
+        rng.integers(0, 300_000_000, n // 2),  # dense cluster
+    ]).astype(np.int64)
+    lat = np.concatenate([
+        rng.integers(-900_000_000, 900_000_000, n // 2),
+        rng.integers(0, 150_000_000, n // 2),
+    ]).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    r2 = 1_000_000_000_000
+
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array(ids), "lon": pa.array(lon),
+        "lat": pa.array(lat)})).repartition(5)
+    got = dwithin_self_join(ds, r2=r2, partitions=3).to_pandas()
+    got_set = set(map(tuple, got[["a_id", "b_id", "d2"]].values.tolist()))
+    assert len(got_set) == len(got)  # exactly-once
+
+    dlon = np.abs(lon[:, None] - lon[None, :]) // 100
+    dlat = np.abs(lat[:, None] - lat[None, :]) // 100
+    d2 = dlon * dlon + dlat * dlat
+    want = set()
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and d2[i, j] <= r2:
+                want.add((int(ids[i]), int(ids[j]), int(d2[i, j])))
+    assert got_set == want
