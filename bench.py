@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "q70_decontaminate",
     "q76_link_graph",
     "q78_pii_scan",
+    "q95_hilbert_cells",
+    "q97_window_lookup",
+    "q100_cell_embeddings",
+    "q101_geo_pairs",
 ]
 
 

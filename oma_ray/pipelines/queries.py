@@ -5072,6 +5072,71 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id AND {_SQL_D2_AB} <= 10000000000
 """
 
 
+def q102_crawl_schedule(sf_dir: str):
+    """Crawl politeness scheduler: every page gets a fetch slot that
+    respects a per-host delay — slot i of a host fetches at
+    ``i × delay(host)`` ms, the frontier layout a polite recrawl needs.
+    Host AND its numeric id are parsed from the url STRING (no shortcut
+    through the id formula — the oracle rebuilds both, so a parsing bug
+    fails the hash); ONE host-keyed exchange co-locates each host, then a
+    block-local lexsort assigns deterministic slots (order by page_id)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    pages = make_pages_dataset(sf_dir)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column("url"), r"^https?://([^/]+)/.*$", r"\1")
+        hid = pc.cast(pc.replace_substring_regex(
+            host, r"^site(\d+)\.example$", r"\1"), pa.int64())
+        return pa.table({"page_id": batch.column("page_id"),
+                         "host": host, "hid": hid})
+
+    def schedule(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"page_id": pa.array([], pa.int64()),
+                             "host": pa.array([], pa.string()),
+                             "slot": pa.array([], pa.int64()),
+                             "fetch_ms": pa.array([], pa.int64())})
+        df = df.sort_values(["hid", "page_id"], kind="stable")
+        slot = df.groupby("hid").cumcount().astype(np.int64)
+        delay = (df["hid"] % 5 + 1) * 1000
+        out = pd.DataFrame({
+            "page_id": df["page_id"].astype(np.int64),
+            "host": df["host"],
+            "slot": slot,
+            "fetch_ms": (slot * delay).astype(np.int64),
+        })
+        return from_pandas_clean(out)
+
+    return (
+        pages.map_batches(parse, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["hid"])
+        .map_batches(schedule, batch_format="pyarrow")
+    )
+
+
+SQL_Q102 = """
+WITH p AS (
+  SELECT doc_id AS page_id,
+         'site' || CAST(doc_id % 1000 AS VARCHAR) || '.example' AS host,
+         doc_id % 1000 AS hid
+  FROM documents),
+r AS (SELECT page_id, host, hid,
+        ROW_NUMBER() OVER (PARTITION BY hid ORDER BY page_id) - 1 AS slot
+      FROM p)
+SELECT page_id, host, slot, slot * ((hid % 5) + 1) * 1000 AS fetch_ms
+FROM r
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5319,6 +5384,7 @@ QUERIES = {
     "q99_window_lookup_dist": q99_window_lookup_dist,
     "q100_cell_embeddings": q100_cell_embeddings,
     "q101_geo_pairs": q101_geo_pairs,
+    "q102_crawl_schedule": q102_crawl_schedule,
 }
 
 ORACLES = {
@@ -5416,4 +5482,5 @@ ORACLES = {
     "q99_window_lookup_dist": SQL_Q97,
     "q100_cell_embeddings": SQL_Q100,
     "q101_geo_pairs": SQL_Q101,
+    "q102_crawl_schedule": SQL_Q102,
 }
