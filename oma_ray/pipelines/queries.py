@@ -5137,6 +5137,162 @@ FROM r
 """
 
 
+def q103_profile(sf_dir: str):
+    """Data-quality profiler over lineitem — the schema-audit pass every
+    ingest runs first: per column, row/null counts, min/max, and EXACT
+    distinct count.  min/max/null ride per-batch partial rows (O(columns)
+    per batch); the distinct count hashes each column's values per batch,
+    dedups IN-BATCH, and sends only (col, value-hash) pairs through one
+    keyed exchange — the q91 fingerprint-distinct argument: 64-bit-hash
+    distinct ≡ COUNT(DISTINCT) at any realistic scale, and here the
+    values are small ints/floats so the hash is injective in practice."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    cols = ["l_quantity", "l_extendedprice", "l_orderkey", "l_partkey"]
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        frames = []
+        for ci, c in enumerate(cols):
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            nn = pd.isna(v)
+            vv = np.asarray(v[~nn], dtype=np.float64)
+            h = pd.util.hash_array(vv)
+            uniq = np.unique(h)
+            # kind 0: one stats partial; kind 1: distinct value hashes
+            frames.append(pd.DataFrame({
+                "col": np.int64(ci), "kind": np.int8(0),
+                "h": np.int64(0),
+                "n_rows": np.int64(len(v)), "n_null": np.int64(nn.sum()),
+                "min_v": [vv.min() if len(vv) else np.inf],
+                "max_v": [vv.max() if len(vv) else -np.inf],
+            }))
+            frames.append(pd.DataFrame({
+                "col": np.full(len(uniq), ci, np.int64),
+                "kind": np.full(len(uniq), 1, np.int8),
+                "h": uniq.view(np.int64),
+                "n_rows": np.zeros(len(uniq), np.int64),
+                "n_null": np.zeros(len(uniq), np.int64),
+                "min_v": np.zeros(len(uniq), np.float64),
+                "max_v": np.zeros(len(uniq), np.float64),
+            }))
+        return from_pandas_clean(pd.concat(frames, ignore_index=True))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"col_name": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "n_null": pa.array([], pa.int64()),
+                             "ndv": pa.array([], pa.int64()),
+                             "min_v": pa.array([], pa.float64()),
+                             "max_v": pa.array([], pa.float64())})
+        stats = df[df["kind"] == 0].groupby("col").agg(
+            n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
+            min_v=("min_v", "min"), max_v=("max_v", "max"))
+        ndv = (df[df["kind"] == 1].drop_duplicates(["col", "h"])
+               .groupby("col").size().rename("ndv"))
+        out = stats.join(ndv).reset_index()
+        out["col_name"] = out["col"].map(dict(enumerate(cols)))
+        out["ndv"] = out["ndv"].fillna(0).astype(np.int64)
+        return from_pandas_clean(
+            out[["col_name", "n_rows", "n_null", "ndv", "min_v", "max_v"]])
+
+    # ONE exchange keyed by col: partials AND hashes co-locate per column,
+    # so the combine is a single block kernel per column
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(min(default_partitions(), len(cols)), keys=["col"])
+        .map_batches(combine, batch_format="pyarrow")
+    )
+
+
+SQL_Q103 = """
+SELECT col_name, n_rows, n_null, ndv, min_v, max_v FROM (
+  SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_quantity) AS n_null,
+         COUNT(DISTINCT l_quantity) AS ndv,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_v FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+         COUNT(DISTINCT l_extendedprice),
+         CAST(MIN(l_extendedprice) AS DOUBLE),
+         CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', COUNT(*), COUNT(*) - COUNT(l_orderkey),
+         COUNT(DISTINCT l_orderkey), CAST(MIN(l_orderkey) AS DOUBLE),
+         CAST(MAX(l_orderkey) AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+         COUNT(DISTINCT l_partkey), CAST(MIN(l_partkey) AS DOUBLE),
+         CAST(MAX(l_partkey) AS DOUBLE) FROM lineitem
+) t
+"""
+
+
+def q104_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (the Markov-chain counts
+    behind funnel diagnostics): ONE user-keyed exchange, block-local
+    lexsort by (user, ts, event_id) — the q37 window contract — then
+    vectorized bigram extraction and (prev, next) partial counts; a tiny
+    second exchange sums the matrix."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same = df["user_id"].values[1:] == df["user_id"].values[:-1]
+        prev = df["event_type"].values[:-1][same]
+        nxt = df["event_type"].values[1:][same]
+        out = pd.DataFrame({"prev_type": prev, "next_type": nxt})
+        out = out.groupby(["prev_type", "next_type"], as_index=False).size()
+        out = out.rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def total(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        return from_pandas_clean(
+            df.groupby(["prev_type", "next_type"], as_index=False)["cnt"]
+            .sum())
+
+    return (
+        ds.repartition(default_partitions(), keys=["user_id"])
+        .map_batches(bigrams, batch_format="pyarrow")
+        .repartition(4, keys=["prev_type"])
+        .map_batches(total, batch_format="pyarrow")
+    )
+
+
+SQL_Q104 = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5385,6 +5541,8 @@ QUERIES = {
     "q100_cell_embeddings": q100_cell_embeddings,
     "q101_geo_pairs": q101_geo_pairs,
     "q102_crawl_schedule": q102_crawl_schedule,
+    "q103_profile": q103_profile,
+    "q104_transitions": q104_transitions,
 }
 
 ORACLES = {
@@ -5483,4 +5641,6 @@ ORACLES = {
     "q100_cell_embeddings": SQL_Q100,
     "q101_geo_pairs": SQL_Q101,
     "q102_crawl_schedule": SQL_Q102,
+    "q103_profile": SQL_Q103,
+    "q104_transitions": SQL_Q104,
 }
