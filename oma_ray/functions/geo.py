@@ -374,6 +374,38 @@ def in_ranges(d: np.ndarray, ranges: np.ndarray) -> np.ndarray:
     return (idx >= 0) & (d < ranges[safe, 1])
 
 
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", np.uint8)
+
+
+def geohash(lon: np.ndarray, lat: np.ndarray, precision: int = 6) -> np.ndarray:
+    """Geohash strings (public base-32 scheme): bits alternate lon/lat
+    msb-first (lon leads), 5 bits per character — so, like the quadkey,
+    a geohash's PREFIX is its ancestor cell (substring = coarsen).
+    Encoded over the same clipped integer grids as `cell_grid` so every
+    bit is ANSI-SQL-mirrorable with shifts.  Vectorized digit-matrix →
+    fixed-width byte strings (``S<precision>``); one numpy pass."""
+    nbits = 5 * precision
+    nx = (nbits + 1) // 2
+    ny = nbits // 2
+    lon = np.asarray(lon, dtype=np.int64)
+    lat = np.asarray(lat, dtype=np.int64)
+    x = np.clip((lon + 1_800_000_000) * (np.int64(1) << nx)
+                // 3_600_000_001, 0, (1 << nx) - 1)
+    y = np.clip((lat + 900_000_000) * (np.int64(1) << ny)
+                // 1_800_000_001, 0, (1 << ny) - 1)
+    g = np.zeros(len(x), dtype=np.int64)
+    for b in range(nbits):
+        src = x if b % 2 == 0 else y
+        top = (nx if b % 2 == 0 else ny) - 1
+        bit = (src >> (top - b // 2)) & 1
+        g |= bit << (nbits - 1 - b)
+    digits = np.empty((len(x), precision), dtype=np.uint8)
+    for j in range(precision):
+        digits[:, j] = _GEOHASH32[(g >> (5 * (precision - 1 - j))) & 31]
+    return np.frombuffer(
+        np.ascontiguousarray(digits).tobytes(), dtype=f"S{precision}")
+
+
 def cell_hex(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
     """Axial hex-grid cell id (H3-res-7 stand-in), vectorized cube rounding.
 

@@ -5293,6 +5293,60 @@ GROUP BY prev_type, event_type
 """
 
 
+def q105_geohash(sf_dir: str):
+    """Geohash cell strings for every geo-parsed page (functions/geo.py::
+    geohash — the public base-32 alternating-bit scheme; canonical
+    'ezs42' example pinned by unit test) at precision 6 plus the
+    precision-3 ancestor prefix.  Pure fused map; the oracle rebuilds
+    every one of the 30 interleaved bits with integer shifts and indexes
+    the base-32 alphabet per character."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.geo import geohash
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        valid = ~pc.is_null(batch.column("lon")).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        gh = geohash(t.column("lon").to_numpy(zero_copy_only=False),
+                     t.column("lat").to_numpy(zero_copy_only=False), 6)
+        gh_arr = pa.array(gh).cast(pa.string())
+        return pa.table({
+            "page_id": t.column("page_id"),
+            "geohash": gh_arr,
+            "gh3": pc.utf8_slice_codeunits(gh_arr, 0, 3),
+        })
+
+    return _geo_pages(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def _geohash_sql_char(j: int, precision: int = 6) -> str:
+    """SQL expression for geohash character j: 5 interleaved bits (lon
+    leads, msb-first) summed into a base-32 alphabet index."""
+    nbits = 5 * precision
+    nx = (nbits + 1) // 2
+    ny = nbits // 2
+    bits = []
+    for t in range(5):
+        b = 5 * j + t
+        src, top = ("x", nx - 1) if b % 2 == 0 else ("y", ny - 1)
+        bits.append(f"((({src} >> {top - b // 2}) & 1) << {4 - t})")
+    return ("substr('0123456789bcdefghjkmnpqrstuvwxyz', ("
+            + " + ".join(bits) + ") + 1, 1)")
+
+
+SQL_Q105 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+xy AS (SELECT doc_id,
+    LEAST(GREATEST((lon + 1800000000) * 32768 // 3600000001, 0), 32767) AS x,
+    LEAST(GREATEST((lat + 900000000) * 32768 // 1800000001, 0), 32767) AS y
+  FROM g),
+gh AS (SELECT doc_id,
+    {" || ".join(_geohash_sql_char(j) for j in range(6))} AS geohash
+  FROM xy)
+SELECT doc_id AS page_id, geohash, substr(geohash, 1, 3) AS gh3 FROM gh
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5543,6 +5597,7 @@ QUERIES = {
     "q102_crawl_schedule": q102_crawl_schedule,
     "q103_profile": q103_profile,
     "q104_transitions": q104_transitions,
+    "q105_geohash": q105_geohash,
 }
 
 ORACLES = {
@@ -5643,4 +5698,5 @@ ORACLES = {
     "q102_crawl_schedule": SQL_Q102,
     "q103_profile": SQL_Q103,
     "q104_transitions": SQL_Q104,
+    "q105_geohash": SQL_Q105,
 }

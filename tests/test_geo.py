@@ -288,3 +288,19 @@ def test_hilbert_ranges_cover_properties():
         assert (cap >= exact).all()
         assert (np.diff(r_cap[:, 0]) > 0).all()
         assert (r_cap[1:, 0] > r_cap[:-1, 1]).all()
+
+
+def test_geohash_canonical_and_prefix():
+    """The canonical public example (lat 42.605, lon -5.603 → 'ezs42')
+    plus the ancestor-prefix property across precisions."""
+    from oma_ray.functions.geo import geohash
+
+    assert geohash(np.array([-56_030_000]), np.array([426_050_000]),
+                   5)[0] == b"ezs42"
+    rng = np.random.default_rng(2)
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, 1000)
+    lat = rng.integers(-900_000_000, 900_000_000, 1000)
+    g6 = geohash(lon, lat, 6).astype(str)
+    for p in (1, 3):
+        gp = geohash(lon, lat, p).astype(str)
+        assert all(a[:p] == b for a, b in zip(g6, gp))
