@@ -20,6 +20,16 @@ def read_parquet_clean(path: str | list[str], columns: list[str] | None = None,
     import ray.data as rd
 
     first = path[0] if isinstance(path, list) else path
+    if isinstance(first, str) and not first.endswith(".parquet"):
+        import os
+
+        if os.path.isdir(first):
+            # sharded input (the 100 TB layout): schema from the first
+            # shard; Ray's read handles the directory listing itself
+            shards = sorted(
+                f for f in os.listdir(first) if f.endswith(".parquet"))
+            if shards:
+                first = os.path.join(first, shards[0])
     schema = pq.read_schema(first).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])

@@ -157,3 +157,26 @@ def test_oma_ray_table_matches_serial_decode(ray_session):
         tbl = pa.concat_tables([x for x in ray.get(t) if len(x)])
         got = Counter(table_to_entries(tbl))
         assert got == serial and len(serial) > 0
+
+
+def test_read_parquet_clean_sharded_dir(ray_session, tmp_path):
+    """The 100 TB layout is a DIRECTORY of shards: reading the directory
+    must equal reading the single file (schema from the first shard,
+    listing delegated to Ray's reader)."""
+    import pyarrow.parquet as pqt
+
+    from oma_ray.sources.parquet import read_parquet_clean
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pqt.read_table(src)
+    n = len(t) // 4
+    for i in range(4):
+        pqt.write_table(
+            t.slice(i * n, n if i < 3 else len(t) - 3 * n),
+            str(tmp_path / f"part{i}.parquet"))
+    a = read_parquet_clean(str(tmp_path), columns=["doc_id", "lang"])
+    b = read_parquet_clean(src, columns=["doc_id", "lang"])
+    pa_, pb = a.to_pandas(), b.to_pandas()
+    assert sorted(pa_["doc_id"]) == sorted(pb["doc_id"])
+    assert pa_["lang"].value_counts().to_dict() == \
+        pb["lang"].value_counts().to_dict()
