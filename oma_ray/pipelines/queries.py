@@ -5347,6 +5347,128 @@ SELECT doc_id AS page_id, geohash, substr(geohash, 1, 3) AS gh3 FROM gh
 """
 
 
+def q106_geo_isolates(sf_dir: str):
+    """Spatial outliers: pages with NO other page within radius r — the
+    complement of q101, answered in the SAME single cell-keyed exchange
+    WITHOUT materializing any pair (a point's potential neighbors all
+    have copies in its home cell, so isolation is block-local).  Output
+    is O(points); at 10^12 rows the pair set of q101 could explode but
+    this never does (stages/geo_join.py::dwithin_isolates)."""
+    from oma_ray.stages.geo_join import dwithin_isolates
+
+    return dwithin_isolates(_geo_pages(sf_dir), r2=10_000_000_000,
+                            id_col="page_id")
+
+
+SQL_Q106 = f"""
+WITH g AS ({_SQL_GEO_DOCS})
+SELECT a.doc_id AS page_id FROM g a
+WHERE NOT EXISTS (
+  SELECT 1 FROM g b WHERE b.doc_id <> a.doc_id
+    AND {_SQL_D2_AB} <= 10000000000)
+"""
+
+
+def q107_covisits(sf_dir: str):
+    """Spatio-temporal co-visitation: user pairs sharing (cell, day)
+    slots across the event log — the co-movement primitive (contact
+    graphs, account-linking signals).  Visits dedup IN-BATCH, ONE
+    (cell, day)-keyed exchange makes the dedup global AND co-locates
+    each slot; per-slot pairs (occupancy-bounded triangles via the shared
+    pair_indices kernel) pre-count per batch, and a tiny second exchange
+    sums per pair."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle, pair_indices
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def visits(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        user = batch.column("user_id").to_numpy(zero_copy_only=False)[has_geo]
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 64)
+        df = pd.DataFrame({
+            "cell": row * 64 + col,
+            "day": ts // 86_400_000_000,
+            "user_id": user,
+        }).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def slot_pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()  # co-location ⇒ global dedup
+        empty = pa.table({"u1": pa.array([], pa.int64()),
+                          "u2": pa.array([], pa.int64()),
+                          "n_shared": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        df = df.sort_values(["cell", "day", "user_id"], kind="stable")
+        key = df["cell"].values * np.int64(1 << 24) + df["day"].values
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        segs = list(zip(np.r_[0, bounds], np.r_[bounds, len(key)]))
+        a, b = pair_indices(segs)
+        if not len(a):
+            return empty
+        users = df["user_id"].values
+        out = pd.DataFrame({"u1": users[a], "u2": users[b]})
+        out = out.groupby(["u1", "u2"], as_index=False).size().rename(
+            columns={"size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    empty = pa.table({"u1": pa.array([], pa.int64()),
+                      "u2": pa.array([], pa.int64()),
+                      "n_shared": pa.array([], pa.int64())})
+
+    def total(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return empty  # NOT batch: an empty shuffle block is schema-less
+        return from_pandas_clean(
+            df.groupby(["u1", "u2"], as_index=False)["n_shared"].sum())
+
+    from oma_ray.stages.dedup import _schema_anchor
+
+    out = (
+        ds.map_batches(visits, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["cell", "day"])
+        .map_batches(slot_pairs, batch_format="pyarrow")
+        .repartition(4, keys=["u1"])
+        .map_batches(total, batch_format="pyarrow")
+    )
+    # anchor the schema: a co-visit-free corpus yields an all-empty
+    # exchange whose blocks are schema-less (day slots keep every tested
+    # sf non-degenerate, but the anchor keeps intermediate schemas sane)
+    return _schema_anchor(out, pa.table({
+        "u1": pa.array([], pa.int64()), "u2": pa.array([], pa.int64()),
+        "n_shared": pa.array([], pa.int64())}))
+
+
+SQL_Q107 = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         {{lon}} AS lon, {{lat}} AS lat
+  FROM events WHERE {{hg}}),
+v AS (SELECT DISTINCT user_id,
+        ((lat + 900000000) * 64 // 1800000001) * 64
+      + ((lon + 1800000000) * 64 // 3600000001) AS cell,
+        epoch_us(ts) // 86400000000 AS day
+      FROM g)
+SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_shared
+FROM v a JOIN v b ON a.cell = b.cell AND a.day = b.day
+                 AND a.user_id < b.user_id
+GROUP BY 1, 2
+""".format(lon=SQL_LON.format(id="event_id"),
+           lat=SQL_LAT.format(id="event_id"),
+           hg=SQL_HAS_GEO.format(id="event_id"))
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5598,6 +5720,8 @@ QUERIES = {
     "q103_profile": q103_profile,
     "q104_transitions": q104_transitions,
     "q105_geohash": q105_geohash,
+    "q106_geo_isolates": q106_geo_isolates,
+    "q107_covisits": q107_covisits,
 }
 
 ORACLES = {
@@ -5699,4 +5823,6 @@ ORACLES = {
     "q103_profile": SQL_Q103,
     "q104_transitions": SQL_Q104,
     "q105_geohash": SQL_Q105,
+    "q106_geo_isolates": SQL_Q106,
+    "q107_covisits": SQL_Q107,
 }

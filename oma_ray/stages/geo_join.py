@@ -991,6 +991,54 @@ def box_overlap_join(a_ds, b_ds, *, width: int = 128,
     )
 
 
+class _NeighborExplode:
+    """map_batches callable: each valid point → 9 copies keyed by its 3×3
+    neighborhood of w-wide cells, home copy flagged.  Shared by the
+    self-join and isolate kernels (same co-location argument: every point
+    within one cell width of p has a copy in home(p))."""
+
+    def __init__(self, w: int, id_col: str, lon_col: str, lat_col: str):
+        self.w = w
+        self.id_col, self.lon_col, self.lat_col = id_col, lon_col, lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        off = np.int64(1 << 20)
+        valid = ~pc.is_null(batch.column(self.lon_col)).to_numpy(
+            zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        lon = t.column(self.lon_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lat = t.column(self.lat_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cx, cy = lon // self.w, lat // self.w
+        n = len(ids)
+        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1],
+                                dtype=np.int64), n)
+        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1],
+                                dtype=np.int64), n)
+        key = ((np.tile(cx, 9) + dx + off) << np.int64(21)) + (
+            np.tile(cy, 9) + dy + off)
+        return pa.table({
+            "key": pa.array(key),
+            "pid": pa.array(np.tile(ids, 9).astype(np.int64)),
+            "plon": pa.array(np.tile(lon, 9)),
+            "plat": pa.array(np.tile(lat, 9)),
+            "home": pa.array((dx == 0) & (dy == 0)),
+        })
+
+
+def _cell_width(r2: int) -> int:
+    import math
+
+    w = 100 * (math.isqrt(int(r2)) + 1)  # cell width ≥ max match distance
+    if w < 3600:  # keep packed cell coords inside 2^20
+        raise ValueError(f"r2={r2} too small: cell width {w} < 3600")
+    return w
+
+
 def dwithin_self_join(ds, r2: int, id_col: str = "page_id",
                       lon_col: str = "lon", lat_col: str = "lat",
                       partitions: int | None = None):
@@ -1009,47 +1057,17 @@ def dwithin_self_join(ds, r2: int, id_col: str = "page_id",
     physically sit within one radius.  d2 is the shared integer metric
     ``(|Δlon|//100)² + (|Δlat|//100)²`` (abs-before-divide).
     """
-    import math
-
-    import pyarrow.compute as pc
-
     from oma_ray.cluster import default_partitions
     from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
 
-    w = 100 * (math.isqrt(int(r2)) + 1)  # cell width ≥ max match distance
-    if w < 3600:  # keep packed cell coords inside 2^20
-        raise ValueError(f"r2={r2} too small: cell width {w} < 3600")
-    off = np.int64(1 << 20)
+    w = _cell_width(r2)
     empty = pa.table({
         "a_id": pa.array([], pa.int64()),
         "b_id": pa.array([], pa.int64()),
         "d2": pa.array([], pa.int64()),
     })
 
-    def explode(batch: pa.Table) -> pa.Table:
-        valid = ~pc.is_null(batch.column(lon_col)).to_numpy(
-            zero_copy_only=False)
-        t = batch.filter(pa.array(valid))
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cx, cy = lon // w, lat // w
-        n = len(ids)
-        ids9 = np.tile(ids, 9)
-        lon9 = np.tile(lon, 9)
-        lat9 = np.tile(lat, 9)
-        dx = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1],
-                                dtype=np.int64), n)
-        dy = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1],
-                                dtype=np.int64), n)
-        key = ((np.tile(cx, 9) + dx + off) << np.int64(21)) + (
-            np.tile(cy, 9) + dy + off)
-        home = (dx == 0) & (dy == 0)
-        return pa.table({
-            "key": pa.array(key), "pid": pa.array(ids9.astype(np.int64)),
-            "plon": pa.array(lon9), "plat": pa.array(lat9),
-            "home": pa.array(home),
-        })
+    explode = _NeighborExplode(w, id_col, lon_col, lat_col)
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         if not len(batch):
@@ -1090,5 +1108,56 @@ def dwithin_self_join(ds, r2: int, id_col: str = "page_id",
         ds.map_batches(explode, batch_format="pyarrow")
         .repartition(partitions or default_partitions(), keys=["key"])
         .map_batches(block_pairs, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, empty)
+
+
+def dwithin_isolates(ds, r2: int, id_col: str = "page_id",
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     partitions: int | None = None):
+    """Spatial outliers: ids of points with NO other point within ``d2 <=
+    r2`` — the complement query of `dwithin_self_join`, answered in the
+    SAME single cell-keyed exchange without materializing any pair: every
+    point within range of p has a copy in home(p), so p is an isolate iff
+    its home copy sees no in-radius other copy in its cell block.  Output
+    is one row per isolate (O(points), never O(pairs))."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    w = _cell_width(r2)
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+
+    def block_isolates(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        lon = batch.column("plon").to_numpy(zero_copy_only=False)
+        lat = batch.column("plat").to_numpy(zero_copy_only=False)
+        home = batch.column("home").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, pid, lon, lat, home = (a[order] for a in
+                                    (key, pid, lon, lat, home))
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        out = []
+        for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(key)]):
+            h = np.flatnonzero(home[s:e]) + s
+            if not len(h):
+                continue
+            dlon = np.abs(lon[h, None] - lon[None, s:e]) // 100
+            dlat = np.abs(lat[h, None] - lat[None, s:e]) // 100
+            d2 = dlon * dlon + dlat * dlat
+            near = (d2 <= r2) & (pid[h, None] != pid[None, s:e])
+            out.append(pid[h][~near.any(axis=1)])
+        if not out:
+            return empty
+        return pa.table({id_col: pa.array(np.concatenate(out))})
+
+    ensure_hash_shuffle()
+    out = (
+        ds.map_batches(_NeighborExplode(w, id_col, lon_col, lat_col),
+                       batch_format="pyarrow")
+        .repartition(partitions or default_partitions(), keys=["key"])
+        .map_batches(block_isolates, batch_format="pyarrow")
     )
     return _schema_anchor(out, empty)

@@ -565,3 +565,40 @@ def test_dwithin_self_join_brute_parity(ray_session):
             if ids[i] < ids[j] and d2[i, j] <= r2:
                 want.add((int(ids[i]), int(ids[j]), int(d2[i, j])))
     assert got_set == want
+
+
+def test_dwithin_isolates_brute_parity(ray_session):
+    """Isolates = complement of the pair query: same random layout as the
+    self-join test; a point is an isolate iff no other point is within r2.
+    Duplicate coordinates with distinct ids must NOT count as isolates."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import dwithin_isolates
+
+    rng = np.random.default_rng(22)
+    n = 300
+    lon = np.concatenate([
+        rng.integers(-1_800_000_000, 1_800_000_000, n // 2),
+        rng.integers(0, 300_000_000, n // 2),
+    ]).astype(np.int64)
+    lat = np.concatenate([
+        rng.integers(-900_000_000, 900_000_000, n // 2),
+        rng.integers(0, 150_000_000, n // 2),
+    ]).astype(np.int64)
+    # plant an exact-duplicate coordinate pair (neither is an isolate)
+    lon[7], lat[7] = lon[3], lat[3]
+    ids = rng.permutation(n).astype(np.int64)
+    r2 = 1_000_000_000_000
+
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array(ids), "lon": pa.array(lon),
+        "lat": pa.array(lat)})).repartition(5)
+    got = sorted(dwithin_isolates(ds, r2=r2, partitions=3)
+                 .to_pandas()["page_id"].tolist())
+
+    dlon = np.abs(lon[:, None] - lon[None, :]) // 100
+    dlat = np.abs(lat[:, None] - lat[None, :]) // 100
+    d2 = dlon * dlon + dlat * dlat
+    near = (d2 <= r2) & (ids[:, None] != ids[None, :])
+    want = sorted(int(i) for k, i in enumerate(ids) if not near[k].any())
+    assert got == want

@@ -27,6 +27,8 @@ SUBSET = [
     "q47_box_range_join",
     "q50_nearest_station",
     "q91_web_curation",
+    "q106_geo_isolates",
+    "q107_covisits",
 ]
 
 
