@@ -5469,6 +5469,300 @@ GROUP BY 1, 2
            hg=SQL_HAS_GEO.format(id="event_id"))
 
 
+def q108_segment_crossings(sf_dir: str):
+    """Segment-intersection self-join (road-network / trajectory-crossing
+    primitive): all segment pairs that properly cross, by integer
+    orientation sign tests — distributed via bbox cell covers with
+    exactly-once emission in the pair's min shared cover cell
+    (stages/geo_join.py::segment_intersect_join)."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import segment_intersect_join
+    from oma_ray.synth import synth_segments
+
+    segs = rd.from_arrow(pa.table(
+        {k: pa.array(v) for k, v in synth_segments(256).items()}
+    )).repartition(4)
+    return segment_intersect_join(segs)
+
+
+def _sql_orient(px, py, qx, qy, rx, ry):
+    """Integer orientation cross product ((q−p) × (r−p)) — the engine's
+    kernel restated; fixture deltas keep every product inside BIGINT."""
+    return (f"(({qx}-{px})*({ry}-{py}) - ({qy}-{py})*({rx}-{px}))")
+
+
+_O1 = _sql_orient("a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay")
+_O2 = _sql_orient("a.ax", "a.ay", "a.bx", "a.by", "b.bx", "b.by")
+_O3 = _sql_orient("b.ax", "b.ay", "b.bx", "b.by", "a.ax", "a.ay")
+_O4 = _sql_orient("b.ax", "b.ay", "b.bx", "b.by", "a.bx", "a.by")
+
+SQL_Q108 = None  # assembled below (needs the segments CTE)
+
+
+def _assemble_sql_q108():
+    from oma_ray.synth import sql_segments_cte
+
+    return f"""
+WITH s AS ({sql_segments_cte(256)})
+SELECT a.seg_id AS a_id, b.seg_id AS b_id
+FROM s a JOIN s b ON a.seg_id < b.seg_id
+WHERE (({_O1} > 0) <> ({_O2} > 0)) AND {_O1} <> 0 AND {_O2} <> 0
+  AND (({_O3} > 0) <> ({_O4} > 0)) AND {_O3} <> 0 AND {_O4} <> 0
+"""
+
+
+SQL_Q108 = _assemble_sql_q108()
+
+
+_IDW_R2 = 10**12  # inclusion radius in d2 units (= (|Δ|//100)² space)
+
+
+def q109_idw(sf_dir: str):
+    """Inverse-distance-weighted interpolation: each page's estimated
+    "measurement" from the stations within radius — the gridding /
+    sensor-fusion primitive.  Integer-exact weights ``w = 1 + R2 //
+    (1000 + d2)`` (the +1 keeps Σw > 0, the +1000 bounds w ≤ 1e9 so
+    Σ v·w stays far inside int64); ``est = Σ v·w // Σ w``.  Stations are
+    the tiny side: the per-batch kernel evaluates the full page×station
+    distance matrix vectorized — zero shuffle, embarrassingly parallel
+    (at 10^12 pages this is a fused map; the station table would ride
+    `broadcast_once`, here it is a pure formula re-evaluated per task)."""
+    from oma_ray.synth import synth_stations
+
+    st = synth_stations(64)
+    s_lon, s_lat = st["lon"], st["lat"]
+    s_val = st["value"]
+
+    def interp(batch: pa.Table) -> pa.Table:
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        pid, lon, lat = pid[ok], lon[ok].astype(np.int64), lat[ok].astype(np.int64)
+        dlon = np.abs(lon[:, None] - s_lon[None, :]) // 100
+        dlat = np.abs(lat[:, None] - s_lat[None, :]) // 100
+        d2 = dlon * dlon + dlat * dlat
+        near = d2 <= _IDW_R2
+        w = (1 + _IDW_R2 // (1000 + d2)) * near
+        n_st = near.sum(axis=1).astype(np.int64)
+        sum_w = w.sum(axis=1)
+        sum_vw = (w * s_val[None, :]).sum(axis=1)
+        keep = n_st > 0
+        return pa.table({
+            "page_id": pa.array(pid[keep]),
+            "n_st": pa.array(n_st[keep]),
+            "est": pa.array(sum_vw[keep] // sum_w[keep]),
+        })
+
+    return _geo_pages(sf_dir).map_batches(interp, batch_format="pyarrow")
+
+
+SQL_Q109 = None  # assembled below (needs the stations CTE)
+
+
+def _assemble_sql_q109():
+    from oma_ray.synth import sql_stations_cte
+
+    d2 = _SQL_D2.format(lon="g.lon", lat="g.lat", qlon="st.lon",
+                        qlat="st.lat")
+    return f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+st AS ({sql_stations_cte(64)}),
+d AS (
+  SELECT g.doc_id AS page_id, st.value AS v, {d2} AS d2
+  FROM g CROSS JOIN st)
+SELECT page_id, COUNT(*) AS n_st,
+       CAST(SUM(CAST(v AS HUGEINT) * (1 + {_IDW_R2} // (1000 + d2)))
+            // SUM(1 + {_IDW_R2} // (1000 + d2)) AS BIGINT) AS est
+FROM d WHERE d2 <= {_IDW_R2}
+GROUP BY page_id
+"""
+
+
+SQL_Q109 = _assemble_sql_q109()
+
+
+def q110_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of the page density
+    surface over the 64×64 world grid (rook adjacency, binary weights) —
+    the classic "is the density clustered or random" statistic.
+
+    Exact integer form: with N = 4096 cells and S = Σx, deviations are
+    reported in the N-scaled space dev_i = N·x_i − S (so no fractional
+    mean ever appears); ``num = Σ_adj dev_i·dev_j`` over ORDERED adjacent
+    pairs and ``den = Σ dev_i²``; Moran's I = (N/W)·num/den derives
+    exactly from the returned integers.  The heavy side (counting pages
+    per cell) is the distributed q13 idiom — partial counts per batch,
+    one cell-keyed exchange; the finalize touches only the 4096-row cell
+    vector (bounded by the GRID constant, not the data — the raster/zonal
+    precedent), with Python-int products so no intermediate overflows."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
+    x = np.zeros(4096, dtype=np.int64)
+    if len(counts):
+        x[counts["cell"].to_numpy()] = counts["n"].to_numpy()
+    n_cells, s = 4096, int(x.sum())
+    dev = (n_cells * x - s).astype(object)  # exact bigint products
+    g = dev.reshape(64, 64)
+    num = 2 * int((g[:, :-1] * g[:, 1:]).sum()
+                  + (g[:-1, :] * g[1:, :]).sum())
+    den = int((dev * dev).sum())
+    w_pairs = 2 * (2 * 64 * 63)
+    return pd.DataFrame({
+        "n_cells": np.array([n_cells], dtype=np.int64),
+        "n_points": np.array([s], dtype=np.int64),
+        "w_pairs": np.array([w_pairs], dtype=np.int64),
+        "num": np.array([num], dtype=np.int64),
+        "den": np.array([den], dtype=np.int64),
+    })
+
+
+SQL_Q110 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+c AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+       + ((lon + 1800000000) * 64 // 3600000001) AS cell FROM g),
+cnt AS (SELECT cell, COUNT(*) AS x FROM c GROUP BY cell),
+grid AS (
+  SELECT t.i AS cell, COALESCE(cnt.x, 0) AS x
+  FROM range(4096) t(i) LEFT JOIN cnt ON cnt.cell = t.i),
+tot AS (SELECT SUM(x) AS s FROM grid),
+d AS (
+  SELECT cell // 64 AS r, cell % 64 AS c2,
+         CAST(4096 * x - (SELECT s FROM tot) AS HUGEINT) AS dev
+  FROM grid),
+adj AS (
+  SELECT a.dev AS da, b.dev AS db
+  FROM d a JOIN d b ON (a.r = b.r AND ABS(a.c2 - b.c2) = 1)
+                    OR (a.c2 = b.c2 AND ABS(a.r - b.r) = 1))
+SELECT CAST(4096 AS BIGINT) AS n_cells,
+       CAST((SELECT s FROM tot) AS BIGINT) AS n_points,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM adj) AS w_pairs,
+       (SELECT CAST(SUM(da * db) AS BIGINT) FROM adj) AS num,
+       (SELECT CAST(SUM(dev * dev) AS BIGINT) FROM d) AS den
+"""
+
+
+def q111_areal_interp(sf_dir: str):
+    """Areal interpolation (the census-overlay primitive): page counts on
+    the 64×64 grid re-apportioned to overlapping districts by exact
+    integer overlap area.  ``mass(d) = Σ_cells x_c · ovl6(c, d)`` where
+    ovl6 is the cell∩district rectangle area in 1e6-unit² quanta (the
+    //1e6 quantization is mirrored verbatim in SQL — at x ≤ 1e6 pages
+    per cell every product stays inside int64).
+
+    Fully distributed — NO driver-side grid: partial cell counts → one
+    cell-keyed exchange (the q13 idiom); each combined block then
+    cross-scores its cells against the broadcast-small district table
+    (64×block matrix) and a second O(districts) keyed exchange sums the
+    per-block masses."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import synth_boxes
+
+    bx = synth_boxes(64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    counts = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+
+    def lon_edge(k: np.ndarray) -> np.ndarray:
+        return (k * 3_600_000_001 + 63) // 64 - 1_800_000_000
+
+    def lat_edge(k: np.ndarray) -> np.ndarray:
+        return (k * 1_800_000_001 + 63) // 64 - 900_000_000
+
+    def district_partial(batch: pa.Table) -> pa.Table:
+        if not len(batch) or batch.num_columns == 0:
+            return pa.table({"box_id": pa.array([], pa.int64()),
+                             "mass": pa.array([], pa.int64())})
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        r, c = cell // 64, cell % 64
+        x0, x1 = lon_edge(c), lon_edge(c + 1)
+        y0, y1 = lat_edge(r), lat_edge(r + 1)
+        ox = (np.minimum(bx["maxlon"][None, :] + 1, x1[:, None])
+              - np.maximum(bx["minlon"][None, :], x0[:, None]))
+        oy = (np.minimum(bx["maxlat"][None, :] + 1, y1[:, None])
+              - np.maximum(bx["minlat"][None, :], y0[:, None]))
+        ovl6 = (np.maximum(ox, 0) * np.maximum(oy, 0)) // 1_000_000
+        mass = (n[:, None] * ovl6).sum(axis=0)
+        return pa.table({"box_id": pa.array(bx["box_id"]),
+                         "mass": pa.array(mass)})
+
+    def total(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({"box_id": pa.array([], pa.int64()),
+                             "mass": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.groupby("box_id", as_index=False)["mass"].sum())
+
+    ensure_hash_shuffle()
+    out = (
+        counts.map_batches(district_partial, batch_format="pyarrow")
+        .repartition(2, keys=["box_id"])
+        .map_batches(total, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, pa.table({
+        "box_id": pa.array([], pa.int64()),
+        "mass": pa.array([], pa.int64())}))
+
+
+SQL_Q111 = None  # assembled below (needs the boxes CTE)
+
+
+def _assemble_sql_q111():
+    from oma_ray.synth import sql_boxes_cte
+
+    return f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+cc AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+       + ((lon + 1800000000) * 64 // 3600000001) AS cell FROM g),
+cnt AS (SELECT cell, COUNT(*) AS x FROM cc GROUP BY cell),
+b AS ({sql_boxes_cte(64)}),
+edges AS (
+  SELECT cell, x,
+    ((cell % 64) * 3600000001 + 63) // 64 - 1800000000 AS x0,
+    ((cell % 64 + 1) * 3600000001 + 63) // 64 - 1800000000 AS x1,
+    ((cell // 64) * 1800000001 + 63) // 64 - 900000000 AS y0,
+    ((cell // 64 + 1) * 1800000001 + 63) // 64 - 900000000 AS y1
+  FROM cnt),
+ovl AS (
+  SELECT b.box_id, e.x,
+    GREATEST(LEAST(b.maxlon + 1, e.x1) - GREATEST(b.minlon, e.x0), 0)
+    * GREATEST(LEAST(b.maxlat + 1, e.y1) - GREATEST(b.minlat, e.y0), 0)
+    // 1000000 AS ovl6
+  FROM b CROSS JOIN edges e)
+SELECT box_id, CAST(COALESCE(SUM(x * ovl6), 0) AS BIGINT) AS mass
+FROM ovl GROUP BY box_id
+"""
+
+
+SQL_Q111 = _assemble_sql_q111()
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -5722,6 +6016,10 @@ QUERIES = {
     "q105_geohash": q105_geohash,
     "q106_geo_isolates": q106_geo_isolates,
     "q107_covisits": q107_covisits,
+    "q108_segment_crossings": q108_segment_crossings,
+    "q109_idw": q109_idw,
+    "q110_morans_i": q110_morans_i,
+    "q111_areal_interp": q111_areal_interp,
 }
 
 ORACLES = {
@@ -5825,4 +6123,8 @@ ORACLES = {
     "q105_geohash": SQL_Q105,
     "q106_geo_isolates": SQL_Q106,
     "q107_covisits": SQL_Q107,
+    "q108_segment_crossings": SQL_Q108,
+    "q109_idw": SQL_Q109,
+    "q110_morans_i": SQL_Q110,
+    "q111_areal_interp": SQL_Q111,
 }

@@ -1161,3 +1161,107 @@ def dwithin_isolates(ds, r2: int, id_col: str = "page_id",
         .map_batches(block_isolates, batch_format="pyarrow")
     )
     return _schema_anchor(out, empty)
+
+
+def segment_intersect_join(ds, *, cell: int = 50_000_000,
+                           partitions: int | None = None):
+    """Distributed segment-intersection self-join: all pairs of segments
+    that PROPERLY cross (strict sign-opposed integer orientation tests on
+    both sides; collinear/touching pairs excluded — the predicate the SQL
+    oracle restates verbatim).
+
+    Scale shape (the q101 pattern lifted from points to extents): each
+    segment registers a copy in every grid cell its bbox overlaps, ONE
+    cell-keyed exchange co-locates candidates, and per-cell work is
+    occupancy-bounded.  Exactly-once emission without a dedup exchange:
+    a crossing pair's bbox covers both contain the lexicographically-min
+    shared cell ``(max(r0a, r0b), max(c0a, c0b))`` — the pair is emitted
+    only there.  Candidate endpoints sharing a cell sit within
+    ``2·(cell + seg_len)`` of each other, so int64 cross products are
+    exact (callers bound ``seg_len``; synth fixture ≤ 5e7).
+
+    Input columns: ``seg_id, ax, ay, bx, by``; output ``(a_id, b_id)``
+    with ``a_id < b_id``.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    off = np.int64(4_000_000_000)
+    empty = pa.table({"a_id": pa.array([], pa.int64()),
+                      "b_id": pa.array([], pa.int64())})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k).to_numpy(zero_copy_only=False)
+                for k in ("seg_id", "ax", "ay", "bx", "by")}
+        minx = np.minimum(cols["ax"], cols["bx"])
+        maxx = np.maximum(cols["ax"], cols["bx"])
+        miny = np.minimum(cols["ay"], cols["by"])
+        maxy = np.maximum(cols["ay"], cols["by"])
+        r0, r1 = (miny + off) // cell, (maxy + off) // cell
+        c0, c1 = (minx + off) // cell, (maxx + off) // cell
+        nrow, ncol = r1 - r0 + 1, c1 - c0 + 1
+        n_cells = nrow * ncol
+        seg_idx = np.repeat(np.arange(len(n_cells)), n_cells)
+        first = np.concatenate([[0], np.cumsum(n_cells)[:-1]])
+        within = np.arange(int(n_cells.sum())) - first[seg_idx]
+        r = r0[seg_idx] + within // ncol[seg_idx]
+        c = c0[seg_idx] + within % ncol[seg_idx]
+        return pa.table({
+            "key": pa.array(r * np.int64(1 << 20) + c),
+            "sid": pa.array(cols["seg_id"][seg_idx]),
+            "sax": pa.array(cols["ax"][seg_idx]),
+            "say": pa.array(cols["ay"][seg_idx]),
+            "sbx": pa.array(cols["bx"][seg_idx]),
+            "sby": pa.array(cols["by"][seg_idx]),
+            "r0": pa.array(r0[seg_idx]), "c0": pa.array(c0[seg_idx]),
+        })
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        arr = {k: batch.column(k).to_numpy(zero_copy_only=False)
+               for k in ("key", "sid", "sax", "say", "sbx", "sby",
+                         "r0", "c0")}
+        order = np.argsort(arr["key"], kind="stable")
+        arr = {k: v[order] for k, v in arr.items()}
+        key = arr["key"]
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        out_a, out_b = [], []
+        for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(key)]):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            i, j = i + s, j + s
+            # exactly-once: emit only in the min shared bbox-cover cell
+            rr = np.maximum(arr["r0"][i], arr["r0"][j])
+            cc = np.maximum(arr["c0"][i], arr["c0"][j])
+            here = (rr * np.int64(1 << 20) + cc) == key[s]
+            i, j = i[here], j[here]
+            if not len(i):
+                continue
+            ax, ay = arr["sax"][i], arr["say"][i]
+            bx, by = arr["sbx"][i], arr["sby"][i]
+            cx, cy = arr["sax"][j], arr["say"][j]
+            dx, dy = arr["sbx"][j], arr["sby"][j]
+            o1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            o2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+            o3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+            o4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+            cross = (((o1 > 0) != (o2 > 0)) & (o1 != 0) & (o2 != 0)
+                     & ((o3 > 0) != (o4 > 0)) & (o3 != 0) & (o4 != 0))
+            si, sj = arr["sid"][i][cross], arr["sid"][j][cross]
+            out_a.append(np.minimum(si, sj))
+            out_b.append(np.maximum(si, sj))
+        if not out_a:
+            return empty
+        return pa.table({"a_id": pa.array(np.concatenate(out_a)),
+                         "b_id": pa.array(np.concatenate(out_b))})
+
+    ensure_hash_shuffle()
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .repartition(partitions or default_partitions(), keys=["key"])
+        .map_batches(block_pairs, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, empty)

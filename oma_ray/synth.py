@@ -412,3 +412,36 @@ def sql_boxes_cte(n: int = 64, start: int = 0) -> str:
         f"(i * 2246822519 + 123456789) % 1600000000 - 800000000 + (15000000 + (i * 10472941) % 60000000) AS maxlat "
         f"FROM range({start}, {start + n}) t(i)"
     )
+
+
+def synth_segments(n: int = 256) -> dict[str, np.ndarray]:
+    """Deterministic line segments (intersection-join fixture): anchors
+    confined to a metro-scale 4e8 × 2e8 window (world-spread anchors from
+    one multiplicative-hash lattice never overlap at n=256 — the
+    three-distance theorem makes near pairs in x far in y), deltas
+    bounded by ±5e7 fixed-point units so orientation cross products stay
+    far inside int64 (|Δseg| ≤ 5e7, endpoint spans ≤ 5e8 ⇒ |cross| ≤
+    2.5e16 < 2^63)."""
+    i = np.arange(n, dtype=np.int64)
+    ax = (i * 2654435761 + 111_111_111) % 400_000_000 - 200_000_000
+    ay = (i * 2246822519 + 222_222_222) % 200_000_000 - 100_000_000
+    return {
+        "seg_id": i,
+        "ax": ax, "ay": ay,
+        "bx": ax + (i * 7_919_333 + 13) % 100_000_001 - 50_000_000,
+        "by": ay + (i * 10_472_941 + 7) % 100_000_001 - 50_000_000,
+    }
+
+
+def sql_segments_cte(n: int = 256) -> str:
+    """DuckDB CTE body computing ``synth_segments(n)`` exactly."""
+    return (
+        f"SELECT i AS seg_id, "
+        f"(i * 2654435761 + 111111111) % 400000000 - 200000000 AS ax, "
+        f"(i * 2246822519 + 222222222) % 200000000 - 100000000 AS ay, "
+        f"(i * 2654435761 + 111111111) % 400000000 - 200000000 "
+        f"+ (i * 7919333 + 13) % 100000001 - 50000000 AS bx, "
+        f"(i * 2246822519 + 222222222) % 200000000 - 100000000 "
+        f"+ (i * 10472941 + 7) % 100000001 - 50000000 AS by "
+        f"FROM range({n}) t(i)"
+    )

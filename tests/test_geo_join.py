@@ -602,3 +602,43 @@ def test_dwithin_isolates_brute_parity(ray_session):
     near = (d2 <= r2) & (ids[:, None] != ids[None, :])
     want = sorted(int(i) for k, i in enumerate(ids) if not near[k].any())
     assert got == want
+
+
+def test_segment_intersect_brute_parity(ray_session):
+    """Random dense segments vs an O(n²) orientation-test reference;
+    forced multi-partition split exercises the min-shared-cell
+    exactly-once rule across cover cells."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import segment_intersect_join
+
+    rng = np.random.default_rng(31)
+    n = 200
+    ax = rng.integers(-300_000_000, 300_000_000, n)
+    ay = rng.integers(-150_000_000, 150_000_000, n)
+    bx = ax + rng.integers(-80_000_000, 80_000_001, n)
+    by = ay + rng.integers(-80_000_000, 80_000_001, n)
+    ids = rng.permutation(n).astype(np.int64)
+
+    ds = rd.from_arrow(pa.table({
+        "seg_id": pa.array(ids), "ax": pa.array(ax), "ay": pa.array(ay),
+        "bx": pa.array(bx), "by": pa.array(by)})).repartition(5)
+    got = segment_intersect_join(ds, partitions=3).to_pandas()
+    got_set = set(map(tuple, got[["a_id", "b_id"]].values.tolist()))
+    assert len(got_set) == len(got)  # exactly-once
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            o1 = orient(ax[i], ay[i], bx[i], by[i], ax[j], ay[j])
+            o2 = orient(ax[i], ay[i], bx[i], by[i], bx[j], by[j])
+            o3 = orient(ax[j], ay[j], bx[j], by[j], ax[i], ay[i])
+            o4 = orient(ax[j], ay[j], bx[j], by[j], bx[i], by[i])
+            if ((o1 > 0) != (o2 > 0) and o1 and o2
+                    and (o3 > 0) != (o4 > 0) and o3 and o4):
+                want.add((int(min(ids[i], ids[j])),
+                          int(max(ids[i], ids[j]))))
+    assert got_set == want

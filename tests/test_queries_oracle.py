@@ -29,6 +29,10 @@ SUBSET = [
     "q91_web_curation",
     "q106_geo_isolates",
     "q107_covisits",
+    "q108_segment_crossings",
+    "q109_idw",
+    "q110_morans_i",
+    "q111_areal_interp",
 ]
 
 
