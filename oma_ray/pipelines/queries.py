@@ -5763,6 +5763,52 @@ FROM ovl GROUP BY box_id
 SQL_Q111 = _assemble_sql_q111()
 
 
+_DBSCAN_R2, _DBSCAN_K = 10**12, 5
+
+
+def q112_dbscan(sf_dir: str):
+    """Distributed DBSCAN over page locations (r2=1e12, minPts=5): core
+    points, min-core-id border attachment, noise dropped — the density
+    clustering primitive, composed from the proven dwithin exchange +
+    connected-components fixpoint (stages/geo_join.py::dbscan)."""
+    from oma_ray.stages.geo_join import dbscan
+
+    return dbscan(_geo_pages(sf_dir), r2=_DBSCAN_R2, min_pts=_DBSCAN_K,
+                  id_col="page_id")
+
+
+_SQL_D2_AB2 = _SQL_D2.format(lon="a.lon", lat="a.lat", qlon="b.lon",
+                             qlat="b.lat")
+
+SQL_Q112 = f"""
+WITH RECURSIVE g AS ({_SQL_GEO_DOCS}),
+nb AS (
+  SELECT a.doc_id AS id, a.lon, a.lat, COUNT(b.doc_id) AS n
+  FROM g a LEFT JOIN g b
+    ON b.doc_id <> a.doc_id AND {_SQL_D2_AB2} <= {_DBSCAN_R2}
+  GROUP BY 1, 2, 3),
+core AS (SELECT id, lon, lat FROM nb WHERE n >= {_DBSCAN_K}),
+e AS (
+  SELECT a.id AS a, b.id AS b FROM core a JOIN core b
+  ON a.id < b.id AND {_SQL_D2_AB2} <= {_DBSCAN_R2}),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, lab) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+labeled AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node),
+border AS (
+  SELECT a.id AS pid, MIN(b.id) AS mc
+  FROM nb a JOIN core b
+    ON a.n < {_DBSCAN_K} AND b.id <> a.id AND {_SQL_D2_AB2} <= {_DBSCAN_R2}
+  GROUP BY 1)
+SELECT node AS page_id, comp, CAST(1 AS BIGINT) AS is_core FROM labeled
+UNION ALL
+SELECT b.pid AS page_id, l.comp, CAST(0 AS BIGINT) AS is_core
+FROM border b JOIN labeled l ON l.node = b.mc
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6020,6 +6066,7 @@ QUERIES = {
     "q109_idw": q109_idw,
     "q110_morans_i": q110_morans_i,
     "q111_areal_interp": q111_areal_interp,
+    "q112_dbscan": q112_dbscan,
 }
 
 ORACLES = {
@@ -6127,4 +6174,5 @@ ORACLES = {
     "q109_idw": SQL_Q109,
     "q110_morans_i": SQL_Q110,
     "q111_areal_interp": SQL_Q111,
+    "q112_dbscan": SQL_Q112,
 }

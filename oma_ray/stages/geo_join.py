@@ -997,9 +997,11 @@ class _NeighborExplode:
     self-join and isolate kernels (same co-location argument: every point
     within one cell width of p has a copy in home(p))."""
 
-    def __init__(self, w: int, id_col: str, lon_col: str, lat_col: str):
+    def __init__(self, w: int, id_col: str, lon_col: str, lat_col: str,
+                 extra_cols: tuple = ()):
         self.w = w
         self.id_col, self.lon_col, self.lat_col = id_col, lon_col, lat_col
+        self.extra_cols = extra_cols  # int64/bool passthroughs, tiled 9×
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1021,13 +1023,17 @@ class _NeighborExplode:
                                 dtype=np.int64), n)
         key = ((np.tile(cx, 9) + dx + off) << np.int64(21)) + (
             np.tile(cy, 9) + dy + off)
-        return pa.table({
+        cols = {
             "key": pa.array(key),
             "pid": pa.array(np.tile(ids, 9).astype(np.int64)),
             "plon": pa.array(np.tile(lon, 9)),
             "plat": pa.array(np.tile(lat, 9)),
             "home": pa.array((dx == 0) & (dy == 0)),
-        })
+        }
+        for c in self.extra_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.tile(v, 9))
+        return pa.table(cols)
 
 
 def _cell_width(r2: int) -> int:
@@ -1265,3 +1271,200 @@ def segment_intersect_join(ds, *, cell: int = 50_000_000,
         .map_batches(block_pairs, batch_format="pyarrow")
     )
     return _schema_anchor(out, empty)
+
+
+def dwithin_degrees(ds, r2: int, id_col: str = "page_id",
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    partitions: int | None = None):
+    """Per-point in-radius degree: ``(id, lon, lat, n_nbrs)`` with n_nbrs
+    = count of OTHER points at ``d2 <= r2`` — the density primitive under
+    DBSCAN core detection, same single cell-keyed exchange and O(points)
+    output as `dwithin_isolates` (coords ride along so downstream phases
+    need no re-join against the input)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    w = _cell_width(r2)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      lon_col: pa.array([], pa.int64()),
+                      lat_col: pa.array([], pa.int64()),
+                      "n_nbrs": pa.array([], pa.int64())})
+
+    def block_degrees(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        lon = batch.column("plon").to_numpy(zero_copy_only=False)
+        lat = batch.column("plat").to_numpy(zero_copy_only=False)
+        home = batch.column("home").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, pid, lon, lat, home = (a[order] for a in
+                                    (key, pid, lon, lat, home))
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        oi, olon, olat, on = [], [], [], []
+        for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(key)]):
+            h = np.flatnonzero(home[s:e]) + s
+            if not len(h):
+                continue
+            dlon = np.abs(lon[h, None] - lon[None, s:e]) // 100
+            dlat = np.abs(lat[h, None] - lat[None, s:e]) // 100
+            d2 = dlon * dlon + dlat * dlat
+            near = (d2 <= r2) & (pid[h, None] != pid[None, s:e])
+            oi.append(pid[h])
+            olon.append(lon[h])
+            olat.append(lat[h])
+            on.append(near.sum(axis=1).astype(np.int64))
+        if not oi:
+            return empty
+        return pa.table({id_col: pa.array(np.concatenate(oi)),
+                         lon_col: pa.array(np.concatenate(olon)),
+                         lat_col: pa.array(np.concatenate(olat)),
+                         "n_nbrs": pa.array(np.concatenate(on))})
+
+    ensure_hash_shuffle()
+    out = (
+        ds.map_batches(_NeighborExplode(w, id_col, lon_col, lat_col),
+                       batch_format="pyarrow")
+        .repartition(partitions or default_partitions(), keys=["key"])
+        .map_batches(block_degrees, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, empty)
+
+
+def dbscan(ds, r2: int, min_pts: int, id_col: str = "page_id",
+           lon_col: str = "lon", lat_col: str = "lat",
+           partitions: int | None = None):
+    """Distributed DBSCAN over the shared integer d2 metric: core points
+    have ≥ ``min_pts`` OTHER points within ``r2``; clusters are connected
+    components of the core-core in-radius graph (labelled by min member
+    core id); border points (non-core with an in-radius core) join the
+    cluster of their MINIMUM-id in-radius core (a deterministic variant
+    of DBSCAN's arbitrary border attachment); everything else is noise
+    and not emitted.
+
+    Scale shape — two cell-keyed exchanges plus the CC fixpoint:
+    phase 1 computes degrees (`dwithin_degrees`); phase 2 re-explodes the
+    core-tagged points and, in each home cell block, emits core-core
+    edges (exactly-once via the min-id-home rule), one self-edge per core
+    (so singleton cores become their own component without an anti-join),
+    and border attachments (block-local min is the global min: every
+    in-radius core has a copy in the border's home cell).  Components run
+    in `connected_components` (union-find under the driver gate, min-label
+    fixpoint above it); border→component resolution is one colocated
+    `hash_join`.  Output: ``(id, comp, is_core)``.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.cc import connected_components
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    w = _cell_width(r2)
+    parts = partitions or default_partitions()
+    deg = dwithin_degrees(ds, r2, id_col, lon_col, lat_col, parts)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_nbrs").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "core", pa.array((n >= min_pts).astype(np.int64)))
+
+    tagged = deg.map_batches(tag, batch_format="pyarrow")
+
+    mixed_empty = pa.table({
+        "kind": pa.array([], pa.int64()),
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+    })
+
+    def block_emit(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return mixed_empty
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        lon = batch.column("plon").to_numpy(zero_copy_only=False)
+        lat = batch.column("plat").to_numpy(zero_copy_only=False)
+        home = batch.column("home").to_numpy(zero_copy_only=False)
+        core = batch.column("core").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, pid, lon, lat, home, core = (a[order] for a in
+                                          (key, pid, lon, lat, home, core))
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        kk, aa, bb = [], [], []
+        for s, e in zip(np.r_[0, bounds], np.r_[bounds, len(key)]):
+            h = np.flatnonzero(home[s:e]) + s
+            if not len(h):
+                continue
+            dlon = np.abs(lon[h, None] - lon[None, s:e]) // 100
+            dlat = np.abs(lat[h, None] - lat[None, s:e]) // 100
+            near = (dlon * dlon + dlat * dlat <= r2)
+            hcore = core[h].astype(bool)
+            # core-core edges, exactly-once: min-id endpoint is home here
+            m = (near & hcore[:, None] & (core[None, s:e] > 0)
+                 & (pid[h, None] < pid[None, s:e]))
+            hi, ai = np.nonzero(m)
+            kk.append(np.zeros(len(hi), dtype=np.int64))
+            aa.append(pid[h][hi])
+            bb.append(pid[s:e][ai])
+            # one self-edge per home core (singletons become components)
+            hc = pid[h][hcore]
+            kk.append(np.zeros(len(hc), dtype=np.int64))
+            aa.append(hc)
+            bb.append(hc)
+            # border attachments: home non-core -> min in-radius core id
+            bmask = (near & ~hcore[:, None] & (core[None, s:e] > 0)
+                     & (pid[h, None] != pid[None, s:e]))
+            cand = np.where(bmask, pid[None, s:e],
+                            np.iinfo(np.int64).max)
+            mc = cand.min(axis=1)
+            has = bmask.any(axis=1)
+            kk.append(np.ones(int(has.sum()), dtype=np.int64))
+            aa.append(pid[h][has])
+            bb.append(mc[has])
+        if not kk:
+            return mixed_empty
+        return pa.table({"kind": pa.array(np.concatenate(kk)),
+                         "a": pa.array(np.concatenate(aa)),
+                         "b": pa.array(np.concatenate(bb))})
+
+    ensure_hash_shuffle()
+    mixed = (
+        tagged.map_batches(
+            _NeighborExplode(w, id_col, lon_col, lat_col,
+                             extra_cols=("core",)),
+            batch_format="pyarrow")
+        .repartition(parts, keys=["key"])
+        .map_batches(block_emit, batch_format="pyarrow")
+    )
+    mixed = _schema_anchor(mixed, mixed_empty).materialize()  # consumed 2×
+
+    import pyarrow.dataset  # noqa: F401  (keep pa fully loaded in workers)
+
+    edges = mixed.filter(expr="kind == 0")
+    borders = (mixed.filter(expr="kind == 1")
+               .select_columns(["a", "b"])
+               .rename_columns([id_col, "mc"]))
+    comp = connected_components(edges, "a", "b", num_partitions=parts)
+
+    core_out = comp.map_batches(
+        lambda b: b.append_column(
+            "is_core", pa.array(np.ones(len(b), dtype=np.int64))),
+        batch_format="pyarrow").rename_columns([id_col, "comp", "is_core"])
+
+    joined = hash_join(
+        borders, comp, on="mc", right_on="node",
+        left_schema=pa.schema([(id_col, pa.int64()), ("mc", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("comp", pa.int64())]),
+        num_partitions=parts)
+    border_out = joined.map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col),
+            "comp": b.column("comp"),
+            "is_core": pa.array(np.zeros(len(b), dtype=np.int64)),
+        }), batch_format="pyarrow")
+
+    out = core_out.union(border_out)
+    return _schema_anchor(out, pa.table({
+        id_col: pa.array([], pa.int64()),
+        "comp": pa.array([], pa.int64()),
+        "is_core": pa.array([], pa.int64())}))

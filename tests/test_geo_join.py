@@ -642,3 +642,68 @@ def test_segment_intersect_brute_parity(ray_session):
                 want.add((int(min(ids[i], ids[j])),
                           int(max(ids[i], ids[j]))))
     assert got_set == want
+
+
+def test_dbscan_brute_parity(ray_session):
+    """Distributed DBSCAN vs a literal single-machine reference
+    (degrees → cores → core-graph union-find → min-core border rule)
+    on clustered + scattered points across forced partition splits."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import dbscan
+
+    rng = np.random.default_rng(41)
+    n = 240
+    # three planted blobs + background scatter
+    cx = np.array([200_000_000, -800_000_000, 1_200_000_000])
+    cy = np.array([100_000_000, -400_000_000, 300_000_000])
+    blob = rng.integers(0, 3, n // 2)
+    lon = np.concatenate([
+        cx[blob] + rng.integers(-40_000_000, 40_000_000, n // 2),
+        rng.integers(-1_700_000_000, 1_700_000_000, n // 2)])
+    lat = np.concatenate([
+        cy[blob] + rng.integers(-40_000_000, 40_000_000, n // 2),
+        rng.integers(-850_000_000, 850_000_000, n // 2)])
+    ids = rng.permutation(n).astype(np.int64)
+    r2, k = 10**12, 4
+
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array(ids), "lon": pa.array(lon),
+        "lat": pa.array(lat)})).repartition(5)
+    got = (dbscan(ds, r2=r2, min_pts=k, partitions=3)
+           .to_pandas().sort_values("page_id").reset_index(drop=True))
+
+    dlon = np.abs(lon[:, None] - lon[None, :]) // 100
+    dlat = np.abs(lat[:, None] - lat[None, :]) // 100
+    near = (dlon * dlon + dlat * dlat <= r2) & (ids[:, None] != ids[None, :])
+    deg = near.sum(axis=1)
+    is_core = deg >= k
+    # union-find over core-core in-radius pairs
+    parent = {int(i): int(i) for i in ids[is_core]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.flatnonzero(is_core)
+    for p in ci:
+        for q in ci:
+            if p < q and near[p, q]:
+                a, b = find(int(ids[p])), find(int(ids[q]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp = {}
+    for i in ids[is_core]:
+        comp[int(i)] = min(int(j) for j in ids[is_core]
+                           if find(int(j)) == find(int(i)))
+    want = {int(i): (comp[int(i)], 1) for i in ids[is_core]}
+    for p in np.flatnonzero(~is_core):
+        cores_near = [int(ids[q]) for q in ci if near[p, q]]
+        if cores_near:
+            want[int(ids[p])] = (comp[min(cores_near)], 0)
+
+    got_map = {int(r.page_id): (int(r.comp), int(r.is_core))
+               for r in got.itertuples()}
+    assert got_map == want

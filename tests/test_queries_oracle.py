@@ -33,6 +33,7 @@ SUBSET = [
     "q109_idw",
     "q110_morans_i",
     "q111_areal_interp",
+    "q112_dbscan",
 ]
 
 
