@@ -5809,6 +5809,180 @@ FROM border b JOIN labeled l ON l.node = b.mc
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q113_event_pivot(sf_dir: str):
+    """Daily event-type pivot (the conditional-aggregation / PIVOT shape):
+    one row per day, one count column per event type.  Indicator columns
+    are built vectorized per batch, so the whole pivot is the standard
+    partial-sums → ONE day-keyed exchange → per-block combine — the wide
+    schema never costs a second pass."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = (batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        d = {"day": day}
+        for t, c in zip(_EVENT_TYPES, cols):
+            d[c] = (et == t).astype(np.int64)
+        return pd.DataFrame(d)
+
+    return _grouped_sums(ds, ["day"], partial, cols, 4)
+
+
+SQL_Q113 = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       {filters}
+FROM events GROUP BY day
+""".format(filters=",\n       ".join(
+    f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}"
+    for t in _EVENT_TYPES))
+
+
+def q114_group_quantiles(sf_dir: str):
+    """Exact distributed group quantiles (median + p90 of document
+    length per (lang, source)) — NOT a sketch: one group-keyed exchange
+    co-locates each group, a block lexsort selects the order statistics
+    at DuckDB's ``quantile_disc`` index ``ceil(q·n)−1`` (pinned by test:
+    ceil via integer (q_num·n + q_den − 1) // q_den).  The co-location
+    contract (a group fits one block) is the same as sessions/windows;
+    the unbounded-group path is the KLL sketch (stages/sketch.py)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source", "n_chars"])
+
+    def block_quantiles(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "med_chars": pa.array([], pa.int64()),
+            "p90_chars": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        df = df.sort_values(["lang", "source", "n_chars"], kind="stable")
+        key = df["lang"].astype(str) + "\x00" + df["source"].astype(str)
+        codes, _ = pd.factorize(key, sort=False)
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.r_[0, bounds]
+        ends = np.r_[bounds, len(df)]
+        n = ends - starts
+        vals = df["n_chars"].to_numpy(np.int64)
+        med = vals[starts + (n + 1) // 2 - 1]
+        p90 = vals[starts + (9 * n + 9) // 10 - 1]
+        return from_pandas_clean(pd.DataFrame({
+            "lang": df["lang"].to_numpy()[starts],
+            "source": df["source"].to_numpy()[starts],
+            "n_docs": n.astype(np.int64),
+            "med_chars": med,
+            "p90_chars": p90}))
+
+    return (
+        ds.repartition(default_partitions(), keys=["lang", "source"])
+        .map_batches(block_quantiles, batch_format="pyarrow")
+    )
+
+
+SQL_Q114 = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS med_chars,
+       quantile_disc(n_chars, 0.9) AS p90_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q115_anomaly_days(sf_dir: str):
+    """Per-event-type daily anomaly flags (monitoring primitive): day d
+    is anomalous for type t iff |x − μ_t| > 2σ_t, evaluated EXACTLY in
+    integers by cross-multiplication — with M days, S = Σx and dev =
+    M·x − S, the inequality (x−μ)² > 4·Var ⟺ dev²/M² > 4·Σdev²/M³ ⟺
+    ``M·dev² > 4·Σdev²``.  No float ever appears; SQL mirrors via
+    HUGEINT.  Shape: daily counts (one exchange), then a tiny
+    type-keyed exchange co-locates each type's ≤O(days) rows for the
+    block-local stats pass."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = (batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return pd.DataFrame({
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "day": day,
+            "n": np.ones(len(day), dtype=np.int64)})
+
+    daily = _grouped_sums(ds, ["event_type", "day"], partial, ["n"], 4)
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "is_anomaly": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        df = df.sort_values(["event_type", "day"], kind="stable")
+        codes, _ = pd.factorize(df["event_type"], sort=False)
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts, ends = np.r_[0, bounds], np.r_[bounds, len(df)]
+        x = df["n"].to_numpy(np.int64)
+        m = (ends - starts).astype(np.int64)
+        grp = np.repeat(np.arange(len(starts)), m)
+        # integer np.add.at sums (bincount's float64 weights would lose
+        # exactness past 2^53)
+        s = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(s, grp, x)
+        dev = m[grp] * x - s[grp]
+        ssq = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(ssq, grp, dev * dev)
+        flag = (m[grp] * dev * dev > 4 * ssq[grp]).astype(np.int64)
+        return from_pandas_clean(pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "day": df["day"].to_numpy(np.int64),
+            "n": x,
+            "is_anomaly": flag}))
+
+    return (
+        daily.repartition(4, keys=["event_type"])
+        .map_batches(block_stats, batch_format="pyarrow")
+    )
+
+
+SQL_Q115 = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS m, SUM(n) OVER w AS tot
+  FROM d WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN
+    CAST(m AS HUGEINT) * (m * n - tot) * (m * n - tot)
+      > 4 * SUM(CAST(m * n - tot AS HUGEINT)
+                * (m * n - tot)) OVER (PARTITION BY event_type)
+    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM s
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6067,6 +6241,9 @@ QUERIES = {
     "q110_morans_i": q110_morans_i,
     "q111_areal_interp": q111_areal_interp,
     "q112_dbscan": q112_dbscan,
+    "q113_event_pivot": q113_event_pivot,
+    "q114_group_quantiles": q114_group_quantiles,
+    "q115_anomaly_days": q115_anomaly_days,
 }
 
 ORACLES = {
@@ -6175,4 +6352,7 @@ ORACLES = {
     "q110_morans_i": SQL_Q110,
     "q111_areal_interp": SQL_Q111,
     "q112_dbscan": SQL_Q112,
+    "q113_event_pivot": SQL_Q113,
+    "q114_group_quantiles": SQL_Q114,
+    "q115_anomaly_days": SQL_Q115,
 }

@@ -34,6 +34,9 @@ SUBSET = [
     "q110_morans_i",
     "q111_areal_interp",
     "q112_dbscan",
+    "q113_event_pivot",
+    "q114_group_quantiles",
+    "q115_anomaly_days",
 ]
 
 
