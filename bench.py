@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "q97_window_lookup",
     "q100_cell_embeddings",
     "q101_geo_pairs",
+    "q107_covisits",
+    "q112_dbscan",
 ]
 
 

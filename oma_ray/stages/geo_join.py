@@ -1440,15 +1440,20 @@ def dbscan(ds, r2: int, min_pts: int, id_col: str = "page_id",
     import pyarrow.dataset  # noqa: F401  (keep pa fully loaded in workers)
 
     edges = mixed.filter(expr="kind == 0")
-    borders = (mixed.filter(expr="kind == 1")
-               .select_columns(["a", "b"])
-               .rename_columns([id_col, "mc"]))
+    # map_batches projections, not select/rename: Ray 2.49's rename_columns
+    # validates against a schema that can ignore a pending Project after a
+    # materialized shuffle with empty blocks
+    borders = mixed.filter(expr="kind == 1").map_batches(
+        lambda b: pa.table({id_col: b.column("a"), "mc": b.column("b")}),
+        batch_format="pyarrow")
     comp = connected_components(edges, "a", "b", num_partitions=parts)
 
     core_out = comp.map_batches(
-        lambda b: b.append_column(
-            "is_core", pa.array(np.ones(len(b), dtype=np.int64))),
-        batch_format="pyarrow").rename_columns([id_col, "comp", "is_core"])
+        lambda b: pa.table({
+            id_col: b.column("node"),
+            "comp": b.column("comp"),
+            "is_core": pa.array(np.ones(len(b), dtype=np.int64)),
+        }), batch_format="pyarrow")
 
     joined = hash_join(
         borders, comp, on="mc", right_on="node",
