@@ -5983,6 +5983,57 @@ FROM s
 """
 
 
+_KCORE_K, _KCORE_SQL_ROUNDS = 2, 16
+
+
+def q116_host_kcore(sf_dir: str):
+    """k-core decomposition (k=2) of the host link graph EXTRACTED FROM
+    HTML (q76's edges — a parsing bug fails the value hash): iterative
+    degree peel to the maximal subgraph where every host keeps ≥ k
+    distinct undirected neighbors (stages/graph.py::kcore, driver peel
+    under the edge gate, per-round exchanges above it; forced-gate
+    parity in tests).  The engine iterates to fixpoint; the SQL mirror
+    unrolls {_KCORE_SQL_ROUNDS} peel rounds (idempotent after
+    convergence; measured depth ≤ 6 at every tested sf)."""
+    from oma_ray.stages.graph import host_edge_ints, kcore
+    from oma_ray.stages.links import host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    edges = host_edge_ints(host_link_edges(make_pages_dataset(sf_dir)))
+    return kcore(edges, k=_KCORE_K)
+
+
+def _assemble_sql_q116() -> str:
+    k, r = _KCORE_K, _KCORE_SQL_ROUNDS
+    parts = [f"""
+WITH raw AS (
+  SELECT doc_id % 1000 AS u, (doc_id * 48271 + j) % 1000 AS v
+  FROM documents, (VALUES (1), (2), (3)) t(j)
+  WHERE doc_id % 4 >= j),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+  FROM raw WHERE u <> v)"""]
+    for i in range(1, r + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY node),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i - 1}
+  WHERE a IN (SELECT node FROM d{i} WHERE deg >= {k})
+    AND b IN (SELECT node FROM d{i} WHERE deg >= {k}))""")
+    parts.append(f"""
+SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+  GROUP BY node) WHERE deg >= {k}""")
+    return "".join(parts)
+
+
+SQL_Q116 = _assemble_sql_q116()
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6244,6 +6295,7 @@ QUERIES = {
     "q113_event_pivot": q113_event_pivot,
     "q114_group_quantiles": q114_group_quantiles,
     "q115_anomaly_days": q115_anomaly_days,
+    "q116_host_kcore": q116_host_kcore,
 }
 
 ORACLES = {
@@ -6355,4 +6407,5 @@ ORACLES = {
     "q113_event_pivot": SQL_Q113,
     "q114_group_quantiles": SQL_Q114,
     "q115_anomaly_days": SQL_Q115,
+    "q116_host_kcore": SQL_Q116,
 }

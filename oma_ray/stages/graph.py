@@ -304,3 +304,145 @@ def reciprocity(edges, num_partitions: int | None = None) -> pa.Table:
     nm = int(out["n_mutual"].sum()) if len(out) else 0
     return pa.table({"n_directed": pa.array([nd], type=pa.int64()),
                      "n_mutual": pa.array([nm], type=pa.int64())})
+
+
+def _peel_numpy(a: np.ndarray, b: np.ndarray, k: int):
+    """Single-machine k-core peel over distinct undirected (a<b) edges:
+    returns (node, deg) for the k-core subgraph and the round count."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    alive = np.ones(len(nodes), dtype=bool)
+    rounds = 0
+    while True:
+        m = alive[ia] & alive[ib]
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(deg, ia[m], 1)
+        np.add.at(deg, ib[m], 1)
+        doomed = alive & (deg < k)
+        if not doomed.any():
+            break
+        alive &= ~doomed
+        rounds += 1
+    keep = alive & (deg >= k)
+    return nodes[keep], deg[keep], rounds
+
+
+def kcore(edges, k: int, num_partitions: int | None = None,
+          driver_max_edges: int = 2_000_000, max_rounds: int = 64):
+    """k-core decomposition (fixed k): iteratively peel nodes of degree
+    < k from the distinct undirected simple graph until stable; returns
+    ``(node, deg)`` rows for the surviving core subgraph.
+
+    Two regimes (the `connected_components` pattern): below
+    ``driver_max_edges`` the peel runs as a bounded driver pull +
+    numpy loop; above it, each round is (1) a degree exchange over the
+    remaining edge endpoints, (2) a doomed-node filter, and (3) TWO
+    tagged-union exchanges dropping edges incident to doomed nodes (one
+    per endpoint — an anti-join by co-location, no broadcast of the
+    doomed set).  Rounds are data-dependent but bounded by the graph's
+    degeneracy ordering depth; ``max_rounds`` guards the fixpoint.
+
+    Input: ``(src, dst)`` int64 rows (multiplicity/self-loops collapsed
+    by `_und_distinct`).
+    """
+    import ray.data as rd
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    parts = num_partitions or default_partitions()
+    und = _und_distinct(edges, parts).materialize()
+    out_empty = _empty({"node": pa.int64(), "deg": pa.int64()})
+    if und.count() == 0:
+        return rd.from_arrow(out_empty)
+
+    if und.count() <= driver_max_edges:
+        df = und.to_pandas()
+        nodes, deg, _ = _peel_numpy(df["a"].to_numpy(np.int64),
+                                    df["b"].to_numpy(np.int64), k)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, type=pa.int64()),
+            "deg": pa.array(deg, type=pa.int64())}))
+
+    def degrees(ed):
+        def partial(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows or "a" not in batch.column_names:
+                return _empty({"node": pa.int64(), "dp": pa.int64()})
+            ends = np.concatenate([
+                batch.column("a").to_numpy(zero_copy_only=False),
+                batch.column("b").to_numpy(zero_copy_only=False)])
+            n, c = np.unique(ends, return_counts=True)
+            return pa.table({"node": pa.array(n, type=pa.int64()),
+                             "dp": pa.array(c.astype(np.int64))})
+
+        def combine(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows or "node" not in batch.column_names:
+                return _empty({"node": pa.int64(), "deg": pa.int64()})
+            nd = batch.column("node").to_numpy(zero_copy_only=False)
+            dp = batch.column("dp").to_numpy(zero_copy_only=False)
+            order = np.argsort(nd, kind="stable")
+            nd, dp = nd[order], dp[order]
+            bounds = np.flatnonzero(np.diff(nd)) + 1
+            starts = np.r_[0, bounds]
+            sums = np.add.reduceat(dp, starts)
+            return pa.table({"node": pa.array(nd[starts]),
+                             "deg": pa.array(sums.astype(np.int64))})
+
+        out = (ed.map_batches(partial, batch_format="pyarrow")
+               .repartition(parts, keys=["node"])
+               .map_batches(combine, batch_format="pyarrow"))
+        return _schema_anchor(out, _empty({"node": pa.int64(),
+                                           "deg": pa.int64()}))
+
+    def drop_incident(ed, doomed, end_col: str):
+        """Anti-join by co-location: edges keyed by one endpoint union the
+        doomed node list; a block drops its edges whose key is doomed."""
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows or "a" not in batch.column_names:
+                return _empty({"key": pa.int64(), "a": pa.int64(),
+                               "b": pa.int64(), "is_doom": pa.int64()})
+            return pa.table({
+                "key": batch.column(end_col),
+                "a": batch.column("a"), "b": batch.column("b"),
+                "is_doom": pa.array(np.zeros(batch.num_rows, np.int64))})
+
+        def tag_doom(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows or "node" not in batch.column_names:
+                return _empty({"key": pa.int64(), "a": pa.int64(),
+                               "b": pa.int64(), "is_doom": pa.int64()})
+            key = batch.column("node")
+            z = pa.array(np.zeros(batch.num_rows, np.int64))
+            return pa.table({"key": key, "a": z, "b": z,
+                             "is_doom": pa.array(
+                                 np.ones(batch.num_rows, np.int64))})
+
+        def anti(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows or "key" not in batch.column_names:
+                return _empty({"a": pa.int64(), "b": pa.int64()})
+            key = batch.column("key").to_numpy(zero_copy_only=False)
+            doom = batch.column("is_doom").to_numpy(
+                zero_copy_only=False).astype(bool)
+            bad = np.isin(key, np.unique(key[doom]))
+            keep = ~doom & ~bad
+            return pa.table({"a": batch.column("a").filter(pa.array(keep)),
+                             "b": batch.column("b").filter(pa.array(keep))})
+
+        mixed = (ed.map_batches(tag_edge, batch_format="pyarrow")
+                 .union(doomed.map_batches(tag_doom,
+                                           batch_format="pyarrow"))
+                 .repartition(parts, keys=["key"])
+                 .map_batches(anti, batch_format="pyarrow"))
+        return _schema_anchor(mixed, _empty({"a": pa.int64(),
+                                             "b": pa.int64()}))
+
+    for _ in range(max_rounds):
+        deg = degrees(und).materialize()
+        doomed = deg.filter(expr=f"deg < {k}").materialize()
+        if doomed.count() == 0:
+            return deg.filter(expr=f"deg >= {k}")
+        und = drop_incident(und, doomed, "a")
+        und = drop_incident(und, doomed, "b").materialize()
+        if und.count() == 0:
+            return rd.from_arrow(out_empty)
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

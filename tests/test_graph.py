@@ -73,3 +73,37 @@ def test_triangle_hub_star_plus_rim():
     t = triangle_count(_edge_ds(src, dst, 3), num_partitions=3)
     assert t.column("n_edges").to_pylist() == [16]
     assert t.column("n_triangles").to_pylist() == [8]
+
+
+def test_kcore_driver_vs_distributed_parity():
+    """k-core: forced-distributed regime (driver_max_edges=0, per-round
+    exchanges) must equal the driver numpy peel AND a brute reference,
+    on a graph with a planted clique + peelable tendrils."""
+    from oma_ray.stages.graph import _peel_numpy, kcore
+
+    rng = np.random.default_rng(51)
+    # random sparse graph + a 6-clique (survives k=3) + chains (peel away)
+    m = 300
+    src = rng.integers(0, 80, m)
+    dst = rng.integers(0, 80, m)
+    cl = np.array([100, 101, 102, 103, 104, 105])
+    ci, cj = np.triu_indices(6, k=1)
+    src = np.concatenate([src, cl[ci], np.arange(200, 210)])
+    dst = np.concatenate([dst, cl[cj], np.arange(201, 211)])
+
+    for k in (2, 3):
+        ds = _edge_ds(src, dst)
+        drv = (kcore(ds, k=k).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        ds2 = _edge_ds(src, dst)
+        dist = (kcore(ds2, k=k, driver_max_edges=0, num_partitions=3)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        assert drv["node"].tolist() == dist["node"].tolist(), k
+        assert drv["deg"].tolist() == dist["deg"].tolist(), k
+
+        nl = src != dst
+        a = np.minimum(src[nl], dst[nl])
+        b = np.maximum(src[nl], dst[nl])
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        nodes, deg, _ = _peel_numpy(uniq[:, 0], uniq[:, 1], k)
+        assert drv["node"].tolist() == sorted(int(x) for x in nodes), k

@@ -37,6 +37,7 @@ SUBSET = [
     "q113_event_pivot",
     "q114_group_quantiles",
     "q115_anomaly_days",
+    "q116_host_kcore",
 ]
 
 
