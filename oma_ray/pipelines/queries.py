@@ -6034,6 +6034,158 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 SQL_Q116 = _assemble_sql_q116()
 
 
+_BURST_GAP_US = 21_600_000_000  # 6 h (suppresses ~10% at sf0.01 — discriminating)
+
+
+def q117_burst_starts(sf_dir: str):
+    """Event-throttling / burst-start detection: an event starts a burst
+    iff NO same-(user, type) event occurred strictly earlier within the
+    6-hour window (equal timestamps never suppress each other — both
+    start, mirroring the SQL's strict ``b.ts < a.ts``).  One
+    (user, type)-keyed exchange; inside a block the previous DISTINCT
+    timestamp per row falls out of one lexsort + run-boundary scan."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def block_starts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "is_start": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        df["tsi"] = df["ts"].astype("int64")
+        df = df.sort_values(["user_id", "event_type", "tsi", "event_id"],
+                            kind="stable")
+        key, _ = pd.factorize(
+            df["user_id"].astype(str) + "\x00" + df["event_type"], sort=False)
+        ts = df["tsi"].to_numpy(np.int64)
+        pos = np.arange(len(df))
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = (np.diff(key) != 0) | (np.diff(ts) != 0)
+        run_start = np.maximum.accumulate(np.where(change, pos, 0))
+        prev = run_start - 1  # last row of the previous (key, ts) run
+        has_prev = (prev >= 0) & (key[np.maximum(prev, 0)] == key)
+        gap = np.where(has_prev, ts - ts[np.maximum(prev, 0)],
+                       _BURST_GAP_US + 1)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "is_start": pa.array((gap > _BURST_GAP_US).astype(np.int64)),
+        })
+
+    return (
+        ds.repartition(default_partitions(),
+                       keys=["user_id", "event_type"])
+        .map_batches(block_starts, batch_format="pyarrow")
+    )
+
+
+SQL_Q117 = f"""
+SELECT a.event_id,
+  CAST(CASE WHEN NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = a.event_type
+      AND b.ts < a.ts
+      AND epoch_us(a.ts) - epoch_us(b.ts) <= {_BURST_GAP_US})
+  THEN 1 ELSE 0 END AS BIGINT) AS is_start
+FROM events a
+"""
+
+
+def q118_move_octants(sf_dir: str):
+    """Per-user movement-direction histogram over consecutive geo fixes
+    (ordered by ts, event_id — the q51 trajectory contract): each hop
+    classifies by dominant axis into E/W/N/S, with exact |dx| = |dy|
+    ties (including zero hops) in their own bucket — sign/magnitude
+    comparisons only, no float bearing, so the SQL CASE mirrors it
+    bit-for-bit.  One user-keyed exchange, block lexsort, vectorized
+    diff + bincount."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        t = batch.filter(pa.array(has_geo))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "lon": pa.array(lon[has_geo]),
+            "lat": pa.array(lat[has_geo]),
+        })
+
+    cols = ["n_e", "n_w", "n_n", "n_s", "n_d"]
+
+    def block_octants(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.int64()) for c in cols}})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        lon = df["lon"].to_numpy(np.int64)
+        lat = df["lat"].to_numpy(np.int64)
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = np.diff(u) == 0
+        dx = np.empty(len(df), np.int64)
+        dy = np.empty(len(df), np.int64)
+        dx[1:], dy[1:] = np.diff(lon), np.diff(lat)
+        hop = same  # row i is a hop from its predecessor
+        adx, ady = np.abs(dx), np.abs(dy)
+        octant = np.where(
+            adx > ady, np.where(dx > 0, 0, 1),
+            np.where(ady > adx, np.where(dy > 0, 2, 3), 4))
+        uu, inv = np.unique(u[hop], return_inverse=True)
+        mat = np.zeros((len(uu), 5), dtype=np.int64)
+        np.add.at(mat, (inv, octant[hop]), 1)
+        return from_pandas_clean(pd.DataFrame(
+            {"user_id": uu, **{c: mat[:, i] for i, c in enumerate(cols)}}))
+
+    return (
+        ds.map_batches(add_geo, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["user_id"])
+        .map_batches(block_octants, batch_format="pyarrow")
+    )
+
+
+SQL_Q118 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+h AS (
+  SELECT user_id,
+         lon - lag(lon) OVER w AS dx, lat - lag(lat) OVER w AS dy
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+o AS (
+  SELECT user_id,
+    CASE WHEN ABS(dx) > ABS(dy) THEN (CASE WHEN dx > 0 THEN 0 ELSE 1 END)
+         WHEN ABS(dy) > ABS(dx) THEN (CASE WHEN dy > 0 THEN 2 ELSE 3 END)
+         ELSE 4 END AS oct
+  FROM h WHERE dx IS NOT NULL)
+SELECT user_id,
+       COUNT(*) FILTER (oct = 0) AS n_e,
+       COUNT(*) FILTER (oct = 1) AS n_w,
+       COUNT(*) FILTER (oct = 2) AS n_n,
+       COUNT(*) FILTER (oct = 3) AS n_s,
+       COUNT(*) FILTER (oct = 4) AS n_d
+FROM o GROUP BY user_id
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6296,6 +6448,8 @@ QUERIES = {
     "q114_group_quantiles": q114_group_quantiles,
     "q115_anomaly_days": q115_anomaly_days,
     "q116_host_kcore": q116_host_kcore,
+    "q117_burst_starts": q117_burst_starts,
+    "q118_move_octants": q118_move_octants,
 }
 
 ORACLES = {
@@ -6408,4 +6562,6 @@ ORACLES = {
     "q114_group_quantiles": SQL_Q114,
     "q115_anomaly_days": SQL_Q115,
     "q116_host_kcore": SQL_Q116,
+    "q117_burst_starts": SQL_Q117,
+    "q118_move_octants": SQL_Q118,
 }

@@ -38,6 +38,8 @@ SUBSET = [
     "q114_group_quantiles",
     "q115_anomaly_days",
     "q116_host_kcore",
+    "q117_burst_starts",
+    "q118_move_octants",
 ]
 
 
