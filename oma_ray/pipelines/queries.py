@@ -6186,6 +6186,162 @@ FROM o GROUP BY user_id
 """
 
 
+def q119_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10 by the shared
+    32-bit-masked multiplicative hash — reshuffle-proof, join-free, and
+    identical on any engine): per-split doc counts and char mass.  A
+    fused map + the standard partial-sums exchange; at 10^12 docs the
+    assignment is a pure row predicate, never a shuffle."""
+    from oma_ray.stages.sample import _hash32
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = _hash32(ids, 2654435761) % 100
+        split = np.where(b < 80, 0, np.where(b < 90, 1, 2)).astype(np.int64)
+        return pd.DataFrame({
+            "split": split,
+            "n_docs": np.ones(len(ids), dtype=np.int64),
+            "sum_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+
+    return _grouped_sums(ds, ["split"], partial, ["n_docs", "sum_chars"], 2)
+
+
+SQL_Q119 = """
+WITH b AS (
+  SELECT ((CAST((doc_id & 4294967295) AS HUGEINT) * 2654435761)
+          % 4294967296) % 100 AS bucket, n_chars
+  FROM documents)
+SELECT CAST(CASE WHEN bucket < 80 THEN 0 WHEN bucket < 90 THEN 1
+            ELSE 2 END AS BIGINT) AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+
+def q120_balance_weights(sf_dir: str):
+    """Class-balanced resampling weights (the corpus-rebalancing shape):
+    per doc, ``weight = total_docs · 1000 // n_docs(lang)`` — integer
+    inverse-frequency, so low-resource languages upweight exactly.  The
+    language histogram is a bounded small-dimension aggregate (≤ |lang
+    namespace|) pulled once and applied in a fused map — the q77
+    dense-dimension convention; docs themselves never shuffle."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def lang_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "n": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = _grouped_sums(ds, ["lang"], lang_partial, ["n"], 2).to_pandas()
+    counts = dict(zip(hist["lang"], hist["n"].astype(int)))
+    total = int(hist["n"].sum())
+
+    def weights(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        n = np.array([counts[x] for x in lang], dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "weight": pa.array(total * 1000 // n),
+        })
+
+    return ds.map_batches(weights, batch_format="pyarrow")
+
+
+SQL_Q120 = """
+SELECT doc_id, lang,
+       CAST((SELECT COUNT(*) FROM documents) * 1000
+            // COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS weight
+FROM documents
+"""
+
+
+def q121_tile_lang_mix(sf_dir: str):
+    """Language-diversity profile per map tile (geo × metadata fusion):
+    docs per tile, distinct languages, and the dominant language's count
+    — all integers.  (tile, lang) partial counts pre-aggregate per batch;
+    ONE tile-keyed exchange co-locates each tile, where distinct/max/total
+    are one lexsort + reduceat."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 16)
+        df = (pd.DataFrame({"tile": row * 16 + col, "lang": lang})
+              .groupby(["tile", "lang"], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        df["n"] = df["n"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tile": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_langs": pa.array([], pa.int64()),
+                          "top_n": pa.array([], pa.int64())})
+        if not len(batch) or "tile" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas().groupby(["tile", "lang"], as_index=False)
+              ["n"].sum().sort_values(["tile", "lang"], kind="stable"))
+        t = df["tile"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.diff(t)) + 1
+        starts = np.r_[0, bounds]
+        return pa.table({
+            "tile": pa.array(t[starts]),
+            "n_docs": pa.array(np.add.reduceat(n, starts)),
+            "n_langs": pa.array(np.diff(np.r_[starts, len(t)])
+                                .astype(np.int64)),
+            "top_n": pa.array(np.maximum.reduceat(n, starts)),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["tile"])
+        .map_batches(combine, batch_format="pyarrow")
+    )
+    from oma_ray.stages.dedup import _schema_anchor
+
+    return _schema_anchor(out, pa.table({
+        "tile": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_langs": pa.array([], pa.int64()),
+        "top_n": pa.array([], pa.int64())}))
+
+
+SQL_Q121 = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         {SQL_LON.format(id='doc_id')} AS lon,
+         {SQL_LAT.format(id='doc_id')} AS lat
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+tl AS (
+  SELECT ((lat + 900000000) * 16 // 1800000001) * 16
+       + ((lon + 1800000000) * 16 // 3600000001) AS tile,
+         lang, COUNT(*) AS n
+  FROM g GROUP BY 1, 2)
+SELECT tile, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(MAX(n) AS BIGINT) AS top_n
+FROM tl GROUP BY tile
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6450,6 +6606,9 @@ QUERIES = {
     "q116_host_kcore": q116_host_kcore,
     "q117_burst_starts": q117_burst_starts,
     "q118_move_octants": q118_move_octants,
+    "q119_split_assign": q119_split_assign,
+    "q120_balance_weights": q120_balance_weights,
+    "q121_tile_lang_mix": q121_tile_lang_mix,
 }
 
 ORACLES = {
@@ -6564,4 +6723,7 @@ ORACLES = {
     "q116_host_kcore": SQL_Q116,
     "q117_burst_starts": SQL_Q117,
     "q118_move_octants": SQL_Q118,
+    "q119_split_assign": SQL_Q119,
+    "q120_balance_weights": SQL_Q120,
+    "q121_tile_lang_mix": SQL_Q121,
 }

@@ -40,6 +40,9 @@ SUBSET = [
     "q116_host_kcore",
     "q117_burst_starts",
     "q118_move_octants",
+    "q119_split_assign",
+    "q120_balance_weights",
+    "q121_tile_lang_mix",
 ]
 
 
