@@ -6342,6 +6342,91 @@ FROM tl GROUP BY tile
 """
 
 
+def q122_cell_trends(sf_dir: str):
+    """Emerging-hotspot analysis: per 16×16 cell, the Mann-Kendall trend
+    statistic ``S = Σ_{i<j} sign(n_j − n_i)`` over its OBSERVED daily
+    event counts (time-ordered; zero-event days are absent by definition
+    on both sides) — the nonparametric is-this-cell-heating-up signal,
+    exact in integers.  Shape: (cell, day) partial counts → ONE keyed
+    exchange; a second tiny cell-keyed exchange co-locates each cell's
+    ≤O(calendar) rows where S is one vectorized pairwise-sign sum."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 16)
+        return pd.DataFrame({
+            "cell": row * 16 + col,
+            "day": ts // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    daily = _grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+
+    def block_trend(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_days": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if not len(batch) or "cell" not in batch.column_names:
+            return empty
+        df = batch.to_pandas().sort_values(["cell", "day"], kind="stable")
+        c = df["cell"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.diff(c)) + 1
+        oc, od, os_ = [], [], []
+        for s0, e0 in zip(np.r_[0, bounds], np.r_[bounds, len(c)]):
+            x = n[s0:e0]  # day-ordered by the sort
+            d = np.sign(x[None, :] - x[:, None])
+            oc.append(c[s0])
+            od.append(e0 - s0)
+            os_.append(int(np.triu(d, k=1).sum()))
+        return from_pandas_clean(pd.DataFrame({
+            "cell": np.array(oc, dtype=np.int64),
+            "n_days": np.array(od, dtype=np.int64),
+            "s": np.array(os_, dtype=np.int64)}))
+
+    out = (daily.repartition(4, keys=["cell"])
+           .map_batches(block_trend, batch_format="pyarrow"))
+    return _schema_anchor(out, pa.table({
+        "cell": pa.array([], pa.int64()),
+        "n_days": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64())}))
+
+
+SQL_Q122 = f"""
+WITH g AS (
+  SELECT event_id, ts,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (
+  SELECT ((lat + 900000000) * 16 // 1800000001) * 16
+       + ((lon + 1800000000) * 16 // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM g GROUP BY 1, 2),
+pairs AS (
+  SELECT a.cell,
+         SUM(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+             ELSE 0 END) AS s
+  FROM d a JOIN d b ON a.cell = b.cell AND b.day > a.day
+  GROUP BY a.cell)
+SELECT d.cell, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COALESCE(ANY_VALUE(pairs.s), 0) AS BIGINT) AS s
+FROM d LEFT JOIN pairs ON pairs.cell = d.cell
+GROUP BY d.cell
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6609,6 +6694,7 @@ QUERIES = {
     "q119_split_assign": q119_split_assign,
     "q120_balance_weights": q120_balance_weights,
     "q121_tile_lang_mix": q121_tile_lang_mix,
+    "q122_cell_trends": q122_cell_trends,
 }
 
 ORACLES = {
@@ -6726,4 +6812,5 @@ ORACLES = {
     "q119_split_assign": SQL_Q119,
     "q120_balance_weights": SQL_Q120,
     "q121_tile_lang_mix": SQL_Q121,
+    "q122_cell_trends": SQL_Q122,
 }

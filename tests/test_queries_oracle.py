@@ -43,6 +43,7 @@ SUBSET = [
     "q119_split_assign",
     "q120_balance_weights",
     "q121_tile_lang_mix",
+    "q122_cell_trends",
 ]
 
 
