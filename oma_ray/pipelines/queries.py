@@ -6427,6 +6427,131 @@ GROUP BY d.cell
 """
 
 
+def q123_distance_spectrum(sf_dir: str):
+    """Pairwise-distance spectrum (the Ripley's-K-style clustering
+    signature): all in-radius page pairs (q101's single-exchange
+    self-join) bucketed by the integer bit-length of d2 — log2 distance
+    bins, exact on both sides (bin 0 holds coincident points; SQL
+    mirrors via ``length(bin(d2))`` with the zero case pinned)."""
+    from oma_ray.stages.geo_join import dwithin_self_join
+
+    pairs = dwithin_self_join(_geo_pages(sf_dir), r2=10_000_000_000,
+                              id_col="page_id")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        d2 = batch.column("d2").to_numpy(zero_copy_only=False)
+        _, e = np.frexp(d2.astype(np.float64))  # exact blen for < 2^53
+        return pd.DataFrame({"bin": e.astype(np.int64),
+                             "n_pairs": np.ones(len(d2), dtype=np.int64)})
+
+    return _grouped_sums(pairs, ["bin"], partial, ["n_pairs"], 2)
+
+
+SQL_Q123 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+p AS (
+  SELECT {_SQL_D2_AB} AS d2
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE {_SQL_D2_AB} <= 10000000000)
+SELECT CAST(CASE WHEN d2 = 0 THEN 0 ELSE length(bin(d2)) END
+            AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+"""
+
+
+def q124_od_matrix(sf_dir: str):
+    """Origin–destination matrix (movement-flow primitive): each user's
+    FIRST and LAST geo fix (ordered by ts, event_id — the q51 contract)
+    map to 8×8 cells; output counts users per (cell_from, cell_to).
+    One user-keyed exchange; first/last fall out of the block lexsort;
+    the OD pair counts ride a tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        t = batch.filter(pa.array(has_geo))
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cell": pa.array(row * 8 + col),
+        })
+
+    def od_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_from": pa.array([], pa.int64()),
+                          "cell_to": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.diff(u)) + 1
+        starts, ends = np.r_[0, bounds], np.r_[bounds, len(u)]
+        out = (pd.DataFrame({"cell_from": c[starts], "cell_to": c[ends - 1]})
+               .groupby(["cell_from", "cell_to"], as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def total(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "cell_from" not in df.columns:
+            return pa.table({"cell_from": pa.array([], pa.int64()),
+                             "cell_to": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.groupby(["cell_from", "cell_to"], as_index=False)
+            ["n_users"].sum())
+
+    out = (
+        ds.map_batches(add_geo, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["user_id"])
+        .map_batches(od_partial, batch_format="pyarrow")
+        .repartition(2, keys=["cell_from", "cell_to"])
+        .map_batches(total, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, pa.table({
+        "cell_from": pa.array([], pa.int64()),
+        "cell_to": pa.array([], pa.int64()),
+        "n_users": pa.array([], pa.int64())}))
+
+
+SQL_Q124 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+r AS (
+  SELECT user_id, cell,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM e)
+SELECT f.cell AS cell_from, l.cell AS cell_to,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT user_id, cell FROM r WHERE rf = 1) f
+JOIN (SELECT user_id, cell FROM r WHERE rl = 1) l USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6695,6 +6820,8 @@ QUERIES = {
     "q120_balance_weights": q120_balance_weights,
     "q121_tile_lang_mix": q121_tile_lang_mix,
     "q122_cell_trends": q122_cell_trends,
+    "q123_distance_spectrum": q123_distance_spectrum,
+    "q124_od_matrix": q124_od_matrix,
 }
 
 ORACLES = {
@@ -6813,4 +6940,6 @@ ORACLES = {
     "q120_balance_weights": SQL_Q120,
     "q121_tile_lang_mix": SQL_Q121,
     "q122_cell_trends": SQL_Q122,
+    "q123_distance_spectrum": SQL_Q123,
+    "q124_od_matrix": SQL_Q124,
 }

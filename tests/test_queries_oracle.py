@@ -44,6 +44,8 @@ SUBSET = [
     "q120_balance_weights",
     "q121_tile_lang_mix",
     "q122_cell_trends",
+    "q123_distance_spectrum",
+    "q124_od_matrix",
 ]
 
 
