@@ -6552,6 +6552,465 @@ GROUP BY 1, 2
 """
 
 
+def _sql_events_cells(width: int) -> str:
+    """Events → (user_id, ts, event_id, x, y, cell) CTE body — the shared
+    front of the mobility oracles.  x/y are shifted-non-negative reduced
+    coordinates (÷1000 ≈ 111 m quanta) so every square stays far inside
+    int64 and floor division equals truncation on both engines."""
+    return f"""
+  SELECT user_id, ts, event_id,
+         (({SQL_LON.format(id='event_id')}) + 1800000000) // 1000 AS x,
+         (({SQL_LAT.format(id='event_id')}) + 900000000) // 1000 AS y,
+         ((({SQL_LAT.format(id='event_id')}) + 900000000) * {width}
+            // 1800000001) * {width}
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * {width}
+            // 3600000001) AS cell
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}"""
+
+
+def _events_cells(sf_dir: str, width: int):
+    """Ray twin of ``_sql_events_cells``: events → geo fixes with reduced
+    coords + grid cell, then ONE user-keyed exchange (the q118/q124 idiom);
+    every mobility query derives from a block kernel over this."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        t = batch.filter(pa.array(has_geo))
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], width)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "x": pa.array((lon[has_geo] + 1_800_000_000) // 1000),
+            "y": pa.array((lat[has_geo] + 900_000_000) // 1000),
+            "cell": pa.array(row * width + col),
+        })
+
+    return (
+        ds.map_batches(add_geo, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["user_id"])
+    )
+
+
+def q125_mobility_stats(sf_dir: str):
+    """Per-user mobility profile — the human-mobility triple: radius of
+    gyration, visited-cell diversity, and top-cell dominance.  Exact
+    integer form: with N fixes and reduced coords (x, y) ∈ ~111 m quanta,
+    ``rg2 = (N·Σ(x²+y²) − (Σx)² − (Σy)²) // N²`` is the mean squared
+    deviation from the centroid with no fractional centroid ever
+    materialized (N·Σ|p−c|² = N·Σ|p|² − |Σp|², exact).  One user-keyed
+    exchange; the per-user finalize multiplies as Python ints so nothing
+    overflows (within-block Σx² stays int64 up to ~7·10⁵ fixes/user)."""
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    cols = ["n_fixes", "n_cells", "rg2", "top_pm"]
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.int64()) for c in cols}})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        df["s2"] = x * x + y * y
+        st = df.groupby("user_id").agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            s2=("s2", "sum"))
+        pc = df.groupby(["user_id", "cell"]).size().reset_index(name="cn")
+        cs = pc.groupby("user_id").agg(n_cells=("cell", "size"),
+                                       top=("cn", "max"))
+        st = st.join(cs)
+        n = st["n"].to_numpy(np.int64).astype(object)
+        sx = st["sx"].to_numpy(np.int64).astype(object)
+        sy = st["sy"].to_numpy(np.int64).astype(object)
+        s2 = st["s2"].to_numpy(np.int64).astype(object)
+        rg2 = (n * s2 - sx * sx - sy * sy) // (n * n)
+        return from_pandas_clean(pd.DataFrame({
+            "user_id": st.index.to_numpy(np.int64),
+            "n_fixes": st["n"].to_numpy(np.int64),
+            "n_cells": st["n_cells"].to_numpy(np.int64),
+            "rg2": rg2.astype(np.int64),
+            "top_pm": st["top"].to_numpy(np.int64) * 1000
+            // st["n"].to_numpy(np.int64),
+        }))
+
+    return _events_cells(sf_dir, 8).map_batches(
+        block_stats, batch_format="pyarrow")
+
+
+SQL_Q125 = f"""
+WITH e AS ({_sql_events_cells(8)}),
+pc AS (SELECT user_id, cell, COUNT(*) AS cn FROM e GROUP BY 1, 2),
+cs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+              MAX(cn) AS top FROM pc GROUP BY 1),
+st AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * x + y * y AS HUGEINT)) AS s2
+  FROM e GROUP BY 1)
+SELECT st.user_id, CAST(n AS BIGINT) AS n_fixes, n_cells,
+  CAST((CAST(n AS HUGEINT) * s2 - CAST(sx AS HUGEINT) * sx
+        - CAST(sy AS HUGEINT) * sy)
+       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS rg2,
+  CAST(top * 1000 // n AS BIGINT) AS top_pm
+FROM st JOIN cs ON st.user_id = cs.user_id
+"""
+
+
+def q126_home_cell(sf_dir: str):
+    """Home-cell (anchor-location) inference: each user's modal grid cell
+    with the deterministic tie-break (highest visit count, then lowest
+    cell id) — the standard home-location heuristic of mobility studies.
+    Same single user-keyed exchange; the block kernel is one pandas
+    groupby + stable sort."""
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    def block_home(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "home_cell": pa.array([], pa.int64()),
+                          "n_visits": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        pc = (df.groupby(["user_id", "cell"]).size().reset_index(name="cn")
+              .sort_values(["user_id", "cn", "cell"],
+                           ascending=[True, False, True], kind="stable")
+              .drop_duplicates("user_id"))
+        return from_pandas_clean(pd.DataFrame({
+            "user_id": pc["user_id"].to_numpy(np.int64),
+            "home_cell": pc["cell"].to_numpy(np.int64),
+            "n_visits": pc["cn"].to_numpy(np.int64)}))
+
+    return _events_cells(sf_dir, 8).map_batches(
+        block_home, batch_format="pyarrow")
+
+
+SQL_Q126 = f"""
+WITH e AS ({_sql_events_cells(8)}),
+pc AS (SELECT user_id, cell, COUNT(*) AS cn FROM e GROUP BY 1, 2),
+r AS (SELECT user_id, cell, cn, row_number() OVER (
+        PARTITION BY user_id ORDER BY cn DESC, cell) AS rk FROM pc)
+SELECT user_id, cell AS home_cell, CAST(cn AS BIGINT) AS n_visits
+FROM r WHERE rk = 1
+"""
+
+
+def q127_gistar_hotspots(sf_dir: str):
+    """Getis-Ord Gi* hot-spot detection over the 64×64 page-density grid
+    — the classic local-statistic complement to global Moran's I (q110),
+    with the z > 1.96 significance test done in EXACT integer arithmetic:
+    z² = (n·S3 − W·G)²·(n−1) / ((n·S2 − G²)·W·(n−W)) for focal sum S3
+    over the 3×3 window (edge-clipped, W = window size), so ``hot`` ⇔
+    num > 0 AND 2500·num²·(n−1) > 9604·den (1.96² = 9604/2500) — no
+    float ever, both engines agree bit-for-bit.  Distributed cell counts
+    (the q13 idiom); the finalize touches only the 4096-cell vector
+    (bounded by the grid constant) with Python-int products."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
+    x = np.zeros(4096, dtype=np.int64)
+    if len(counts):
+        x[counts["cell"].to_numpy()] = counts["n"].to_numpy()
+    g2 = x.reshape(64, 64)
+    pad = np.pad(g2, 1)
+    s3 = sum(pad[1 + dr:65 + dr, 1 + dc:65 + dc]
+             for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+    ones = np.pad(np.ones((64, 64), dtype=np.int64), 1)
+    w = sum(ones[1 + dr:65 + dr, 1 + dc:65 + dc]
+            for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+    n_cells = 4096
+    g_tot = int(x.sum())
+    s2_tot = int((x.astype(object) * x.astype(object)).sum())
+    s3f = s3.ravel().astype(object)
+    wf = w.ravel().astype(object)
+    num = n_cells * s3f - wf * g_tot
+    den = (n_cells * s2_tot - g_tot * g_tot) * wf * (n_cells - wf)
+    hot = ((num > 0) & (2500 * num * num * (n_cells - 1) > 9604 * den))
+    keep = s3.ravel() > 0
+    return pd.DataFrame({
+        "cell": np.arange(4096, dtype=np.int64)[keep],
+        "x": x[keep],
+        "s3": s3.ravel()[keep],
+        "w": w.ravel()[keep].astype(np.int64),
+        "hot": hot[keep].astype(np.int64),
+    })
+
+
+SQL_Q127 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+c AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+       + ((lon + 1800000000) * 64 // 3600000001) AS cell FROM g),
+cnt AS (SELECT cell, COUNT(*) AS x FROM c GROUP BY cell),
+grid AS (
+  SELECT t.i AS cell, t.i // 64 AS r, t.i % 64 AS c2, COALESCE(cnt.x, 0) AS x
+  FROM range(4096) t(i) LEFT JOIN cnt ON cnt.cell = t.i),
+tot AS (SELECT SUM(x) AS g_tot,
+               SUM(CAST(x AS HUGEINT) * x) AS s2_tot FROM grid),
+foc AS (
+  SELECT a.cell, a.x, SUM(b.x) AS s3, COUNT(*) AS w
+  FROM grid a JOIN grid b
+    ON ABS(a.r - b.r) <= 1 AND ABS(a.c2 - b.c2) <= 1
+  GROUP BY a.cell, a.x),
+z AS (
+  SELECT cell, x, s3, w,
+         CAST(4096 AS HUGEINT) * s3 - CAST(w AS HUGEINT) * g_tot AS num,
+         (CAST(4096 AS HUGEINT) * s2_tot
+          - CAST(g_tot AS HUGEINT) * g_tot)
+         * w * (4096 - w) AS den
+  FROM foc CROSS JOIN tot)
+SELECT cell, CAST(x AS BIGINT) AS x, CAST(s3 AS BIGINT) AS s3,
+       CAST(w AS BIGINT) AS w,
+       CAST(CASE WHEN num > 0
+                  AND 2500 * num * num * 4095 > 9604 * den
+             THEN 1 ELSE 0 END AS BIGINT) AS hot
+FROM z WHERE s3 > 0
+"""
+
+
+def q128_stay_points(sf_dir: str):
+    """Stay-point episodes (trajectory segmentation): maximal runs of ≥2
+    consecutive fixes of one user inside one 8×8 cell (ordered by ts,
+    event_id — the q51 contract); per (user, cell) the episode count and
+    the longest episode.  Block kernel is a vectorized run-length encode
+    after the lexsort; SQL mirrors with the gaps-and-islands double
+    row_number."""
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    def block_stays(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "n_stays": pa.array([], pa.int64()),
+                          "max_run": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ce = df["cell"].to_numpy(np.int64)
+        brk = np.r_[True, (u[1:] != u[:-1]) | (ce[1:] != ce[:-1])]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, len(u)])
+        keep = lens >= 2
+        out = (pd.DataFrame({"user_id": u[starts[keep]],
+                             "cell": ce[starts[keep]],
+                             "len": lens[keep]})
+               .groupby(["user_id", "cell"], as_index=False)
+               .agg(n_stays=("len", "size"), max_run=("len", "max")))
+        out["n_stays"] = out["n_stays"].astype(np.int64)
+        out["max_run"] = out["max_run"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    return _events_cells(sf_dir, 8).map_batches(
+        block_stays, batch_format="pyarrow")
+
+
+SQL_Q128 = f"""
+WITH e AS ({_sql_events_cells(8)}),
+s AS (
+  SELECT user_id, cell,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, cell
+                            ORDER BY ts, event_id) AS grp
+  FROM e),
+runs AS (
+  SELECT user_id, cell, COUNT(*) AS len
+  FROM s GROUP BY user_id, cell, grp
+  HAVING COUNT(*) >= 2)
+SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n_stays,
+       CAST(MAX(len) AS BIGINT) AS max_run
+FROM runs GROUP BY user_id, cell
+"""
+
+
+def q129_bigram_surprisal(sf_dir: str):
+    """Corpus-LM document quality score — the KenLM-filter shape of web
+    curation pipelines, exact-integer: every adjacent word pair (w1, w2)
+    scores ``bit_length(count(w1·) // count(w1,w2))`` against the
+    corpus-global bigram model (Σ per doc = total surprisal; common
+    continuations score 1, rare ones ~log₂ of the inverse conditional).
+
+    Scale shape: one tokenization map emits per-batch (w1, w2, doc)
+    partial counts; a w1-keyed exchange co-locates every (w1, ·) so BOTH
+    the unigram total and the bigram counts fall out block-locally (no
+    second count pass, no broadcast vocabulary); scored partials ride a
+    doc-keyed exchange for the per-doc sum.  Exchanges move O(distinct
+    triples) ≤ O(tokens), never the text."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        p, wd = parent[keep], flat[keep]
+        adj = p[1:] == p[:-1]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"w1": wd[:-1][adj], "w2": wd[1:][adj],
+                            "doc_id": ids[p[1:][adj]]})
+              .groupby(["w1", "w2", "doc_id"], as_index=False).size()
+              .rename(columns={"size": "cnt"}))
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        df = df.groupby(["w1", "w2", "doc_id"], as_index=False)["cnt"].sum()
+        c12 = df.groupby(["w1", "w2"])["cnt"].transform("sum").to_numpy(
+            np.int64)
+        c1 = df.groupby("w1")["cnt"].transform("sum").to_numpy(np.int64)
+        _, e = np.frexp((c1 // c12).astype(np.float64))  # exact blen < 2^53
+        cnt = df["cnt"].to_numpy(np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "n_bigrams": cnt,
+                            "score": cnt * e.astype(np.int64)})
+        return from_pandas_clean(
+            out.groupby("doc_id", as_index=False)[["n_bigrams", "score"]]
+            .sum())
+
+    def total(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "doc_id" not in df.columns:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.groupby("doc_id", as_index=False)[["n_bigrams", "score"]]
+            .sum())
+
+    out = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["w1"])
+        .map_batches(score_block, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["doc_id"])
+        .map_batches(total, batch_format="pyarrow")
+    )
+    return _schema_anchor(out, pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_bigrams": pa.array([], pa.int64()),
+        "score": pa.array([], pa.int64())}))
+
+
+SQL_Q129 = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM tok),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(length(bin(CAST(c1.c1 // c12.c12 AS BIGINT))))
+            AS BIGINT) AS score
+FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+def q130_geary_c(sf_dir: str):
+    """Geary's C spatial autocorrelation of the page-density surface —
+    the local-contrast complement to Moran's I (q110): ``num_g = Σ_adj
+    (dev_i − dev_j)²`` over ordered rook-adjacent pairs in the same
+    N-scaled deviation space (dev_i = N·x_i − S, so dev_i − dev_j =
+    N·(x_i − x_j) — exact), den = Σ dev² as in q110; C = ((n−1)/2W) ·
+    num/den derives exactly from the returned integers.  Same
+    distributed count front + bounded 4096-cell finalize."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
+    x = np.zeros(4096, dtype=np.int64)
+    if len(counts):
+        x[counts["cell"].to_numpy()] = counts["n"].to_numpy()
+    n_cells, s = 4096, int(x.sum())
+    dev = (n_cells * x - s).astype(object)
+    g = dev.reshape(64, 64)
+    dh = g[:, :-1] - g[:, 1:]
+    dv = g[:-1, :] - g[1:, :]
+    num = 2 * int((dh * dh).sum() + (dv * dv).sum())
+    den = int((dev * dev).sum())
+    w_pairs = 2 * (2 * 64 * 63)
+    return pd.DataFrame({
+        "n_cells": np.array([n_cells], dtype=np.int64),
+        "n_points": np.array([s], dtype=np.int64),
+        "w_pairs": np.array([w_pairs], dtype=np.int64),
+        "num_g": np.array([num], dtype=np.int64),
+        "den": np.array([den], dtype=np.int64),
+    })
+
+
+SQL_Q130 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+c AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+       + ((lon + 1800000000) * 64 // 3600000001) AS cell FROM g),
+cnt AS (SELECT cell, COUNT(*) AS x FROM c GROUP BY cell),
+grid AS (
+  SELECT t.i AS cell, COALESCE(cnt.x, 0) AS x
+  FROM range(4096) t(i) LEFT JOIN cnt ON cnt.cell = t.i),
+tot AS (SELECT SUM(x) AS s FROM grid),
+d AS (
+  SELECT cell // 64 AS r, cell % 64 AS c2,
+         CAST(4096 * x - (SELECT s FROM tot) AS HUGEINT) AS dev
+  FROM grid),
+adj AS (
+  SELECT a.dev AS da, b.dev AS db
+  FROM d a JOIN d b ON (a.r = b.r AND ABS(a.c2 - b.c2) = 1)
+                    OR (a.c2 = b.c2 AND ABS(a.r - b.r) = 1))
+SELECT CAST(4096 AS BIGINT) AS n_cells,
+       CAST((SELECT s FROM tot) AS BIGINT) AS n_points,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM adj) AS w_pairs,
+       (SELECT CAST(SUM((da - db) * (da - db)) AS BIGINT) FROM adj)
+         AS num_g,
+       (SELECT CAST(SUM(dev * dev) AS BIGINT) FROM d) AS den
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -6822,6 +7281,12 @@ QUERIES = {
     "q122_cell_trends": q122_cell_trends,
     "q123_distance_spectrum": q123_distance_spectrum,
     "q124_od_matrix": q124_od_matrix,
+    "q125_mobility_stats": q125_mobility_stats,
+    "q126_home_cell": q126_home_cell,
+    "q127_gistar_hotspots": q127_gistar_hotspots,
+    "q128_stay_points": q128_stay_points,
+    "q129_bigram_surprisal": q129_bigram_surprisal,
+    "q130_geary_c": q130_geary_c,
 }
 
 ORACLES = {
@@ -6942,4 +7407,10 @@ ORACLES = {
     "q122_cell_trends": SQL_Q122,
     "q123_distance_spectrum": SQL_Q123,
     "q124_od_matrix": SQL_Q124,
+    "q125_mobility_stats": SQL_Q125,
+    "q126_home_cell": SQL_Q126,
+    "q127_gistar_hotspots": SQL_Q127,
+    "q128_stay_points": SQL_Q128,
+    "q129_bigram_surprisal": SQL_Q129,
+    "q130_geary_c": SQL_Q130,
 }

@@ -46,6 +46,12 @@ SUBSET = [
     "q122_cell_trends",
     "q123_distance_spectrum",
     "q124_od_matrix",
+    "q125_mobility_stats",
+    "q126_home_cell",
+    "q127_gistar_hotspots",
+    "q128_stay_points",
+    "q129_bigram_surprisal",
+    "q130_geary_c",
 ]
 
 
