@@ -7011,6 +7011,208 @@ SELECT CAST(4096 AS BIGINT) AS n_cells,
 """
 
 
+_KM_K, _KM_D, _KM_SHIFT = 4, 64, 1 << 20  # clusters, dims, centroid offset
+
+
+def _km_quant(batch: pa.Table) -> np.ndarray:
+    """embedding list<float> → (B, 64) int64 floor(x·1024) — the q100
+    quantization (exact in float64: ×2¹⁰ is a power-of-two scale)."""
+    import pyarrow.compute as pc
+
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return np.floor(flat.reshape(len(batch), _KM_D).astype(np.float64)
+                    * 1024.0).astype(np.int64)
+
+
+def _km_assign(v: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-integer nearest centroid: v quantized rows vs centroids in the
+    ×1024 fixed-point space; ties go to the lowest centroid index (argmin
+    picks first ⇔ SQL ORDER BY d2, j).  Expansion form keeps it O(B·K)."""
+    v1024 = v * 1024
+    d2 = ((v1024 * v1024).sum(axis=1)[:, None]
+          - 2 * (v1024 @ cq.T) + (cq * cq).sum(axis=1)[None, :])
+    a = np.argmin(d2, axis=1)
+    return a, d2[np.arange(len(v)), a]
+
+
+def q131_kmeans(sf_dir: str):
+    """Distributed k-means over the embedding table (the corpus-clustering
+    primitive of curation pipelines) — EXACT integer Lloyd, value-oracled:
+    seeds are the k lowest-id vectors; one Lloyd update recomputes
+    centroids in ×1024 fixed point via the all-non-negative floor division
+    ``(s·1024 + n·2²⁰)//n − 2²⁰`` (DuckDB ``//`` truncates toward zero, so
+    the shift keeps floor ≡ trunc on both engines); the final assignment
+    reports (vec_id, cluster, d2q).  Clusters emptied by the first
+    assignment drop out on both sides identically.
+
+    Scale shape: each pass is one fused map over the vectors emitting ≤k
+    partial rows (count + 64 dim-sums) per batch into a tiny cluster-keyed
+    exchange — the float spherical twin for IVF is ``knn.kmeans_refine``;
+    R Lloyd rounds cost R streaming passes, centroids never exceed k×64
+    ints on the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids < _KM_K
+        v = _km_quant(batch)[keep]
+        cols = {"vec_id": pa.array(ids[keep])}
+        for i in range(_KM_D):
+            cols[f"s{i:02d}"] = pa.array(v[:, i])
+        return pa.table(cols)
+
+    seeds = (ds.map_batches(seed_partial, batch_format="pyarrow")
+             .to_pandas().sort_values("vec_id"))  # ≤k rows: bounded pull
+    scols = [f"s{i:02d}" for i in range(_KM_D)]
+    cq = seeds[scols].to_numpy(np.int64) * 1024  # seed centroids, ×1024
+
+    def sums_partial(batch: pa.Table) -> pd.DataFrame:
+        v = _km_quant(batch)
+        a, _ = _km_assign(v, cq)
+        uniq, inv = np.unique(a, return_inverse=True)
+        acc = np.zeros((len(uniq), _KM_D), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        out = {"cluster": uniq.astype(np.int64),
+               "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64)}
+        for i, c in enumerate(scols):
+            out[c] = acc[:, i]
+        return pd.DataFrame(out)
+
+    g = (_grouped_sums(ds, ["cluster"], sums_partial, ["n", *scols], 2)
+         .to_pandas().sort_values("cluster"))  # ≤k rows
+    n = g["n"].to_numpy(np.int64)[:, None]
+    s = g[scols].to_numpy(np.int64)
+    cq2 = (s * 1024 + n * _KM_SHIFT) // n - _KM_SHIFT
+    jmap = g["cluster"].to_numpy(np.int64)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        v = _km_quant(batch)
+        a, d2 = _km_assign(v, cq2)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(jmap[a]),
+                         "d2q": pa.array(d2)})
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _build_kmeans_sql(k: int = _KM_K, dims: int = _KM_D) -> str:
+    vq = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1024) AS BIGINT)"
+        f" AS d{i:02d}" for i in range(dims))
+    dsel = ", ".join(f"d{i:02d}" for i in range(dims))
+    d2 = " + ".join(
+        f"(v.d{i:02d}*1024 - c.q{i:02d})*(v.d{i:02d}*1024 - c.q{i:02d})"
+        for i in range(dims))
+    seed_q = ", ".join(f"d{i:02d}*1024 AS q{i:02d}" for i in range(dims))
+    sums = ", ".join(f"SUM(v.d{i:02d}) AS s{i:02d}" for i in range(dims))
+    # SUM(BIGINT) is HUGEINT in DuckDB (float64 in pandas) — pin BIGINT
+    upd = ", ".join(
+        f"CAST((s{i:02d}*1024 + n*{_KM_SHIFT})//n - {_KM_SHIFT} AS BIGINT)"
+        f" AS q{i:02d}" for i in range(dims))
+    return f"""
+WITH v AS (SELECT vec_id, {vq} FROM embeddings),
+c0 AS (SELECT vec_id AS j, {seed_q} FROM v WHERE vec_id < {k}),
+r1 AS (
+  SELECT v.vec_id, c.j, {d2} AS d2,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {d2}, c.j) AS rn
+  FROM v CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, j FROM r1 WHERE rn = 1),
+cent AS (
+  SELECT a1.j, COUNT(*) AS n, {sums}
+  FROM a1 JOIN v USING (vec_id) GROUP BY a1.j),
+c1 AS (SELECT j, {upd} FROM cent),
+r2 AS (
+  SELECT v.vec_id, c.j, {d2} AS d2,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {d2}, c.j) AS rn
+  FROM v CROSS JOIN c1 c)
+SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS d2q FROM r2 WHERE rn = 1
+"""
+
+
+SQL_Q131 = _build_kmeans_sql()
+
+
+def q132_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling — the crawl-graph
+    canonicalization primitive: every url follows its redirect chain to
+    the terminal target in O(log depth) keyed exchanges instead of
+    O(depth).  Synthetic deterministic chain over the doc-id space: id i
+    redirects iff i%3 = 0 AND i > 0, target i//2 (ids are contiguous so
+    every target exists — the node-table-closure assumption a real crawl
+    satisfies by construction).
+
+    Each doubling round composes the jump table with itself — one
+    ``hash_join`` (ptr → node) + materialize per round (the cc.py
+    iteration idiom); 6 rounds cover chains of depth ≤ 2⁶ = 64 ≥ the
+    ⌈log₂ max_id⌉ bound of the halving chain.  The SQL mirror is the
+    one-hop-per-row recursive CTE — same terminal rows, hop counts
+    checked exactly."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.join import hash_join
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        redir = (ids % 3 == 0) & (ids > 0)
+        return pa.table({
+            "node": pa.array(ids),
+            "ptr": pa.array(np.where(redir, ids // 2, ids)),
+            "dist": pa.array(redir.astype(np.int64)),
+        })
+
+    p = ds.map_batches(init, batch_format="pyarrow").materialize()
+    p_schema = pa.schema([("node", pa.int64()), ("ptr", pa.int64()),
+                          ("dist", pa.int64())])
+    j_schema = pa.schema([("jnode", pa.int64()), ("pnext", pa.int64()),
+                          ("dnext", pa.int64())])
+
+    def as_jump(batch: pa.Table) -> pa.Table:
+        return pa.table({"jnode": batch.column("node"),
+                         "pnext": batch.column("ptr"),
+                         "dnext": batch.column("dist")})
+
+    def compose(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "ptr": batch.column("pnext"),
+            "dist": pa.compute.add(batch.column("dist"),
+                                   batch.column("dnext")),
+        })
+
+    for _ in range(6):
+        jump = p.map_batches(as_jump, batch_format="pyarrow")
+        p = (hash_join(p, jump, on="ptr", right_on="jnode",
+                       left_schema=p_schema, right_schema=j_schema)
+             .map_batches(compose, batch_format="pyarrow")
+             .materialize())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "final_id": batch.column("ptr"),
+                         "n_hops": batch.column("dist")})
+
+    return p.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q132 = """
+WITH RECURSIVE chain(doc_id, cur, n_hops) AS (
+  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+  UNION ALL
+  SELECT doc_id, cur // 2, n_hops + 1 FROM chain
+  WHERE cur % 3 = 0 AND cur > 0)
+SELECT doc_id, cur AS final_id, n_hops
+FROM chain WHERE NOT (cur % 3 = 0 AND cur > 0)
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -7287,6 +7489,8 @@ QUERIES = {
     "q128_stay_points": q128_stay_points,
     "q129_bigram_surprisal": q129_bigram_surprisal,
     "q130_geary_c": q130_geary_c,
+    "q131_kmeans": q131_kmeans,
+    "q132_redirect_chains": q132_redirect_chains,
 }
 
 ORACLES = {
@@ -7413,4 +7617,6 @@ ORACLES = {
     "q128_stay_points": SQL_Q128,
     "q129_bigram_surprisal": SQL_Q129,
     "q130_geary_c": SQL_Q130,
+    "q131_kmeans": SQL_Q131,
+    "q132_redirect_chains": SQL_Q132,
 }

@@ -52,6 +52,8 @@ SUBSET = [
     "q128_stay_points",
     "q129_bigram_surprisal",
     "q130_geary_c",
+    "q131_kmeans",
+    "q132_redirect_chains",
 ]
 
 
