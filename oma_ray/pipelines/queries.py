@@ -7213,6 +7213,217 @@ FROM chain WHERE NOT (cur % 3 = 0 AND cur > 0)
 """
 
 
+def _host_int_edges(sf_dir: str):
+    """q76's HTML-extracted host link graph as integer edges (src, dst,
+    w) — globally distinct (src, dst) rows with multiplicity w, the
+    shared front of the graph-similarity queries."""
+    from oma_ray.stages.links import host_int, host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    edges = host_link_edges(make_pages_dataset(sf_dir))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": host_int(batch.column("src_host")),
+            "dst": host_int(batch.column("dst_host")),
+            "w": batch.column("n_links").cast(pa.int64()),
+        })
+
+    return edges.map_batches(to_int, batch_format="pyarrow")
+
+
+_SQL_HOST_EDGES = """
+  SELECT doc_id % 1000 AS src, (doc_id * 48271 + j) % 1000 AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j
+  GROUP BY 1, 2"""
+
+
+def q133_cocitation(sf_dir: str):
+    """Co-citation similarity join on the extracted host graph: pairs of
+    hosts cited by ≥2 common targets — the classic link-based relatedness
+    measure (HTML → edges → wedge join).  Distinct edges exchange ONCE
+    keyed by the shared target; each block emits the per-target src pairs
+    (wedges — bounded by the per-target in-degree, the triangle-counting
+    precedent: cap-and-log would apply under adversarial skew, here
+    in-degree ≤ |host namespace|); a tiny pair-keyed exchange counts
+    common targets."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    edges = _host_int_edges(sf_dir)
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"host_a": pa.array([], pa.int64()),
+                          "host_b": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["dst", "src"], kind="stable")
+        d = df["dst"].to_numpy(np.int64)
+        s = df["src"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ends = np.r_[starts[1:], len(d)]
+        a_parts, b_parts = [], []
+        for lo, hi in zip(starts, ends):  # groups bounded by in-degree
+            g = s[lo:hi]
+            if len(g) > 1:
+                ia, ib = np.triu_indices(len(g), k=1)
+                a_parts.append(g[ia])
+                b_parts.append(g[ib])
+        if not a_parts:
+            return empty
+        return pa.table({"host_a": pa.array(np.concatenate(a_parts)),
+                         "host_b": pa.array(np.concatenate(b_parts))})
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host_a": batch.column("host_a").to_numpy(zero_copy_only=False),
+            "host_b": batch.column("host_b").to_numpy(zero_copy_only=False),
+            "n_common": np.ones(batch.num_rows, dtype=np.int64)})
+
+    pairs = (edges
+             .repartition(default_partitions(), keys=["dst"])
+             .map_batches(wedges, batch_format="pyarrow"))
+    counted = _grouped_sums(pairs, ["host_a", "host_b"], pair_partial,
+                            ["n_common"], 2,
+                            anchor=pa.table({
+                                "host_a": pa.array([], pa.int64()),
+                                "host_b": pa.array([], pa.int64()),
+                                "n_common": pa.array([], pa.int64())}))
+
+    def floor2(batch: pa.Table) -> pa.Table:
+        if not len(batch) or "n_common" not in batch.column_names:
+            return pa.table({"host_a": pa.array([], pa.int64()),
+                             "host_b": pa.array([], pa.int64()),
+                             "n_common": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("n_common"), 2))
+
+    return counted.map_batches(floor2, batch_format="pyarrow")
+
+
+SQL_Q133 = f"""
+WITH e AS ({_SQL_HOST_EDGES})
+SELECT a.src AS host_a, b.src AS host_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q134_hits(sf_dir: str):
+    """HITS hubs & authorities on the extracted host graph — the classic
+    complement to PageRank (q77), UNNORMALIZED integer form so two
+    mutual-reinforcement rounds are exact on both engines (no float
+    normalization; magnitudes grow ~(Σw)per round — real-scale runs
+    renormalize per round, which this kernel would do by a constant
+    integer divide): h₀ = 1, a₁ = Σ_in w·h₀, h₁ = Σ_out w·a₁,
+    a₂ = Σ_in w·h₁; reported over the union of endpoint hosts with
+    absent scores as 0.
+
+    Fully distributed: each half-round is one hash_join of the edge
+    table against the previous score vector plus a host-keyed partial-sum
+    exchange — the iterated sparse-matrix-vector shape, never a dense
+    driver vector."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    edges = _host_int_edges(sf_dir).materialize()
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                          ("w", pa.int64())])
+
+    def sum_scores(ds, key: str, val_col: str, out: str):
+        def part(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({
+                "host": batch.column(key).to_numpy(zero_copy_only=False),
+                out: batch.column(val_col).to_numpy(zero_copy_only=False)})
+
+        return _grouped_sums(ds, ["host"], part, [out], 2).materialize()
+
+    # a1 = weighted in-degree (h0 = 1)
+    a1 = sum_scores(edges, "dst", "w", "a1")
+    s_a1 = pa.schema([("host", pa.int64()), ("a1", pa.int64())])
+
+    def mul(col_a: str, col_b: str, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.append_column(
+                out, pc.multiply(batch.column(col_a), batch.column(col_b)))
+
+        return fn
+
+    # h1(u) = Σ_{u→v} w · a1(v): join edges on dst against a1
+    eh = (hash_join(edges, a1, on="dst", right_on="host",
+                    left_schema=e_schema, right_schema=s_a1)
+          .map_batches(mul("w", "a1", "wa"), batch_format="pyarrow"))
+    h1 = sum_scores(eh, "src", "wa", "h1")
+    s_h1 = pa.schema([("host", pa.int64()), ("h1", pa.int64())])
+
+    # a2(v) = Σ_{u→v} w · h1(u): join edges on src against h1
+    ea = (hash_join(edges, h1, on="src", right_on="host",
+                    left_schema=e_schema, right_schema=s_h1)
+          .map_batches(mul("w", "h1", "wh"), batch_format="pyarrow"))
+    a2 = sum_scores(ea, "dst", "wh", "a2")
+
+    cols = ["a1", "h1", "a2"]
+
+    def tag(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {"host": batch.column("host") if n else
+                   pa.array([], pa.int64())}
+            for c in cols:
+                out[c] = (batch.column(which) if c == which
+                          else pa.array(np.zeros(n, dtype=np.int64)))
+            return pa.table(out)
+
+        return fn
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "host" not in df.columns:
+            return pa.table({"host": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.int64()) for c in cols}})
+        return from_pandas_clean(
+            df.groupby("host", as_index=False)[cols].sum())
+
+    from oma_ray.cluster import default_partitions
+
+    tagged = (a1.map_batches(tag("a1"), batch_format="pyarrow")
+              .union(h1.map_batches(tag("h1"), batch_format="pyarrow"))
+              .union(a2.map_batches(tag("a2"), batch_format="pyarrow")))
+    out = (tagged.repartition(2, keys=["host"])
+           .map_batches(combine, batch_format="pyarrow"))
+    return _schema_anchor(out, pa.table({
+        "host": pa.array([], pa.int64()),
+        **{c: pa.array([], pa.int64()) for c in cols}}))
+
+
+SQL_Q134 = f"""
+WITH e AS ({_SQL_HOST_EDGES}),
+a1 AS (SELECT dst AS host, CAST(SUM(w) AS BIGINT) AS a1 FROM e GROUP BY 1),
+h1 AS (
+  SELECT e.src AS host, CAST(SUM(e.w * a1.a1) AS BIGINT) AS h1
+  FROM e JOIN a1 ON a1.host = e.dst GROUP BY 1),
+a2 AS (
+  SELECT e.dst AS host, CAST(SUM(e.w * h1.h1) AS BIGINT) AS a2
+  FROM e JOIN h1 ON h1.host = e.src GROUP BY 1),
+hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e)
+SELECT hosts.host,
+       COALESCE(a1.a1, 0) AS a1,
+       COALESCE(h1.h1, 0) AS h1,
+       COALESCE(a2.a2, 0) AS a2
+FROM hosts LEFT JOIN a1 USING (host) LEFT JOIN h1 USING (host)
+           LEFT JOIN a2 USING (host)
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -7491,6 +7702,8 @@ QUERIES = {
     "q130_geary_c": q130_geary_c,
     "q131_kmeans": q131_kmeans,
     "q132_redirect_chains": q132_redirect_chains,
+    "q133_cocitation": q133_cocitation,
+    "q134_hits": q134_hits,
 }
 
 ORACLES = {
@@ -7619,4 +7832,6 @@ ORACLES = {
     "q130_geary_c": SQL_Q130,
     "q131_kmeans": SQL_Q131,
     "q132_redirect_chains": SQL_Q132,
+    "q133_cocitation": SQL_Q133,
+    "q134_hits": SQL_Q134,
 }

@@ -11,6 +11,9 @@ Codec status, dispatched on magic bytes per payload:
   feature extraction (channel means + grayscale histogram); needs no
   external libraries, so the full decode→resize→feature path actually
   executes end-to-end in this container.
+- **BMP (24-bit uncompressed) — REAL**: pure-numpy encode/decode with
+  the format's 4-byte row padding, BGR order and bottom-up (or
+  negative-height top-down) row layout.
 - **"OMI" fake image** — deterministic stub payload for plumbing tests.
 - **JPEG / PNG / anything else** — honest NotImplementedError seam
   (``_decode_image_real``): those codecs need PIL/libvips, absent here;
@@ -95,6 +98,72 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+# --- BMP (24-bit, BITMAPINFOHEADER): a real, dependency-free codec ----------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BGR, bottom-up rows,
+    4-byte row padding — the format's required on-disk layout)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    bgr = pixels[::-1, :, ::-1].astype(np.uint8).reshape(h, row)
+    if pad:
+        bgr = np.concatenate(
+            [bgr, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    body = bgr.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB.  Handles both
+    bottom-up (positive height) and top-down (negative height) layouts
+    and any pixel-data offset the header declares."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    ah = abs(h)
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * ah,
+                         offset=off)
+    img = data.reshape(ah, stride)[:, :row].reshape(ah, w, 3)[:, :, ::-1]
+    if h > 0:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def synth_bmp_batch(batch: pa.Table, id_col: str = "doc_id",
+                    col: str = "image") -> pa.Table:
+    """Attach a real (deterministic gradient) 24-bit BMP per row; widths
+    deliberately hit every padding residue (w % 4 ∈ {0,1,2,3})."""
+    ids = batch.column(id_col).to_numpy()
+    payloads = []
+    for i in ids:
+        w = 31 + int(i) % 64
+        h = 17 + int(i * 5) % 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (yy * 255 // max(1, h - 1)),
+                ((xx * yy + int(i)) % 256),
+                (xx * 255 // max(1, w - 1)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payloads.append(encode_bmp(px))
+    return batch.append_column(col, pa.array(payloads, type=pa.binary()))
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbour resample via numpy index gather (no Python loop)."""
     h, w = img.shape[:2]
@@ -154,6 +223,10 @@ class ImageDecode:
         for i, payload in enumerate(batch.column(self.image_col).to_pylist()):
             if payload[:2] == b"P6":
                 img = decode_ppm(payload)
+                h, w, c = img.shape
+                feats[i] = ppm_features(img, self.feature_dim)
+            elif payload[:2] == b"BM":
+                img = decode_bmp(payload)
                 h, w, c = img.shape
                 feats[i] = ppm_features(img, self.feature_dim)
             elif payload[:3] == b"OMI":

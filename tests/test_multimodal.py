@@ -93,6 +93,56 @@ def test_ppm_real_decode_pipeline(ray_session):
         assert abs(f[4:].sum() - 1.0) < 1e-5  # histogram is a density
 
 
+def test_bmp_codec_roundtrip():
+    import numpy as np
+    import struct
+
+    from oma_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    # every 4-byte padding residue (w*3 % 4 ∈ {0,1,2,3} over w 8..11)
+    for w in (8, 9, 10, 11):
+        img = ((np.arange(7 * w * 3) * 13) % 256).astype(
+            "uint8").reshape(7, w, 3)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+    # top-down (negative height) decode
+    img = (np.arange(5 * 8 * 3) % 256).astype("uint8").reshape(5, 8, 3)
+    payload = bytearray(encode_bmp(img))
+    struct.pack_into("<i", payload, 22, -5)
+    # flip the stored rows back to top-down order to keep the same image
+    off = 54
+    rows = [bytes(payload[off + i * 24: off + (i + 1) * 24])
+            for i in range(5)]
+    payload[off:] = b"".join(reversed(rows))
+    assert (decode_bmp(bytes(payload)) == img).all()
+
+
+def test_bmp_real_decode_pipeline(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oma_ray.stages.multimodal import (
+        ImageDecode, decode_bmp, synth_bmp_batch,
+    )
+
+    base = rd.range(24).map_batches(
+        lambda b: pa.table({"doc_id": pa.array(b["id"], type=pa.int64())}),
+        batch_format="default",
+    )
+    ds = base.map_batches(synth_bmp_batch, batch_format="pyarrow")
+    ds = ds.map_batches(ImageDecode, fn_constructor_args=(),
+                        batch_format="pyarrow", concurrency=(1, 2),
+                        batch_size=8)
+    df = ds.to_pandas()
+    assert len(df) == 24
+    for _, row in df.iterrows():
+        img = decode_bmp(row["image"])
+        assert row["image_meta"]["height"] == img.shape[0]
+        assert row["image_meta"]["width"] == img.shape[1]
+        f = np.asarray(row["image_features"])
+        assert abs(f[:3].mean() - img.reshape(-1, 3).mean()) < 1.0
+
+
 def test_unknown_codec_raises():
     import pyarrow as pa
     import pytest as _pytest

@@ -54,6 +54,8 @@ SUBSET = [
     "q130_geary_c",
     "q131_kmeans",
     "q132_redirect_chains",
+    "q133_cocitation",
+    "q134_hits",
 ]
 
 
