@@ -7424,6 +7424,123 @@ FROM hosts LEFT JOIN a1 USING (host) LEFT JOIN h1 USING (host)
 """
 
 
+def q135_jsonl_roundtrip(sf_dir: str):
+    """JSONL as a first-class source/sink (the LLM-data interchange
+    format): documents → deterministic gzip shards + parquet manifest
+    (`sources/jsonl.py`), read back through ``ray.data.read_json``
+    (pyarrow's vectorized block parser).  The oracle compares doc_id,
+    lang AND the text column itself against the original table, so the
+    escape/unescape round-trip is value-checked byte-for-byte."""
+    import tempfile
+
+    from oma_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory() as td:
+        write_jsonl(ds, td)
+        return read_jsonl(td).to_pandas()
+
+
+SQL_Q135 = """
+SELECT doc_id, text, lang, n_chars FROM documents
+"""
+
+
+def q136_heavy_hitters(sf_dir: str):
+    """EXACT corpus heavy hitters via the classic two-pass sketch-pruned
+    plan: pass 1 streams the token stream through Misra-Gries partials
+    (k = 256 ⇒ every term with frequency > n/257 is guaranteed in the
+    candidate set; the output threshold n//200 is strictly above that
+    bound for n > 902, so NO true heavy hitter can be missed); pass 2
+    exact-counts ONLY the ≤k broadcast candidates plus the global token
+    total in one tagged partial-sums exchange and keeps cnt > n//200.
+    The approximate sketch prunes, the exact counts decide — so the
+    result is value-oracled despite the sketch in the plan."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.sketch import heavy_hitters
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def terms(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        return pa.table({"term": pa.array(flat[flat != ""])})
+
+    tok = ds.map_batches(terms, batch_format="pyarrow")
+    cand = set(heavy_hitters(tok, "term", k=256)
+               .to_pandas()["value"])  # ≤k rows: bounded pull
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch.column("term").to_numpy(zero_copy_only=False)
+        keep = np.array([x in cand for x in t]) if len(t) else \
+            np.zeros(0, dtype=bool)
+        return pd.DataFrame({
+            "term": np.r_[t[keep], ["\x00total"]],
+            "cnt": np.r_[np.ones(int(keep.sum()), dtype=np.int64),
+                         [len(t)]]})
+
+    counted = _grouped_sums(tok, ["term"], count_partial, ["cnt"], 2
+                            ).to_pandas()  # ≤k+1 rows
+    n = int(counted.loc[counted["term"] == "\x00total", "cnt"].iloc[0])
+    out = counted[(counted["term"] != "\x00total")
+                  & (counted["cnt"] > n // 200)]
+    return pd.DataFrame({"term": out["term"].to_numpy(),
+                         "cnt": out["cnt"].to_numpy(np.int64)})
+
+
+SQL_Q136 = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+n AS (SELECT COUNT(*) AS c FROM tok)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok GROUP BY term
+HAVING COUNT(*) > (SELECT c FROM n) // 200
+"""
+
+
+def q137_hll_distinct(sf_dir: str):
+    """HyperLogLog per-type distinct users (p = 12: 4096 one-byte
+    registers per group ride the exchange, never the values) with the
+    rows-only quality gate: the estimate is checked against the exact
+    distributed distinct (q33 idiom) and the query RAISES if the worst
+    per-type relative error breaks the floor — the sketch family's
+    driver-visible entry (accuracy/merge laws are pytest-pinned in
+    test_newops)."""
+    from oma_ray.stages.sketch import approx_ndistinct
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    est = approx_ndistinct(ds, ["event_type"], "user_id").to_pandas()
+
+    def exact_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "user_id": df["user_id"],
+                             "one": np.ones(len(df), dtype=np.int64)})
+
+    # distinct via (type,user)-keyed dedup exchange, then per-type count
+    dd = _grouped_sums(ds, ["event_type", "user_id"], exact_partial,
+                       ["one"], 2).to_pandas()
+    exact = dd.groupby("event_type").size()
+    m = est.set_index("event_type")["approx_n"]
+    rel = max(abs(int(m[t]) - int(exact[t])) / max(1, int(exact[t]))
+              for t in exact.index)
+    df = est.sort_values("event_type").reset_index(drop=True)
+    # gate is "raise when metric < floor": report worst-type ACCURACY
+    return _quality_gate(df, "hll_acc_pm", 1.0 - rel, 0.95)
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -7704,6 +7821,9 @@ QUERIES = {
     "q132_redirect_chains": q132_redirect_chains,
     "q133_cocitation": q133_cocitation,
     "q134_hits": q134_hits,
+    "q135_jsonl_roundtrip": q135_jsonl_roundtrip,
+    "q136_heavy_hitters": q136_heavy_hitters,
+    "q137_hll_distinct": q137_hll_distinct,
 }
 
 ORACLES = {
@@ -7834,4 +7954,8 @@ ORACLES = {
     "q132_redirect_chains": SQL_Q132,
     "q133_cocitation": SQL_Q133,
     "q134_hits": SQL_Q134,
+    "q135_jsonl_roundtrip": SQL_Q135,
+    "q136_heavy_hitters": SQL_Q136,
+    # q137_hll_distinct: rows-only by nature (sketch estimate) + embedded
+    # accuracy gate vs the exact distributed distinct
 }

@@ -1,0 +1,53 @@
+"""JSONL source/sink: byte-determinism and adversarial-text round-trips."""
+
+import gzip
+import os
+
+import pyarrow as pa
+
+
+def _mini_ds(rows):
+    import ray.data as rd
+
+    t = pa.table(rows)
+    return rd.from_arrow(t)
+
+
+def test_jsonl_roundtrip_adversarial_text(ray_session, tmp_path):
+    from oma_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    texts = [
+        "plain ascii",
+        "newline\nand\ttab",
+        'quotes " and \\ backslash',
+        "unicode: café ☃ \U0001f600",
+        "",
+        "trailing space ",
+    ]
+    rows = {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+            "n": pa.array([len(t) for t in texts], pa.int64())}
+    out = str(tmp_path / "jl")
+    write_jsonl(_mini_ds(rows), out)
+    back = read_jsonl(out).to_pandas().sort_values("doc_id")
+    assert list(back["text"]) == texts
+    assert list(back["n"]) == [len(t) for t in texts]
+    assert os.path.isdir(os.path.join(out, "_manifest"))
+
+
+def test_jsonl_shards_are_deterministic(ray_session, tmp_path):
+    from oma_ray.sources.jsonl import write_jsonl
+
+    rows = {"doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": pa.array(["a", "b", "c"])}
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl(_mini_ds(rows), d1)
+    write_jsonl(_mini_ds(rows), d2)
+    f1 = sorted(f for f in os.listdir(d1) if f.endswith(".gz"))
+    f2 = sorted(f for f in os.listdir(d2) if f.endswith(".gz"))
+    assert f1 == f2 and f1  # same shard names (min-id derived)
+    for f in f1:
+        b1 = open(os.path.join(d1, f), "rb").read()
+        b2 = open(os.path.join(d2, f), "rb").read()
+        assert b1 == b2  # gzip mtime=0 → byte-identical reruns
+        assert gzip.decompress(b1).endswith(b"\n")

@@ -56,6 +56,8 @@ SUBSET = [
     "q132_redirect_chains",
     "q133_cocitation",
     "q134_hits",
+    "q135_jsonl_roundtrip",
+    "q136_heavy_hitters",
 ]
 
 
