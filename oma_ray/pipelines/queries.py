@@ -7541,6 +7541,218 @@ def q137_hll_distinct(sf_dir: str):
     return _quality_gate(df, "hll_acc_pm", 1.0 - rel, 0.95)
 
 
+def q138_traj_similarity(sf_dir: str):
+    """Trajectory-similarity join: user pairs whose visited-cell sets have
+    Jaccard ≥ 0.4 (8×8 grid) — the co-traveler / duplicate-account shape.
+    Exact integers throughout: the threshold is the cross-multiplied
+    ``i·1000 ≥ 400·(n_a + n_b − i)`` and the reported similarity is the
+    per-mille floor ``i·1000 // union``.
+
+    Shape: the user-keyed exchange makes per-user DISTINCT cells and set
+    sizes block-local (no extra exchange); distinct (user, cell) rows
+    re-key by cell for wedge pair emission (q133 precedent — per-cell
+    user count is the skew knob); pair intersections ride one tiny pair
+    exchange and set sizes join back via two hash_joins."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    ev = _events_cells(sf_dir, 8)
+
+    def distinct_uc(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64())})
+        df = (batch.select(["user_id", "cell"]).to_pandas()
+              .drop_duplicates())
+        return from_pandas_clean(df)
+
+    d = ev.map_batches(distinct_uc, batch_format="pyarrow").materialize()
+
+    def block_sizes(batch: pa.Table) -> pa.Table:
+        # users are co-located by the upstream exchange → block == global
+        if not len(batch):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_cells": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("user_id", as_index=False)
+              .size().rename(columns={"size": "n_cells"}))
+        df["n_cells"] = df["n_cells"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    sizes = d.map_batches(block_sizes, batch_format="pyarrow").materialize()
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_a": pa.array([], pa.int64()),
+                          "user_b": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["cell", "user_id"],
+                                           kind="stable")
+        c = df["cell"].to_numpy(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        a_parts, b_parts = [], []
+        for lo, hi in zip(starts, ends):
+            g = u[lo:hi]
+            if len(g) > 1:
+                ia, ib = np.triu_indices(len(g), k=1)
+                a_parts.append(g[ia])
+                b_parts.append(g[ib])
+        if not a_parts:
+            return empty
+        return pa.table({"user_a": pa.array(np.concatenate(a_parts)),
+                         "user_b": pa.array(np.concatenate(b_parts))})
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_a": batch.column("user_a").to_numpy(zero_copy_only=False),
+            "user_b": batch.column("user_b").to_numpy(zero_copy_only=False),
+            "n_common": np.ones(batch.num_rows, dtype=np.int64)})
+
+    pairs = _grouped_sums(
+        d.repartition(default_partitions(), keys=["cell"])
+        .map_batches(wedges, batch_format="pyarrow"),
+        ["user_a", "user_b"], pair_partial, ["n_common"], 2,
+        anchor=pa.table({"user_a": pa.array([], pa.int64()),
+                         "user_b": pa.array([], pa.int64()),
+                         "n_common": pa.array([], pa.int64())}))
+
+    p_schema = pa.schema([("user_a", pa.int64()), ("user_b", pa.int64()),
+                          ("n_common", pa.int64())])
+    s_schema = pa.schema([("user_id", pa.int64()), ("n_cells", pa.int64())])
+
+    def rename_size(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"user_id": batch.column("user_id"),
+                             col: batch.column("n_cells")})
+
+        return fn
+
+    j1 = hash_join(pairs, sizes.map_batches(rename_size("n_a"),
+                                            batch_format="pyarrow"),
+                   on="user_a", right_on="user_id",
+                   left_schema=p_schema,
+                   right_schema=pa.schema([("user_id", pa.int64()),
+                                           ("n_a", pa.int64())]))
+    j2 = hash_join(j1, sizes.map_batches(rename_size("n_b"),
+                                         batch_format="pyarrow"),
+                   on="user_b", right_on="user_id",
+                   left_schema=p_schema.append(pa.field("n_a", pa.int64())),
+                   right_schema=pa.schema([("user_id", pa.int64()),
+                                           ("n_b", pa.int64())]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_a": pa.array([], pa.int64()),
+                          "user_b": pa.array([], pa.int64()),
+                          "n_common": pa.array([], pa.int64()),
+                          "j_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        i = batch.column("n_common").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        union = na + nb - i
+        keep = i * 1000 >= 400 * union
+        t = batch.filter(pa.array(keep))
+        return pa.table({"user_a": t.column("user_a"),
+                         "user_b": t.column("user_b"),
+                         "n_common": t.column("n_common"),
+                         "j_pm": pa.array(i[keep] * 1000 // union[keep])})
+
+    return _schema_anchor(
+        j2.map_batches(finish, batch_format="pyarrow"),
+        pa.table({"user_a": pa.array([], pa.int64()),
+                  "user_b": pa.array([], pa.int64()),
+                  "n_common": pa.array([], pa.int64()),
+                  "j_pm": pa.array([], pa.int64())}))
+
+
+SQL_Q138 = f"""
+WITH e AS ({_sql_events_cells(8)}),
+d AS (SELECT DISTINCT user_id, cell FROM e),
+sz AS (SELECT user_id, COUNT(*) AS n FROM d GROUP BY 1),
+inter AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT user_a, user_b, CAST(i AS BIGINT) AS n_common,
+       CAST(i * 1000 // (sa.n + sb.n - i) AS BIGINT) AS j_pm
+FROM inter JOIN sz sa ON sa.user_id = user_a
+           JOIN sz sb ON sb.user_id = user_b
+WHERE i * 1000 >= 400 * (sa.n + sb.n - i)
+"""
+
+
+def q139_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances on the extracted host graph (seeds:
+    hosts 0–2) bounded at 6 hops — the crawl-frontier / influence-radius
+    primitive.  Per round the distance table joins the edge list once
+    (hash_join src → host) and a host-keyed min-combine exchange folds
+    new candidates in; re-expanding settled hosts is redundant but
+    harmless under min semantics (a frontier-only delta is the standard
+    optimization at scale).  The oracle is the bounded recursive CTE with
+    UNION dedup + final MIN."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    edges = _host_int_edges(sf_dir).materialize()
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                          ("w", pa.int64())])
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        t = batch.column("dst").to_numpy(zero_copy_only=False)
+        hosts = np.unique(np.r_[s[s < 3], t[t < 3]])
+        return pa.table({"host": pa.array(hosts),
+                         "d": pa.array(np.zeros(len(hosts), np.int64))})
+
+    def min_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "host" not in df.columns:
+            return pa.table({"host": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.groupby("host", as_index=False)["d"].min())
+
+    dist = (edges.map_batches(seed_rows, batch_format="pyarrow")
+            .repartition(2, keys=["host"])
+            .map_batches(min_combine, batch_format="pyarrow")
+            .materialize())
+    d_schema = pa.schema([("host", pa.int64()), ("d", pa.int64())])
+
+    def step(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"host": batch.column("dst"),
+                         "d": pc.add(batch.column("d"), 1)})
+
+    for _ in range(6):
+        nxt = (hash_join(edges, dist, on="src", right_on="host",
+                         left_schema=e_schema, right_schema=d_schema)
+               .map_batches(step, batch_format="pyarrow"))
+        dist = (dist.union(nxt)
+                .repartition(2, keys=["host"])
+                .map_batches(min_combine, batch_format="pyarrow")
+                .materialize())
+    return dist
+
+
+SQL_Q139 = f"""
+WITH RECURSIVE e AS ({_SQL_HOST_EDGES}),
+hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+r(host, d) AS (
+  SELECT host, 0 FROM hosts WHERE host < 3
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.host WHERE r.d < 6)
+SELECT host, CAST(MIN(d) AS BIGINT) AS d FROM r GROUP BY host
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -7824,6 +8036,8 @@ QUERIES = {
     "q135_jsonl_roundtrip": q135_jsonl_roundtrip,
     "q136_heavy_hitters": q136_heavy_hitters,
     "q137_hll_distinct": q137_hll_distinct,
+    "q138_traj_similarity": q138_traj_similarity,
+    "q139_bfs_hops": q139_bfs_hops,
 }
 
 ORACLES = {
@@ -7958,4 +8172,6 @@ ORACLES = {
     "q136_heavy_hitters": SQL_Q136,
     # q137_hll_distinct: rows-only by nature (sketch estimate) + embedded
     # accuracy gate vs the exact distributed distinct
+    "q138_traj_similarity": SQL_Q138,
+    "q139_bfs_hops": SQL_Q139,
 }

@@ -58,6 +58,8 @@ SUBSET = [
     "q134_hits",
     "q135_jsonl_roundtrip",
     "q136_heavy_hitters",
+    "q138_traj_similarity",
+    "q139_bfs_hops",
 ]
 
 
