@@ -7753,6 +7753,149 @@ SELECT host, CAST(MIN(d) AS BIGINT) AS d FROM r GROUP BY host
 """
 
 
+_QT_CAP = 32  # adaptive-tile split threshold (pages per tile)
+
+
+def q140_adaptive_tiles(sf_dir: str):
+    """Adaptive quadtree tiling — the data-driven counterpart of the
+    fixed bbs grid: a tile splits into its 4 children while its page
+    count exceeds cap=32 (levels 2..5, widths 4/8/16/32); every page
+    lands in the first non-split tile on its path, and the output is the
+    leaf partition with counts.  Power-of-two levels nest EXACTLY under
+    floor division (floor(floor(2a)/2) = floor(a)), so parent counts are
+    derivable from the finest level on both engines.
+
+    Shape: ONE cell-keyed exchange of finest-level partial counts (the
+    q13 idiom); the leaf decision folds over the ≤32×32 count vector —
+    bounded by the grid constant (a deeper real-scale pyramid rolls up
+    through exchanges instead, q49's shape)."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 32)
+        return pd.DataFrame({"cell": row * 32 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+    counts = grouped.to_pandas()  # ≤1024 rows: bounded by the grid constant
+    x5 = np.zeros((32, 32), dtype=np.int64)
+    if len(counts):
+        c = counts["cell"].to_numpy()
+        x5[c // 32, c % 32] = counts["n"].to_numpy()
+
+    def coarsen(x: np.ndarray) -> np.ndarray:
+        return x.reshape(x.shape[0] // 2, 2, x.shape[1] // 2, 2).sum((1, 3))
+
+    x4, x3 = coarsen(x5), coarsen(coarsen(x5))
+    x2 = coarsen(coarsen(coarsen(x5)))
+    levels = {2: (4, x2), 3: (8, x3), 4: (16, x4), 5: (32, x5)}
+    out_lvl, out_cell, out_n = [], [], []
+    for r in range(32):
+        for c in range(32):
+            if x5[r, c] == 0:
+                continue
+            for lvl in (2, 3, 4, 5):
+                w, x = levels[lvl]
+                rr, cc = r >> (5 - lvl), c >> (5 - lvl)
+                if x[rr, cc] <= _QT_CAP or lvl == 5:
+                    out_lvl.append(lvl)
+                    out_cell.append(rr * w + cc)
+                    out_n.append(x5[r, c])
+                    break
+    df = pd.DataFrame({"level": np.array(out_lvl, dtype=np.int64),
+                       "cell_id": np.array(out_cell, dtype=np.int64),
+                       "n_pages": np.array(out_n, dtype=np.int64)})
+    return (df.groupby(["level", "cell_id"], as_index=False)["n_pages"]
+            .sum())
+
+
+def _qt_cell(width: int) -> str:
+    return (f"((lat + 900000000) * {width} // 1800000001) * {width}"
+            f" + ((lon + 1800000000) * {width} // 3600000001)")
+
+
+SQL_Q140 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+p AS (
+  SELECT {_qt_cell(4)} AS c2, {_qt_cell(8)} AS c3,
+         {_qt_cell(16)} AS c4, {_qt_cell(32)} AS c5
+  FROM g),
+n2 AS (SELECT c2, COUNT(*) AS n FROM p GROUP BY 1),
+n3 AS (SELECT c3, COUNT(*) AS n FROM p GROUP BY 1),
+n4 AS (SELECT c4, COUNT(*) AS n FROM p GROUP BY 1),
+leaf AS (
+  SELECT CASE WHEN n2.n <= {_QT_CAP} THEN 2
+              WHEN n3.n <= {_QT_CAP} THEN 3
+              WHEN n4.n <= {_QT_CAP} THEN 4 ELSE 5 END AS level,
+         CASE WHEN n2.n <= {_QT_CAP} THEN c2
+              WHEN n3.n <= {_QT_CAP} THEN c3
+              WHEN n4.n <= {_QT_CAP} THEN c4 ELSE c5 END AS cell_id
+  FROM p JOIN n2 USING (c2) JOIN n3 USING (c3) JOIN n4 USING (c4))
+SELECT CAST(level AS BIGINT) AS level, cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM leaf GROUP BY 1, 2
+"""
+
+
+def q141_crawl_budget(sf_dir: str):
+    """Crawl-budget apportionment: 1000 fetch slots divided across hosts
+    proportionally to page counts by the largest-remainder method (the
+    exact-integer apportionment rule: base = B·n//N, the B − Σbase
+    leftover slots go to the largest remainders, ties to the lower host
+    id) — Σslots = B exactly.  Host counts are the q77 bounded
+    small-dimension aggregate (≤ |host namespace| rows pulled once); the
+    apportionment itself touches only that vector."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.links import host_int
+    from oma_ray.synth import make_pages_dataset
+
+    pages = make_pages_dataset(sf_dir).select_columns(["url"])
+
+    def hosts(batch: pa.Table) -> pd.DataFrame:
+        url = batch.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        h = pc.struct_field(
+            pc.extract_regex(url, r"^https?://site(?P<k>[0-9]+)\."), "k")
+        return pd.DataFrame({
+            "host": pc.cast(h, pa.int64()).to_numpy(zero_copy_only=False),
+            "n_pages": np.ones(len(batch), dtype=np.int64)})
+
+    g = (_grouped_sums(pages, ["host"], hosts, ["n_pages"], 2)
+         .to_pandas().sort_values("host"))  # bounded: ≤ |host namespace|
+    n = g["n_pages"].to_numpy(np.int64)
+    total, budget = int(n.sum()), 1000
+    base = budget * n // total
+    rem = budget * n % total
+    extra = budget - int(base.sum())
+    order = np.lexsort((g["host"].to_numpy(np.int64), -rem))
+    bonus = np.zeros(len(g), dtype=np.int64)
+    bonus[order[:extra]] = 1
+    return pd.DataFrame({"host": g["host"].to_numpy(np.int64),
+                         "n_pages": n, "slots": base + bonus})
+
+
+SQL_Q141 = """
+WITH h AS (
+  SELECT doc_id % 1000 AS host, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM h),
+a AS (
+  SELECT host, n, 1000 * n // t.total AS base, 1000 * n % t.total AS rem,
+         row_number() OVER (ORDER BY 1000 * n % t.total DESC, host) AS rk
+  FROM h CROSS JOIN t),
+x AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS extra FROM a)
+SELECT host, CAST(n AS BIGINT) AS n_pages,
+       CAST(base + CASE WHEN rk <= (SELECT extra FROM x)
+                        THEN 1 ELSE 0 END AS BIGINT) AS slots
+FROM a
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8038,6 +8181,8 @@ QUERIES = {
     "q137_hll_distinct": q137_hll_distinct,
     "q138_traj_similarity": q138_traj_similarity,
     "q139_bfs_hops": q139_bfs_hops,
+    "q140_adaptive_tiles": q140_adaptive_tiles,
+    "q141_crawl_budget": q141_crawl_budget,
 }
 
 ORACLES = {
@@ -8174,4 +8319,6 @@ ORACLES = {
     # accuracy gate vs the exact distributed distinct
     "q138_traj_similarity": SQL_Q138,
     "q139_bfs_hops": SQL_Q139,
+    "q140_adaptive_tiles": SQL_Q140,
+    "q141_crawl_budget": SQL_Q141,
 }

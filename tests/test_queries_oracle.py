@@ -60,6 +60,8 @@ SUBSET = [
     "q136_heavy_hitters",
     "q138_traj_similarity",
     "q139_bfs_hops",
+    "q140_adaptive_tiles",
+    "q141_crawl_budget",
 ]
 
 
