@@ -7896,6 +7896,66 @@ FROM a
 """
 
 
+def q142_dwell_time(sf_dir: str):
+    """Duration-weighted cell occupancy (dwell time) — the mobility
+    complement of raw fix counts: each hop's duration (next fix's ts −
+    this ts, per user in the q51 ordering) is attributed to the cell the
+    user was IN; last fixes contribute nothing.  Seconds are floored
+    per-hop (``Δus // 10⁶``) on both engines before summing, so no
+    divide-then-sum mismatch exists.  One user-keyed exchange + a tiny
+    cell-keyed partial-sum exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    def block_dwell(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_hops": pa.array([], pa.int64()),
+                          "dwell_s": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)
+        hop = np.r_[u[1:] == u[:-1], False]  # row i has a successor
+        dwell = np.zeros(len(u), dtype=np.int64)
+        dwell[:-1] = (t[1:] - t[:-1]) // 1_000_000
+        out = (pd.DataFrame({"cell": c[hop], "dwell_s": dwell[hop],
+                             "n_hops": np.ones(int(hop.sum()), np.int64)})
+               .groupby("cell", as_index=False)[["n_hops", "dwell_s"]]
+               .sum())
+        return from_pandas_clean(out)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "cell" not in df.columns:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_hops": pa.array([], pa.int64()),
+                             "dwell_s": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.groupby("cell", as_index=False)[["n_hops", "dwell_s"]].sum())
+
+    return (
+        _events_cells(sf_dir, 8)
+        .map_batches(block_dwell, batch_format="pyarrow")
+        .repartition(2, keys=["cell"])
+        .map_batches(combine, batch_format="pyarrow")
+    )
+
+
+SQL_Q142 = f"""
+WITH e AS ({_sql_events_cells(8)}),
+h AS (
+  SELECT cell,
+         (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS dwell_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_hops,
+       CAST(SUM(dwell_s) AS BIGINT) AS dwell_s
+FROM h WHERE dwell_s IS NOT NULL GROUP BY cell
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8183,6 +8243,7 @@ QUERIES = {
     "q139_bfs_hops": q139_bfs_hops,
     "q140_adaptive_tiles": q140_adaptive_tiles,
     "q141_crawl_budget": q141_crawl_budget,
+    "q142_dwell_time": q142_dwell_time,
 }
 
 ORACLES = {
@@ -8321,4 +8382,5 @@ ORACLES = {
     "q139_bfs_hops": SQL_Q139,
     "q140_adaptive_tiles": SQL_Q140,
     "q141_crawl_budget": SQL_Q141,
+    "q142_dwell_time": SQL_Q142,
 }

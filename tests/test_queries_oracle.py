@@ -62,6 +62,7 @@ SUBSET = [
     "q139_bfs_hops",
     "q140_adaptive_tiles",
     "q141_crawl_budget",
+    "q142_dwell_time",
 ]
 
 
