@@ -7956,6 +7956,76 @@ FROM h WHERE dwell_s IS NOT NULL GROUP BY cell
 """
 
 
+def q143_cell_flows(sf_dir: str):
+    """Movement-flow divergence per cell: over consecutive same-user hops
+    (q51 ordering), count departures (hop leaves the cell), arrivals
+    (hop enters it) and the net balance — the OD-matrix marginals (q124)
+    at cell granularity, including within-cell hops on neither side.
+    One user-keyed exchange; both marginals fall out of one lexsorted
+    diff pass and ride a tiny cell-keyed exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    cols = ["n_out", "n_in"]
+
+    def block_flows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.int64()) for c in cols}})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        c = df["cell"].to_numpy(np.int64)
+        hop = (u[1:] == u[:-1]) & (c[1:] != c[:-1])
+        out = pd.concat([
+            pd.DataFrame({"cell": c[:-1][hop], "n_out": 1, "n_in": 0}),
+            pd.DataFrame({"cell": c[1:][hop], "n_out": 0, "n_in": 1}),
+        ])
+        if not len(out):
+            return empty
+        agg = out.groupby("cell", as_index=False)[cols].sum()
+        for col in cols:
+            agg[col] = agg[col].astype(np.int64)
+        return from_pandas_clean(agg)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "cell" not in df.columns:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_out": pa.array([], pa.int64()),
+                             "n_in": pa.array([], pa.int64()),
+                             "net": pa.array([], pa.int64())})
+        agg = df.groupby("cell", as_index=False)[cols].sum()
+        agg["net"] = agg["n_in"] - agg["n_out"]
+        return from_pandas_clean(agg)
+
+    return (
+        _events_cells(sf_dir, 8)
+        .map_batches(block_flows, batch_format="pyarrow")
+        .repartition(2, keys=["cell"])
+        .map_batches(combine, batch_format="pyarrow")
+    )
+
+
+SQL_Q143 = f"""
+WITH e AS ({_sql_events_cells(8)}),
+h AS (
+  SELECT cell AS c_from, lead(cell) OVER w AS c_to
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT c_from, c_to FROM h
+      WHERE c_to IS NOT NULL AND c_to <> c_from),
+f AS (
+  SELECT c_from AS cell, 1 AS n_out, 0 AS n_in FROM m
+  UNION ALL
+  SELECT c_to, 0, 1 FROM m)
+SELECT cell, CAST(SUM(n_out) AS BIGINT) AS n_out,
+       CAST(SUM(n_in) AS BIGINT) AS n_in,
+       CAST(SUM(n_in) - SUM(n_out) AS BIGINT) AS net
+FROM f GROUP BY cell
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8244,6 +8314,7 @@ QUERIES = {
     "q140_adaptive_tiles": q140_adaptive_tiles,
     "q141_crawl_budget": q141_crawl_budget,
     "q142_dwell_time": q142_dwell_time,
+    "q143_cell_flows": q143_cell_flows,
 }
 
 ORACLES = {
@@ -8383,4 +8454,5 @@ ORACLES = {
     "q140_adaptive_tiles": SQL_Q140,
     "q141_crawl_budget": SQL_Q141,
     "q142_dwell_time": SQL_Q142,
+    "q143_cell_flows": SQL_Q143,
 }

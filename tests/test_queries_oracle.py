@@ -63,6 +63,7 @@ SUBSET = [
     "q140_adaptive_tiles",
     "q141_crawl_budget",
     "q142_dwell_time",
+    "q143_cell_flows",
 ]
 
 
