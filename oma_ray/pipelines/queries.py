@@ -7069,10 +7069,14 @@ def q131_kmeans(sf_dir: str):
              .to_pandas().sort_values("vec_id"))  # ≤k rows: bounded pull
     scols = [f"s{i:02d}" for i in range(_KM_D)]
     cq = seeds[scols].to_numpy(np.int64) * 1024  # seed centroids, ×1024
+    # cluster LABELS are the seed vec_ids (the SQL convention `vec_id AS
+    # j`) — not argmin positions — so non-contiguous id spaces stay in sync
+    seed_ids = seeds["vec_id"].to_numpy(np.int64)
 
     def sums_partial(batch: pa.Table) -> pd.DataFrame:
         v = _km_quant(batch)
         a, _ = _km_assign(v, cq)
+        a = seed_ids[a]
         uniq, inv = np.unique(a, return_inverse=True)
         acc = np.zeros((len(uniq), _KM_D), dtype=np.int64)
         np.add.at(acc, inv, v)
@@ -7194,6 +7198,15 @@ def q132_redirect_chains(sf_dir: str):
              .map_batches(compose, batch_format="pyarrow")
              .materialize())
 
+    # the inner jump join assumes target-id closure (every i//2 is a doc
+    # id) — make a violation LOUD instead of silently dropping chains
+    n0 = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_final = p.count()  # p is materialized: count is metadata-cheap
+    if n_final != n0:
+        raise AssertionError(
+            f"q132: pointer doubling lost rows ({n_final} != {n0}) — "
+            "redirect target outside the node table (closure assumption)")
+
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("node"),
                          "final_id": batch.column("ptr"),
@@ -7250,7 +7263,9 @@ def q133_cocitation(sf_dir: str):
     in-degree ≤ |host namespace|); a tiny pair-keyed exchange counts
     common targets."""
     from oma_ray.cluster import default_partitions
-    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.dedup import (
+        _schema_anchor, ensure_hash_shuffle, pair_indices,
+    )
 
     ensure_hash_shuffle()
     edges = _host_int_edges(sf_dir)
@@ -7265,17 +7280,11 @@ def q133_cocitation(sf_dir: str):
         s = df["src"].to_numpy(np.int64)
         starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
         ends = np.r_[starts[1:], len(d)]
-        a_parts, b_parts = [], []
-        for lo, hi in zip(starts, ends):  # groups bounded by in-degree
-            g = s[lo:hi]
-            if len(g) > 1:
-                ia, ib = np.triu_indices(len(g), k=1)
-                a_parts.append(g[ia])
-                b_parts.append(g[ib])
-        if not a_parts:
+        ia, ib = pair_indices(list(zip(starts, ends)))
+        if not len(ia):
             return empty
-        return pa.table({"host_a": pa.array(np.concatenate(a_parts)),
-                         "host_b": pa.array(np.concatenate(b_parts))})
+        return pa.table({"host_a": pa.array(s[ia]),
+                         "host_b": pa.array(s[ib])})
 
     def pair_partial(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame({
@@ -7393,7 +7402,6 @@ def q134_hits(sf_dir: str):
         return from_pandas_clean(
             df.groupby("host", as_index=False)[cols].sum())
 
-    from oma_ray.cluster import default_partitions
 
     tagged = (a1.map_batches(tag("a1"), batch_format="pyarrow")
               .union(h1.map_batches(tag("h1"), batch_format="pyarrow"))
@@ -7476,10 +7484,11 @@ def q136_heavy_hitters(sf_dir: str):
     cand = set(heavy_hitters(tok, "term", k=256)
                .to_pandas()["value"])  # ≤k rows: bounded pull
 
+    cand_arr = np.array(sorted(cand), dtype=object)
+
     def count_partial(batch: pa.Table) -> pd.DataFrame:
         t = batch.column("term").to_numpy(zero_copy_only=False)
-        keep = np.array([x in cand for x in t]) if len(t) else \
-            np.zeros(0, dtype=bool)
+        keep = np.isin(t, cand_arr)
         return pd.DataFrame({
             "term": np.r_[t[keep], ["\x00total"]],
             "cnt": np.r_[np.ones(int(keep.sum()), dtype=np.int64),
@@ -7541,6 +7550,9 @@ def q137_hll_distinct(sf_dir: str):
     return _quality_gate(df, "hll_acc_pm", 1.0 - rel, 0.95)
 
 
+_TRAJ_CELL_CAP = 4096  # q138 wedge guard: max users per cell before drop
+
+
 def q138_traj_similarity(sf_dir: str):
     """Trajectory-similarity join: user pairs whose visited-cell sets have
     Jaccard ≥ 0.4 (8×8 grid) — the co-traveler / duplicate-account shape.
@@ -7550,12 +7562,19 @@ def q138_traj_similarity(sf_dir: str):
 
     Shape: the user-keyed exchange makes per-user DISTINCT cells and set
     sizes block-local (no extra exchange); distinct (user, cell) rows
-    re-key by cell for wedge pair emission (q133 precedent — per-cell
-    user count is the skew knob); pair intersections ride one tiny pair
-    exchange and set sizes join back via two hash_joins."""
+    re-key by cell for wedge pair emission (q133 precedent); pair
+    intersections ride one tiny pair exchange and set sizes join back
+    via two hash_joins.  Per-cell user count is the skew knob: cells
+    with more than ``_TRAJ_CELL_CAP`` users are dropped with a logged
+    warning (the MinHash bucket-cap precedent) — a scale guard far above
+    the oracle-checked scales, not a semantics change there."""
+    import logging
+
     from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
-    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.stages.dedup import (
+        _schema_anchor, ensure_hash_shuffle, pair_indices,
+    )
     from oma_ray.stages.join import hash_join
 
     ensure_hash_shuffle()
@@ -7594,17 +7613,19 @@ def q138_traj_similarity(sf_dir: str):
         u = df["user_id"].to_numpy(np.int64)
         starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
         ends = np.r_[starts[1:], len(c)]
-        a_parts, b_parts = [], []
-        for lo, hi in zip(starts, ends):
-            g = u[lo:hi]
-            if len(g) > 1:
-                ia, ib = np.triu_indices(len(g), k=1)
-                a_parts.append(g[ia])
-                b_parts.append(g[ib])
-        if not a_parts:
+        sizes = ends - starts
+        over = sizes > _TRAJ_CELL_CAP
+        if over.any():
+            logging.getLogger(__name__).warning(
+                "q138: dropping %d cells over the %d-user cap "
+                "(largest: %d users)", int(over.sum()), _TRAJ_CELL_CAP,
+                int(sizes.max()))
+        keep = ~over
+        ia, ib = pair_indices(list(zip(starts[keep], ends[keep])))
+        if not len(ia):
             return empty
-        return pa.table({"user_a": pa.array(np.concatenate(a_parts)),
-                         "user_b": pa.array(np.concatenate(b_parts))})
+        return pa.table({"user_a": pa.array(u[ia]),
+                         "user_b": pa.array(u[ib])})
 
     def pair_partial(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame({
@@ -7904,7 +7925,6 @@ def q142_dwell_time(sf_dir: str):
     per-hop (``Δus // 10⁶``) on both engines before summing, so no
     divide-then-sum mismatch exists.  One user-keyed exchange + a tiny
     cell-keyed partial-sum exchange."""
-    from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
 
     def block_dwell(batch: pa.Table) -> pa.Table:
@@ -7963,7 +7983,6 @@ def q143_cell_flows(sf_dir: str):
     at cell granularity, including within-cell hops on neither side.
     One user-keyed exchange; both marginals fall out of one lexsorted
     diff pass and ride a tiny cell-keyed exchange."""
-    from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
 
     cols = ["n_out", "n_in"]
