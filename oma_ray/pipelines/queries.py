@@ -8045,6 +8045,138 @@ FROM f GROUP BY cell
 """
 
 
+def q144_raster_regions(sf_dir: str):
+    """Raster→vector conversion: connected regions of occupied cells on
+    the 64×64 page-density raster (rook adjacency), each labeled by its
+    minimum cell id — the polygonize/region-labeling primitive closing
+    the raster↔vector loop (zonal q21 and IDW q109 are the vector→raster
+    directions).  Output per region: id, cell count, page mass.
+
+    Distributed cell counts (q13 idiom); the flood fill is a vectorized
+    min-pool fixpoint over the 4096-cell vector — bounded by the grid
+    constant (a deeper raster labels via the distributed CC stage on the
+    cell-adjacency edges, `stages/cc.py`).  SQL mirror: recursive
+    min-label closure with UNION dedup."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
+    x = np.zeros((64, 64), dtype=np.int64)
+    if len(counts):
+        c = counts["cell"].to_numpy()
+        x[c // 64, c % 64] = counts["n"].to_numpy()
+    occ = x > 0
+    big = np.int64(1) << 40
+    lab = np.where(occ, np.arange(4096, dtype=np.int64).reshape(64, 64),
+                   big)
+    while True:
+        p = np.pad(lab, 1, constant_values=big)
+        nl = np.minimum.reduce([
+            lab, p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]])
+        nl = np.where(occ, nl, big)
+        if (nl == lab).all():
+            break
+        lab = nl
+    df = pd.DataFrame({"region_id": lab[occ], "n": x[occ]})
+    out = (df.groupby("region_id", as_index=False)
+           .agg(n_cells=("n", "size"), n_pages=("n", "sum")))
+    out["n_cells"] = out["n_cells"].astype(np.int64)
+    return out
+
+
+SQL_Q144 = f"""
+WITH RECURSIVE g AS ({_SQL_GEO_DOCS}),
+c AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+       + ((lon + 1800000000) * 64 // 3600000001) AS cell FROM g),
+cnt AS (SELECT cell, COUNT(*) AS x FROM c GROUP BY cell),
+adj AS (
+  SELECT a.cell AS cell, b.cell AS nbr
+  FROM cnt a JOIN cnt b
+    ON (a.cell // 64 = b.cell // 64
+        AND ABS(a.cell % 64 - b.cell % 64) = 1)
+    OR (a.cell % 64 = b.cell % 64
+        AND ABS(a.cell // 64 - b.cell // 64) = 1)),
+lab(cell, l) AS (
+  SELECT cell, cell FROM cnt
+  UNION
+  SELECT adj.cell, lab.l FROM adj JOIN lab ON lab.cell = adj.nbr),
+ml AS (SELECT cell, MIN(l) AS l FROM lab GROUP BY cell)
+SELECT ml.l AS region_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cnt.x) AS BIGINT) AS n_pages
+FROM ml JOIN cnt USING (cell) GROUP BY 1
+"""
+
+
+def q145_ppr(sf_dir: str):
+    """Personalized PageRank on the extracted host graph — teleport mass
+    restricted to the seed set {hosts 0–2} (the trusted-seed / topical
+    authority variant of q77): 3 unrolled integer rounds of
+    ``s' = [seed]·150000 + Σ_in w · (85·s_src // (100·outdeg))`` in the
+    q61/q77 fixed-point convention (floor BEFORE the occurrence
+    multiply, identical in SQL).  Host universe and scores are the
+    bounded small-dimension vector (q77 convention; the score-as-Dataset
+    regime of ``pagerank_int_dist`` is the documented web-scale path)."""
+    # the aggregated edge table is bounded by the host namespace² (≤10⁶
+    # rows; here ≤1000) — the q77 dense-dimension convention; the heavy
+    # HTML extraction upstream stays distributed
+    e = _host_int_edges(sf_dir).to_pandas()
+    hosts = np.unique(np.r_[e["src"].to_numpy(np.int64),
+                            e["dst"].to_numpy(np.int64)])
+    outdeg = e.groupby("src")["w"].sum()
+    score = pd.Series(
+        np.where(hosts < 3, 1_000_000, 0).astype(np.int64), index=hosts)
+    for _ in range(3):
+        s_src = score.reindex(e["src"]).to_numpy(np.int64)
+        od = outdeg.reindex(e["src"]).to_numpy(np.int64)
+        share = 85 * s_src // (100 * od)
+        contrib = pd.DataFrame({
+            "dst": e["dst"].to_numpy(np.int64),
+            "c": share * e["w"].to_numpy(np.int64)}).groupby("dst")["c"].sum()
+        score = (pd.Series(
+            np.where(hosts < 3, 150_000, 0).astype(np.int64), index=hosts)
+            + contrib.reindex(hosts, fill_value=0).astype(np.int64))
+    return pd.DataFrame({"host": hosts,
+                         "score": score.to_numpy(np.int64)})
+
+
+def _build_ppr_sql(rounds: int = 3) -> str:
+    parts = [f"""
+WITH e AS ({_SQL_HOST_EDGES}),
+hosts AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, SUM(w) AS outdeg FROM e GROUP BY 1),
+s0 AS (SELECT h AS node,
+       CAST(CASE WHEN h < 3 THEN 1000000 ELSE 0 END AS BIGINT) AS score
+       FROM hosts)"""]
+    for r in range(rounds):
+        parts.append(f""",
+sh{r} AS (SELECT s{r}.node,
+          85 * s{r}.score // (100 * deg.outdeg) AS share
+          FROM s{r} JOIN deg ON deg.src = s{r}.node),
+s{r + 1} AS (
+  SELECT hosts.h AS node,
+         CAST(CASE WHEN hosts.h < 3 THEN 150000 ELSE 0 END
+              + COALESCE(SUM(sh{r}.share * e.w), 0) AS BIGINT) AS score
+  FROM hosts LEFT JOIN e ON e.dst = hosts.h
+  LEFT JOIN sh{r} ON sh{r}.node = e.src
+  GROUP BY hosts.h)""")
+    parts.append(f"""
+SELECT node AS host, score FROM s{rounds}""")
+    return "".join(parts)
+
+
+SQL_Q145 = _build_ppr_sql()
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8334,6 +8466,8 @@ QUERIES = {
     "q141_crawl_budget": q141_crawl_budget,
     "q142_dwell_time": q142_dwell_time,
     "q143_cell_flows": q143_cell_flows,
+    "q144_raster_regions": q144_raster_regions,
+    "q145_ppr": q145_ppr,
 }
 
 ORACLES = {
@@ -8474,4 +8608,6 @@ ORACLES = {
     "q141_crawl_budget": SQL_Q141,
     "q142_dwell_time": SQL_Q142,
     "q143_cell_flows": SQL_Q143,
+    "q144_raster_regions": SQL_Q144,
+    "q145_ppr": SQL_Q145,
 }

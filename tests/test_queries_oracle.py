@@ -64,6 +64,8 @@ SUBSET = [
     "q141_crawl_budget",
     "q142_dwell_time",
     "q143_cell_flows",
+    "q144_raster_regions",
+    "q145_ppr",
 ]
 
 
