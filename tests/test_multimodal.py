@@ -93,6 +93,25 @@ def test_ppm_real_decode_pipeline(ray_session):
         assert abs(f[4:].sum() - 1.0) < 1e-5  # histogram is a density
 
 
+def test_bmp_codec_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=1, max_value=37),
+           st.integers(min_value=1, max_value=23),
+           st.integers(min_value=0, max_value=2**31 - 1))
+    def roundtrip(w, h, seed):
+        img = ((np.arange(h * w * 3, dtype=np.int64) * 2654435761 + seed)
+               % 256).astype("uint8").reshape(h, w, 3)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    roundtrip()
+
+
 def test_bmp_codec_roundtrip():
     import numpy as np
     import struct
