@@ -8177,6 +8177,88 @@ SELECT node AS host, score FROM s{rounds}""")
 SQL_Q145 = _build_ppr_sql()
 
 
+def q146_lat_bands(sf_dir: str):
+    """Equi-depth latitude band partitioner — the range-partitioner
+    primitive behind distributed spatial sort: split the world into 8
+    latitude bands holding (as nearly as possible) equal page counts.
+    Exact on bucket granularity: a bounded 1800-bucket latitude
+    histogram (lat // 10⁶, i.e. 0.1° strips) rides one keyed exchange;
+    band b spans buckets up to the first whose running total reaches
+    ``ceil((b+1)·N/8)`` — pure integer cumsum, no sampling (the
+    sampling-sketch variant is the >grid-constant regime).  Output per
+    band: first/last bucket and exact page count."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lat.astype(np.float64))
+        b = (lat[ok].astype(np.int64) + 900_000_000) // 1_000_000
+        return pd.DataFrame({"bucket": b,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    hist = (_grouped_sums(_geo_pages(sf_dir), ["bucket"], partial,
+                          ["n"], 4)
+            .to_pandas().sort_values("bucket"))  # ≤1800 rows: bounded
+    b = hist["bucket"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    cum = np.cumsum(n)
+    # band of a bucket: smallest band b such that cumsum ≤ ceil((b+1)N/8)
+    # ⇔ band = ceil(8·cum/N) − 1 of the bucket's own running total
+    band = (8 * cum + total - 1) // total - 1
+    df = pd.DataFrame({"band": band, "bucket": b, "n": n})
+    out = (df.groupby("band", as_index=False)
+           .agg(bucket_lo=("bucket", "min"), bucket_hi=("bucket", "max"),
+                n_pages=("n", "sum")))
+    for c in ("bucket_lo", "bucket_hi", "n_pages"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_Q146 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+h AS (
+  SELECT (lat + 900000000) // 1000000 AS bucket, COUNT(*) AS n
+  FROM g GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM h),
+c AS (
+  SELECT bucket, n,
+         SUM(n) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h),
+band AS (
+  SELECT bucket, n,
+         (8 * cum + (SELECT total FROM t) - 1)
+           // (SELECT total FROM t) - 1 AS band
+  FROM c)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(MIN(bucket) AS BIGINT) AS bucket_lo,
+       CAST(MAX(bucket) AS BIGINT) AS bucket_hi,
+       CAST(SUM(n) AS BIGINT) AS n_pages
+FROM band GROUP BY band
+"""
+
+
+def q147_csv_roundtrip(sf_dir: str):
+    """CSV as a first-class source/sink (`sources/csvio.py`, the JSONL
+    sibling): documents → deterministic gzip shards → back through
+    ``ray.data.read_csv`` with embedded-newline parsing; the oracle
+    compares the text column byte-for-byte, so CSV quoting/escaping must
+    round-trip exactly."""
+    import tempfile
+
+    from oma_ray.sources.csvio import read_csv_shards, write_csv
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory() as td:
+        write_csv(ds, td)
+        return read_csv_shards(td).to_pandas()
+
+
+SQL_Q147 = """
+SELECT doc_id, text, lang, n_chars FROM documents
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8468,6 +8550,8 @@ QUERIES = {
     "q143_cell_flows": q143_cell_flows,
     "q144_raster_regions": q144_raster_regions,
     "q145_ppr": q145_ppr,
+    "q146_lat_bands": q146_lat_bands,
+    "q147_csv_roundtrip": q147_csv_roundtrip,
 }
 
 ORACLES = {
@@ -8610,4 +8694,6 @@ ORACLES = {
     "q143_cell_flows": SQL_Q143,
     "q144_raster_regions": SQL_Q144,
     "q145_ppr": SQL_Q145,
+    "q146_lat_bands": SQL_Q146,
+    "q147_csv_roundtrip": SQL_Q147,
 }

@@ -55,6 +55,27 @@ def test_jsonl_roundtrip_adversarial_text(ray_session, tmp_path):
     assert os.path.isdir(os.path.join(out, "_manifest"))
 
 
+def test_csv_roundtrip_adversarial_text(ray_session, tmp_path):
+    from oma_ray.sources.csvio import read_csv_shards, write_csv
+
+    texts = [
+        "plain ascii",
+        "embedded\nnewline",
+        'quotes "inside" and, commas',
+        "unicode: café ☃",
+        "trailing space ",
+        "semi;colon\ttab",
+    ]
+    rows = {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+            "n": pa.array([len(t) for t in texts], pa.int64())}
+    out = str(tmp_path / "csv")
+    write_csv(_mini_ds(rows), out)
+    back = read_csv_shards(out).to_pandas().sort_values("doc_id")
+    assert list(back["text"]) == texts
+    assert list(back["n"]) == [len(t) for t in texts]
+
+
 def test_jsonl_shards_are_deterministic(ray_session, tmp_path):
     from oma_ray.sources.jsonl import write_jsonl
 

@@ -66,6 +66,8 @@ SUBSET = [
     "q143_cell_flows",
     "q144_raster_regions",
     "q145_ppr",
+    "q146_lat_bands",
+    "q147_csv_roundtrip",
 ]
 
 
