@@ -8259,6 +8259,178 @@ SELECT doc_id, text, lang, n_chars FROM documents
 """
 
 
+def q148_ewma_cells(sf_dir: str):
+    """Integer EWMA smoothing of per-cell daily page counts — the
+    recursive-state streaming aggregate (α = 1/8 as the power-of-two
+    fold ``s' = (7·s + x) // 8``, exact in integers; observed days only,
+    the q122 sparse-day convention).  (cell, day) partial counts ride
+    ONE keyed exchange; the fold itself is a per-cell loop over the
+    observed-day sequence — calendar-bounded work per cell (the q122
+    O(calendar) precedent).  Oracle: recursive CTE stepping rk → rk+1
+    per cell."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        from oma_ray.stages.geo_join import grid_rowcol
+
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 16)
+        return pd.DataFrame({
+            "cell": row * 16 + col,
+            "day": ts[has_geo] // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    daily = _grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_days": pa.array([], pa.int64()),
+                          "ewma": pa.array([], pa.int64())})
+        if not len(batch) or "cell" not in batch.column_names:
+            return empty
+        df = batch.to_pandas().sort_values(["cell", "day"], kind="stable")
+        cells, n_days, ewma = [], [], []
+        for cell, g in df.groupby("cell", sort=False):
+            s = 0
+            for i, x in enumerate(g["n"].to_numpy(np.int64)):
+                s = int(x) if i == 0 else (7 * s + int(x)) // 8
+            cells.append(int(cell))
+            n_days.append(len(g))
+            ewma.append(s)
+        return from_pandas_clean(pd.DataFrame({
+            "cell": np.array(cells, dtype=np.int64),
+            "n_days": np.array(n_days, dtype=np.int64),
+            "ewma": np.array(ewma, dtype=np.int64)}))
+
+    return (daily.repartition(2, keys=["cell"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q148 = f"""
+WITH RECURSIVE g AS (
+  SELECT event_id, ts,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (
+  SELECT ((lat + 900000000) * 16 // 1800000001) * 16
+       + ((lon + 1800000000) * 16 // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM g GROUP BY 1, 2),
+r AS (
+  SELECT cell, n,
+         row_number() OVER (PARTITION BY cell ORDER BY day) AS rk
+  FROM d),
+w(cell, rk, s) AS (
+  SELECT cell, CAST(1 AS BIGINT), CAST(n AS BIGINT) FROM r WHERE rk = 1
+  UNION ALL
+  SELECT r.cell, w.rk + 1, (7 * w.s + r.n) // 8
+  FROM w JOIN r ON r.cell = w.cell AND r.rk = w.rk + 1)
+SELECT w.cell, CAST(t.m AS BIGINT) AS n_days, CAST(w.s AS BIGINT) AS ewma
+FROM w JOIN (SELECT cell, MAX(rk) AS m FROM w GROUP BY cell) t
+  ON t.cell = w.cell AND w.rk = t.m
+"""
+
+
+def q149_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence of event types (the A-priori pair
+    step + association lift): baskets are (user, day); support counts
+    baskets containing both types, and ``lift_pm = support · n_baskets ·
+    1000 // (sup_a · sup_b)`` is the exact-integer association lift.
+    One basket-keyed exchange makes per-basket distinct types (and so
+    pair emission) block-local; pair/singleton/basket-count partials are
+    bounded by |types|² per block (the dense-dimension convention) and
+    fold in one tiny combine."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle, pair_indices
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def basket_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "day": ts // 86_400_000_000,
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    baskets = (ds.map_batches(basket_rows, batch_format="pyarrow")
+               .repartition(default_partitions(), keys=["user_id", "day"]))
+
+    SENT = "\x00baskets"
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "sup": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "day", "event_type"],
+                           kind="stable"))
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy()
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(u)]
+        ia, ib = pair_indices(list(zip(starts, ends)))
+        out = pd.DataFrame({
+            "t1": np.r_[t[ia], t, [SENT]],
+            "t2": np.r_[t[ib], t, [SENT]],
+            "sup": np.r_[np.ones(len(ia) + len(t), dtype=np.int64),
+                         [len(starts)]],
+        }).groupby(["t1", "t2"], as_index=False)["sup"].sum()
+        return from_pandas_clean(out)
+
+    parts = (baskets.map_batches(block_partials, batch_format="pyarrow")
+             .to_pandas())  # ≤ |types|²+1 rows per block: bounded pull
+    agg = parts.groupby(["t1", "t2"], as_index=False)["sup"].sum()
+    n_b = int(agg.loc[agg["t1"] == SENT, "sup"].iloc[0])
+    singles = dict(zip(
+        agg.loc[agg["t1"] == agg["t2"], "t1"],
+        agg.loc[agg["t1"] == agg["t2"], "sup"].astype(int)))
+    p = agg[(agg["t1"] != agg["t2"]) & (agg["t1"] != SENT)].copy()
+    s1 = p["t1"].map(singles).to_numpy(np.int64)
+    s2 = p["t2"].map(singles).to_numpy(np.int64)
+    sup = p["sup"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "t1": p["t1"].to_numpy(), "t2": p["t2"].to_numpy(),
+        "support": sup,
+        "lift_pm": sup * n_b * 1000 // (s1 * s2)})
+
+
+SQL_Q149 = """
+WITH b AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+  FROM events),
+nb AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM b)),
+s AS (SELECT event_type, COUNT(*) AS sup FROM b GROUP BY 1),
+p AS (
+  SELECT a.event_type AS t1, c.event_type AS t2, COUNT(*) AS support
+  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                   AND a.event_type < c.event_type
+  GROUP BY 1, 2)
+SELECT t1, t2, CAST(support AS BIGINT) AS support,
+       CAST(support * (SELECT n FROM nb) * 1000
+            // (sa.sup * sb.sup) AS BIGINT) AS lift_pm
+FROM p JOIN s sa ON sa.event_type = t1 JOIN s sb ON sb.event_type = t2
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8552,6 +8724,8 @@ QUERIES = {
     "q145_ppr": q145_ppr,
     "q146_lat_bands": q146_lat_bands,
     "q147_csv_roundtrip": q147_csv_roundtrip,
+    "q148_ewma_cells": q148_ewma_cells,
+    "q149_basket_pairs": q149_basket_pairs,
 }
 
 ORACLES = {
@@ -8696,4 +8870,6 @@ ORACLES = {
     "q145_ppr": SQL_Q145,
     "q146_lat_bands": SQL_Q146,
     "q147_csv_roundtrip": SQL_Q147,
+    "q148_ewma_cells": SQL_Q148,
+    "q149_basket_pairs": SQL_Q149,
 }

@@ -68,6 +68,8 @@ SUBSET = [
     "q145_ppr",
     "q146_lat_bands",
     "q147_csv_roundtrip",
+    "q148_ewma_cells",
+    "q149_basket_pairs",
 ]
 
 
