@@ -8431,6 +8431,65 @@ FROM p JOIN s sa ON sa.event_type = t1 JOIN s sb ON sb.event_type = t2
 """
 
 
+def q150_incremental_tiles(sf_dir: str):
+    """Incremental view maintenance of the per-tile page counts — the
+    resumable-crawl primitive: the first crawl year's counts (the
+    standing view) merge with the second year's delta by pure per-key
+    addition, WITHOUT recomputing the base.  The oracle is the full
+    recompute over all pages, so the value-hash proves base ⊕ delta ≡
+    full — the IVM correctness property itself.  Each side is the
+    standard partial-counts exchange; the merge is one tagged union +
+    keyed combine (mergeable-aggregate shape — the same merge a
+    manifest-checkpointed resume performs)."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import TS_BASE
+
+    split_us = (TS_BASE + 31_536_000) * 1_000_000  # crawl year boundary
+
+    def counts_for(window: str):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(lon.astype(np.float64))
+            ts = (TS_BASE + (pid * 7919) % 63_072_000) * 1_000_000
+            m = ok & ((ts < split_us) if window == "base"
+                      else (ts >= split_us))
+            row, col = grid_rowcol(lon[m].astype(np.int64),
+                                   lat[m].astype(np.int64), 16)
+            return pd.DataFrame({"cell": row * 16 + col,
+                                 "n": np.ones(int(m.sum()),
+                                              dtype=np.int64)})
+
+        return _grouped_sums(_geo_pages(sf_dir), ["cell"], partial,
+                             ["n"], 4)
+
+    base, delta = counts_for("base"), counts_for("delta")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "cell" not in df.columns:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_pages": pa.array([], pa.int64())})
+        out = (df.groupby("cell", as_index=False)["n"].sum()
+               .rename(columns={"n": "n_pages"}))
+        return from_pandas_clean(out)
+
+    return (base.union(delta)
+            .repartition(2, keys=["cell"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q150 = f"""
+WITH g AS ({_SQL_GEO_DOCS})
+SELECT ((lat + 900000000) * 16 // 1800000001) * 16
+     + ((lon + 1800000000) * 16 // 3600000001) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM g GROUP BY 1
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8726,6 +8785,7 @@ QUERIES = {
     "q147_csv_roundtrip": q147_csv_roundtrip,
     "q148_ewma_cells": q148_ewma_cells,
     "q149_basket_pairs": q149_basket_pairs,
+    "q150_incremental_tiles": q150_incremental_tiles,
 }
 
 ORACLES = {
@@ -8872,4 +8932,5 @@ ORACLES = {
     "q147_csv_roundtrip": SQL_Q147,
     "q148_ewma_cells": SQL_Q148,
     "q149_basket_pairs": SQL_Q149,
+    "q150_incremental_tiles": SQL_Q150,
 }

@@ -70,6 +70,7 @@ SUBSET = [
     "q147_csv_roundtrip",
     "q148_ewma_cells",
     "q149_basket_pairs",
+    "q150_incremental_tiles",
 ]
 
 
