@@ -7053,6 +7053,22 @@ def q131_kmeans(sf_dir: str):
     exchange — the float spherical twin for IVF is ``knn.kmeans_refine``;
     R Lloyd rounds cost R streaming passes, centroids never exceed k×64
     ints on the driver."""
+    ds, cq2, jmap = _km_fit(sf_dir)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        v = _km_quant(batch)
+        a, d2 = _km_assign(v, cq2)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(jmap[a]),
+                         "d2q": pa.array(d2)})
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _km_fit(sf_dir: str):
+    """Shared q131/q151 Lloyd fit: seeds → one centroid update; returns
+    (vectors Dataset, post-update fixed-point centroids, cluster labels
+    = seed vec_ids)."""
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
 
@@ -7092,18 +7108,51 @@ def q131_kmeans(sf_dir: str):
     s = g[scols].to_numpy(np.int64)
     cq2 = (s * 1024 + n * _KM_SHIFT) // n - _KM_SHIFT
     jmap = g["cluster"].to_numpy(np.int64)
+    return ds, cq2, jmap
 
-    def final_assign(batch: pa.Table) -> pa.Table:
+
+def q151_cluster_quality(sf_dir: str):
+    """Cluster-quality report for the q131 k-means partition — the
+    evaluation op of curation clustering (a silhouette-lite): per
+    cluster the member count, the total intra-cluster d², and the total
+    d² to each member's SECOND-nearest centroid (the separation margin's
+    numerator; margin = sum_d2_second − sum_d2, derivable exactly).  All
+    distances are the shared ×1024 fixed-point integers; second-best is
+    the second smallest d² VALUE (duplicates counted — matching the SQL
+    rn = 2 row under the (d2, j) ordering).  One fused pass emitting ≤k
+    partial rows per batch into the tiny cluster-keyed exchange."""
+    ds, cq2, jmap = _km_fit(sf_dir)
+
+    def quality_partial(batch: pa.Table) -> pd.DataFrame:
         v = _km_quant(batch)
-        a, d2 = _km_assign(v, cq2)
-        return pa.table({"vec_id": batch.column("vec_id"),
-                         "cluster": pa.array(jmap[a]),
-                         "d2q": pa.array(d2)})
+        v1024 = v * 1024
+        d2 = ((v1024 * v1024).sum(axis=1)[:, None]
+              - 2 * (v1024 @ cq2.T) + (cq2 * cq2).sum(axis=1)[None, :])
+        a = np.argmin(d2, axis=1)
+        srt = np.sort(d2, axis=1)
+        best, second = srt[:, 0], srt[:, 1]
+        lab = jmap[a]
+        uniq, inv = np.unique(lab, return_inverse=True)
+        # exact int64 accumulation (float64 bincount weights would round
+        # past 2^53 — d² values are ~2.8e14)
+        s_best = np.zeros(len(uniq), dtype=np.int64)
+        s_second = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s_best, inv, best)
+        np.add.at(s_second, inv, second)
+        return pd.DataFrame({
+            "cluster": uniq.astype(np.int64),
+            "n_vecs": np.bincount(inv, minlength=len(uniq)).astype(
+                np.int64),
+            "sum_d2": s_best,
+            "sum_d2_second": s_second,
+        })
 
-    return ds.map_batches(final_assign, batch_format="pyarrow")
+    return _grouped_sums(ds, ["cluster"], quality_partial,
+                         ["n_vecs", "sum_d2", "sum_d2_second"], 2)
 
 
-def _build_kmeans_sql(k: int = _KM_K, dims: int = _KM_D) -> str:
+def _build_kmeans_sql(k: int = _KM_K, dims: int = _KM_D,
+                      quality: bool = False) -> str:
     vq = ", ".join(
         f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1024) AS BIGINT)"
         f" AS d{i:02d}" for i in range(dims))
@@ -7135,11 +7184,19 @@ r2 AS (
          row_number() OVER (PARTITION BY v.vec_id
                             ORDER BY {d2}, c.j) AS rn
   FROM v CROSS JOIN c1 c)
-SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS d2q FROM r2 WHERE rn = 1
-"""
+{''',
+best AS (SELECT vec_id, j, d2 FROM r2 WHERE rn = 1),
+second AS (SELECT vec_id, d2 AS d2b FROM r2 WHERE rn = 2)
+SELECT best.j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(best.d2) AS BIGINT) AS sum_d2,
+       CAST(SUM(second.d2b) AS BIGINT) AS sum_d2_second
+FROM best JOIN second USING (vec_id) GROUP BY 1
+''' if quality else '''SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS d2q FROM r2 WHERE rn = 1
+'''}"""
 
 
 SQL_Q131 = _build_kmeans_sql()
+SQL_Q151 = _build_kmeans_sql(quality=True)
 
 
 def q132_redirect_chains(sf_dir: str):
@@ -8786,6 +8843,7 @@ QUERIES = {
     "q148_ewma_cells": q148_ewma_cells,
     "q149_basket_pairs": q149_basket_pairs,
     "q150_incremental_tiles": q150_incremental_tiles,
+    "q151_cluster_quality": q151_cluster_quality,
 }
 
 ORACLES = {
@@ -8933,4 +8991,5 @@ ORACLES = {
     "q148_ewma_cells": SQL_Q148,
     "q149_basket_pairs": SQL_Q149,
     "q150_incremental_tiles": SQL_Q150,
+    "q151_cluster_quality": SQL_Q151,
 }

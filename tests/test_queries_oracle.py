@@ -71,6 +71,7 @@ SUBSET = [
     "q148_ewma_cells",
     "q149_basket_pairs",
     "q150_incremental_tiles",
+    "q151_cluster_quality",
 ]
 
 
