@@ -8547,6 +8547,63 @@ FROM g GROUP BY 1
 """
 
 
+def q152_global_rank(sf_dir: str):
+    """Exact distributed global rank (the distributed-sort primitive,
+    q146's partitioner put to work): every document's 1-based rank under
+    ``ORDER BY n_chars, doc_id`` without any single-node sort.  A
+    bounded value histogram (n_chars domain) yields exclusive prefix
+    offsets; rows exchange keyed by n_chars, each block sorts its values
+    locally and adds the offset — rank = prefix(value) + position
+    within value.  Unbounded domains swap the exact histogram for
+    sampled splits (Ray sort's own strategy); the rank math is
+    unchanged."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            "n": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = (_grouped_sums(ds, ["v"], hist_partial, ["n"], 2)
+            .to_pandas().sort_values("v"))  # bounded by the value domain
+    vals = hist["v"].to_numpy(np.int64)
+    offs = np.r_[0, np.cumsum(hist["n"].to_numpy(np.int64))[:-1]]
+    offset = dict(zip(vals.tolist(), offs.tolist()))
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        df = batch.to_pandas().sort_values(["n_chars", "doc_id"],
+                                           kind="stable")
+        v = df["n_chars"].to_numpy(np.int64)
+        brk = np.r_[True, v[1:] != v[:-1]]
+        within = np.arange(len(v)) - np.maximum.accumulate(
+            np.where(brk, np.arange(len(v)), 0))
+        base = np.array([offset[x] for x in v.tolist()], dtype=np.int64)
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "rank": base + within + 1}))
+
+    from oma_ray.cluster import default_partitions
+
+    return (ds.repartition(default_partitions(), keys=["n_chars"])
+            .map_batches(block_rank, batch_format="pyarrow"))
+
+
+SQL_Q152 = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS rank
+FROM documents
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8844,6 +8901,7 @@ QUERIES = {
     "q149_basket_pairs": q149_basket_pairs,
     "q150_incremental_tiles": q150_incremental_tiles,
     "q151_cluster_quality": q151_cluster_quality,
+    "q152_global_rank": q152_global_rank,
 }
 
 ORACLES = {
@@ -8992,4 +9050,5 @@ ORACLES = {
     "q149_basket_pairs": SQL_Q149,
     "q150_incremental_tiles": SQL_Q150,
     "q151_cluster_quality": SQL_Q151,
+    "q152_global_rank": SQL_Q152,
 }

@@ -72,6 +72,7 @@ SUBSET = [
     "q149_basket_pairs",
     "q150_incremental_tiles",
     "q151_cluster_quality",
+    "q152_global_rank",
 ]
 
 
