@@ -8604,6 +8604,75 @@ FROM documents
 """
 
 
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Pareto-maximal mask over (x, y) pairs (maximize both; ties keep
+    both — p dominates q iff ≥ on both axes and strict on one).
+    Survive ⟺ y > max{y' : x' > x} AND y = max{y' : x' = x}."""
+    ux, inv = np.unique(x, return_inverse=True)
+    maxy_eq = np.full(len(ux), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(maxy_eq, inv, y)
+    # suffix max of maxy_eq over strictly-greater x
+    suf = np.r_[np.maximum.accumulate(maxy_eq[::-1])[::-1][1:],
+                np.iinfo(np.int64).min]
+    return (y > suf[inv]) & (y == maxy_eq[inv])
+
+
+def q153_skyline(sf_dir: str):
+    """Pareto skyline (multi-criteria frontier): documents maximal in
+    (n_chars, quality) — the skyline operator, with quality the shared
+    32-bit multiplicative hash of doc_id (deterministic, SQL-mirrored).
+    The frontier is MERGEABLE: each block emits its local skyline
+    (vectorized mask, no pairwise loop), and the skyline of the block
+    skylines is the global skyline (dominance is transitive), so the
+    final pass touches only the tiny union of frontiers."""
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def with_quality(batch: pa.Table):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        q = ((ids & 0xffffffff) * 2654435761 % (1 << 32)) % 1000
+        return (ids, batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64), q.astype(np.int64))
+
+    def block_skyline(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64()),
+                          "quality": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        if "quality" in batch.column_names:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+            q = batch.column("quality").to_numpy(zero_copy_only=False)
+        else:
+            ids, x, q = with_quality(batch)
+        m = _skyline_mask(x.astype(np.int64), q)
+        return pa.table({"doc_id": pa.array(ids[m]),
+                         "n_chars": pa.array(x[m].astype(np.int64)),
+                         "quality": pa.array(q[m])})
+
+    return (ds.map_batches(block_skyline, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(block_skyline, batch_format="pyarrow"))
+
+
+SQL_Q153 = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ((CAST((doc_id & 4294967295) AS HUGEINT) * 2654435761)
+          % 4294967296) % 1000 AS quality
+  FROM documents)
+SELECT doc_id, n_chars, CAST(quality AS BIGINT) AS quality
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.n_chars >= a.n_chars AND b.quality >= a.quality
+    AND (b.n_chars > a.n_chars OR b.quality > a.quality))
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8902,6 +8971,7 @@ QUERIES = {
     "q150_incremental_tiles": q150_incremental_tiles,
     "q151_cluster_quality": q151_cluster_quality,
     "q152_global_rank": q152_global_rank,
+    "q153_skyline": q153_skyline,
 }
 
 ORACLES = {
@@ -9051,4 +9121,5 @@ ORACLES = {
     "q150_incremental_tiles": SQL_Q150,
     "q151_cluster_quality": SQL_Q151,
     "q152_global_rank": SQL_Q152,
+    "q153_skyline": SQL_Q153,
 }

@@ -381,3 +381,27 @@ def test_broadcast_once_reuses_refs_within_session(ray_session):
     r2 = broadcast_once("test_bo_slot", factory)
     assert r1 == r2 and len(calls) == 1
     assert ray.get(r1)["x"] == 42
+
+
+def test_skyline_mask_matches_bruteforce():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.pipelines.queries import _skyline_mask
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                    min_size=1, max_size=24))
+    def check(pts):
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        got = _skyline_mask(x, y)
+        for i in range(len(pts)):
+            dominated = any(
+                x[j] >= x[i] and y[j] >= y[i]
+                and (x[j] > x[i] or y[j] > y[i])
+                for j in range(len(pts)))
+            assert got[i] == (not dominated)
+
+    check()

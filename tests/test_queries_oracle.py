@@ -73,6 +73,7 @@ SUBSET = [
     "q150_incremental_tiles",
     "q151_cluster_quality",
     "q152_global_rank",
+    "q153_skyline",
 ]
 
 
