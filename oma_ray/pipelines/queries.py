@@ -8673,6 +8673,80 @@ WHERE NOT EXISTS (
 """
 
 
+def _manhattan_dt(seed: np.ndarray) -> np.ndarray:
+    """Exact L1 distance transform of a boolean seed grid — the classic
+    two-scan chamfer (forward: up+left, backward: down+right), rows
+    vectorized (per-row prefix-min via the accumulate-minus-index
+    identity).  Cells unreachable (no seed at all) stay at the 2^20
+    sentinel."""
+    h, w = seed.shape
+    big = np.int64(1) << 20
+    idx = np.arange(w)
+    d = np.where(seed, np.int64(0), big)
+    for r in range(h):  # forward: up then left-to-right
+        if r:
+            d[r] = np.minimum(d[r], d[r - 1] + 1)
+        d[r] = np.minimum.accumulate(d[r] - idx) + idx
+    for r in range(h - 1, -1, -1):  # backward: down then right-to-left
+        if r < h - 1:
+            d[r] = np.minimum(d[r], d[r + 1] + 1)
+        rev = d[r][::-1]
+        d[r] = (np.minimum.accumulate(rev - idx) + idx)[::-1]
+    return d
+
+
+def q154_distance_transform(sf_dir: str):
+    """Manhattan distance transform (cost-distance / proximity raster):
+    for every occupied cell of the 64×64 density grid, the exact grid
+    distance to the nearest HOT cell (count > 16) — the accessibility
+    surface behind 'distance to nearest hotspot' features.  The classic
+    two-scan dynamic program (forward + backward raster sweeps) computes
+    it exactly in O(cells); counts arrive via the one keyed exchange and
+    the transform runs on the grid-constant-bounded vector (a tiled
+    raster runs the same DP per tile + boundary exchange).  Oracle:
+    brute MIN over the hot set."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
+    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
+    x = np.zeros((64, 64), dtype=np.int64)
+    if len(counts):
+        c = counts["cell"].to_numpy()
+        x[c // 64, c % 64] = counts["n"].to_numpy()
+    d = _manhattan_dt(x > 16)
+    big = np.int64(1) << 20
+    occ = x > 0
+    out = pd.DataFrame({
+        "cell": np.arange(4096, dtype=np.int64)[occ.ravel()],
+        "dist": d.ravel()[occ.ravel()]})
+    out.loc[out["dist"] >= big, "dist"] = -1  # no hot cell anywhere
+    return out
+
+
+SQL_Q154 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+c AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+       + ((lon + 1800000000) * 64 // 3600000001) AS cell FROM g),
+cnt AS (SELECT cell, COUNT(*) AS x FROM c GROUP BY cell),
+hot AS (SELECT cell FROM cnt WHERE x > 16)
+SELECT cnt.cell,
+       CAST(COALESCE((SELECT MIN(ABS(cnt.cell // 64 - hot.cell // 64)
+                               + ABS(cnt.cell % 64 - hot.cell % 64))
+                      FROM hot), -1) AS BIGINT) AS dist
+FROM cnt
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -8972,6 +9046,7 @@ QUERIES = {
     "q151_cluster_quality": q151_cluster_quality,
     "q152_global_rank": q152_global_rank,
     "q153_skyline": q153_skyline,
+    "q154_distance_transform": q154_distance_transform,
 }
 
 ORACLES = {
@@ -9122,4 +9197,5 @@ ORACLES = {
     "q151_cluster_quality": SQL_Q151,
     "q152_global_rank": SQL_Q152,
     "q153_skyline": SQL_Q153,
+    "q154_distance_transform": SQL_Q154,
 }

@@ -405,3 +405,26 @@ def test_skyline_mask_matches_bruteforce():
             assert got[i] == (not dominated)
 
     check()
+
+
+def test_manhattan_dt_matches_bruteforce():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.pipelines.queries import _manhattan_dt
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.integers(0, 2**31 - 1))
+    def check(h, w, seed_int):
+        rng = np.random.RandomState(seed_int)
+        seed = rng.rand(h, w) < 0.2
+        d = _manhattan_dt(seed)
+        rr, cc = np.nonzero(seed)
+        for r in range(h):
+            for c in range(w):
+                want = ((np.abs(rr - r) + np.abs(cc - c)).min()
+                        if len(rr) else 1 << 20)
+                assert d[r, c] == want
+
+    check()

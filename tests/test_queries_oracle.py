@@ -74,6 +74,7 @@ SUBSET = [
     "q151_cluster_quality",
     "q152_global_rank",
     "q153_skyline",
+    "q154_distance_transform",
 ]
 
 
