@@ -8747,6 +8747,51 @@ FROM cnt
 """
 
 
+_HRW_NODES = 5
+
+
+def q155_rendezvous(sf_dir: str):
+    """Rendezvous (highest-random-weight) hashing — the consistent
+    cache/shard assignment primitive: each document goes to the node
+    with the highest 32-bit mixed hash of (doc, node), ties to the
+    lowest node id; removing a node remaps ONLY its own keys (the HRW
+    property).  A pure row predicate (no shuffle — the q119 convention)
+    followed by the standard partial-counts exchange; the hash is the
+    shared 32-bit-masked multiplicative family so DuckDB mirrors it
+    exactly."""
+    from oma_ray.stages.sample import _hash32
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        base = _hash32(ids, 2654435761)  # (id·K) mod 2³², overflow-safe
+        # (base + n·K₂) mod 2³² ≡ (id·K + n·K₂) mod 2³² — the SQL form
+        scores = np.stack([
+            (base + n * 2246822519) % (1 << 32)
+            for n in range(_HRW_NODES)], axis=1)
+        node = np.argmax(scores, axis=1)  # first max ⇔ lowest node on tie
+        return pd.DataFrame({"node": node.astype(np.int64),
+                             "n_docs": np.ones(len(ids), dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    return _grouped_sums(ds, ["node"], partial, ["n_docs"], 2)
+
+
+SQL_Q155 = f"""
+WITH s AS (
+  SELECT doc_id, n.node,
+         ((CAST((doc_id & 4294967295) AS HUGEINT) * 2654435761
+           + CAST(n.node AS HUGEINT) * 2246822519) % 4294967296) AS score
+  FROM documents CROSS JOIN
+       (SELECT unnest(range({_HRW_NODES})) AS node) n),
+a AS (
+  SELECT doc_id, node, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, node) AS rk FROM s)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a WHERE rk = 1 GROUP BY node
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -9047,6 +9092,7 @@ QUERIES = {
     "q152_global_rank": q152_global_rank,
     "q153_skyline": q153_skyline,
     "q154_distance_transform": q154_distance_transform,
+    "q155_rendezvous": q155_rendezvous,
 }
 
 ORACLES = {
@@ -9198,4 +9244,5 @@ ORACLES = {
     "q152_global_rank": SQL_Q152,
     "q153_skyline": SQL_Q153,
     "q154_distance_transform": SQL_Q154,
+    "q155_rendezvous": SQL_Q155,
 }

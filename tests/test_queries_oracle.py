@@ -75,6 +75,7 @@ SUBSET = [
     "q152_global_rank",
     "q153_skyline",
     "q154_distance_transform",
+    "q155_rendezvous",
 ]
 
 
