@@ -8792,6 +8792,64 @@ FROM a WHERE rk = 1 GROUP BY node
 """
 
 
+def q156_chi2_contingency(sf_dir: str):
+    """Chi-square independence test of the lang × source contingency
+    table — the categorical drift/bias detector, in EXACT integers: per
+    cell (including structural zeros) ``dev2 = (N·O − r·c)²`` and
+    ``den = N·r·c`` so χ² = Σ dev2/den derives exactly off-engine
+    ((O−E)²/E = (N·O−rc)²/(N·r·c)).  Cell counts ride the one keyed
+    exchange; margins and the zero-filled cross product are bounded by
+    the category namespaces (the q77 dense-dimension convention), with
+    Python-int products in the finalize."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "source": batch.column("source").to_numpy(
+                zero_copy_only=False),
+            "o": np.ones(batch.num_rows, dtype=np.int64)})
+
+    obs = (_grouped_sums(ds, ["lang", "source"], partial, ["o"], 2)
+           .to_pandas())  # bounded: |langs| × |sources|
+    r = obs.groupby("lang")["o"].sum()
+    c = obs.groupby("source")["o"].sum()
+    n = int(obs["o"].sum())
+    full = pd.MultiIndex.from_product(
+        [sorted(r.index), sorted(c.index)], names=["lang", "source"])
+    o = (obs.set_index(["lang", "source"])["o"]
+         .reindex(full, fill_value=0).reset_index())
+    rr = o["lang"].map(r).to_numpy(np.int64).astype(object)
+    cc = o["source"].map(c).to_numpy(np.int64).astype(object)
+    oo = o["o"].to_numpy(np.int64).astype(object)
+    dev2 = (n * oo - rr * cc) ** 2
+    den = n * rr * cc
+    return pd.DataFrame({
+        "lang": o["lang"].to_numpy(), "source": o["source"].to_numpy(),
+        "o": o["o"].to_numpy(np.int64),
+        "dev2": dev2.astype(np.int64), "den": den.astype(np.int64)})
+
+
+SQL_Q156 = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY 1),
+c AS (SELECT source, SUM(o) AS c FROM obs GROUP BY 1),
+t AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT r.lang, c.source, COALESCE(obs.o, 0) AS o, r.r, c.c
+  FROM r CROSS JOIN c
+  LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source)
+SELECT lang, source, CAST(o AS BIGINT) AS o,
+  CAST((CAST(t.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+       * (CAST(t.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+       AS BIGINT) AS dev2,
+  CAST(CAST(t.n AS HUGEINT) * r * c AS BIGINT) AS den
+FROM cells CROSS JOIN t
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -9093,6 +9151,7 @@ QUERIES = {
     "q153_skyline": q153_skyline,
     "q154_distance_transform": q154_distance_transform,
     "q155_rendezvous": q155_rendezvous,
+    "q156_chi2_contingency": q156_chi2_contingency,
 }
 
 ORACLES = {
@@ -9245,4 +9304,5 @@ ORACLES = {
     "q153_skyline": SQL_Q153,
     "q154_distance_transform": SQL_Q154,
     "q155_rendezvous": SQL_Q155,
+    "q156_chi2_contingency": SQL_Q156,
 }

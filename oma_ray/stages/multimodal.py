@@ -74,6 +74,43 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → binary P5 PGM."""
+    h, w = pixels.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary P5 PGM → (h, w) uint8 (same header grammar as P6)."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    w, h, pos = _pnm_header(payload)
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    return data.reshape(h, w)
+
+
+def _pnm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse the PNM header after the magic → (w, h, pixel offset);
+    supports comments + any whitespace."""
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos: pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    return w, h, pos
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary P6 PPM → (h, w, 3) uint8 (supports comments + any whitespace)."""
     if payload[:2] != b"P6":
@@ -228,6 +265,12 @@ class ImageDecode:
             elif payload[:2] == b"BM":
                 img = decode_bmp(payload)
                 h, w, c = img.shape
+                feats[i] = ppm_features(img, self.feature_dim)
+            elif payload[:2] == b"P5":
+                gray = decode_pgm(payload)
+                h, w = gray.shape
+                c = 1
+                img = np.repeat(gray[:, :, None], 3, axis=2)
                 feats[i] = ppm_features(img, self.feature_dim)
             elif payload[:3] == b"OMI":
                 w, h, c = _decode_image_stub(payload)

@@ -93,6 +93,27 @@ def test_ppm_real_decode_pipeline(ray_session):
         assert abs(f[4:].sum() - 1.0) < 1e-5  # histogram is a density
 
 
+def test_pgm_codec_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+
+    from oma_ray.stages.multimodal import (
+        ImageDecode, decode_pgm, encode_pgm,
+    )
+
+    img = (np.arange(13 * 21) % 256).astype("uint8").reshape(13, 21)
+    assert (decode_pgm(encode_pgm(img)) == img).all()
+    hdr = b"P5\n# comment\n21  13\n255\n"
+    assert (decode_pgm(hdr + img.tobytes()) == img).all()
+    batch = pa.table({"image": pa.array([encode_pgm(img)],
+                                        type=pa.binary())})
+    out = ImageDecode()(batch)
+    meta = out.column("image_meta")[0].as_py()
+    assert (meta["width"], meta["height"], meta["channels"]) == (21, 13, 1)
+    f = np.asarray(out.column("image_features")[0].as_py())
+    assert abs(f[:3].mean() - img.astype(np.float64).mean()) < 1.0
+
+
 def test_bmp_codec_roundtrip_property():
     import numpy as np
     from hypothesis import given, settings

@@ -76,6 +76,7 @@ SUBSET = [
     "q153_skyline",
     "q154_distance_transform",
     "q155_rendezvous",
+    "q156_chi2_contingency",
 ]
 
 
