@@ -8850,6 +8850,139 @@ FROM cells CROSS JOIN t
 """
 
 
+def q157_host_gini(sf_dir: str):
+    """Gini coefficient of the host page-count distribution — the crawl
+    inequality / skew metric, exact integers via the rank formula:
+    ``gini_num = 2·Σ i·x₍ᵢ₎ − (n+1)·Σx`` over ascending-sorted counts
+    (ties broken by host id — same total either way since tied values
+    commute) and ``gini_den = n·Σx``; G = num/den derives exactly.
+    Host counts are the bounded small-dimension aggregate; the rank sum
+    touches only that vector."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"host": ids % 1000,
+                             "n": np.ones(len(ids), dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    g = (_grouped_sums(ds, ["host"], partial, ["n"], 2)
+         .to_pandas())  # bounded: ≤ |host namespace|
+    x = np.sort(g["n"].to_numpy(np.int64))
+    n, s = len(x), int(x.sum())
+    num = 2 * int((np.arange(1, n + 1, dtype=np.int64) * x).sum()) \
+        - (n + 1) * s
+    return pd.DataFrame({
+        "n_hosts": np.array([n], dtype=np.int64),
+        "total": np.array([s], dtype=np.int64),
+        "gini_num": np.array([num], dtype=np.int64),
+        "gini_den": np.array([n * s], dtype=np.int64)})
+
+
+SQL_Q157 = """
+WITH h AS (
+  SELECT doc_id % 1000 AS host, COUNT(*) AS n FROM documents GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n, host) AS i FROM h)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n) AS BIGINT) AS total,
+       CAST(2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n) AS BIGINT)
+         AS gini_num,
+       CAST(COUNT(*) * SUM(n) AS BIGINT) AS gini_den
+FROM r
+"""
+
+
+def q158_benford(sf_dir: str):
+    """Benford first-digit profile of the document-length column — the
+    fabricated-data / anomaly screen: counts per leading digit plus the
+    per-mille share.  Pure fused map (digit = n // 10^⌊log10 n⌋ via a
+    vectorized digit-shift loop, no string round-trip) + the standard
+    partial-counts exchange."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        v = v[v > 0].astype(np.int64)
+        while True:  # ≤ ~19 iterations (int64 digit count), vectorized
+            big = v >= 10
+            if not big.any():
+                break
+            v = np.where(big, v // 10, v)
+        return pd.DataFrame({"digit": v,
+                             "n": np.ones(len(v), dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"])
+    g = (_grouped_sums(ds, ["digit"], partial, ["n"], 2)
+         .to_pandas().sort_values("digit"))
+    total = int(g["n"].sum())
+    return pd.DataFrame({
+        "digit": g["digit"].to_numpy(np.int64),
+        "n": g["n"].to_numpy(np.int64),
+        "share_pm": g["n"].to_numpy(np.int64) * 1000 // total})
+
+
+SQL_Q158 = """
+WITH d AS (
+  SELECT CAST(LEFT(CAST(n_chars AS VARCHAR), 1) AS BIGINT) AS digit
+  FROM documents WHERE n_chars > 0),
+g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // t.total AS BIGINT) AS share_pm
+FROM g CROSS JOIN t
+"""
+
+
+def q159_daily_autocorr(sf_dir: str):
+    """Lag-k autocorrelation of the global daily event-count series
+    (k = 1..3) — the seasonality detector, exact integers in the q110
+    N-scaled deviation space: over the OBSERVED-day sequence (ordered,
+    gaps skipped — both engines identical) dev_t = m·x_t − S and
+    ``num_k = Σ dev_t·dev_{t+k}``, ``den = Σ dev²``; r_k = num_k/den
+    derives exactly.  One (day)-keyed count exchange; the finalize
+    touches the calendar-bounded day vector."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({"day": ts // 86_400_000_000,
+                             "n": np.ones(len(ts), dtype=np.int64)})
+
+    g = (_grouped_sums(ds, ["day"], partial, ["n"], 2)
+         .to_pandas().sort_values("day"))  # calendar-bounded
+    x = g["n"].to_numpy(np.int64)
+    m, s = len(x), int(x.sum())
+    dev = (m * x - s).astype(object)
+    den = int((dev * dev).sum())
+    rows = []
+    for k in (1, 2, 3):
+        num = int((dev[:-k] * dev[k:]).sum()) if m > k else 0
+        rows.append((k, m, num, den))
+    return pd.DataFrame(rows, columns=["lag", "n_days", "num", "den"]
+                        ).astype(np.int64)
+
+
+SQL_Q159 = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1),
+m AS (SELECT COUNT(*) AS m, SUM(n) AS s FROM d),
+v AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         CAST((SELECT m FROM m) * n - (SELECT s FROM m) AS HUGEINT)
+           AS dev
+  FROM d),
+den AS (SELECT SUM(dev * dev) AS den FROM v),
+lags AS (SELECT unnest(range(1, 4)) AS lag)
+SELECT CAST(lags.lag AS BIGINT) AS lag,
+       CAST((SELECT m FROM m) AS BIGINT) AS n_days,
+       CAST(COALESCE((SELECT SUM(a.dev * b.dev)
+                      FROM v a JOIN v b ON b.i = a.i + lags.lag), 0)
+            AS BIGINT) AS num,
+       CAST((SELECT den FROM den) AS BIGINT) AS den
+FROM lags
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -9152,6 +9285,9 @@ QUERIES = {
     "q154_distance_transform": q154_distance_transform,
     "q155_rendezvous": q155_rendezvous,
     "q156_chi2_contingency": q156_chi2_contingency,
+    "q157_host_gini": q157_host_gini,
+    "q158_benford": q158_benford,
+    "q159_daily_autocorr": q159_daily_autocorr,
 }
 
 ORACLES = {
@@ -9305,4 +9441,7 @@ ORACLES = {
     "q154_distance_transform": SQL_Q154,
     "q155_rendezvous": SQL_Q155,
     "q156_chi2_contingency": SQL_Q156,
+    "q157_host_gini": SQL_Q157,
+    "q158_benford": SQL_Q158,
+    "q159_daily_autocorr": SQL_Q159,
 }

@@ -77,6 +77,9 @@ SUBSET = [
     "q154_distance_transform",
     "q155_rendezvous",
     "q156_chi2_contingency",
+    "q157_host_gini",
+    "q158_benford",
+    "q159_daily_autocorr",
 ]
 
 
