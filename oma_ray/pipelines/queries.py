@@ -8983,6 +8983,51 @@ FROM lags
 """
 
 
+def q160_weighted_median(sf_dir: str):
+    """Mass-weighted quantiles of the length distribution — "the doc
+    length below which p of the corpus CHARACTER MASS lies" (token-budget
+    planning's quantile, ≠ the doc-count quantile): exact via the
+    bounded value-domain histogram (q152's partitioner scaffold) and an
+    integer cumsum threshold ``cum ≥ ceil(p·total)`` for p ∈ {25, 50,
+    75, 90}%.  One keyed exchange; the finalize touches the bounded
+    value histogram."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"v": v, "mass": v.astype(np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"])
+    hist = (_grouped_sums(ds, ["v"], partial, ["mass"], 2)
+            .to_pandas().sort_values("v"))  # bounded by the value domain
+    vals = hist["v"].to_numpy(np.int64)
+    cum = np.cumsum(hist["mass"].to_numpy(np.int64))
+    total = int(cum[-1])
+    rows = []
+    for pct in (25, 50, 75, 90):
+        thr = (pct * total + 99) // 100  # ceil(p·total)
+        ix = int(np.searchsorted(cum, thr))
+        rows.append((pct, int(vals[ix]), total))
+    return pd.DataFrame(rows, columns=["pct", "value", "total_mass"]
+                        ).astype(np.int64)
+
+
+SQL_Q160 = """
+WITH h AS (
+  SELECT n_chars AS v, SUM(n_chars) AS mass FROM documents GROUP BY 1),
+c AS (
+  SELECT v, SUM(mass) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h),
+t AS (SELECT SUM(mass) AS total FROM h),
+p AS (SELECT unnest([25, 50, 75, 90]) AS pct)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST((SELECT MIN(v) FROM c
+             WHERE cum >= (p.pct * t.total + 99) // 100) AS BIGINT)
+         AS value,
+       CAST(t.total AS BIGINT) AS total_mass
+FROM p CROSS JOIN t
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -9288,6 +9333,7 @@ QUERIES = {
     "q157_host_gini": q157_host_gini,
     "q158_benford": q158_benford,
     "q159_daily_autocorr": q159_daily_autocorr,
+    "q160_weighted_median": q160_weighted_median,
 }
 
 ORACLES = {
@@ -9444,4 +9490,5 @@ ORACLES = {
     "q157_host_gini": SQL_Q157,
     "q158_benford": SQL_Q158,
     "q159_daily_autocorr": SQL_Q159,
+    "q160_weighted_median": SQL_Q160,
 }

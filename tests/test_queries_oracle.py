@@ -80,6 +80,7 @@ SUBSET = [
     "q157_host_gini",
     "q158_benford",
     "q159_daily_autocorr",
+    "q160_weighted_median",
 ]
 
 
