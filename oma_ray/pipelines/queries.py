@@ -5583,6 +5583,33 @@ GROUP BY page_id
 SQL_Q109 = _assemble_sql_q109()
 
 
+def _density_grid64(sf_dir: str) -> np.ndarray:
+    """Distributed 64×64 page-density raster — THE shared front of the
+    raster analytics family (q110/q127/q130/q144/q154): per-batch cell
+    partials (the q13 idiom) through one cell-keyed exchange, then the
+    ≤4096-row pull scattered into the grid array (bounded by the grid
+    constant).  One definition keeps the cell mapping identical across
+    the family (a divergent copy would silently shift a raster)."""
+    from oma_ray.stages.geo_join import grid_rowcol
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(lon.astype(np.float64))
+        row, col = grid_rowcol(lon[ok].astype(np.int64),
+                               lat[ok].astype(np.int64), 64)
+        return pd.DataFrame({"cell": row * 64 + col,
+                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
+
+    counts = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial,
+                           ["n"], 4).to_pandas()
+    x = np.zeros((64, 64), dtype=np.int64)
+    if len(counts) and "cell" in counts.columns:
+        c = counts["cell"].to_numpy()
+        x[c // 64, c % 64] = counts["n"].to_numpy()
+    return x
+
+
 def q110_morans_i(sf_dir: str):
     """Global Moran's I spatial autocorrelation of the page density
     surface over the 64×64 world grid (rook adjacency, binary weights) —
@@ -5597,22 +5624,7 @@ def q110_morans_i(sf_dir: str):
     one cell-keyed exchange; the finalize touches only the 4096-row cell
     vector (bounded by the GRID constant, not the data — the raster/zonal
     precedent), with Python-int products so no intermediate overflows."""
-    from oma_ray.stages.geo_join import grid_rowcol
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(lon.astype(np.float64))
-        row, col = grid_rowcol(lon[ok].astype(np.int64),
-                               lat[ok].astype(np.int64), 64)
-        return pd.DataFrame({"cell": row * 64 + col,
-                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
-
-    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
-    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
-    x = np.zeros(4096, dtype=np.int64)
-    if len(counts):
-        x[counts["cell"].to_numpy()] = counts["n"].to_numpy()
+    x = _density_grid64(sf_dir).ravel()
     n_cells, s = 4096, int(x.sum())
     dev = (n_cells * x - s).astype(object)  # exact bigint products
     g = dev.reshape(64, 64)
@@ -6714,23 +6726,8 @@ def q127_gistar_hotspots(sf_dir: str):
     float ever, both engines agree bit-for-bit.  Distributed cell counts
     (the q13 idiom); the finalize touches only the 4096-cell vector
     (bounded by the grid constant) with Python-int products."""
-    from oma_ray.stages.geo_join import grid_rowcol
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(lon.astype(np.float64))
-        row, col = grid_rowcol(lon[ok].astype(np.int64),
-                               lat[ok].astype(np.int64), 64)
-        return pd.DataFrame({"cell": row * 64 + col,
-                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
-
-    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
-    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
-    x = np.zeros(4096, dtype=np.int64)
-    if len(counts):
-        x[counts["cell"].to_numpy()] = counts["n"].to_numpy()
-    g2 = x.reshape(64, 64)
+    g2 = _density_grid64(sf_dir)
+    x = g2.ravel()
     pad = np.pad(g2, 1)
     s3 = sum(pad[1 + dr:65 + dr, 1 + dc:65 + dc]
              for dr in (-1, 0, 1) for dc in (-1, 0, 1))
@@ -6951,22 +6948,7 @@ def q130_geary_c(sf_dir: str):
     N·(x_i − x_j) — exact), den = Σ dev² as in q110; C = ((n−1)/2W) ·
     num/den derives exactly from the returned integers.  Same
     distributed count front + bounded 4096-cell finalize."""
-    from oma_ray.stages.geo_join import grid_rowcol
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(lon.astype(np.float64))
-        row, col = grid_rowcol(lon[ok].astype(np.int64),
-                               lat[ok].astype(np.int64), 64)
-        return pd.DataFrame({"cell": row * 64 + col,
-                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
-
-    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
-    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
-    x = np.zeros(4096, dtype=np.int64)
-    if len(counts):
-        x[counts["cell"].to_numpy()] = counts["n"].to_numpy()
+    x = _density_grid64(sf_dir).ravel()
     n_cells, s = 4096, int(x.sum())
     dev = (n_cells * x - s).astype(object)
     g = dev.reshape(64, 64)
@@ -7027,13 +7009,20 @@ def _km_quant(batch: pa.Table) -> np.ndarray:
                     * 1024.0).astype(np.int64)
 
 
-def _km_assign(v: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Exact-integer nearest centroid: v quantized rows vs centroids in the
-    ×1024 fixed-point space; ties go to the lowest centroid index (argmin
-    picks first ⇔ SQL ORDER BY d2, j).  Expansion form keeps it O(B·K)."""
+def _km_d2(v: np.ndarray, cq: np.ndarray) -> np.ndarray:
+    """(B, K) exact-integer squared distances between quantized vectors
+    and centroids, both in the ×1024 fixed-point space — THE shared
+    kernel of q131/q151 (a divergent copy would silently split the
+    oracle pairing).  Expansion form keeps it O(B·K)."""
     v1024 = v * 1024
-    d2 = ((v1024 * v1024).sum(axis=1)[:, None]
-          - 2 * (v1024 @ cq.T) + (cq * cq).sum(axis=1)[None, :])
+    return ((v1024 * v1024).sum(axis=1)[:, None]
+            - 2 * (v1024 @ cq.T) + (cq * cq).sum(axis=1)[None, :])
+
+
+def _km_assign(v: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-integer nearest centroid; ties go to the lowest centroid
+    index (argmin picks first ⇔ SQL ORDER BY d2, j)."""
+    d2 = _km_d2(v, cq)
     a = np.argmin(d2, axis=1)
     return a, d2[np.arange(len(v)), a]
 
@@ -7123,11 +7112,18 @@ def q151_cluster_quality(sf_dir: str):
     partial rows per batch into the tiny cluster-keyed exchange."""
     ds, cq2, jmap = _km_fit(sf_dir)
 
+    if len(jmap) < 2:
+        # a single surviving cluster has no second-nearest centroid —
+        # the SQL rn=2 CTE is empty, so mirror the empty result
+        return pd.DataFrame({
+            "cluster": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "sum_d2": pd.Series([], dtype=np.int64),
+            "sum_d2_second": pd.Series([], dtype=np.int64)})
+
     def quality_partial(batch: pa.Table) -> pd.DataFrame:
         v = _km_quant(batch)
-        v1024 = v * 1024
-        d2 = ((v1024 * v1024).sum(axis=1)[:, None]
-              - 2 * (v1024 @ cq2.T) + (cq2 * cq2).sum(axis=1)[None, :])
+        d2 = _km_d2(v, cq2)
         a = np.argmin(d2, axis=1)
         srt = np.sort(d2, axis=1)
         best, second = srt[:, 0], srt[:, 1]
@@ -8114,23 +8110,7 @@ def q144_raster_regions(sf_dir: str):
     constant (a deeper raster labels via the distributed CC stage on the
     cell-adjacency edges, `stages/cc.py`).  SQL mirror: recursive
     min-label closure with UNION dedup."""
-    from oma_ray.stages.geo_join import grid_rowcol
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(lon.astype(np.float64))
-        row, col = grid_rowcol(lon[ok].astype(np.int64),
-                               lat[ok].astype(np.int64), 64)
-        return pd.DataFrame({"cell": row * 64 + col,
-                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
-
-    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
-    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
-    x = np.zeros((64, 64), dtype=np.int64)
-    if len(counts):
-        c = counts["cell"].to_numpy()
-        x[c // 64, c % 64] = counts["n"].to_numpy()
+    x = _density_grid64(sf_dir)
     occ = x > 0
     big = np.int64(1) << 40
     lab = np.where(occ, np.arange(4096, dtype=np.int64).reshape(64, 64),
@@ -8251,9 +8231,16 @@ def q146_lat_bands(sf_dir: str):
         return pd.DataFrame({"bucket": b,
                              "n": np.ones(int(ok.sum()), dtype=np.int64)})
 
-    hist = (_grouped_sums(_geo_pages(sf_dir), ["bucket"], partial,
-                          ["n"], 4)
-            .to_pandas().sort_values("bucket"))  # ≤1800 rows: bounded
+    hist = _grouped_sums(_geo_pages(sf_dir), ["bucket"], partial,
+                         ["n"], 4).to_pandas()  # ≤1800 rows: bounded
+    if "bucket" not in hist.columns or not int(hist["n"].sum()):
+        # column-less empty result (the _grouped_sums caveat) / no geo
+        return pd.DataFrame({
+            "band": pd.Series([], dtype=np.int64),
+            "bucket_lo": pd.Series([], dtype=np.int64),
+            "bucket_hi": pd.Series([], dtype=np.int64),
+            "n_pages": pd.Series([], dtype=np.int64)})
+    hist = hist.sort_values("bucket")
     b = hist["bucket"].to_numpy(np.int64)
     n = hist["n"].to_numpy(np.int64)
     total = int(n.sum())
@@ -8308,7 +8295,11 @@ def q147_csv_roundtrip(sf_dir: str):
                             columns=["doc_id", "text", "lang", "n_chars"])
     with tempfile.TemporaryDirectory() as td:
         write_csv(ds, td)
-        return read_csv_shards(td).to_pandas()
+        # pin the schema: per-file inference would mistype a shard whose
+        # text values all look numeric (csvio docstring caveat)
+        return read_csv_shards(td, column_types={
+            "doc_id": pa.int64(), "text": pa.string(),
+            "lang": pa.string(), "n_chars": pa.int64()}).to_pandas()
 
 
 SQL_Q147 = """
@@ -8630,9 +8621,11 @@ def q153_skyline(sf_dir: str):
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "n_chars"])
 
+    from oma_ray.stages.sample import _hash32
+
     def with_quality(batch: pa.Table):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        q = ((ids & 0xffffffff) * 2654435761 % (1 << 32)) % 1000
+        q = _hash32(ids, 2654435761) % 1000  # uint64-safe 32-bit family
         return (ids, batch.column("n_chars").to_numpy(
             zero_copy_only=False).astype(np.int64), q.astype(np.int64))
 
@@ -8705,23 +8698,7 @@ def q154_distance_transform(sf_dir: str):
     the transform runs on the grid-constant-bounded vector (a tiled
     raster runs the same DP per tile + boundary exchange).  Oracle:
     brute MIN over the hot set."""
-    from oma_ray.stages.geo_join import grid_rowcol
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        ok = ~np.isnan(lon.astype(np.float64))
-        row, col = grid_rowcol(lon[ok].astype(np.int64),
-                               lat[ok].astype(np.int64), 64)
-        return pd.DataFrame({"cell": row * 64 + col,
-                             "n": np.ones(int(ok.sum()), dtype=np.int64)})
-
-    grouped = _grouped_sums(_geo_pages(sf_dir), ["cell"], partial, ["n"], 4)
-    counts = grouped.to_pandas()  # ≤4096 rows: bounded by the grid constant
-    x = np.zeros((64, 64), dtype=np.int64)
-    if len(counts):
-        c = counts["cell"].to_numpy()
-        x[c // 64, c % 64] = counts["n"].to_numpy()
+    x = _density_grid64(sf_dir)
     d = _manhattan_dt(x > 16)
     big = np.int64(1) << 20
     occ = x > 0
@@ -8795,9 +8772,12 @@ FROM a WHERE rk = 1 GROUP BY node
 def q156_chi2_contingency(sf_dir: str):
     """Chi-square independence test of the lang × source contingency
     table — the categorical drift/bias detector, in EXACT integers: per
-    cell (including structural zeros) ``dev2 = (N·O − r·c)²`` and
-    ``den = N·r·c`` so χ² = Σ dev2/den derives exactly off-engine
-    ((O−E)²/E = (N·O−rc)²/(N·r·c)).  Cell counts ride the one keyed
+    cell (including structural zeros) ``dev = N·O − r·c`` and ``den =
+    N·r·c`` so χ² = Σ dev²/den derives exactly off-engine ((O−E)²/E =
+    (N·O−rc)²/(N·r·c)).  The reported terms stay CUBIC in corpus size
+    (int64-safe past 10⁶ docs); squaring happens off-engine in unbounded
+    arithmetic — reporting dev² would go quartic and overflow BIGINT
+    around ~5·10⁵ docs.  Cell counts ride the one keyed
     exchange; margins and the zero-filled cross product are bounded by
     the category namespaces (the q77 dense-dimension convention), with
     Python-int products in the finalize."""
@@ -8823,12 +8803,12 @@ def q156_chi2_contingency(sf_dir: str):
     rr = o["lang"].map(r).to_numpy(np.int64).astype(object)
     cc = o["source"].map(c).to_numpy(np.int64).astype(object)
     oo = o["o"].to_numpy(np.int64).astype(object)
-    dev2 = (n * oo - rr * cc) ** 2
+    dev = n * oo - rr * cc
     den = n * rr * cc
     return pd.DataFrame({
         "lang": o["lang"].to_numpy(), "source": o["source"].to_numpy(),
         "o": o["o"].to_numpy(np.int64),
-        "dev2": dev2.astype(np.int64), "den": den.astype(np.int64)})
+        "dev": dev.astype(np.int64), "den": den.astype(np.int64)})
 
 
 SQL_Q156 = """
@@ -8842,9 +8822,8 @@ cells AS (
   FROM r CROSS JOIN c
   LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source)
 SELECT lang, source, CAST(o AS BIGINT) AS o,
-  CAST((CAST(t.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
-       * (CAST(t.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
-       AS BIGINT) AS dev2,
+  CAST(CAST(t.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c AS BIGINT)
+    AS dev,
   CAST(CAST(t.n AS HUGEINT) * r * c AS BIGINT) AS den
 FROM cells CROSS JOIN t
 """

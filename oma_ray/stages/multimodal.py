@@ -112,25 +112,10 @@ def _pnm_header(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary P6 PPM → (h, w, 3) uint8 (supports comments + any whitespace)."""
+    """Binary P6 PPM → (h, w, 3) uint8 (shared PNM header grammar)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos = 2
-    vals = []
-    while len(vals) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":
-            pos = payload.index(b"\n", pos) + 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        vals.append(int(payload[start:pos]))
-    pos += 1  # the single whitespace after maxval
-    w, h, maxval = vals
-    if maxval != 255:
-        raise ValueError(f"unsupported PPM maxval {maxval}")
+    w, h, pos = _pnm_header(payload)
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return data.reshape(h, w, 3)
 

@@ -76,6 +76,22 @@ def test_csv_roundtrip_adversarial_text(ray_session, tmp_path):
     assert list(back["n"]) == [len(t) for t in texts]
 
 
+def test_csv_numeric_looking_text_needs_pinned_types(ray_session, tmp_path):
+    import pyarrow as pa_
+
+    from oma_ray.sources.csvio import read_csv_shards, write_csv
+
+    texts = ["007", "123", "0042"]  # all numeric-looking: inference trap
+    rows = {"doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts)}
+    out = str(tmp_path / "csvnum")
+    write_csv(_mini_ds(rows), out)
+    back = read_csv_shards(out, column_types={
+        "doc_id": pa_.int64(), "text": pa_.string()}
+    ).to_pandas().sort_values("doc_id")
+    assert list(back["text"]) == texts  # leading zeros preserved
+
+
 def test_jsonl_shards_are_deterministic(ray_session, tmp_path):
     from oma_ray.sources.jsonl import write_jsonl
 
