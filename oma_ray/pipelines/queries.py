@@ -9007,6 +9007,80 @@ FROM p CROSS JOIN t
 """
 
 
+def q161_global_rank_sampled(sf_dir: str):
+    """q152's global rank through the UNBOUNDED-domain regime: range
+    boundaries come from a deterministic hash sample (Ray sort's
+    sampled-splits strategy — no value-domain histogram), but ranks stay
+    EXACT because only the partitioning is sampled: per-range row counts
+    are exact, prefix offsets derive from them, and within-range
+    positions come from the block-local sort.  Value-oracled against
+    the SAME SQL as q152 (the q66-q69 forced-regime-twin convention) —
+    a bad sample can skew partition sizes, never the answer."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sample import hash_sample_mask
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = hash_sample_mask(ids, 10)
+        return pa.table({"v": pa.array(batch.column("n_chars").to_numpy(
+            zero_copy_only=False)[keep])})
+
+    sample = np.sort(ds.map_batches(
+        sample_partial, batch_format="pyarrow"
+    ).to_pandas()["v"].to_numpy(np.int64))  # ~10% sample: bounded pull
+    n_ranges = 8
+    cuts = (sample[np.linspace(0, len(sample) - 1, n_ranges,
+                               dtype=np.int64)[1:]]
+            if len(sample) else np.array([], dtype=np.int64))
+
+    def assign_range(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "rng", pa.array(np.searchsorted(cuts, v, side="right")
+                            .astype(np.int64)))
+
+    ranged = (ds.map_batches(assign_range, batch_format="pyarrow")
+              .materialize())
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rng": batch.column("rng").to_numpy(zero_copy_only=False),
+            "n": np.ones(batch.num_rows, dtype=np.int64)})
+
+    cnt = (_grouped_sums(ranged, ["rng"], count_partial, ["n"], 2)
+           .to_pandas().sort_values("rng"))  # ≤n_ranges rows
+    offs = dict(zip(
+        cnt["rng"].to_numpy(np.int64).tolist(),
+        np.r_[0, np.cumsum(cnt["n"].to_numpy(np.int64))[:-1]].tolist()))
+
+    def block_rank(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        # the keyed exchange co-locates each range, but one block may
+        # hold SEVERAL ranges (hash collisions) — rank per range run
+        df = batch.to_pandas().sort_values(["rng", "n_chars", "doc_id"],
+                                           kind="stable")
+        r = df["rng"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        within = np.arange(len(r)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(r)]))
+        base = np.array([offs[x] for x in r.tolist()], dtype=np.int64)
+        return from_pandas_clean(pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "rank": base + within + 1}))
+
+    from oma_ray.cluster import default_partitions
+
+    return (ranged.repartition(default_partitions(), keys=["rng"])
+            .map_batches(block_rank, batch_format="pyarrow"))
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -9313,6 +9387,7 @@ QUERIES = {
     "q158_benford": q158_benford,
     "q159_daily_autocorr": q159_daily_autocorr,
     "q160_weighted_median": q160_weighted_median,
+    "q161_global_rank_sampled": q161_global_rank_sampled,
 }
 
 ORACLES = {
@@ -9470,4 +9545,5 @@ ORACLES = {
     "q158_benford": SQL_Q158,
     "q159_daily_autocorr": SQL_Q159,
     "q160_weighted_median": SQL_Q160,
+    "q161_global_rank_sampled": SQL_Q152,
 }

@@ -81,6 +81,7 @@ SUBSET = [
     "q158_benford",
     "q159_daily_autocorr",
     "q160_weighted_median",
+    "q161_global_rank_sampled",
 ]
 
 
