@@ -9081,6 +9081,820 @@ def q161_global_rank_sampled(sf_dir: str):
             .map_batches(block_rank, batch_format="pyarrow"))
 
 
+def q162_nearest_facility(sf_dir: str):
+    """Nearest-facility (discrete Voronoi) assignment: every geo event is
+    assigned to the nearest of 16 deterministic facility sites by EXACT
+    integer squared distance in reduced ~111 m coordinates (x =
+    (lon+1.8e9)//1000 — floor BEFORE differencing, identical on both
+    engines), ties to the lowest facility id (np.argmin's first-hit ==
+    the SQL row_number tie-break).  The facility set is a bounded
+    constant, so the per-batch kernel is one (16, B) broadcast
+    subtraction; per-facility partials (n, min, max, per-row-floored
+    d²//10⁶ sum — the floor keeps the sum inside int64 at any corpus
+    size) ride a tiny keyed exchange.  At 10⁶ facilities the same
+    semantics run through the cell-keyed candidate exchange of
+    stages/geo_join (q50's shape) instead of the broadcast row."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    f = np.arange(16, dtype=np.int64)
+    flon = (f * 2654435761 + 987654321) % 3_600_000_000 - 1_800_000_000
+    flat_ = (f * 2246822519 + 123456789) % 1_800_000_000 - 900_000_000
+    fx = (flon + 1_800_000_000) // 1000
+    fy = (flat_ + 900_000_000) // 1000
+
+    from oma_ray.synth import geo_for_ids
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"facility": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "min_d2": pa.array([], pa.int64()),
+                          "max_d2": pa.array([], pa.int64()),
+                          "sum_d2m": pa.array([], pa.int64())})
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        lon, lat = lon[has_geo], lat[has_geo]
+        if not len(lon):
+            return empty
+        x = (lon + 1_800_000_000) // 1000
+        y = (lat + 900_000_000) // 1000
+        dx = x[None, :] - fx[:, None]
+        dy = y[None, :] - fy[:, None]
+        d2 = dx * dx + dy * dy          # (16, B), ≤ ~2.6e13 each
+        fac = np.argmin(d2, axis=0)     # first minimum → lowest id
+        best = d2[fac, np.arange(len(x))]
+        df = (pd.DataFrame({"facility": fac.astype(np.int64),
+                            "d2": best, "d2m": best // 1_000_000})
+              .groupby("facility", as_index=False)
+              .agg(n_events=("d2", "size"), min_d2=("d2", "min"),
+                   max_d2=("d2", "max"), sum_d2m=("d2m", "sum")))
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "facility" not in df.columns:
+            return pa.table({"facility": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "min_d2": pa.array([], pa.int64()),
+                             "max_d2": pa.array([], pa.int64()),
+                             "sum_d2m": pa.array([], pa.int64())})
+        g = df.groupby("facility", as_index=False).agg(
+            n_events=("n_events", "sum"), min_d2=("min_d2", "min"),
+            max_d2=("max_d2", "max"), sum_d2m=("sum_d2m", "sum"))
+        return from_pandas_clean(g)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(2, keys=["facility"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q162 = f"""
+WITH fc AS (
+  SELECT fac,
+         ((fac * 2654435761 + 987654321) % 3600000000 - 1800000000
+          + 1800000000) // 1000 AS fx,
+         ((fac * 2246822519 + 123456789) % 1800000000 - 900000000
+          + 900000000) // 1000 AS fy
+  FROM (SELECT unnest(range(16)) AS fac)),
+e AS (
+  SELECT event_id,
+         (({SQL_LON.format(id='event_id')}) + 1800000000) // 1000 AS x,
+         (({SQL_LAT.format(id='event_id')}) + 900000000) // 1000 AS y
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+a AS (
+  SELECT event_id, fac,
+         (x - fx) * (x - fx) + (y - fy) * (y - fy) AS d2,
+         row_number() OVER (
+           PARTITION BY event_id
+           ORDER BY (x - fx) * (x - fx) + (y - fy) * (y - fy), fac) AS rn
+  FROM e CROSS JOIN fc)
+SELECT CAST(fac AS BIGINT) AS facility,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(d2) AS BIGINT) AS min_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2,
+       CAST(SUM(d2 // 1000000) AS BIGINT) AS sum_d2m
+FROM a WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q163_pmi_collocations(sf_dir: str):
+    """Top-20 bigram collocations by pointwise mutual information — the
+    phrase-mining / tokenizer-vocabulary primitive, exact integers:
+    ``pmi_pm = c12 · N_tokens · 1000 // (c1 · c2)`` (the per-mille PMI
+    ratio; log is monotone so the ranking is the PMI ranking), ties to
+    (w1, w2) ascending, support floor c12 ≥ 5.
+
+    Shape: ONE tokenization map emits (w1, w2) pair partials AND unigram
+    partials; a pair-keyed exchange gives exact c12 (filtered by the
+    support floor — the filter is AFTER the exact combine so no count is
+    lost); a word-keyed exchange gives exact unigram counts; the
+    filtered pairs fold their c1/c2 in via two hash joins, and top-20
+    selection is per-block partial top-k + a bounded (blocks×20) driver
+    fold.  Exchanges move O(distinct pairs), never text.  The ×1000·N
+    numerator stays in int64 up to ~10⁹ tokens; past that the same
+    ranking runs on HUGEINT-style object ints in the finalize."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def toks_of(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        return parent[keep], flat[keep]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        p, wd = toks_of(batch)
+        adj = p[1:] == p[:-1]
+        df = (pd.DataFrame({"w1": wd[:-1][adj], "w2": wd[1:][adj]})
+              .groupby(["w1", "w2"], as_index=False).size()
+              .rename(columns={"size": "c12"}))
+        df["c12"] = df["c12"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, wd = toks_of(batch)
+        df = (pd.DataFrame({"w": wd}).groupby("w", as_index=False).size()
+              .rename(columns={"size": "c"}))
+        df["c"] = df["c"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "c12": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .groupby(["w1", "w2"], as_index=False)["c12"].sum())
+        df = df[df["c12"] >= 5]
+        return from_pandas_clean(df) if len(df) else empty
+
+    def uni_combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"w": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().groupby("w", as_index=False)["c"].sum()
+        return from_pandas_clean(df)
+
+    nparts = default_partitions()
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .repartition(nparts, keys=["w1", "w2"])
+             .map_batches(pair_combine, batch_format="pyarrow"))
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+           .repartition(nparts, keys=["w"])
+           .map_batches(uni_combine, batch_format="pyarrow")
+           .materialize())
+
+    # N_tokens: bounded pull (one int per block of the combined unigrams)
+    n_tok = int(sum(
+        int(b.column("c").to_numpy(zero_copy_only=False).sum())
+        for b in uni.iter_batches(batch_format="pyarrow") if b.num_rows))
+
+    j1 = hash_join(pairs, uni.rename_columns(
+        {"w": "w1", "c": "c1"}), on="w1")
+    j2 = hash_join(j1, uni.rename_columns(
+        {"w": "w2", "c": "c2"}), on="w2")
+
+    def top_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "c12": pa.array([], pa.int64()),
+                          "c1": pa.array([], pa.int64()),
+                          "c2": pa.array([], pa.int64()),
+                          "pmi_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        df["pmi_pm"] = (df["c12"].to_numpy(np.int64) * n_tok * 1000
+                        // (df["c1"].to_numpy(np.int64)
+                            * df["c2"].to_numpy(np.int64)))
+        df = df.sort_values(["pmi_pm", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(20)
+        return from_pandas_clean(
+            df[["w1", "w2", "c12", "c1", "c2", "pmi_pm"]])
+
+    folded = j2.map_batches(top_partial,
+                            batch_format="pyarrow").to_pandas()
+    return (folded.sort_values(["pmi_pm", "w1", "w2"],
+                               ascending=[False, True, True],
+                               kind="stable").head(20)
+            .reset_index(drop=True))
+
+
+SQL_Q163 = """
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(ws) AS w FROM tok)
+  GROUP BY 1),
+nt AS (SELECT SUM(c) AS n FROM uni),
+big AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM tok),
+c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+  HAVING COUNT(*) >= 5),
+sc AS (
+  SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+         (c12 * nt.n * 1000) // (u1.c * u2.c) AS pmi_pm
+  FROM c12
+  JOIN uni u1 ON u1.w = c12.w1
+  JOIN uni u2 ON u2.w = c12.w2
+  CROSS JOIN nt)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       CAST(c2 AS BIGINT) AS c2, CAST(pmi_pm AS BIGINT) AS pmi_pm
+FROM sc ORDER BY pmi_pm DESC, w1, w2 LIMIT 20
+"""
+
+
+def q164_host_reservoir(sf_dir: str):
+    """Per-host deterministic "reservoir" sample (k = 3 docs per host):
+    rank by the shared overflow-safe 32-bit hash family
+    (stages/sample._hash32 — (id & 2³²−1)·salt mod 2³², HUGEINT-mirrored
+    in SQL so it stays exact at 10¹² ids), ties to doc_id.  Shape:
+    per-BLOCK partial top-k per host (each block forwards ≤ k·hosts
+    rows) → ONE tiny keyed exchange of the survivors → per-host final
+    top-k + rank.  Nothing row-scale ever shuffles — the reservoir
+    contracts before the exchange, which is the whole point of the
+    operator at crawl scale."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sample import _hash32
+
+    ensure_hash_shuffle()
+    K, SALT = 3, 2654435761
+    empty = pa.table({"host": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.int64()),
+                      "rk": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"host": ids % 1000, "doc_id": ids,
+                           "h": _hash32(ids, SALT)})
+        df = (df.sort_values(["host", "h", "doc_id"], kind="stable")
+              .groupby("host", as_index=False).head(K))
+        return from_pandas_clean(df)
+
+    def final(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["host", "h", "doc_id"], kind="stable")
+              .groupby("host", as_index=False).head(K))
+        df["rk"] = df.groupby("host").cumcount() + 1
+        return from_pandas_clean(df[["host", "doc_id", "h", "rk"]])
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["host"])
+            .map_batches(final, batch_format="pyarrow"))
+
+
+SQL_Q164 = """
+WITH d AS (
+  SELECT doc_id % 1000 AS host, doc_id,
+         CAST(((CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761)
+               % 4294967296) AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT host, doc_id, h,
+         row_number() OVER (PARTITION BY host ORDER BY h, doc_id) AS rk
+  FROM d)
+SELECT host, doc_id, h, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+"""
+
+
+def q165_weighted_paths(sf_dir: str):
+    """Weighted shortest paths (cost-distance) from the hot-spot cells
+    over the 32×32 grid — the accessibility / friction-surface operator:
+    entering cell c costs ``w_c = 1 + min(count_c // 100, 9)`` (denser
+    cells are slower), sources are the three synth hot centers at cost 0,
+    and distances are exact integer minima after SIX synchronous
+    relaxation rounds (4-adjacency Bellman-Ford — the bounded-round
+    convention of q139's BFS; unreached cells are omitted).
+
+    Shape: ONE cell-keyed count exchange (the q13 idiom) then the DP on
+    the grid-constant-bounded 1024-cell vector, each round a vectorized
+    4-shift minimum.  Tiled rasters run the same DP per tile + a
+    boundary-exchange per round (the q154 chamfer convention)."""
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import HOT_LAT, HOT_LON, geo_for_ids
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 32)
+        return pd.DataFrame({"cell": row * 32 + col,
+                             "n": np.ones(int(has_geo.sum()),
+                                          dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id"])
+    g = _grouped_sums(ds, ["cell"], partial, ["n"], 4).to_pandas()
+    n = np.zeros(1024, dtype=np.int64)
+    if len(g) and "cell" in g.columns:
+        n[g["cell"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+    w = (1 + np.minimum(n // 100, 9)).reshape(32, 32)
+
+    SENT = np.int64(1) << 40
+    d = np.full((32, 32), SENT, dtype=np.int64)
+    hr, hc = grid_rowcol(HOT_LON, HOT_LAT, 32)
+    d[hr, hc] = 0
+    for _ in range(6):  # synchronous rounds — mirror the chained CTEs
+        cand = np.full((32, 32), SENT, dtype=np.int64)
+        cand[:, 1:] = np.minimum(cand[:, 1:], d[:, :-1])
+        cand[:, :-1] = np.minimum(cand[:, :-1], d[:, 1:])
+        cand[1:, :] = np.minimum(cand[1:, :], d[:-1, :])
+        cand[:-1, :] = np.minimum(cand[:-1, :], d[1:, :])
+        step = np.where(cand >= SENT, SENT, cand + w)
+        d = np.minimum(d, step)
+
+    flat = d.ravel()
+    reached = np.flatnonzero(flat < SENT)
+    return pd.DataFrame({"cell": reached.astype(np.int64),
+                         "dist": flat[reached]})
+
+
+def _q165_round_sql(k: int) -> str:
+    return f"""r{k} AS (
+  SELECT cell, MIN(dist) AS dist FROM (
+    SELECT cell, dist FROM r{k - 1}
+    UNION ALL
+    SELECT adj.dst AS cell, r.dist + c.w AS dist
+    FROM r{k - 1} r JOIN adj ON adj.src = r.cell
+    JOIN cells c ON c.cell = adj.dst)
+  GROUP BY 1)"""
+
+
+SQL_Q165 = f"""
+WITH e AS (
+  SELECT ({SQL_LON.format(id='event_id')}) AS lon,
+         ({SQL_LAT.format(id='event_id')}) AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+cnt AS (
+  SELECT ((lat + 900000000) * 32 // 1800000001) * 32
+         + ((lon + 1800000000) * 32 // 3600000001) AS cell,
+         COUNT(*) AS n
+  FROM e GROUP BY 1),
+cells AS (
+  SELECT r.range AS cell,
+         1 + LEAST(COALESCE(cnt.n, 0) // 100, 9) AS w
+  FROM range(1024) r LEFT JOIN cnt ON cnt.cell = r.range),
+adj AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells a JOIN cells b ON
+       (b.cell = a.cell + 1 AND a.cell % 32 < 31)
+    OR (b.cell = a.cell - 1 AND a.cell % 32 > 0)
+    OR b.cell = a.cell + 32 OR b.cell = a.cell - 32),
+r0 AS (
+  SELECT ((CAST(hlat AS BIGINT) + 900000000) * 32 // 1800000001) * 32
+         + ((CAST(hlon AS BIGINT) + 1800000000) * 32 // 3600000001)
+           AS cell,
+         MIN(0) AS dist
+  FROM (VALUES (-739800000, 407500000), (-1200000, 515000000),
+               (1397000000, 356900000)) t(hlon, hlat)
+  GROUP BY 1),
+{",".join(_q165_round_sql(k) for k in range(1, 7))}
+SELECT CAST(cell AS BIGINT) AS cell, CAST(dist AS BIGINT) AS dist
+FROM r6
+"""
+
+
+def _hull_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Integer convex hull (Andrew monotone chain) with a vectorized
+    Akl–Toussaint prefilter: points strictly inside the quadrilateral of
+    the 4 diagonal-extreme points are provably interior and dropped in
+    one pass (the loop then touches only the O(hull)-ish survivors).
+    The drop test is conservative — a degenerate quadrilateral (ties /
+    collinear extremes) zeroes a cross product and the STRICT test keeps
+    the point, so exactness never depends on the prefilter.  Returns the
+    hull's (h, 2) vertex array (collinear boundary points excluded —
+    diameter-irrelevant)."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)
+    if len(pts) <= 2:
+        return pts
+    sm, df = pts.sum(axis=1), pts[:, 0] - pts[:, 1]
+    quad = pts[[int(np.argmin(sm)), int(np.argmax(df)),
+                int(np.argmax(sm)), int(np.argmin(df))]]
+    inside = np.ones(len(pts), dtype=bool)
+    for i in range(4):
+        a, b = quad[i], quad[(i + 1) % 4]
+        cr = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+              - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+        inside &= cr > 0
+    pts = pts[~inside]  # np.unique output stays lexsorted after mask
+
+    def chain(p):
+        h: list = []
+        for q in p:
+            while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    lower = chain(pts)
+    upper = chain(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def q166_cell_diameter(sf_dir: str):
+    """Per-cell point-set diameter (farthest pair, exact integer d² in
+    reduced ~111 m coords) over a deterministic 1-in-5 sample of the geo
+    events — the dispersion / extent metric, computed the computational-
+    geometry way: per-BLOCK convex hulls per cell (hulls are mergeable —
+    hull(A ∪ B) = hull(hull(A) ∪ hull(B)) — so only O(hull) points ride
+    the cell-keyed exchange, with exact row counts alongside), then a
+    final hull + vectorized all-pairs max over the tiny hull vertex set
+    (h² on ~tens of vertices; rotating calipers would shave h² → h and
+    plugs in here if a workload ever produces huge hulls).  Oracled by
+    the brute self-join — the hull path must agree exactly."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    empty = pa.table({"cell": pa.array([], pa.int64()),
+                      "x": pa.array([], pa.int64()),
+                      "y": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64()),
+                      "is_cnt": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        keep_ids = ids[(ids % 5 == 0)]
+        lon, lat, has_geo = geo_for_ids(keep_ids)
+        lon, lat = lon[has_geo], lat[has_geo]
+        if not len(lon):
+            return empty
+        row, col = grid_rowcol(lon, lat, 8)
+        cell = row * 8 + col
+        x = (lon + 1_800_000_000) // 1000
+        y = (lat + 900_000_000) // 1000
+        out = []
+        for c in np.unique(cell):
+            m = cell == c
+            hull = _hull_2d(x[m], y[m])
+            out.append(pd.DataFrame({
+                "cell": np.full(len(hull) + 1, c, dtype=np.int64),
+                "x": np.r_[hull[:, 0], 0],
+                "y": np.r_[hull[:, 1], 0],
+                "cnt": np.r_[np.zeros(len(hull), np.int64),
+                             int(m.sum())],
+                "is_cnt": np.r_[np.zeros(len(hull), np.int64), 1]}))
+        return from_pandas_clean(pd.concat(out, ignore_index=True))
+
+    def final(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table({"cell": pa.array([], pa.int64()),
+                              "n_pts": pa.array([], pa.int64()),
+                              "diam2": pa.array([], pa.int64())})
+        if not len(batch):
+            return out_empty
+        df = batch.to_pandas()
+        rows = []
+        for c, grp in df.groupby("cell"):
+            n_pts = int(grp.loc[grp["is_cnt"] == 1, "cnt"].sum())
+            p = grp[grp["is_cnt"] == 0]
+            hull = _hull_2d(p["x"].to_numpy(np.int64),
+                            p["y"].to_numpy(np.int64))
+            if len(hull) < 2:
+                diam2 = 0
+            else:
+                dx = hull[:, 0][:, None] - hull[:, 0][None, :]
+                dy = hull[:, 1][:, None] - hull[:, 1][None, :]
+                diam2 = int((dx * dx + dy * dy).max())
+            rows.append((int(c), n_pts, diam2))
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["cell", "n_pts", "diam2"]).astype(np.int64))
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["cell"])
+            .map_batches(final, batch_format="pyarrow"))
+
+
+SQL_Q166 = f"""
+WITH e AS (
+  SELECT event_id,
+         ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         (({SQL_LON.format(id='event_id')}) + 1800000000) // 1000 AS x,
+         (({SQL_LAT.format(id='event_id')}) + 900000000) // 1000 AS y
+  FROM events
+  WHERE {SQL_HAS_GEO.format(id='event_id')} AND event_id % 5 = 0),
+n AS (SELECT cell, COUNT(*) AS n_pts FROM e GROUP BY 1),
+p AS (
+  SELECT a.cell,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM e a JOIN e b ON a.cell = b.cell AND a.event_id < b.event_id)
+SELECT n.cell, CAST(n.n_pts AS BIGINT) AS n_pts,
+       CAST(COALESCE(MAX(p.d2), 0) AS BIGINT) AS diam2
+FROM n LEFT JOIN p ON p.cell = n.cell
+GROUP BY 1, 2
+"""
+
+
+def q167_dup_ngram_coverage(sf_dir: str):
+    """Per-document duplicated 5-gram coverage — the RefinedWeb/CCNet
+    cross-document repetition signal: the fraction (per-mille, exact
+    floor) of a document's word 5-gram POSITIONS whose gram occurs in
+    ≥ 2 distinct documents corpus-wide.  Documents shorter than 5 tokens
+    have no grams and drop on both engines.
+
+    Shape: tokenize map emits (gram, doc, positions) partials (gram =
+    the space-joined token window, built by vectorized shifted-array
+    concat); a gram-keyed exchange gives block-local distinct-doc counts
+    (the dup flag) AND the per-(gram, doc) position counts; a doc-keyed
+    exchange folds flagged/total positions per document.  Exchanges move
+    O(distinct (gram, doc) pairs) ≤ O(tokens), never text — the same
+    budget as the MinHash signatures."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        p, wd = parent[keep], flat[keep]
+        if len(wd) < 5:
+            return empty
+        same = p[4:] == p[:-4]  # window stays inside one document
+        if not same.any():
+            return empty
+        wd = wd.astype(np.str_)  # fixed-width unicode for np.char kernels
+        m = len(wd) - 4
+        gram = wd[:m][same]
+        for k in range(1, 5):
+            gram = np.char.add(np.char.add(gram, " "),
+                               wd[k:m + k][same])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"gram": gram, "doc_id": ids[p[:-4][same]]})
+              .groupby(["gram", "doc_id"], as_index=False).size()
+              .rename(columns={"size": "cnt"}))
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def flag_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n5": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .groupby(["gram", "doc_id"], as_index=False)["cnt"].sum())
+        nd = df.groupby("gram")["doc_id"].transform("nunique")
+        df["dup"] = np.where(nd.to_numpy() >= 2,
+                             df["cnt"].to_numpy(np.int64), 0)
+        out = (df.groupby("doc_id", as_index=False)
+               .agg(n5=("cnt", "sum"), n_dup=("dup", "sum")))
+        return from_pandas_clean(out.astype(np.int64))
+
+    def doc_combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n5": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64()),
+                          "cov_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().groupby("doc_id", as_index=False)
+              [["n5", "n_dup"]].sum())
+        df["cov_pm"] = (df["n_dup"].to_numpy(np.int64) * 1000
+                        // df["n5"].to_numpy(np.int64))
+        return from_pandas_clean(df.astype(np.int64))
+
+    nparts = default_partitions()
+    return (ds.map_batches(gram_partial, batch_format="pyarrow")
+            .repartition(nparts, keys=["gram"])
+            .map_batches(flag_block, batch_format="pyarrow")
+            .repartition(nparts, keys=["doc_id"])
+            .map_batches(doc_combine, batch_format="pyarrow"))
+
+
+SQL_Q167 = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(ws) - 3)) AS i, ws
+  FROM tok WHERE len(ws) >= 5),
+gr AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram FROM g),
+dup AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gr GROUP BY 1)
+SELECT gr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n5,
+       CAST(SUM(CASE WHEN dup.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(SUM(CASE WHEN dup.nd >= 2 THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS cov_pm
+FROM gr JOIN dup USING (gram)
+GROUP BY 1
+"""
+
+
+def q168_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) as a first-class source/sink — the
+    zero-copy binary interchange path between Arrow-native engines:
+    documents → deterministic IPC shards + parquet manifest
+    (`sources/arrowipc.py` — the payload IS the columnar layout, no
+    row-wise serialization), read back via ``read_binary_files`` + a
+    per-FILE decode map.  The oracle compares doc_id, lang AND the text
+    column byte-for-byte against the original table (the q135/q147
+    roundtrip convention)."""
+    import tempfile
+
+    from oma_ray.sources.arrowipc import read_ipc, write_ipc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory() as td:
+        write_ipc(ds, td)
+        return read_ipc(td).to_pandas()
+
+
+SQL_Q168 = """
+SELECT doc_id, text, lang, n_chars FROM documents
+"""
+
+
+def q169_cusum_changepoint(sf_dir: str):
+    """Per-cell CUSUM change-point detection over the daily event-count
+    series — the regime-shift / drift detector, exact integers in the
+    q110 N-scaled deviation space: per 8×8 cell with ≥ 2 observed days,
+    ``dev_t = m·x_t − s`` over the ordered observed-day sequence,
+    ``S_t = Σ_{i≤t} dev_i``, and the change point is the PREFIX index t
+    (1..m−1; S_m ≡ 0 is excluded) maximizing |S_t|, earliest day wins
+    ties.  ONE (cell, day)-keyed count exchange; the argmax touches only
+    the calendar-bounded per-cell day vectors (the q122/q159 finalize
+    convention)."""
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pd.DataFrame({
+            "cell": row * 8 + col,
+            "day": ts[has_geo] // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    g = (_grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+         .to_pandas().sort_values(["cell", "day"]))  # calendar-bounded
+    rows = []
+    for c, grp in g.groupby("cell"):
+        x = grp["n"].to_numpy(np.int64)
+        m = len(x)
+        if m < 2:
+            continue
+        s = int(x.sum())
+        cum = np.cumsum(m * x - s)[:-1]  # S_1..S_{m-1}
+        t = int(np.argmax(np.abs(cum)))  # first max → earliest day
+        rows.append((int(c), m, int(grp["day"].to_numpy()[t]),
+                     int(abs(cum[t]))))
+    return pd.DataFrame(rows, columns=["cell", "n_days", "cp_day",
+                                       "max_abs_s"]).astype(np.int64)
+
+
+SQL_Q169 = f"""
+WITH e AS (
+  SELECT ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (SELECT cell, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+m AS (SELECT cell, COUNT(*) AS m, SUM(n) AS s FROM d GROUP BY 1),
+v AS (
+  SELECT d.cell, d.day, m.m,
+         SUM(m.m * d.n - m.s) OVER (
+           PARTITION BY d.cell ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY d.cell ORDER BY d.day) AS i
+  FROM d JOIN m USING (cell) WHERE m.m >= 2),
+r AS (
+  SELECT cell, day, m, ABS(cum) AS a,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY ABS(cum) DESC, day) AS rn
+  FROM v WHERE i < m)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(m AS BIGINT) AS n_days,
+       CAST(day AS BIGINT) AS cp_day, CAST(a AS BIGINT) AS max_abs_s
+FROM r WHERE rn = 1
+"""
+
+
+def q170_bpe_pairs(sf_dir: str):
+    """Top-20 adjacent byte-pair counts over the corpus text — the
+    counting step of one BPE-tokenizer merge round, exact: pairs never
+    cross a document boundary, ranking by (count DESC, pair ASC).  The
+    corpus text is ASCII (the synth contract), so SQL's char pairs are
+    the engine's byte pairs.
+
+    Shape: per-batch the texts join under a NUL separator (one C-level
+    pass), pair codes are ONE vectorized shift-multiply over the byte
+    array, and the per-batch histogram is a bincount into the bounded
+    65 536-slot pair space — partials ride a tiny pair-keyed exchange
+    and the top-20 fold touches ≤ 65 536 rows.  Nothing row- or
+    token-scale ever shuffles, which is what makes a BPE round feasible
+    per-iteration at corpus scale."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return empty
+        b = np.frombuffer(("\x00".join(texts)).encode("utf-8"),
+                          dtype=np.uint8)
+        if len(b) < 2:
+            return empty
+        a, c = b[:-1].astype(np.int64), b[1:].astype(np.int64)
+        valid = (a != 0) & (c != 0)
+        counts = np.bincount((a * 256 + c)[valid], minlength=65536)
+        nz = np.flatnonzero(counts)
+        pairs = [chr(int(k) >> 8) + chr(int(k) & 255) for k in nz]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().groupby("pair", as_index=False)["n"].sum()
+        return from_pandas_clean(df)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+              .repartition(2, keys=["pair"])
+              .map_batches(combine, batch_format="pyarrow")
+              .to_pandas())  # bounded: ≤ 65 536 distinct pairs
+    return (folded.sort_values(["n", "pair"], ascending=[False, True],
+                               kind="stable").head(20)
+            .reset_index(drop=True))
+
+
+SQL_Q170 = """
+WITH pos AS (
+  SELECT text, unnest(range(1, length(text))) AS i FROM documents),
+p AS (SELECT substr(text, CAST(i AS INTEGER), 2) AS pair FROM pos)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -9388,6 +10202,15 @@ QUERIES = {
     "q159_daily_autocorr": q159_daily_autocorr,
     "q160_weighted_median": q160_weighted_median,
     "q161_global_rank_sampled": q161_global_rank_sampled,
+    "q162_nearest_facility": q162_nearest_facility,
+    "q163_pmi_collocations": q163_pmi_collocations,
+    "q164_host_reservoir": q164_host_reservoir,
+    "q165_weighted_paths": q165_weighted_paths,
+    "q166_cell_diameter": q166_cell_diameter,
+    "q167_dup_ngram_coverage": q167_dup_ngram_coverage,
+    "q168_ipc_roundtrip": q168_ipc_roundtrip,
+    "q169_cusum_changepoint": q169_cusum_changepoint,
+    "q170_bpe_pairs": q170_bpe_pairs,
 }
 
 ORACLES = {
@@ -9546,4 +10369,13 @@ ORACLES = {
     "q159_daily_autocorr": SQL_Q159,
     "q160_weighted_median": SQL_Q160,
     "q161_global_rank_sampled": SQL_Q152,
+    "q162_nearest_facility": SQL_Q162,
+    "q163_pmi_collocations": SQL_Q163,
+    "q164_host_reservoir": SQL_Q164,
+    "q165_weighted_paths": SQL_Q165,
+    "q166_cell_diameter": SQL_Q166,
+    "q167_dup_ngram_coverage": SQL_Q167,
+    "q168_ipc_roundtrip": SQL_Q168,
+    "q169_cusum_changepoint": SQL_Q169,
+    "q170_bpe_pairs": SQL_Q170,
 }

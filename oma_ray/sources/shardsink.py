@@ -35,20 +35,28 @@ class ShardWriterBase:
     def serialize(self, df) -> str:  # pragma: no cover - abstract hook
         raise NotImplementedError
 
+    def encode(self, batch: pa.Table) -> tuple[bytes, str]:
+        """(shard bytes, filename suffix).  Default: text ``serialize``
+        + deterministic gzip.  Binary formats (Arrow IPC) override this
+        and skip the gzip layer."""
+        body = self.serialize(batch.to_pandas())
+        if not body.endswith("\n"):
+            body += "\n"
+        return (gzip.compress(body.encode("utf-8"), mtime=0),
+                f"{self.extension}.gz")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return INDEX_SCHEMA.empty_table()
         if self.columns:
             batch = batch.select(self.columns)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        body = self.serialize(batch.to_pandas())
-        if not body.endswith("\n"):
-            body += "\n"
-        name = f"part-{int(np.min(ids))}.{self.extension}.gz"
+        payload, suffix = self.encode(batch)
+        name = f"part-{int(np.min(ids))}.{suffix}"
         path = os.path.join(self.out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(gzip.compress(body.encode("utf-8"), mtime=0))
+            f.write(payload)
         os.replace(tmp, path)
         return pa.table({"file": pa.array([name]),
                          "n_rows": pa.array([batch.num_rows], pa.int64())})

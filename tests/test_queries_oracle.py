@@ -82,6 +82,15 @@ SUBSET = [
     "q159_daily_autocorr",
     "q160_weighted_median",
     "q161_global_rank_sampled",
+    "q162_nearest_facility",
+    "q163_pmi_collocations",
+    "q164_host_reservoir",
+    "q165_weighted_paths",
+    "q166_cell_diameter",
+    "q167_dup_ngram_coverage",
+    "q168_ipc_roundtrip",
+    "q169_cusum_changepoint",
+    "q170_bpe_pairs",
 ]
 
 
