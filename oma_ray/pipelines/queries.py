@@ -9188,27 +9188,33 @@ def q163_pmi_collocations(sf_dir: str):
     ratio; log is monotone so the ranking is the PMI ranking), ties to
     (w1, w2) ascending, support floor c12 ≥ 5.
 
-    Shape: ONE tokenization map emits (w1, w2) pair partials AND unigram
-    partials; a pair-keyed exchange gives exact c12 (filtered by the
-    support floor — the filter is AFTER the exact combine so no count is
-    lost); a word-keyed exchange gives exact unigram counts; the
-    filtered pairs fold their c1/c2 in via two hash joins, and top-20
-    selection is per-block partial top-k + a bounded (blocks×20) driver
-    fold.  Exchanges move O(distinct pairs), never text.  The ×1000·N
-    numerator stays in int64 up to ~10⁹ tokens; past that the same
-    ranking runs on HUGEINT-style object ints in the finalize."""
+    Shape: ONE tokenization pass emits tagged partials (pair counts
+    keyed by w1, unigram counts keyed by the word); the first keyed
+    exchange colocates every (w1, ·) pair partial WITH w1's unigram
+    partials, so exact c12 (support floor applied AFTER the exact
+    combine), exact unigram c, AND the c1 fold all happen in one block
+    kernel — unigram rows and per-block token totals are forwarded,
+    re-keyed by w2, into the second exchange where c2 folds the same
+    way.  Two exchanges total, both moving O(distinct pairs), never
+    text.  N rides as reserved-key total rows (a bounded pull); the
+    top-20 fold is per-block partial top-k + a ≤ blocks×20 driver
+    fold.  The ×1000·N numerator stays in int64 up to ~10⁹ tokens;
+    past that the finalize lifts to object ints."""
     import pyarrow.compute as pc
 
     from oma_ray.cluster import default_partitions
     from oma_ray.sources.parquet import from_pandas_clean
     from oma_ray.stages.dedup import ensure_hash_shuffle
-    from oma_ray.stages.join import hash_join
 
     ensure_hash_shuffle()
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["text"])
+    # kind: 0 = pair partial, 1 = unigram partial, 2 = token-total row
+    SCHEMA = {"k": pa.string(), "w1": pa.string(), "w2": pa.string(),
+              "cnt": pa.int64(), "c1": pa.int64(), "kind": pa.int64()}
+    empty = pa.table({c: pa.array([], t) for c, t in SCHEMA.items()})
 
-    def toks_of(batch: pa.Table):
+    def tagged_partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
         if isinstance(toks, pa.ChunkedArray):
@@ -9216,86 +9222,132 @@ def q163_pmi_collocations(sf_dir: str):
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         keep = flat != ""
-        return parent[keep], flat[keep]
-
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        p, wd = toks_of(batch)
+        p, wd = parent[keep], flat[keep]
         adj = p[1:] == p[:-1]
-        df = (pd.DataFrame({"w1": wd[:-1][adj], "w2": wd[1:][adj]})
-              .groupby(["w1", "w2"], as_index=False).size()
-              .rename(columns={"size": "c12"}))
-        df["c12"] = df["c12"].astype(np.int64)
-        return from_pandas_clean(df)
+        pairs = (pd.DataFrame({"k": wd[:-1][adj], "w2": wd[1:][adj]})
+                 .groupby(["k", "w2"], as_index=False).size()
+                 .rename(columns={"size": "cnt"}))
+        unis = (pd.DataFrame({"k": wd}).groupby("k", as_index=False)
+                .size().rename(columns={"size": "cnt"}))
+        pairs["kind"], unis["kind"] = 0, 1
+        unis["w2"] = ""
+        df = pd.concat([pairs, unis], ignore_index=True)
+        df["w1"] = df["k"]
+        df["c1"] = np.int64(0)
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return from_pandas_clean(
+            df[["k", "w1", "w2", "cnt", "c1", "kind"]])
 
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        _, wd = toks_of(batch)
-        df = (pd.DataFrame({"w": wd}).groupby("w", as_index=False).size()
-              .rename(columns={"size": "c"}))
-        df["c"] = df["c"].astype(np.int64)
-        return from_pandas_clean(df)
-
-    def pair_combine(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"w1": pa.array([], pa.string()),
-                          "w2": pa.array([], pa.string()),
-                          "c12": pa.array([], pa.int64())})
-        if not len(batch):
-            return empty
-        df = (batch.to_pandas()
-              .groupby(["w1", "w2"], as_index=False)["c12"].sum())
-        df = df[df["c12"] >= 5]
-        return from_pandas_clean(df) if len(df) else empty
-
-    def uni_combine(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"w": pa.array([], pa.string()),
-                          "c": pa.array([], pa.int64())})
-        if not len(batch):
-            return empty
-        df = batch.to_pandas().groupby("w", as_index=False)["c"].sum()
-        return from_pandas_clean(df)
-
-    nparts = default_partitions()
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-             .repartition(nparts, keys=["w1", "w2"])
-             .map_batches(pair_combine, batch_format="pyarrow"))
-    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
-           .repartition(nparts, keys=["w"])
-           .map_batches(uni_combine, batch_format="pyarrow")
-           .materialize())
-
-    # N_tokens: bounded pull (one int per block of the combined unigrams)
-    n_tok = int(sum(
-        int(b.column("c").to_numpy(zero_copy_only=False).sum())
-        for b in uni.iter_batches(batch_format="pyarrow") if b.num_rows))
-
-    j1 = hash_join(pairs, uni.rename_columns(
-        {"w": "w1", "c": "c1"}), on="w1")
-    j2 = hash_join(j1, uni.rename_columns(
-        {"w": "w2", "c": "c2"}), on="w2")
-
-    def top_partial(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"w1": pa.array([], pa.string()),
-                          "w2": pa.array([], pa.string()),
-                          "c12": pa.array([], pa.int64()),
-                          "c1": pa.array([], pa.int64()),
-                          "c2": pa.array([], pa.int64()),
-                          "pmi_pm": pa.array([], pa.int64())})
+    def fold_c1(batch: pa.Table) -> pa.Table:
         if not len(batch):
             return empty
         df = batch.to_pandas()
+        uni = (df[df["kind"] == 1].groupby("k", as_index=False)
+               ["cnt"].sum())
+        total = int(uni["cnt"].sum())
+        pairs = (df[df["kind"] == 0]
+                 .groupby(["k", "w2"], as_index=False)["cnt"].sum())
+        pairs = pairs[pairs["cnt"] >= 5]
+        out = []
+        if len(pairs):
+            c1 = dict(zip(uni["k"], uni["cnt"]))
+            pairs["c1"] = pairs["k"].map(c1).astype(np.int64)
+            pairs["w1"] = pairs["k"]
+            pairs["k"] = pairs["w2"]  # re-key for the c2 exchange
+            pairs["kind"] = 0
+            out.append(pairs)
+        if len(uni):
+            uni = uni.assign(w1="", w2="", c1=np.int64(0), kind=1)
+            out.append(uni)
+        if total:
+            out.append(pd.DataFrame(
+                {"k": [""], "w1": [""], "w2": [""],
+                 "cnt": [total], "c1": [0], "kind": [2]}))
+        if not out:
+            return empty
+        df = pd.concat(out, ignore_index=True)
+        df["cnt"] = df["cnt"].astype(np.int64)
+        df["c1"] = df["c1"].astype(np.int64)
+        df["kind"] = df["kind"].astype(np.int64)
+        return from_pandas_clean(
+            df[["k", "w1", "w2", "cnt", "c1", "kind"]])
+
+    def fold_c2(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "c12": pa.array([], pa.int64()),
+            "c1": pa.array([], pa.int64()),
+            "c2": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64())})
+        if not len(batch):
+            return out_empty
+        df = batch.to_pandas()
+        uni = df[df["kind"] == 1]
+        c2 = dict(zip(uni["k"], uni["cnt"]))
+        pairs = df[df["kind"] == 0]
+        out = []
+        if len(pairs):
+            out.append(pd.DataFrame({
+                "w1": pairs["w1"], "w2": pairs["k"],
+                "c12": pairs["cnt"].astype(np.int64),
+                "c1": pairs["c1"].astype(np.int64),
+                "c2": pairs["k"].map(c2).astype(np.int64),
+                "kind": np.zeros(len(pairs), np.int64)}))
+        tot = df[df["kind"] == 2]
+        if len(tot):
+            out.append(pd.DataFrame({
+                "w1": [""], "w2": [""],
+                "c12": [int(tot["cnt"].sum())], "c1": [0], "c2": [0],
+                "kind": [2]}))
+        if not out:
+            return out_empty
+        return from_pandas_clean(pd.concat(out, ignore_index=True))
+
+    nparts = default_partitions()
+    scored = (ds.map_batches(tagged_partial, batch_format="pyarrow")
+              .repartition(nparts, keys=["k"])
+              .map_batches(fold_c1, batch_format="pyarrow")
+              .repartition(nparts, keys=["k"])
+              .map_batches(fold_c2, batch_format="pyarrow")
+              .materialize())
+
+    # N: the reserved-key total rows (bounded pull — ≤ 1 row per block)
+    n_tok = 0
+    for b in (scored.filter(expr="kind == 2")
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows:
+            n_tok += int(b.column("c12").to_numpy(
+                zero_copy_only=False).sum())
+    K = 20
+
+    def top_partial(batch: pa.Table) -> pa.Table:
+        empty_t = pa.table({"w1": pa.array([], pa.string()),
+                            "w2": pa.array([], pa.string()),
+                            "c12": pa.array([], pa.int64()),
+                            "c1": pa.array([], pa.int64()),
+                            "c2": pa.array([], pa.int64()),
+                            "pmi_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty_t
+        df = batch.to_pandas()
+        df = df[df["kind"] == 0]
+        if not len(df):
+            return empty_t
         df["pmi_pm"] = (df["c12"].to_numpy(np.int64) * n_tok * 1000
                         // (df["c1"].to_numpy(np.int64)
                             * df["c2"].to_numpy(np.int64)))
         df = df.sort_values(["pmi_pm", "w1", "w2"],
                             ascending=[False, True, True],
-                            kind="stable").head(20)
+                            kind="stable").head(K)
         return from_pandas_clean(
             df[["w1", "w2", "c12", "c1", "c2", "pmi_pm"]])
 
-    folded = j2.map_batches(top_partial,
-                            batch_format="pyarrow").to_pandas()
+    folded = scored.map_batches(top_partial,
+                                batch_format="pyarrow").to_pandas()
     return (folded.sort_values(["pmi_pm", "w1", "w2"],
                                ascending=[False, True, True],
-                               kind="stable").head(20)
+                               kind="stable").head(K)
             .reset_index(drop=True))
 
 
@@ -9895,6 +9947,192 @@ FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
 """
 
 
+def q171_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the extracted host link graph — the
+    hub-to-hub vs hub-to-leaf mixing diagnostic: over every directed
+    edge INSTANCE (u → v, multiplicity preserved), j = out-degree(u),
+    k = in-degree(v), and the output is the single row of exact integer
+    sums (M, Σjk, Σj, Σk, Σj², Σk²) from which Pearson's r derives
+    off-engine — the q110/q159 num/den convention, so no float ever
+    crosses the oracle.
+
+    Shape: edges come pre-aggregated with multiplicity from
+    stages/links (HTML never shuffles); degrees are TWO tiny keyed
+    exchanges over the aggregated edge table (O(hosts) rows); two hash
+    joins fold j/k back onto edges; one constant-key partial-sums
+    exchange folds the global sums.  Sums stay in int64 to ~10⁵-degree
+    hosts × 10⁹ edges; past that the finalize lifts to object ints."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.links import host_int, host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": host_int(batch.column("src_host")),
+            "dst": host_int(batch.column("dst_host")),
+            "n": batch.column("n_links").cast(pa.int64())})
+
+    edges = (host_link_edges(make_pages_dataset(sf_dir))
+             .map_batches(to_ids, batch_format="pyarrow")
+             .materialize())
+
+    def out_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": batch.column("src").to_numpy(zero_copy_only=False),
+            "od": batch.column("n").to_numpy(zero_copy_only=False)})
+
+    def in_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dst": batch.column("dst").to_numpy(zero_copy_only=False),
+            "ind": batch.column("n").to_numpy(zero_copy_only=False)})
+
+    outdeg = _grouped_sums(edges, ["src"], out_partial, ["od"])
+    indeg = _grouped_sums(edges, ["dst"], in_partial, ["ind"])
+    j1 = hash_join(edges, outdeg, on="src")
+    j2 = hash_join(j1, indeg, on="dst")
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("one", "m_edges", "s_jk", "s_j", "s_k",
+                           "s_j2", "s_k2")})
+        if not len(batch):
+            return empty
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        j = batch.column("od").to_numpy(zero_copy_only=False)
+        k = batch.column("ind").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "m_edges": pa.array([int(n.sum())], pa.int64()),
+            "s_jk": pa.array([int((n * j * k).sum())], pa.int64()),
+            "s_j": pa.array([int((n * j).sum())], pa.int64()),
+            "s_k": pa.array([int((n * k).sum())], pa.int64()),
+            "s_j2": pa.array([int((n * j * j).sum())], pa.int64()),
+            "s_k2": pa.array([int((n * k * k).sum())], pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "m_edges" not in df.columns:
+            return pa.table({k: pa.array([], pa.int64()) for k in
+                             ("m_edges", "s_jk", "s_j", "s_k",
+                              "s_j2", "s_k2")})
+        out = df.drop(columns=["one"]).sum().to_frame().T.astype(np.int64)
+        return from_pandas_clean(out)
+
+    res = (j2.map_batches(sums_partial, batch_format="pyarrow")
+           .repartition(1, keys=["one"])
+           .map_batches(fold, batch_format="pyarrow"))
+    return res
+
+
+SQL_Q171 = """
+WITH e AS (
+  SELECT doc_id % 1000 AS src, (doc_id * 48271 + j) % 1000 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j),
+od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+ind AS (SELECT dst, COUNT(*) AS ind FROM e GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+       CAST(SUM(od.od * ind.ind) AS BIGINT) AS s_jk,
+       CAST(SUM(od.od) AS BIGINT) AS s_j,
+       CAST(SUM(ind.ind) AS BIGINT) AS s_k,
+       CAST(SUM(od.od * od.od) AS BIGINT) AS s_j2,
+       CAST(SUM(ind.ind * ind.ind) AS BIGINT) AS s_k2
+FROM e JOIN od USING (src) JOIN ind USING (dst)
+"""
+
+
+def q172_flow_accumulation(sf_dir: str):
+    """D8 flow routing + bounded flow accumulation over the 64×64 page-
+    density raster — the hydrology-style drainage operator on the shared
+    raster family front (q110/q130/q144/q154): each cell flows to its
+    steepest strictly-LOWER 8-neighbor (ties → lowest neighbor index;
+    no lower neighbor = pit), and accumulation after SIX synchronous
+    rounds counts the cells within ≤ 6 flow-steps upstream (+ itself) —
+    the bounded-round convention of q139/q165.  Output: cells that
+    accumulated inflow (acc ≥ 2) with their flow target.
+
+    ONE distributed count exchange builds the raster; the routing and
+    the per-round ``np.add.at`` fold are grid-constant bounded (tiled
+    rasters run per-tile + boundary exchange, the q154 convention)."""
+    x = _density_grid64(sf_dir).ravel()
+    n_cells = 4096
+    r, c = np.arange(n_cells) // 64, np.arange(n_cells) % 64
+    best_elev = np.full(n_cells, np.int64(1) << 40, dtype=np.int64)
+    dir_ = np.full(n_cells, -1, dtype=np.int64)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nr, nc = r + dr, c + dc
+            ok = (nr >= 0) & (nr < 64) & (nc >= 0) & (nc < 64)
+            nb = nr * 64 + nc
+            cand = np.where(ok, nb, 0)
+            elev = np.where(ok, x[cand], np.int64(1) << 40)
+            lower = ok & (elev < x)
+            # tie-break: (elev, neighbor index) lexicographic minimum
+            better = lower & ((elev < best_elev)
+                              | ((elev == best_elev) & (cand < dir_)))
+            first = lower & (dir_ == -1)
+            take = first | better
+            best_elev = np.where(take, elev, best_elev)
+            dir_ = np.where(take, cand, dir_)
+
+    acc = np.ones(n_cells, dtype=np.int64)
+    has = dir_ >= 0
+    for _ in range(6):
+        nxt = np.ones(n_cells, dtype=np.int64)
+        np.add.at(nxt, dir_[has], acc[has])
+        acc = nxt
+    keep = acc >= 2
+    return pd.DataFrame({"cell": np.flatnonzero(keep).astype(np.int64),
+                         "dir": dir_[keep], "acc": acc[keep]})
+
+
+def _q172_round_sql(k: int) -> str:
+    return f"""a{k} AS (
+  SELECT g.cell,
+         1 + COALESCE((SELECT SUM(a.acc) FROM d JOIN a{k - 1} a
+                       ON a.cell = d.cell WHERE d.dst = g.cell), 0)
+           AS acc
+  FROM grid g)"""
+
+
+SQL_Q172 = f"""
+WITH geo AS ({_SQL_GEO_DOCS}),
+cnt AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+         + ((lon + 1800000000) * 64 // 3600000001) AS cell,
+         COUNT(*) AS n
+  FROM geo GROUP BY 1),
+grid AS (
+  SELECT r.range AS cell, COALESCE(cnt.n, 0) AS n
+  FROM range(4096) r LEFT JOIN cnt ON cnt.cell = r.range),
+nbr AS (
+  SELECT a.cell, b.cell AS dst, b.n AS bn
+  FROM grid a JOIN grid b ON a.cell <> b.cell
+   AND ABS(a.cell // 64 - b.cell // 64) <= 1
+   AND ABS(a.cell % 64 - b.cell % 64) <= 1
+   AND b.n < a.n),
+d AS (
+  SELECT cell, dst FROM (
+    SELECT cell, dst,
+           row_number() OVER (PARTITION BY cell ORDER BY bn, dst) AS rn
+    FROM nbr) WHERE rn = 1),
+a0 AS (SELECT cell, 1 AS acc FROM grid),
+{",".join(_q172_round_sql(k) for k in range(1, 7))}
+SELECT CAST(g.cell AS BIGINT) AS cell,
+       CAST(COALESCE(d.dst, -1) AS BIGINT) AS dir,
+       CAST(a.acc AS BIGINT) AS acc
+FROM a6 a JOIN grid g ON g.cell = a.cell
+LEFT JOIN d ON d.cell = g.cell
+WHERE a.acc >= 2
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -10211,6 +10449,8 @@ QUERIES = {
     "q168_ipc_roundtrip": q168_ipc_roundtrip,
     "q169_cusum_changepoint": q169_cusum_changepoint,
     "q170_bpe_pairs": q170_bpe_pairs,
+    "q171_degree_assortativity": q171_degree_assortativity,
+    "q172_flow_accumulation": q172_flow_accumulation,
 }
 
 ORACLES = {
@@ -10378,4 +10618,6 @@ ORACLES = {
     "q168_ipc_roundtrip": SQL_Q168,
     "q169_cusum_changepoint": SQL_Q169,
     "q170_bpe_pairs": SQL_Q170,
+    "q171_degree_assortativity": SQL_Q171,
+    "q172_flow_accumulation": SQL_Q172,
 }

@@ -91,6 +91,8 @@ SUBSET = [
     "q168_ipc_roundtrip",
     "q169_cusum_changepoint",
     "q170_bpe_pairs",
+    "q171_degree_assortativity",
+    "q172_flow_accumulation",
 ]
 
 
