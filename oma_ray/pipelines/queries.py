@@ -10133,6 +10133,235 @@ WHERE a.acc >= 2
 """
 
 
+def q173_segment_box_join(sf_dir: str):
+    """Trajectory-segment × box intersection join — the linestring
+    spatial-join primitive: every consecutive same-user hop (the
+    q51/q108 fix ordering) is tested against the 64 synth boxes with the
+    EXACT integer segment-vs-rectangle predicate in reduced ~111 m
+    coords (bbox overlap AND the four rect corners do not lie strictly
+    on one side of the segment's line — all cross products ≤ ~1.3e13,
+    far inside int64 because the reduction happens BEFORE differencing
+    on both engines).  Output: per box, how many hops cross it.
+
+    Shape: ONE user-keyed exchange orders the fixes (hops are
+    block-local), the (S, 64) predicate is one broadcast vectorized
+    kernel against the bounded box set (the q47 broadcast contract;
+    ≫64 boxes swaps in the BoxIndex regime), and per-box counts ride a
+    tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids, synth_boxes
+
+    ensure_hash_shuffle()
+    b = synth_boxes(64)
+    bx0 = (b["minlon"] + 1_800_000_000) // 1000
+    bx1 = (b["maxlon"] + 1_800_000_000) // 1000
+    by0 = (b["minlat"] + 900_000_000) // 1000
+    by1 = (b["maxlat"] + 900_000_000) // 1000
+    box_id = b["box_id"]
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        t = batch.filter(pa.array(has_geo))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "x": pa.array((lon[has_geo] + 1_800_000_000) // 1000),
+            "y": pa.array((lat[has_geo] + 900_000_000) // 1000)})
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"box_id": pa.array([], pa.int64()),
+                          "n_segments": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        hop = u[1:] == u[:-1]
+        if not hop.any():
+            return empty
+        x1, y1 = x[:-1][hop], y[:-1][hop]
+        x2, y2 = x[1:][hop], y[1:][hop]
+        # (S, 64) bbox overlap
+        smnx, smxx = np.minimum(x1, x2), np.maximum(x1, x2)
+        smny, smxy = np.minimum(y1, y2), np.maximum(y1, y2)
+        ov = ((smxx[:, None] >= bx0[None, :])
+              & (smnx[:, None] <= bx1[None, :])
+              & (smxy[:, None] >= by0[None, :])
+              & (smny[:, None] <= by1[None, :]))
+        # corner cross products vs the segment's line
+        dx = (x2 - x1)[:, None]
+        dy = (y2 - y1)[:, None]
+
+        def cr(cx, cy):
+            return dx * (cy[None, :] - y1[:, None]) \
+                 - dy * (cx[None, :] - x1[:, None])
+
+        c1, c2 = cr(bx0, by0), cr(bx0, by1)
+        c3, c4 = cr(bx1, by0), cr(bx1, by1)
+        all_pos = (c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)
+        all_neg = (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+        hit = ov & ~all_pos & ~all_neg
+        counts = hit.sum(axis=0).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        if not len(nz):
+            return empty
+        return pa.table({"box_id": pa.array(box_id[nz]),
+                         "n_segments": pa.array(counts[nz])})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"box_id": pa.array([], pa.int64()),
+                          "n_segments": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .groupby("box_id", as_index=False)["n_segments"].sum())
+        return from_pandas_clean(df)
+
+    return (ds.map_batches(add_geo, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["user_id"])
+            .map_batches(seg_partial, batch_format="pyarrow")
+            .repartition(2, keys=["box_id"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q173 = None  # assembled below (needs the boxes CTE)
+
+
+def q174_coverage_curve(sf_dir: str):
+    """Host concentration curve (the Lorenz-curve complement of q157's
+    Gini): the minimum number of hosts — largest first, ties to lowest
+    host id — whose pages cover ≥ p% of the corpus, for p ∈ {50, 90,
+    99}, with the exact integer threshold ``ceil(p·total/100)``.  Host
+    counts are the bounded small-dimension aggregate; the cumulative
+    scan touches only that vector."""
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"host": ids % 1000,
+                             "n": np.ones(len(ids), dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    g = (_grouped_sums(ds, ["host"], partial, ["n"], 2)
+         .to_pandas().sort_values(["n", "host"],
+                                  ascending=[False, True],
+                                  kind="stable"))
+    x = g["n"].to_numpy(np.int64)
+    total = int(x.sum())
+    cum = np.cumsum(x)
+    rows = []
+    for p in (50, 90, 99):
+        thr = (p * total + 99) // 100
+        k = int(np.searchsorted(cum, thr)) + 1
+        rows.append((p, k, int(cum[k - 1]), total))
+    return pd.DataFrame(rows, columns=["pct", "k_hosts", "covered",
+                                       "total"]).astype(np.int64)
+
+
+SQL_Q174 = """
+WITH h AS (
+  SELECT doc_id % 1000 AS host, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM h),
+c AS (
+  SELECT n, host,
+         SUM(n) OVER (ORDER BY n DESC, host
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (ORDER BY n DESC, host) AS k
+  FROM h),
+p AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST((SELECT MIN(k) FROM c
+             WHERE cum >= (p.pct * t.total + 99) // 100) AS BIGINT)
+         AS k_hosts,
+       CAST((SELECT MIN(cum) FROM c
+             WHERE cum >= (p.pct * t.total + 99) // 100) AS BIGINT)
+         AS covered,
+       CAST(t.total AS BIGINT) AS total
+FROM p CROSS JOIN t
+"""
+
+
+def q175_winsorized_stats(sf_dir: str):
+    """Per-event-type winsorized statistics — the outlier-robust
+    aggregate: p10/p90 cents cut points at DuckDB's ``quantile_disc``
+    index (the q114 ceil convention), then the EXACT winsorized sum
+    Σ clamp(v, q10, q90) computed from the SAME histogram (clamp·count —
+    no second data pass).  One (type, cents)-keyed count exchange, then
+    a tiny type-keyed exchange co-locates each type's value histogram
+    for the block-local order-statistics pass."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "cents": _cents(batch.column("value").to_numpy(
+                zero_copy_only=False)),
+            "n": np.ones(len(batch), dtype=np.int64)})
+
+    hist = _grouped_sums(ds, ["event_type", "cents"], partial, ["n"],
+                         default_partitions())
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "q10": pa.array([], pa.int64()),
+                          "q90": pa.array([], pa.int64()),
+                          "wsum": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["event_type", "cents"],
+                                           kind="stable")
+        rows = []
+        for t, grp in df.groupby("event_type", sort=False):
+            v = grp["cents"].to_numpy(np.int64)
+            c = grp["n"].to_numpy(np.int64)
+            n = int(c.sum())
+            cum = np.cumsum(c)
+            i10 = int(np.searchsorted(cum, (n + 9) // 10))
+            i90 = int(np.searchsorted(cum, (9 * n + 9) // 10))
+            q10, q90 = int(v[i10]), int(v[i90])
+            wsum = int((np.clip(v, q10, q90) * c).sum())
+            rows.append((t, n, q10, q90, wsum))
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["event_type", "n", "q10", "q90", "wsum"]))
+
+    return (hist.repartition(4, keys=["event_type"])
+            .map_batches(block_stats, batch_format="pyarrow"))
+
+
+SQL_Q175 = f"""
+WITH v AS (
+  SELECT event_type, {SQL_CENTS.format(c='value')} AS cents
+  FROM events),
+q AS (
+  SELECT event_type, COUNT(*) AS n,
+         quantile_disc(cents, 0.1) AS q10,
+         quantile_disc(cents, 0.9) AS q90
+  FROM v GROUP BY 1)
+SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+       CAST(q.q10 AS BIGINT) AS q10, CAST(q.q90 AS BIGINT) AS q90,
+       CAST(SUM(GREATEST(q.q10, LEAST(q.q90, v.cents))) AS BIGINT)
+         AS wsum
+FROM v JOIN q USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def _hilbert_sql_steps(level: int) -> str:
     """Chained CTEs replaying hilbert_d's masked-step form: step b consumes
     bit b of (x, y), accumulates the quadrant into d, and rotates/reflects
@@ -10200,6 +10429,47 @@ def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
     global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57, SQL_Q60
+    global SQL_Q173
+    SQL_Q173 = f"""
+WITH b0 AS ({sql_boxes_cte(64)}),
+b AS (
+  SELECT box_id,
+         (minlon + 1800000000) // 1000 AS bx0,
+         (maxlon + 1800000000) // 1000 AS bx1,
+         (minlat + 900000000) // 1000 AS by0,
+         (maxlat + 900000000) // 1000 AS by1
+  FROM b0),
+e AS (
+  SELECT user_id, ts, event_id,
+         (({SQL_LON.format(id='event_id')}) + 1800000000) // 1000 AS x,
+         (({SQL_LAT.format(id='event_id')}) + 900000000) // 1000 AS y
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+e2 AS (
+  SELECT user_id, x, y,
+         row_number() OVER (ORDER BY user_id, ts, event_id) AS rn
+  FROM e),
+s AS (
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+         LEAST(a.x, b.x) AS smnx, GREATEST(a.x, b.x) AS smxx,
+         LEAST(a.y, b.y) AS smny, GREATEST(a.y, b.y) AS smxy
+  FROM e2 a JOIN e2 b ON b.rn = a.rn + 1 AND b.user_id = a.user_id),
+x AS (
+  SELECT b.box_id,
+         (s.x2-s.x1)*(b.by0-s.y1) - (s.y2-s.y1)*(b.bx0-s.x1) AS c1,
+         (s.x2-s.x1)*(b.by1-s.y1) - (s.y2-s.y1)*(b.bx0-s.x1) AS c2,
+         (s.x2-s.x1)*(b.by0-s.y1) - (s.y2-s.y1)*(b.bx1-s.x1) AS c3,
+         (s.x2-s.x1)*(b.by1-s.y1) - (s.y2-s.y1)*(b.bx1-s.x1) AS c4
+  FROM s CROSS JOIN b
+  WHERE s.smxx >= b.bx0 AND s.smnx <= b.bx1
+    AND s.smxy >= b.by0 AND s.smny <= b.by1),
+hit AS (
+  SELECT box_id FROM x
+  WHERE NOT (c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
+    AND NOT (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0))
+SELECT CAST(box_id AS BIGINT) AS box_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM hit GROUP BY 1
+"""
     SQL_Q60 = f"""
 WITH g AS (
   SELECT doc_id, {SQL_LON.format(id='doc_id')} AS lon,
@@ -10451,6 +10721,9 @@ QUERIES = {
     "q170_bpe_pairs": q170_bpe_pairs,
     "q171_degree_assortativity": q171_degree_assortativity,
     "q172_flow_accumulation": q172_flow_accumulation,
+    "q173_segment_box_join": q173_segment_box_join,
+    "q174_coverage_curve": q174_coverage_curve,
+    "q175_winsorized_stats": q175_winsorized_stats,
 }
 
 ORACLES = {
@@ -10620,4 +10893,7 @@ ORACLES = {
     "q170_bpe_pairs": SQL_Q170,
     "q171_degree_assortativity": SQL_Q171,
     "q172_flow_accumulation": SQL_Q172,
+    "q173_segment_box_join": SQL_Q173,
+    "q174_coverage_curve": SQL_Q174,
+    "q175_winsorized_stats": SQL_Q175,
 }

@@ -93,6 +93,9 @@ SUBSET = [
     "q170_bpe_pairs",
     "q171_degree_assortativity",
     "q172_flow_accumulation",
+    "q173_segment_box_join",
+    "q174_coverage_curve",
+    "q175_winsorized_stats",
 ]
 
 
