@@ -10344,6 +10344,244 @@ def q175_winsorized_stats(sf_dir: str):
             .map_batches(block_stats, batch_format="pyarrow"))
 
 
+def q176_and_search(sf_dir: str):
+    """Multi-term AND search over the inverted-index shape (the q41
+    postings machinery turned into a search engine): documents
+    containing ALL of the query terms {{data, join, sort}}, ranked by
+    total query-term occurrences (exact integer score).  One tokenize
+    pass emits per-(doc, term) occurrence counts for the 3 query terms
+    only (the posting-intersection pushdown — non-query terms never
+    leave the batch); a doc-keyed exchange co-locates each doc's ≤3
+    rows for the distinct-term AND test.  Exchange volume is bounded by
+    the query's true posting sizes."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    TERMS = np.array(["data", "join", "sort"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        hit = np.isin(flat, TERMS)
+        if not hit.any():
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"doc_id": ids[parent[hit]],
+                            "term": flat[hit]})
+              .groupby(["doc_id", "term"], as_index=False).size()
+              .rename(columns={"size": "cnt"}))
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def and_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .groupby(["doc_id", "term"], as_index=False)["cnt"].sum())
+        g = df.groupby("doc_id").agg(nd=("term", "nunique"),
+                                     score=("cnt", "sum"))
+        g = g[g["nd"] == len(TERMS)].reset_index()
+        return from_pandas_clean(
+            g[["doc_id", "score"]].astype(np.int64))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["doc_id"])
+            .map_batches(and_block, batch_format="pyarrow"))
+
+
+SQL_Q176 = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents),
+q AS (SELECT doc_id, t FROM tok WHERE t IN ('data', 'join', 'sort'))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score
+FROM q GROUP BY doc_id HAVING COUNT(DISTINCT t) = 3
+"""
+
+
+def q177_containment_join(sf_dir: str):
+    """Directional shingle containment between real document pairs
+    (doc i, doc i+1) for i % 7 == 0 — the asymmetric complement of
+    q27's Jaccard: ``containment_pm = |A∩B|·1000 // |A|`` over distinct
+    word-3-gram sets (detects "A is quoted inside B" where Jaccard
+    stays low).  Unlike q27's driver-side mutant, BOTH sides are real
+    corpus rows, so the pair formation is a genuine keyed exchange:
+    each doc emits its gram set under its pair id, the block kernel
+    intersects the two sorted arrays.  Exchange moves distinct grams,
+    never text."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string())})
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        rows_p, rows_s, rows_g = [], [], []
+        for d, t in zip(ids.tolist(), texts):
+            if d % 7 == 0:
+                pair, side = d, 0
+            elif (d - 1) % 7 == 0:
+                pair, side = d - 1, 1
+            else:
+                continue
+            toks = t.split()
+            grams = ({" ".join(toks)} if len(toks) < 3 else
+                     {" ".join(toks[i:i + 3])
+                      for i in range(len(toks) - 2)})
+            rows_p.extend([pair] * len(grams))
+            rows_s.extend([side] * len(grams))
+            rows_g.extend(sorted(grams))
+        if not rows_p:
+            return empty
+        return pa.table({"pair": pa.array(rows_p, pa.int64()),
+                         "side": pa.array(rows_s, pa.int64()),
+                         "gram": pa.array(rows_g, pa.string())})
+
+    def pair_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_common": pa.array([], pa.int64()),
+                          "containment_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        rows = []
+        for p, grp in df.groupby("pair"):
+            a = grp.loc[grp["side"] == 0, "gram"]
+            b = grp.loc[grp["side"] == 1, "gram"]
+            if not len(a) or not len(b):
+                continue  # the partner doc doesn't exist in the corpus
+            sa, sb = set(a), set(b)
+            inter = len(sa & sb)
+            rows.append((int(p), int(p) + 1, len(sa), inter,
+                         inter * 1000 // len(sa)))
+        if not rows:
+            return empty
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["id_a", "id_b", "n_a", "n_common",
+                           "containment_pm"]).astype(np.int64))
+
+    return (ds.map_batches(gram_partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["pair"])
+            .map_batches(pair_block, batch_format="pyarrow"))
+
+
+SQL_Q177 = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id % 7 = 0 OR (doc_id - 1) % 7 = 0),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(t)-1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+  FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.g) AS BIGINT) AS n_a,
+       CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_common,
+       CAST(len(list_intersect(a.g, b.g)) * 1000 // len(a.g) AS BIGINT)
+         AS containment_pm
+FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 7 = 0
+"""
+
+
+def q178_interval_union(sf_dir: str):
+    """Per-user interval-union coverage — the "total active time"
+    operator: every event opens a 30-minute window [ts, ts+1800 s) and
+    the output is the exact µs length of the UNION of each user's
+    windows plus the merged-island count (overlaps counted once — the
+    sweep/gaps-and-islands primitive that sessionization, SLA and
+    dwell metrics all reduce to).  ONE user-keyed exchange; the block
+    kernel is a lexsort + per-user running-max sweep (pandas C
+    groupby-cummax, no Python loop)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    W = 1_800_000_000  # 30 min in µs
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def block_union(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "covered_us": pa.array([], pa.int64()),
+                          "n_islands": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        df["e"] = df["ts"] + W
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        prev_max = (df.groupby("user_id")["e"].cummax()
+                    .groupby(df["user_id"]).shift(1))
+        new_isl = prev_max.isna() | (df["ts"] > prev_max)
+        df["gid"] = new_isl.cumsum()
+        isl = df.groupby(["user_id", "gid"], as_index=False).agg(
+            mn=("ts", "min"), mx=("e", "max"))
+        out = (isl.assign(covered=isl["mx"] - isl["mn"])
+               .groupby("user_id", as_index=False)
+               .agg(covered_us=("covered", "sum"),
+                    n_islands=("gid", "size")))
+        return from_pandas_clean(out.astype(np.int64))
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(block_union, batch_format="pyarrow"))
+
+
+SQL_Q178 = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS ts, epoch_us(ts) + 1800000000 AS e
+  FROM events),
+o AS (
+  SELECT user_id, ts, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM s),
+isl AS (
+  SELECT user_id, ts, e,
+         SUM(CASE WHEN prev_max IS NULL OR ts > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, e
+                 ROWS UNBOUNDED PRECEDING) AS gid
+  FROM o),
+g AS (
+  SELECT user_id, gid, MIN(ts) AS mn, MAX(e) AS mx
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(mx - mn) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM g GROUP BY 1
+"""
+
+
 SQL_Q175 = f"""
 WITH v AS (
   SELECT event_type, {SQL_CENTS.format(c='value')} AS cents
@@ -10724,6 +10962,9 @@ QUERIES = {
     "q173_segment_box_join": q173_segment_box_join,
     "q174_coverage_curve": q174_coverage_curve,
     "q175_winsorized_stats": q175_winsorized_stats,
+    "q176_and_search": q176_and_search,
+    "q177_containment_join": q177_containment_join,
+    "q178_interval_union": q178_interval_union,
 }
 
 ORACLES = {
@@ -10896,4 +11137,7 @@ ORACLES = {
     "q173_segment_box_join": SQL_Q173,
     "q174_coverage_curve": SQL_Q174,
     "q175_winsorized_stats": SQL_Q175,
+    "q176_and_search": SQL_Q176,
+    "q177_containment_join": SQL_Q177,
+    "q178_interval_union": SQL_Q178,
 }

@@ -96,6 +96,9 @@ SUBSET = [
     "q173_segment_box_join",
     "q174_coverage_curve",
     "q175_winsorized_stats",
+    "q176_and_search",
+    "q177_containment_join",
+    "q178_interval_union",
 ]
 
 
