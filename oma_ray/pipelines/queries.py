@@ -10556,6 +10556,174 @@ def q178_interval_union(sf_dir: str):
             .map_batches(block_union, batch_format="pyarrow"))
 
 
+def _bit_length_vec(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for non-negative int64 (classic clz
+    by halving shifts — no float round-trip, exact at any magnitude)."""
+    v = v.astype(np.uint64).copy()
+    bits = np.zeros(len(v), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = (v >> np.uint64(shift)) > 0
+        bits[big] += shift
+        v[big] >>= np.uint64(shift)
+    return bits + (v > 0)
+
+
+def q179_tile_pack(sf_dir: str):
+    """Delta-varint tile packing — the vector-tile / posting-compression
+    size model: per 8×8 geo cell, the sorted doc ids encode as LEB128
+    varints (absolute first id, then deltas; bytes(x) = ⌈bit_length(x)/7⌉)
+    and the output is each tile's EXACT packed size — the operator a
+    tile server uses to budget storage, computed without materializing
+    a single packed byte.  One cell-keyed exchange of (cell, doc_id);
+    the block kernel is a lexsort + vectorized diff + the shift-halving
+    clz (no float, exact at any id magnitude).  Cite: the byte model is
+    the engine's own varint family (functions/codec.py smallInt
+    lineage, LEB128 variant)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pa.table({"cell": pa.array(row * 8 + col),
+                         "doc_id": pa.array(ids[has_geo])})
+
+    def pack_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "bytes_packed": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["cell", "doc_id"], kind="stable"))
+        c = df["cell"].to_numpy(np.int64)
+        v = df["doc_id"].to_numpy(np.int64)
+        first = np.r_[True, c[1:] != c[:-1]]
+        enc = np.where(first, v, np.r_[np.int64(0), v[1:] - v[:-1]])
+        nbytes = (_bit_length_vec(enc) + 6) // 7
+        nbytes = np.maximum(nbytes, 1)  # delta 0 impossible; ids may be 0
+        out = (pd.DataFrame({"cell": c, "b": nbytes,
+                             "one": np.ones(len(c), np.int64)})
+               .groupby("cell", as_index=False)
+               .agg(n_docs=("one", "sum"), bytes_packed=("b", "sum")))
+        return from_pandas_clean(out.astype(np.int64))
+
+    return (ds.map_batches(add_cell, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["cell"])
+            .map_batches(pack_block, batch_format="pyarrow"))
+
+
+SQL_Q179 = f"""
+WITH g AS (
+  SELECT doc_id,
+         ((({SQL_LAT.format(id='doc_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='doc_id')}) + 1800000000) * 8
+            // 3600000001) AS cell
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+d AS (
+  SELECT cell, doc_id,
+         doc_id - LAG(doc_id) OVER (PARTITION BY cell
+                                    ORDER BY doc_id) AS delta
+  FROM g),
+b AS (
+  SELECT cell,
+         GREATEST((length(bin(COALESCE(delta, doc_id))) + 6) // 7, 1)
+           AS nb
+  FROM d)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS bytes_packed
+FROM b GROUP BY 1
+"""
+
+
+def q180_dedup_savings(sf_dir: str):
+    """Deduplication savings report — the storage-planning product of
+    exact dedup: with canonical = min doc_id per identical text
+    (doubling the corpus with shifted ids, the q09 fixture), every
+    non-canonical copy's bytes count as savings, attributed to ITS
+    source label.  One digest-keyed exchange (32-B md5 + 3 small
+    columns — text never shuffles, the q09 convention); per-source
+    partials ride a tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.textstage import Md5Hash
+
+    ensure_hash_shuffle()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source",
+                                       "n_chars"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.compute.add(batch.column("doc_id"), 1_000_000),
+            "text": batch.column("text"),
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars")})
+
+    both = (docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+            .map_batches(Md5Hash(), batch_format="pyarrow")
+            .drop_columns(["text"]))
+
+    def savings_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64()),
+                          "bytes_saved": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas()
+        canon = df.groupby("text_md5")["doc_id"].transform("min")
+        df["dup"] = (df["doc_id"] != canon).astype(np.int64)
+        df["saved"] = df["dup"] * df["n_chars"].astype(np.int64)
+        out = (df.groupby("source", as_index=False)
+               .agg(n_docs=("doc_id", "size"), n_dup=("dup", "sum"),
+                    bytes_saved=("saved", "sum")))
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64()),
+                             "bytes_saved": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("source", as_index=False)
+              [["n_docs", "n_dup", "bytes_saved"]].sum())
+        return from_pandas_clean(df)
+
+    return (both.repartition(default_partitions(), keys=["text_md5"])
+            .map_batches(savings_block, batch_format="pyarrow")
+            .repartition(2, keys=["source"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q180 = """
+WITH all_docs AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, n_chars FROM documents),
+r AS (
+  SELECT source, n_chars,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+              THEN 0 ELSE 1 END AS dup
+  FROM all_docs)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup,
+       CAST(SUM(dup * n_chars) AS BIGINT) AS bytes_saved
+FROM r GROUP BY 1
+"""
+
+
 SQL_Q178 = """
 WITH s AS (
   SELECT user_id, epoch_us(ts) AS ts, epoch_us(ts) + 1800000000 AS e
@@ -10965,6 +11133,8 @@ QUERIES = {
     "q176_and_search": q176_and_search,
     "q177_containment_join": q177_containment_join,
     "q178_interval_union": q178_interval_union,
+    "q179_tile_pack": q179_tile_pack,
+    "q180_dedup_savings": q180_dedup_savings,
 }
 
 ORACLES = {
@@ -11140,4 +11310,6 @@ ORACLES = {
     "q176_and_search": SQL_Q176,
     "q177_containment_join": SQL_Q177,
     "q178_interval_union": SQL_Q178,
+    "q179_tile_pack": SQL_Q179,
+    "q180_dedup_savings": SQL_Q180,
 }

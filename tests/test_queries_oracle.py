@@ -99,6 +99,8 @@ SUBSET = [
     "q176_and_search",
     "q177_containment_join",
     "q178_interval_union",
+    "q179_tile_pack",
+    "q180_dedup_savings",
 ]
 
 
