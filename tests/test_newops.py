@@ -428,3 +428,44 @@ def test_manhattan_dt_matches_bruteforce():
                 assert d[r, c] == want
 
     check()
+
+
+def test_radial_simplify_matches_bruteforce():
+    """q183's per-user radial recurrence vs a direct reference walk."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    EPS2 = 2000 * 2000
+
+    def engine_kernel(x, y):
+        kx, ky, kept = x[0], y[0], [0]
+        for i in range(1, len(x)):
+            dx, dy = x[i] - kx, y[i] - ky
+            if dx * dx + dy * dy >= EPS2:
+                kept.append(i)
+                kx, ky = x[i], y[i]
+        return kept
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 10000), st.integers(0, 10000)),
+                    min_size=1, max_size=40))
+    def check(pts):
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        kept = engine_kernel(x, y)
+        # invariants: first kept; consecutive kept pairs >= EPS apart;
+        # every dropped point < EPS from its last kept predecessor
+        assert kept[0] == 0
+        for a, b in zip(kept[:-1], kept[1:]):
+            d2 = (x[b] - x[a]) ** 2 + (y[b] - y[a]) ** 2
+            assert d2 >= EPS2
+        last = 0
+        for i in range(1, len(x)):
+            if i in kept:
+                last = i
+                continue
+            d2 = (x[i] - x[last]) ** 2 + (y[i] - y[last]) ** 2
+            assert d2 < EPS2
+
+    check()

@@ -101,6 +101,8 @@ SUBSET = [
     "q178_interval_union",
     "q179_tile_pack",
     "q180_dedup_savings",
+    "q181_colocation_patterns",
+    "q182_rolling_distinct",
 ]
 
 
