@@ -10888,6 +10888,42 @@ GROUP BY 1
 """
 
 
+def q184_pushdown_scan(sf_dir: str):
+    """Predicate + projection pushdown AT THE READ — q02's filter
+    expressed as a pyarrow dataset expression handed to
+    ``read_parquet``, so parquet row-group statistics prune data before
+    it ever leaves storage (at 100 TB the difference between scanning
+    the corpus and scanning the matching row groups).  Value-oracled
+    against the SAME SQL as q02 (the forced-regime-twin convention):
+    pushdown may only change WHAT IS READ, never the answer.  The
+    residual in-batch filter is kept because parquet stats prune at
+    row-group granularity — rows inside a surviving group still need
+    the exact predicate."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice"],
+        filter=((pads.field("o_orderstatus") == "O")
+                & (pads.field("o_totalprice") > 400000.0)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("o_orderstatus"), "O"),
+            pc.greater(batch.column("o_totalprice"), 400000.0))
+        b = batch.filter(m)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "total_c": pa.array(
+                _cents(b.column("o_totalprice").to_numpy(
+                    zero_copy_only=False)), type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q183_traj_simplify(sf_dir: str):
     """Radial-distance trajectory simplification (the polyline
     compression operator): per user, keep the first fix and every later
@@ -11375,6 +11411,7 @@ QUERIES = {
     "q181_colocation_patterns": q181_colocation_patterns,
     "q182_rolling_distinct": q182_rolling_distinct,
     "q183_traj_simplify": q183_traj_simplify,
+    "q184_pushdown_scan": q184_pushdown_scan,
 }
 
 ORACLES = {
@@ -11556,4 +11593,5 @@ ORACLES = {
     "q182_rolling_distinct": SQL_Q182,
     # q183 is rows-only by design (sequential radial recurrence) with an
     # embedded exactness gate + hypothesis brute test.
+    "q184_pushdown_scan": SQL_Q02,
 }

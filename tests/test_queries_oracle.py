@@ -103,6 +103,7 @@ SUBSET = [
     "q180_dedup_savings",
     "q181_colocation_patterns",
     "q182_rolling_distinct",
+    "q184_pushdown_scan",
 ]
 
 
