@@ -10888,6 +10888,266 @@ GROUP BY 1
 """
 
 
+def q185_cell_ls_trend(sf_dir: str):
+    """Per-cell least-squares trend of daily event counts — the
+    parametric complement of q122's Mann-Kendall: over each 8×8 cell's
+    observed-day sequence (t = 1..m in day order), ``slope_num =
+    m·Σt·x − Σt·Σx`` and ``slope_den = m·Σt² − (Σt)²`` — the exact
+    integer OLS slope numerator/denominator (the q110/q159 num/den
+    convention; slope derives off-engine).  One (cell, day) count
+    exchange + a tiny cell-keyed exchange co-locating each cell's
+    calendar-bounded rows."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pd.DataFrame({
+            "cell": row * 8 + col,
+            "day": ts // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    daily = _grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+
+    def trend_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_days": pa.array([], pa.int64()),
+                          "slope_num": pa.array([], pa.int64()),
+                          "slope_den": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["cell", "day"],
+                                           kind="stable")
+        rows = []
+        for c, grp in df.groupby("cell", sort=False):
+            x = grp["n"].to_numpy(np.int64)
+            m = len(x)
+            if m < 2:
+                continue
+            t = np.arange(1, m + 1, dtype=np.int64)
+            num = m * int((t * x).sum()) - int(t.sum()) * int(x.sum())
+            den = m * int((t * t).sum()) - int(t.sum()) ** 2
+            rows.append((int(c), m, num, den))
+        if not rows:
+            return empty
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["cell", "n_days", "slope_num", "slope_den"]
+        ).astype(np.int64))
+
+    return (daily.repartition(4, keys=["cell"])
+            .map_batches(trend_block, batch_format="pyarrow"))
+
+
+SQL_Q185 = f"""
+WITH e AS (
+  SELECT ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (SELECT cell, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+v AS (
+  SELECT cell, n,
+         row_number() OVER (PARTITION BY cell ORDER BY day) AS t
+  FROM d)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) * SUM(t * n) - SUM(t) * SUM(n) AS BIGINT)
+         AS slope_num,
+       CAST(COUNT(*) * SUM(t * t) - SUM(t) * SUM(t) AS BIGINT)
+         AS slope_den
+FROM v GROUP BY cell HAVING COUNT(*) >= 2
+"""
+
+
+def q186_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users cohorted by FIRST active week, and for week offsets 0..3 the
+    count still active in cohort_week + offset (plus the cohort size,
+    so the retention share derives exactly).  ONE user-keyed exchange
+    makes each user's distinct active weeks block-local (first week AND
+    offsets fall out of one sorted pass); (cohort, offset) partials
+    ride a tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "week": ts // (7 * 86_400_000_000)}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def cohort_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "week"], kind="stable"))
+        first = df.groupby("user_id")["week"].transform("min")
+        off = df["week"].to_numpy(np.int64) - first.to_numpy(np.int64)
+        keep = off <= 3
+        out = (pd.DataFrame({"cohort_week": first.to_numpy(np.int64)[keep],
+                             "offset": off[keep]})
+               .groupby(["cohort_week", "offset"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        df = (batch.to_pandas()
+              .groupby(["cohort_week", "offset"], as_index=False)
+              ["n_users"].sum())
+        return from_pandas_clean(df)
+
+    return (ds.map_batches(weeks, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["user_id"])
+            .map_batches(cohort_partial, batch_format="pyarrow")
+            .repartition(2, keys=["cohort_week", "offset"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q186 = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (7 * 86400000000) AS week
+  FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+       CAST(uw.week - f.cohort_week AS BIGINT) AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN f USING (user_id)
+WHERE uw.week - f.cohort_week <= 3
+GROUP BY 1, 2
+"""
+
+
+def q187_prefix_completions(sf_dir: str):
+    """Type-ahead prefix index — the search-engine companion of q176:
+    for every 2- and 3-char term prefix, the top-3 completions by
+    document frequency (ties → term ascending).  Term dfs come from
+    the q41 machinery (one term-keyed exchange of distinct (term, doc)
+    pairs); each term then fans out to its ≤2 prefixes into a
+    prefix-keyed exchange where per-BLOCK partial top-3 contracts the
+    stream before the fold (the q164 reservoir convention)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def term_docs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"term": flat[keep],
+                            "doc_id": ids[parent[keep]]})
+              .drop_duplicates())
+        return from_pandas_clean(df)
+
+    def df_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"prefix": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        d = (batch.to_pandas().drop_duplicates()
+             .groupby("term", as_index=False).size()
+             .rename(columns={"size": "df"}))
+        d["df"] = d["df"].astype(np.int64)
+        out = []
+        for plen in (2, 3):
+            sub = d[d["term"].str.len() >= plen].copy()
+            sub["prefix"] = sub["term"].str[:plen]
+            out.append(sub[["prefix", "term", "df"]])
+        if not out:
+            return empty
+        cat = pd.concat(out, ignore_index=True)
+        # dfs are already exact (term exchange) → contract to the
+        # block's top-3 per prefix BEFORE the prefix exchange
+        cat = (cat.sort_values(["prefix", "df", "term"],
+                               ascending=[True, False, True],
+                               kind="stable")
+               .groupby("prefix", as_index=False).head(3))
+        return from_pandas_clean(cat)
+
+    def top_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"prefix": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "rk": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        d = (batch.to_pandas()
+             .sort_values(["prefix", "df", "term"],
+                          ascending=[True, False, True], kind="stable")
+             .groupby("prefix", as_index=False).head(3))
+        d["rk"] = d.groupby("prefix").cumcount() + 1
+        d["rk"] = d["rk"].astype(np.int64)
+        return from_pandas_clean(d[["prefix", "term", "df", "rk"]])
+
+    nparts = default_partitions()
+    return (ds.map_batches(term_docs, batch_format="pyarrow")
+            .repartition(nparts, keys=["term"])
+            .map_batches(df_block, batch_format="pyarrow")
+            .repartition(nparts, keys=["prefix"])
+            .map_batches(top_block, batch_format="pyarrow"))
+
+
+SQL_Q187 = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+d AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+p AS (
+  SELECT substr(term, 1, plen) AS prefix, term, df
+  FROM d, (VALUES (2), (3)) v(plen)
+  WHERE length(term) >= plen),
+r AS (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY df DESC, term) AS rk
+  FROM p)
+SELECT prefix, term, CAST(df AS BIGINT) AS df, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -11412,6 +11672,9 @@ QUERIES = {
     "q182_rolling_distinct": q182_rolling_distinct,
     "q183_traj_simplify": q183_traj_simplify,
     "q184_pushdown_scan": q184_pushdown_scan,
+    "q185_cell_ls_trend": q185_cell_ls_trend,
+    "q186_cohort_retention": q186_cohort_retention,
+    "q187_prefix_completions": q187_prefix_completions,
 }
 
 ORACLES = {
@@ -11594,4 +11857,7 @@ ORACLES = {
     # q183 is rows-only by design (sequential radial recurrence) with an
     # embedded exactness gate + hypothesis brute test.
     "q184_pushdown_scan": SQL_Q02,
+    "q185_cell_ls_trend": SQL_Q185,
+    "q186_cohort_retention": SQL_Q186,
+    "q187_prefix_completions": SQL_Q187,
 }

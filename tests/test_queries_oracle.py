@@ -104,6 +104,9 @@ SUBSET = [
     "q181_colocation_patterns",
     "q182_rolling_distinct",
     "q184_pushdown_scan",
+    "q185_cell_ls_trend",
+    "q186_cohort_retention",
+    "q187_prefix_completions",
 ]
 
 
