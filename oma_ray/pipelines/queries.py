@@ -11148,6 +11148,162 @@ FROM r WHERE rk <= 3
 """
 
 
+def q188_mad(sf_dir: str):
+    """Per-type median absolute deviation — the robust dispersion
+    metric, TWO dependent order statistics from ONE exchange: the
+    (type, cents)-keyed count histogram co-locates per type, the block
+    kernel takes the median at DuckDB's ``quantile_disc`` index (the
+    q114 ceil convention), then re-aggregates the SAME histogram under
+    |v − med| and takes the second median — no second data pass, no
+    second exchange.  Output: type, n, med, mad."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "cents": _cents(batch.column("value").to_numpy(
+                zero_copy_only=False)),
+            "n": np.ones(len(batch), dtype=np.int64)})
+
+    hist = _grouped_sums(ds, ["event_type", "cents"], partial, ["n"],
+                         default_partitions())
+
+    def _disc_quantile(v, c, num, den):
+        """value at index ceil(num/den·n)−1 of the expanded histogram"""
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        return int(v[int(np.searchsorted(cum, (num * n + den - 1)
+                                         // den))])
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "med": pa.array([], pa.int64()),
+                          "mad": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["event_type", "cents"],
+                                           kind="stable")
+        rows = []
+        for t, grp in df.groupby("event_type", sort=False):
+            v = grp["cents"].to_numpy(np.int64)
+            c = grp["n"].to_numpy(np.int64)
+            med = _disc_quantile(v, c, 1, 2)
+            dev = np.abs(v - med)
+            order = np.argsort(dev, kind="stable")
+            dv, dc = dev[order], c[order]
+            # merge equal deviations (two values can share |v-med|)
+            uniq, inv = np.unique(dv, return_inverse=True)
+            dc2 = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(dc2, inv, dc)
+            mad = _disc_quantile(uniq, dc2, 1, 2)
+            rows.append((t, int(c.sum()), med, mad))
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["event_type", "n", "med", "mad"]))
+
+    return (hist.repartition(4, keys=["event_type"])
+            .map_batches(block_stats, batch_format="pyarrow"))
+
+
+SQL_Q188 = f"""
+WITH v AS (
+  SELECT event_type, {SQL_CENTS.format(c='value')} AS cents
+  FROM events),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         quantile_disc(cents, 0.5) AS med
+  FROM v GROUP BY 1)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+       CAST(m.med AS BIGINT) AS med,
+       CAST(quantile_disc(ABS(v.cents - m.med), 0.5) AS BIGINT) AS mad
+FROM v JOIN m USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+def q189_hilbert_range(sf_dir: str):
+    """Hilbert-range query — the space-filling-curve range scan that
+    sort-within-tile layouts exist for: count pages (and min/max id)
+    whose level-13 Hilbert position falls in each of 4 fixed curve
+    ranges (quarters of the curve).  Because consecutive Hilbert ids
+    are grid-adjacent, each range is a CONNECTED region and on a
+    hilbert-sorted layout this query reads contiguous row groups — the
+    engine computes it as a pure fused map over the q95 kernel + a tiny
+    range-keyed fold."""
+    import pyarrow.compute as pc
+
+    from oma_ray.functions.geo import cell_hilbert
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    Q = np.int64(1) << 24  # level-13 curve has 2^26 positions; 4 quarters
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"rng": pa.array([], pa.int64()),
+                          "n_pages": pa.array([], pa.int64()),
+                          "min_id": pa.array([], pa.int64()),
+                          "max_id": pa.array([], pa.int64())})
+        lon = batch.column("lon")
+        valid = ~pc.is_null(lon).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(valid))
+        if not t.num_rows:
+            return empty
+        d = cell_hilbert(t.column("lon").to_numpy(zero_copy_only=False),
+                         t.column("lat").to_numpy(zero_copy_only=False),
+                         level=13)
+        ids = t.column("page_id").to_numpy(zero_copy_only=False)
+        rng = d // Q
+        df = (pd.DataFrame({"rng": rng, "page_id": ids})
+              .groupby("rng", as_index=False)
+              .agg(n_pages=("page_id", "size"),
+                   min_id=("page_id", "min"),
+                   max_id=("page_id", "max")))
+        df["n_pages"] = df["n_pages"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"rng": pa.array([], pa.int64()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "min_id": pa.array([], pa.int64()),
+                             "max_id": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("rng", as_index=False)
+              .agg(n_pages=("n_pages", "sum"), min_id=("min_id", "min"),
+                   max_id=("max_id", "max")))
+        return from_pandas_clean(df)
+
+    return (_geo_pages(sf_dir).map_batches(kernel,
+                                           batch_format="pyarrow")
+            .repartition(2, keys=["rng"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q189 = f"""
+WITH g AS ({{GEO}}),
+s13 AS (SELECT doc_id AS page_id,
+    LEAST(GREATEST((lon + 1800000000) * 8192 // 3600000001, 0), 8191)
+      AS x,
+    LEAST(GREATEST((lat + 900000000) * 8192 // 1800000001, 0), 8191)
+      AS y,
+    CAST(0 AS BIGINT) AS d
+  FROM g),
+{{STEPS}}
+SELECT CAST(d // 16777216 AS BIGINT) AS rng,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(MIN(page_id) AS BIGINT) AS min_id,
+       CAST(MAX(page_id) AS BIGINT) AS max_id
+FROM s0 GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -11487,6 +11643,15 @@ WHERE rn = 1
 _build_geo_ctes()
 
 
+def _build_hilbert_range_sql():
+    global SQL_Q189
+    SQL_Q189 = SQL_Q189.format(GEO=_SQL_GEO_DOCS,
+                               STEPS=_hilbert_sql_steps(13))
+
+
+_build_hilbert_range_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -11675,6 +11840,8 @@ QUERIES = {
     "q185_cell_ls_trend": q185_cell_ls_trend,
     "q186_cohort_retention": q186_cohort_retention,
     "q187_prefix_completions": q187_prefix_completions,
+    "q188_mad": q188_mad,
+    "q189_hilbert_range": q189_hilbert_range,
 }
 
 ORACLES = {
@@ -11860,4 +12027,6 @@ ORACLES = {
     "q185_cell_ls_trend": SQL_Q185,
     "q186_cohort_retention": SQL_Q186,
     "q187_prefix_completions": SQL_Q187,
+    "q188_mad": SQL_Q188,
+    "q189_hilbert_range": SQL_Q189,
 }

@@ -107,6 +107,8 @@ SUBSET = [
     "q185_cell_ls_trend",
     "q186_cohort_retention",
     "q187_prefix_completions",
+    "q188_mad",
+    "q189_hilbert_range",
 ]
 
 
