@@ -11304,6 +11304,376 @@ FROM s0 GROUP BY 1
 """
 
 
+def q190_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics — the arrival-process
+    profile: over each user's time-ordered events (ties by event_id),
+    the gap count, the maximum gap, and the p90 gap at DuckDB's
+    ``quantile_disc`` index (the q114 ceil convention), all in exact
+    µs.  ONE user-keyed exchange; gaps fall out of the block lexsort
+    diff, the order statistic out of a per-user sort of its own
+    bounded gap vector."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def gap_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "max_gap": pa.array([], pa.int64()),
+                          "p90_gap": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False)}).sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        gap = (ts[1:] - ts[:-1])[same]
+        if not len(gu):
+            return empty
+        rows = []
+        order = np.lexsort((gap, gu))
+        gu, gap = gu[order], gap[order]
+        bounds = np.r_[0, np.flatnonzero(np.diff(gu)) + 1, len(gu)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = gap[s:e]
+            m = len(g)
+            p90 = int(g[(9 * m + 9) // 10 - 1])
+            rows.append((int(gu[s]), m, int(g[-1]), p90))
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["user_id", "n_gaps", "max_gap", "p90_gap"]
+        ).astype(np.int64))
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(gap_block, batch_format="pyarrow"))
+
+
+SQL_Q190 = """
+WITH x AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap
+FROM x WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+def q191_bilinear_upsample(sf_dir: str):
+    """Exact-integer 2× bilinear upsample of the 64×64 density raster
+    (the resample primitive of raster pyramids, in the ×4 fixed-point
+    convention so no fraction ever appears): output cell (R, C) maps to
+    input rows i0 = R//2, i1 = min(i0 + R%2, 63) (same for columns) and
+    ``v4 = x[i0,j0] + x[i0,j1] + x[i1,j0] + x[i1,j1]`` — the duplicate
+    indices at even positions produce exactly the 4/2/1 bilinear
+    weights.  Distributed count exchange builds the raster (the shared
+    q110 front); the upsample is one vectorized gather on the
+    grid-constant-bounded array.  Output: nonzero cells only."""
+    x = _density_grid64(sf_dir)
+    R = np.arange(128)
+    i0 = R // 2
+    i1 = np.minimum(i0 + (R % 2), 63)
+    v4 = (x[np.ix_(i0, i0)] + x[np.ix_(i0, i1)]
+          + x[np.ix_(i1, i0)] + x[np.ix_(i1, i1)])
+    cells = np.arange(128 * 128, dtype=np.int64)
+    flat = v4.ravel()
+    keep = flat > 0
+    return pd.DataFrame({"cell": cells[keep],
+                         "v4": flat[keep].astype(np.int64)})
+
+
+SQL_Q191 = f"""
+WITH geo AS ({{GEO}}),
+cnt AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+         + ((lon + 1800000000) * 64 // 3600000001) AS cell,
+         COUNT(*) AS n
+  FROM geo GROUP BY 1),
+o AS (
+  SELECT r.range AS cell,
+         (r.range // 128) // 2 AS i0,
+         LEAST((r.range // 128) // 2 + (r.range // 128) % 2, 63) AS i1,
+         (r.range % 128) // 2 AS j0,
+         LEAST((r.range % 128) // 2 + (r.range % 128) % 2, 63) AS j1
+  FROM range(16384) r),
+v AS (
+  SELECT o.cell,
+         COALESCE(a.n, 0) + COALESCE(b.n, 0)
+         + COALESCE(c.n, 0) + COALESCE(d.n, 0) AS v4
+  FROM o
+  LEFT JOIN cnt a ON a.cell = o.i0 * 64 + o.j0
+  LEFT JOIN cnt b ON b.cell = o.i0 * 64 + o.j1
+  LEFT JOIN cnt c ON c.cell = o.i1 * 64 + o.j0
+  LEFT JOIN cnt d ON d.cell = o.i1 * 64 + o.j1)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(v4 AS BIGINT) AS v4
+FROM v WHERE v4 > 0
+"""
+
+
+def q192_bounce_rate(sf_dir: str):
+    """Per-day session bounce rate — the q08 sessionization (30-min
+    inactivity gap, per user) rolled to the product metric: sessions
+    STARTING each day, how many are single-event bounces, and the
+    per-mille bounce share (exact floor).  ONE user-keyed exchange;
+    session segmentation is the block lexsort diff, session sizes a
+    vectorized run-length pass; per-day partials ride a tiny second
+    exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    GAP = 1_800_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def sess_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_sessions": pa.array([], pa.int64()),
+                          "n_bounces": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)}).sort_values(
+            ["user_id", "ts"], kind="stable")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        new = np.r_[True, (u[1:] != u[:-1])
+                    | (ts[1:] - ts[:-1] > GAP)]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(u)])
+        day = ts[starts] // 86_400_000_000
+        out = (pd.DataFrame({"day": day,
+                             "one": np.ones(len(day), np.int64),
+                             "bounce": (sizes == 1).astype(np.int64)})
+               .groupby("day", as_index=False)
+               .agg(n_sessions=("one", "sum"),
+                    n_bounces=("bounce", "sum")))
+        return from_pandas_clean(out.astype(np.int64))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_bounces": pa.array([], pa.int64()),
+                             "bounce_pm": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("day", as_index=False)
+              [["n_sessions", "n_bounces"]].sum())
+        df["bounce_pm"] = (df["n_bounces"].to_numpy(np.int64) * 1000
+                           // df["n_sessions"].to_numpy(np.int64))
+        return from_pandas_clean(df.astype(np.int64))
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(sess_partial, batch_format="pyarrow")
+            .repartition(2, keys=["day"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q192 = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS ts,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR ts - prev > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x),
+s AS (
+  SELECT user_id, sid, MIN(ts) AS start_ts, COUNT(*) AS n_events
+  FROM m GROUP BY 1, 2),
+d AS (
+  SELECT start_ts // 86400000000 AS day,
+         COUNT(*) AS n_sessions,
+         SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+  FROM s GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_bounces AS BIGINT) AS n_bounces,
+       CAST(n_bounces * 1000 // n_sessions AS BIGINT) AS bounce_pm
+FROM d
+"""
+
+
+def q193_district_centroids(sf_dir: str):
+    """Per-district mean center (centroid of member pages) — the
+    cartographic labeling / gravity-model aggregate: pages flow through
+    the SAME distributed PIP join as q55 (cover explode → ONE keyed
+    exchange → exact ray cast, first-match), then exact integer sums of
+    the reduced coordinates per district (centroid = sums/n derives
+    off-engine, the num/den convention).  Geo coords re-derive from the
+    page id after the join, so the exchange still moves only (id,
+    admin_id)."""
+    import ray.data as rd
+
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+    from oma_ray.synth import geo_for_ids
+
+    polys = _district_polys(64)
+    ptab = polygons_table(polys)
+    joined = pip_join_by_cell(
+        _geo_pages(sf_dir), rd.from_arrow(ptab), polys_schema=ptab.schema)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("page_id").to_numpy(zero_copy_only=False)
+        lon, lat, _ = geo_for_ids(ids)  # ids came from geo pages: valid
+        return pd.DataFrame({
+            "admin_id": batch.column("admin_id").to_numpy(
+                zero_copy_only=False),
+            "n_pages": np.ones(len(ids), dtype=np.int64),
+            "sum_x": (lon + 1_800_000_000) // 1000,
+            "sum_y": (lat + 900_000_000) // 1000})
+
+    return _grouped_sums(joined, ["admin_id"], partial,
+                         ["n_pages", "sum_x", "sum_y"])
+
+
+SQL_Q193 = None  # assembled below (needs the boxes CTE)
+
+
+def q194_top_movers(sf_dir: str):
+    """Week-over-week top movers — the trend-alert product query: per
+    8×8 cell, event counts in the LAST observed week vs the week
+    before (absent weeks count 0), ranked by growth delta (ties →
+    lower cell), top 10.  One (cell, week) count exchange; the ranking
+    touches only the calendar-bounded aggregate."""
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pd.DataFrame({
+            "cell": row * 8 + col,
+            "week": ts // (7 * 86_400_000_000),
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    g = (_grouped_sums(ds, ["cell", "week"], partial, ["n"], 4)
+         .to_pandas())  # calendar-bounded
+    W = int(g["week"].max())
+    last = dict(zip(g.loc[g["week"] == W, "cell"],
+                    g.loc[g["week"] == W, "n"]))
+    prev = dict(zip(g.loc[g["week"] == W - 1, "cell"],
+                    g.loc[g["week"] == W - 1, "n"]))
+    cells = sorted(set(last) | set(prev))
+    df = pd.DataFrame({
+        "cell": np.array(cells, dtype=np.int64),
+        "n_prev": np.array([prev.get(c, 0) for c in cells], np.int64),
+        "n_last": np.array([last.get(c, 0) for c in cells], np.int64)})
+    df["delta"] = df["n_last"] - df["n_prev"]
+    return (df.sort_values(["delta", "cell"], ascending=[False, True],
+                           kind="stable").head(10)
+            .reset_index(drop=True))
+
+
+SQL_Q194 = f"""
+WITH e AS (
+  SELECT ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         epoch_us(ts) // (7 * 86400000000) AS week
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+c AS (SELECT cell, week, COUNT(*) AS n FROM e GROUP BY 1, 2),
+w AS (SELECT MAX(week) AS mw FROM c),
+cells AS (
+  SELECT DISTINCT cell FROM c, w WHERE week IN (w.mw, w.mw - 1)),
+j AS (
+  SELECT cells.cell,
+         COALESCE(p.n, 0) AS n_prev, COALESCE(l.n, 0) AS n_last
+  FROM cells
+  LEFT JOIN c p ON p.cell = cells.cell
+              AND p.week = (SELECT mw FROM w) - 1
+  LEFT JOIN c l ON l.cell = cells.cell
+              AND l.week = (SELECT mw FROM w))
+SELECT CAST(cell AS BIGINT) AS cell, CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_last AS BIGINT) AS n_last,
+       CAST(n_last - n_prev AS BIGINT) AS delta
+FROM j ORDER BY delta DESC, cell LIMIT 10
+"""
+
+
+def q195_hash_ring(sf_dir: str):
+    """Consistent-hash ring assignment — the companion of q155's HRW:
+    64 virtual nodes hash onto the 32-bit ring (the shared overflow-
+    safe hash family), each doc key routes to the first vnode at or
+    after its own hash (wrapping), ties on vnode hash to the lower
+    vnode id.  Removing a vnode remaps only its arc — the classic
+    elasticity argument, here value-checked.  Pure row predicate
+    (binary search over the 64-entry sorted ring) + a tiny partial-
+    counts exchange."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sample import _hash32
+
+    ensure_hash_shuffle()
+    v = np.arange(64, dtype=np.int64)
+    vh = _hash32(v, 2654435761)
+    order = np.lexsort((v, vh))
+    svh, sv = vh[order], v[order]
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = _hash32(ids, 1103515245)
+        idx = np.searchsorted(svh, h, side="left")
+        idx[idx == len(svh)] = 0  # wrap
+        return pd.DataFrame({"node": sv[idx],
+                             "n_docs": np.ones(len(ids), np.int64)})
+
+    return _grouped_sums(ds, ["node"], partial, ["n_docs"], 2)
+
+
+SQL_Q195 = """
+WITH ring AS (
+  SELECT r.range AS v,
+         CAST(((CAST(r.range & 4294967295 AS HUGEINT) * 2654435761)
+               % 4294967296) AS BIGINT) AS vh
+  FROM range(64) r),
+k AS (
+  SELECT doc_id,
+         CAST(((CAST(doc_id & 4294967295 AS HUGEINT) * 1103515245)
+               % 4294967296) AS BIGINT) AS h
+  FROM documents),
+a AS (
+  SELECT doc_id,
+         COALESCE((SELECT v FROM ring WHERE vh >= k.h
+                   ORDER BY vh, v LIMIT 1),
+                  (SELECT v FROM ring ORDER BY vh, v LIMIT 1)) AS node
+  FROM k)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -11524,7 +11894,21 @@ def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
     global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57, SQL_Q60
-    global SQL_Q173
+    global SQL_Q173, SQL_Q193
+    SQL_Q193 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)}),
+hit AS (
+  SELECT g.doc_id, ANY_VALUE(g.lon) AS lon, ANY_VALUE(g.lat) AS lat,
+         COALESCE(MIN(b.box_id), -1) AS admin_id
+  FROM g LEFT JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+                    AND g.lat >= b.minlat AND g.lat < b.maxlat
+  GROUP BY g.doc_id)
+SELECT admin_id, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM((lon + 1800000000) // 1000) AS BIGINT) AS sum_x,
+       CAST(SUM((lat + 900000000) // 1000) AS BIGINT) AS sum_y
+FROM hit GROUP BY admin_id
+"""
     SQL_Q173 = f"""
 WITH b0 AS ({sql_boxes_cte(64)}),
 b AS (
@@ -11644,9 +12028,10 @@ _build_geo_ctes()
 
 
 def _build_hilbert_range_sql():
-    global SQL_Q189
+    global SQL_Q189, SQL_Q191
     SQL_Q189 = SQL_Q189.format(GEO=_SQL_GEO_DOCS,
                                STEPS=_hilbert_sql_steps(13))
+    SQL_Q191 = SQL_Q191.format(GEO=_SQL_GEO_DOCS)
 
 
 _build_hilbert_range_sql()
@@ -11842,6 +12227,12 @@ QUERIES = {
     "q187_prefix_completions": q187_prefix_completions,
     "q188_mad": q188_mad,
     "q189_hilbert_range": q189_hilbert_range,
+    "q190_gap_stats": q190_gap_stats,
+    "q191_bilinear_upsample": q191_bilinear_upsample,
+    "q192_bounce_rate": q192_bounce_rate,
+    "q193_district_centroids": q193_district_centroids,
+    "q194_top_movers": q194_top_movers,
+    "q195_hash_ring": q195_hash_ring,
 }
 
 ORACLES = {
@@ -12029,4 +12420,10 @@ ORACLES = {
     "q187_prefix_completions": SQL_Q187,
     "q188_mad": SQL_Q188,
     "q189_hilbert_range": SQL_Q189,
+    "q190_gap_stats": SQL_Q190,
+    "q191_bilinear_upsample": SQL_Q191,
+    "q192_bounce_rate": SQL_Q192,
+    "q193_district_centroids": SQL_Q193,
+    "q194_top_movers": SQL_Q194,
+    "q195_hash_ring": SQL_Q195,
 }

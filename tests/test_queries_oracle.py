@@ -109,6 +109,12 @@ SUBSET = [
     "q187_prefix_completions",
     "q188_mad",
     "q189_hilbert_range",
+    "q190_gap_stats",
+    "q191_bilinear_upsample",
+    "q192_bounce_rate",
+    "q193_district_centroids",
+    "q194_top_movers",
+    "q195_hash_ring",
 ]
 
 
