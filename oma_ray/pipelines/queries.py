@@ -11674,6 +11674,292 @@ FROM a GROUP BY 1
 """
 
 
+def q196_funnel_latency(sf_dir: str):
+    """Funnel step latency distribution — q62's earliest-completion
+    view→click step timed: for every converting user, Δt = first
+    qualifying click − first view, floored to whole seconds on both
+    engines, then the EXACT n/max/p50/p90 of the Δt population via the
+    bounded value histogram (Δt ≤ 7 days ⇒ ≤ 604 800 distinct seconds —
+    the q160 cumsum-threshold convention, no sampling at any user
+    count).  One user-keyed exchange for the per-user recurrence, one
+    tiny histogram exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    W = 7 * 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def dt_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"dt_s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False)})
+        views = (df[df["event_type"] == "view"]
+                 .groupby("user_id")["ts"].min())
+        clicks = df[df["event_type"] == "click"]
+        m = clicks.merge(views.rename("t1"), left_on="user_id",
+                         right_index=True)
+        m = m[(m["ts"] > m["t1"]) & (m["ts"] <= m["t1"] + W)]
+        if not len(m):
+            return empty
+        t2 = m.groupby("user_id")["ts"].min()
+        t1 = views.loc[t2.index]
+        dt_s = ((t2 - t1) // 1_000_000).to_numpy(np.int64)
+        out = (pd.DataFrame({"dt_s": dt_s,
+                             "n": np.ones(len(dt_s), np.int64)})
+               .groupby("dt_s", as_index=False)["n"].sum())
+        return from_pandas_clean(out)
+
+    def final(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"n_users": pa.array([], pa.int64()),
+                          "max_s": pa.array([], pa.int64()),
+                          "p50_s": pa.array([], pa.int64()),
+                          "p90_s": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().groupby("dt_s", as_index=False)
+              ["n"].sum().sort_values("dt_s"))
+        v = df["dt_s"].to_numpy(np.int64)
+        c = df["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        p50 = int(v[int(np.searchsorted(cum, (n + 1) // 2))])
+        p90 = int(v[int(np.searchsorted(cum, (9 * n + 9) // 10))])
+        return pa.table({"n_users": pa.array([n], pa.int64()),
+                         "max_s": pa.array([int(v[-1])], pa.int64()),
+                         "p50_s": pa.array([p50], pa.int64()),
+                         "p90_s": pa.array([p90], pa.int64())})
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(dt_partial, batch_format="pyarrow")
+            .repartition(1, keys=["dt_s"])
+            .map_batches(final, batch_format="pyarrow"))
+
+
+SQL_Q196 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id,
+         (epoch_us(MIN(e.ts)) - epoch_us(ANY_VALUE(s1.t)))
+           // 1000000 AS dt_s
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(dt_s) AS BIGINT) AS max_s,
+       CAST(quantile_disc(dt_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(dt_s, 0.9) AS BIGINT) AS p90_s
+FROM s2
+"""
+
+
+def q197_kwic(sf_dir: str):
+    """Keyword-in-context (KWIC) concordance for the query term "join":
+    first occurrence position (1-based ``strpos`` semantics) and a
+    ±-clamped 30-char snippet per matching document — the search-result
+    highlighting primitive, fully vectorized (Arrow ``find_substring``
+    + pandas C slicing, no per-row Python) and byte-exact against
+    SQL's substr (the corpus is ASCII by the synth contract)."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        pos0 = pc.find_substring(batch.column("text"), "join")
+        pos0 = pos0.to_numpy(zero_copy_only=False)
+        hit = pos0 >= 0
+        t = batch.filter(pa.array(hit))
+        p = pos0[hit] + 1  # 1-based strpos
+        start = np.maximum(p - 10, 1)
+        txt = pd.Series(t.column("text").to_pylist())
+        snip = [s[int(a) - 1:int(a) - 1 + 30]
+                for s, a in zip(txt, start)]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pos": pa.array(p.astype(np.int64)),
+            "snippet": pa.array(snip, pa.string())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_Q197 = """
+SELECT doc_id, CAST(strpos(text, 'join') AS BIGINT) AS pos,
+       substr(text, CAST(GREATEST(strpos(text, 'join') - 10, 1)
+                         AS INTEGER), 30) AS snippet
+FROM documents WHERE strpos(text, 'join') > 0
+"""
+
+
+def q198_threshold_runs(sf_dir: str):
+    """Per-cell threshold streaks — the alerting primitive: over each
+    8×8 cell's CALENDAR-consecutive days with count ≥ 5, the longest
+    run and the run count (a gap day, or a below-threshold day, breaks
+    the streak).  One (cell, day) count exchange; run detection is a
+    vectorized diff on the calendar-bounded per-cell day vector."""
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pd.DataFrame({
+            "cell": row * 8 + col,
+            "day": ts // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    g = (_grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+         .to_pandas())
+    g = g[g["n"] >= 5].sort_values(["cell", "day"])
+    rows = []
+    for c, grp in g.groupby("cell"):
+        d = grp["day"].to_numpy(np.int64)
+        brk = np.r_[True, np.diff(d) != 1]
+        run_id = np.cumsum(brk)
+        lens = np.bincount(run_id)[1:]
+        rows.append((int(c), int(lens.max()), len(lens)))
+    return pd.DataFrame(rows, columns=["cell", "longest_run",
+                                       "n_runs"]).astype(np.int64)
+
+
+SQL_Q198 = f"""
+WITH e AS (
+  SELECT ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (SELECT cell, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+t AS (SELECT cell, day FROM d WHERE n >= 5),
+i AS (
+  SELECT cell, day,
+         day - row_number() OVER (PARTITION BY cell ORDER BY day)
+           AS isl
+  FROM t),
+r AS (SELECT cell, isl, COUNT(*) AS run FROM i GROUP BY 1, 2)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(MAX(run) AS BIGINT) AS longest_run,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM r GROUP BY 1
+"""
+
+
+def q199_phrase_count(sf_dir: str):
+    """Exact phrase occurrence counting ("data join" as adjacent
+    tokens) per document — the positional-index query q176's AND
+    search can't answer: token adjacency from the same flat-tokens +
+    parent-offsets kernel the whole text family shares (one vectorized
+    shifted equality, no per-row Python).  Docs with ≥ 1 occurrence
+    emit."""
+    import pyarrow.compute as pc
+
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_phrase": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        p, wd = parent[keep], flat[keep]
+        if len(wd) < 2:
+            return empty
+        hit = ((wd[:-1] == "data") & (wd[1:] == "join")
+               & (p[1:] == p[:-1]))
+        if not hit.any():
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"doc_id": ids[p[:-1][hit]]})
+              .groupby("doc_id", as_index=False).size()
+              .rename(columns={"size": "n_phrase"}))
+        df["n_phrase"] = df["n_phrase"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_Q199 = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+FROM big WHERE w1 = 'data' AND w2 = 'join'
+GROUP BY doc_id
+"""
+
+
+def q200_geo_curation(sf_dir: str):
+    """Composite geo-curation pipeline — the engine's stages chained
+    the way a production corpus build would run them: geo-parse →
+    distributed PIP district assignment (q55's machinery) → doc-
+    attribute join (lang/quality off the documents table, a same-key
+    hash join) → per-district curation summary (pages, curated pages =
+    lang ∈ {{en, de}} AND ≥ 200 chars, curated char mass).  Three
+    keyed exchanges end to end, every intermediate narrow."""
+    import ray.data as rd
+
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+
+    polys = _district_polys(64)
+    ptab = polygons_table(polys)
+    joined = pip_join_by_cell(
+        _geo_pages(sf_dir), rd.from_arrow(ptab), polys_schema=ptab.schema)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang", "n_chars"])
+    full = hash_join(joined, docs, on="page_id", right_on="doc_id")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        cur = (np.isin(lang, ("en", "de")) & (nch >= 200)).astype(
+            np.int64)
+        return pd.DataFrame({
+            "admin_id": batch.column("admin_id").to_numpy(
+                zero_copy_only=False),
+            "n_pages": np.ones(len(lang), dtype=np.int64),
+            "n_curated": cur,
+            "curated_chars": cur * nch})
+
+    return _grouped_sums(full, ["admin_id"], partial,
+                         ["n_pages", "n_curated", "curated_chars"])
+
+
+SQL_Q200 = None  # assembled below (needs the boxes CTE)
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -11894,7 +12180,25 @@ def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
     global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57, SQL_Q60
-    global SQL_Q173, SQL_Q193
+    global SQL_Q173, SQL_Q193, SQL_Q200
+    SQL_Q200 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)}),
+hit AS (
+  SELECT g.doc_id, COALESCE(MIN(b.box_id), -1) AS admin_id
+  FROM g LEFT JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+                    AND g.lat >= b.minlat AND g.lat < b.maxlat
+  GROUP BY g.doc_id),
+j AS (
+  SELECT hit.admin_id, d.lang, d.n_chars,
+         CASE WHEN d.lang IN ('en', 'de') AND d.n_chars >= 200
+              THEN 1 ELSE 0 END AS cur
+  FROM hit JOIN documents d ON d.doc_id = hit.doc_id)
+SELECT admin_id, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(cur) AS BIGINT) AS n_curated,
+       CAST(SUM(cur * n_chars) AS BIGINT) AS curated_chars
+FROM j GROUP BY admin_id
+"""
     SQL_Q193 = f"""
 WITH g AS ({_SQL_GEO_DOCS}),
 b AS ({sql_boxes_cte(64)}),
@@ -12233,6 +12537,11 @@ QUERIES = {
     "q193_district_centroids": q193_district_centroids,
     "q194_top_movers": q194_top_movers,
     "q195_hash_ring": q195_hash_ring,
+    "q196_funnel_latency": q196_funnel_latency,
+    "q197_kwic": q197_kwic,
+    "q198_threshold_runs": q198_threshold_runs,
+    "q199_phrase_count": q199_phrase_count,
+    "q200_geo_curation": q200_geo_curation,
 }
 
 ORACLES = {
@@ -12426,4 +12735,9 @@ ORACLES = {
     "q193_district_centroids": SQL_Q193,
     "q194_top_movers": SQL_Q194,
     "q195_hash_ring": SQL_Q195,
+    "q196_funnel_latency": SQL_Q196,
+    "q197_kwic": SQL_Q197,
+    "q198_threshold_runs": SQL_Q198,
+    "q199_phrase_count": SQL_Q199,
+    "q200_geo_curation": SQL_Q200,
 }

@@ -115,6 +115,11 @@ SUBSET = [
     "q193_district_centroids",
     "q194_top_movers",
     "q195_hash_ring",
+    "q196_funnel_latency",
+    "q197_kwic",
+    "q198_threshold_runs",
+    "q199_phrase_count",
+    "q200_geo_curation",
 ]
 
 
