@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q101_geo_pairs",
     "q107_covisits",
     "q112_dbscan",
+    "q163_pmi_collocations",
+    "q200_geo_curation",
 ]
 
 

@@ -11960,6 +11960,169 @@ def q200_geo_curation(sf_dir: str):
 SQL_Q200 = None  # assembled below (needs the boxes CTE)
 
 
+def q201_watermark_late(sf_dir: str):
+    """Streaming watermark / late-event accounting — the event-time vs
+    arrival-time primitive: events arrive in event_id order, the
+    watermark at each arrival is (running max event-time − 1 h), and an
+    event is LATE iff its own timestamp is already behind that
+    watermark.  Output: per event-time hour, on-time vs late counts.
+
+    The running max is a DISTRIBUTED PREFIX SCAN (the q152 offset
+    pattern applied to max): arrival ranges (event_id // R) partition
+    the stream contiguously, pass A folds per-range maxima into a
+    bounded driver vector whose exclusive prefix-max seeds pass B's
+    block-local running max — two narrow passes, no global sort."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    R = 4096  # arrival range width
+    LAG = 3_600_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def rng_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"rng": ids // R, "mx": ts})
+        return df.groupby("rng", as_index=False)["mx"].max()
+
+    def rng_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "rng" not in df.columns:
+            return pa.table({"rng": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.groupby("rng", as_index=False)["mx"].max())
+
+    ranges = (ds.map_batches(
+        lambda b: from_pandas_clean(rng_partial(b)),
+        batch_format="pyarrow")
+        .repartition(2, keys=["rng"])
+        .map_batches(rng_combine, batch_format="pyarrow")
+        .to_pandas().sort_values("rng"))  # bounded: #ranges
+    rng_ids = ranges["rng"].to_numpy(np.int64)
+    mx = ranges["mx"].to_numpy(np.int64)
+    prefix = np.r_[np.int64(-1 << 62),
+                   np.maximum.accumulate(mx)[:-1]]
+    seed = dict(zip(rng_ids.tolist(), prefix.tolist()))
+
+    def late_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"hour": pa.array([], pa.int64()),
+                          "n_ontime": pa.array([], pa.int64()),
+                          "n_late": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = pd.DataFrame({
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)}).sort_values("event_id")
+        ids = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        rg = ids // R
+        out = []
+        for r0 in np.unique(rg):
+            m = rg == r0
+            t = ts[m]
+            runmax = np.maximum(np.maximum.accumulate(t),
+                                seed[int(r0)])
+            late = t < runmax - LAG
+            hour = t // LAG
+            sub = (pd.DataFrame({"hour": hour,
+                                 "late": late.astype(np.int64)})
+                   .groupby("hour", as_index=False)
+                   .agg(n=("late", "size"), n_late=("late", "sum")))
+            out.append(sub)
+        cat = (pd.concat(out, ignore_index=True)
+               .groupby("hour", as_index=False).sum())
+        cat["n_ontime"] = cat["n"] - cat["n_late"]
+        return from_pandas_clean(
+            cat[["hour", "n_ontime", "n_late"]].astype(np.int64))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"hour": pa.array([], pa.int64()),
+                             "n_ontime": pa.array([], pa.int64()),
+                             "n_late": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("hour", as_index=False)
+              [["n_ontime", "n_late"]].sum())
+        return from_pandas_clean(df)
+
+    def add_rng(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("rng", pa.array(ids // R))
+
+    return (ds.map_batches(add_rng, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["rng"])
+            .map_batches(late_block, batch_format="pyarrow")
+            .repartition(2, keys=["hour"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q201 = """
+WITH x AS (
+  SELECT epoch_us(ts) AS ts,
+         MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM events),
+f AS (
+  SELECT ts // 3600000000 AS hour,
+         CASE WHEN ts < runmax - 3600000000 THEN 1 ELSE 0 END AS late
+  FROM x)
+SELECT CAST(hour AS BIGINT) AS hour,
+       CAST(SUM(1 - late) AS BIGINT) AS n_ontime,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1
+"""
+
+
+def q202_focal_smooth(sf_dir: str):
+    """Weighted 3×3 focal smoothing of the density raster — the
+    gaussian-kernel approximation in the ×16 fixed-point convention
+    (weights 1/2/1, 2/4/2, 1/2/1; cells outside the grid contribute 0):
+    the cartographic heatmap-blur primitive.  Distributed count front
+    (the shared q110 raster family); the convolution is four vectorized
+    shifted adds on the grid-constant-bounded array (separable kernel:
+    [1 2 1] twice).  Output: nonzero cells only."""
+    x = _density_grid64(sf_dir)
+    pad = np.zeros((66, 66), dtype=np.int64)
+    pad[1:65, 1:65] = x
+    h = pad[:, :-2] + 2 * pad[:, 1:-1] + pad[:, 2:]   # [1 2 1] cols
+    v = h[:-2, :] + 2 * h[1:-1, :] + h[2:, :]          # [1 2 1] rows
+    s16 = v  # (66-2)x(64) -> 64x64
+    flat = s16.ravel()
+    keep = flat > 0
+    cells = np.arange(4096, dtype=np.int64)
+    return pd.DataFrame({"cell": cells[keep],
+                         "s16": flat[keep].astype(np.int64)})
+
+
+SQL_Q202 = f"""
+WITH geo AS ({{GEO}}),
+cnt AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+         + ((lon + 1800000000) * 64 // 3600000001) AS cell,
+         COUNT(*) AS n
+  FROM geo GROUP BY 1),
+o(dy, dx, w) AS (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),
+                        (0,1,2),(1,-1,1),(1,0,2),(1,1,1)),
+g AS (SELECT r.range AS cell FROM range(4096) r),
+v AS (
+  SELECT g.cell, SUM(o.w * cnt.n) AS s16
+  FROM g JOIN o ON TRUE
+  JOIN cnt ON cnt.cell = (g.cell // 64 + o.dy) * 64
+                         + (g.cell % 64 + o.dx)
+          AND g.cell // 64 + o.dy BETWEEN 0 AND 63
+          AND g.cell % 64 + o.dx BETWEEN 0 AND 63
+  GROUP BY 1)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(s16 AS BIGINT) AS s16
+FROM v WHERE s16 > 0
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -12333,9 +12496,11 @@ _build_geo_ctes()
 
 def _build_hilbert_range_sql():
     global SQL_Q189, SQL_Q191
+    global SQL_Q202
     SQL_Q189 = SQL_Q189.format(GEO=_SQL_GEO_DOCS,
                                STEPS=_hilbert_sql_steps(13))
     SQL_Q191 = SQL_Q191.format(GEO=_SQL_GEO_DOCS)
+    SQL_Q202 = SQL_Q202.format(GEO=_SQL_GEO_DOCS)
 
 
 _build_hilbert_range_sql()
@@ -12542,6 +12707,8 @@ QUERIES = {
     "q198_threshold_runs": q198_threshold_runs,
     "q199_phrase_count": q199_phrase_count,
     "q200_geo_curation": q200_geo_curation,
+    "q201_watermark_late": q201_watermark_late,
+    "q202_focal_smooth": q202_focal_smooth,
 }
 
 ORACLES = {
@@ -12740,4 +12907,6 @@ ORACLES = {
     "q198_threshold_runs": SQL_Q198,
     "q199_phrase_count": SQL_Q199,
     "q200_geo_curation": SQL_Q200,
+    "q201_watermark_late": SQL_Q201,
+    "q202_focal_smooth": SQL_Q202,
 }

@@ -120,6 +120,8 @@ SUBSET = [
     "q198_threshold_runs",
     "q199_phrase_count",
     "q200_geo_curation",
+    "q201_watermark_late",
+    "q202_focal_smooth",
 ]
 
 
