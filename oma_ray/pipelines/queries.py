@@ -12123,6 +12123,163 @@ FROM v WHERE s16 > 0
 """
 
 
+def q203_dow_heatmap(sf_dir: str):
+    """Day-of-week × hour-of-day traffic matrix — the seasonal-profile
+    heatmap: counts per (dow, hour) with dow from the epoch formula
+    ``(day + 4) % 7`` (1970-01-01 was a Thursday; 0 = Sunday) so both
+    engines share one integer definition, no calendar library.  Pure
+    partial-counts exchange over the 7×24-bounded key space."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = ts // 86_400_000_000
+        return pd.DataFrame({
+            "dow": (day + 4) % 7,
+            "hour": (ts // 3_600_000_000) % 24,
+            "n": np.ones(len(ts), dtype=np.int64)})
+
+    return _grouped_sums(ds, ["dow", "hour"], partial, ["n"], 2)
+
+
+SQL_Q203 = """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q204_kll_quantiles(sf_dir: str):
+    """Driver-visible KLL sketch quantiles (the unbounded-value-domain
+    quantile regime q114's docstring points at): per-batch KLL partials
+    ride ONE exchange as small mergeable blobs, the merged sketch
+    answers p25/50/75/90 over lineitem quantity — and the entry is
+    rows-only WITH a pinned accuracy gate: the exact rank of each
+    approximate answer (computed from the same distributed value
+    histogram the exact family uses) must sit within 2.5%% of its
+    target, or the query raises (the q137 HLL convention)."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sketch import KLLSketch
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity"])
+
+    def sk_partial(batch: pa.Table) -> pa.Table:
+        s = KLLSketch(512)
+        s.insert(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        return pa.table({"one": pa.array([0], pa.int64()),
+                         "blob": pa.array([s.to_bytes()],
+                                          pa.binary())})
+
+    def sk_merge(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"one": pa.array([], pa.int64()),
+                             "blob": pa.array([], pa.binary())})
+        s = KLLSketch(512)
+        for b in batch.column("blob").to_pylist():
+            s.merge(KLLSketch.from_bytes(b))
+        return pa.table({"one": pa.array([0], pa.int64()),
+                         "blob": pa.array([s.to_bytes()],
+                                          pa.binary())})
+
+    merged = (ds.map_batches(sk_partial, batch_format="pyarrow")
+              .repartition(1, keys=["one"])
+              .map_batches(sk_merge, batch_format="pyarrow")
+              .to_pandas())
+    s = KLLSketch.from_bytes(merged["blob"].iloc[0])
+    qs = np.array([0.25, 0.5, 0.75, 0.9])
+    approx = s.quantiles(qs)
+
+    # exact ranks from the distributed value histogram (quantity is a
+    # bounded integer domain in cents terms — the exact-family front)
+    def h_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": _cents(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)),
+            "n": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = (_grouped_sums(ds, ["v"], h_partial, ["n"], 2)
+            .to_pandas().sort_values("v"))
+    v = hist["v"].to_numpy(np.int64)
+    c = hist["n"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    rows, max_err = [], 0.0
+    for q, a in zip(qs, approx):
+        ac = int(np.floor(a * 100 + 0.5))
+        rank = int(cum[np.searchsorted(v, ac, side="right") - 1]) \
+            if ac >= v[0] else 0
+        err = abs(rank / n - q)
+        max_err = max(max_err, err)
+        rows.append((int(q * 100), ac, rank, n))
+    out = pd.DataFrame(rows, columns=["pct", "approx_cents",
+                                      "exact_rank", "n"]).astype(
+        np.int64)
+    return _quality_gate(out, "max_rank_err_x1000",
+                         1.0 - max_err, 0.975)
+
+
+def q205_moving_sum(sf_dir: str):
+    """Window-frame moving aggregate (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): the trailing-3-observation sum over each 8×8 cell's
+    observed-day count series — the classic frame-based window the
+    engine computes as a cumsum difference on the calendar-bounded
+    per-cell vector after ONE (cell, day) exchange."""
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pd.DataFrame({
+            "cell": row * 8 + col,
+            "day": ts // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    g = (_grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+         .to_pandas().sort_values(["cell", "day"]))
+    out = []
+    for c, grp in g.groupby("cell"):
+        x = grp["n"].to_numpy(np.int64)
+        cum = np.cumsum(x)
+        ma3 = cum - np.r_[np.zeros(min(3, len(x)), np.int64),
+                          cum[:-3]]
+        out.append(pd.DataFrame({
+            "cell": np.full(len(x), int(c), np.int64),
+            "day": grp["day"].to_numpy(np.int64),
+            "ma3_sum": ma3}))
+    return pd.concat(out, ignore_index=True)
+
+
+SQL_Q205 = f"""
+WITH e AS (
+  SELECT ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (SELECT cell, day, COUNT(*) AS n FROM e GROUP BY 1, 2)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(day AS BIGINT) AS day,
+       CAST(SUM(n) OVER (PARTITION BY cell ORDER BY day
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS ma3_sum
+FROM d
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -12709,6 +12866,9 @@ QUERIES = {
     "q200_geo_curation": q200_geo_curation,
     "q201_watermark_late": q201_watermark_late,
     "q202_focal_smooth": q202_focal_smooth,
+    "q203_dow_heatmap": q203_dow_heatmap,
+    "q204_kll_quantiles": q204_kll_quantiles,
+    "q205_moving_sum": q205_moving_sum,
 }
 
 ORACLES = {
@@ -12909,4 +13069,8 @@ ORACLES = {
     "q200_geo_curation": SQL_Q200,
     "q201_watermark_late": SQL_Q201,
     "q202_focal_smooth": SQL_Q202,
+    "q203_dow_heatmap": SQL_Q203,
+    # q204 is rows-only by design (sketch answer) with a pinned exact-
+    # rank accuracy gate (the q137 HLL convention).
+    "q205_moving_sum": SQL_Q205,
 }

@@ -122,6 +122,8 @@ SUBSET = [
     "q200_geo_curation",
     "q201_watermark_late",
     "q202_focal_smooth",
+    "q203_dow_heatmap",
+    "q205_moving_sum",
 ]
 
 
