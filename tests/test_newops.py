@@ -469,3 +469,82 @@ def test_radial_simplify_matches_bruteforce():
             assert d2 < EPS2
 
     check()
+
+
+def test_hull_diameter_matches_bruteforce():
+    """q166's mergeable-hull diameter vs the all-pairs brute maximum."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.pipelines.queries import _hull_2d
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.tuples(st.integers(-10000, 10000),
+                              st.integers(-10000, 10000)),
+                    min_size=1, max_size=60))
+    def check(pts):
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        hull = _hull_2d(x, y)
+        if len(hull) < 2:
+            got = 0
+        else:
+            dx = hull[:, 0][:, None] - hull[:, 0][None, :]
+            dy = hull[:, 1][:, None] - hull[:, 1][None, :]
+            got = int((dx * dx + dy * dy).max())
+        bx = x[:, None] - x[None, :]
+        by = y[:, None] - y[None, :]
+        want = int((bx * bx + by * by).max())
+        assert got == want
+
+    check()
+
+
+def test_bit_length_vec_matches_python():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oma_ray.pipelines.queries import _bit_length_vec
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(0, 2**62), min_size=1, max_size=50))
+    def check(vals):
+        v = np.array(vals, dtype=np.int64)
+        got = _bit_length_vec(v)
+        for g, w in zip(got.tolist(), vals):
+            assert g == int(w).bit_length()
+
+    check()
+
+
+def test_ipc_shards_deterministic(tmp_path, ray_session):
+    """Same data -> byte-identical Arrow IPC shards on rerun."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from oma_ray.sources.arrowipc import read_ipc, write_ipc
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    sums = []
+    for d in ("a", "b"):
+        out = str(tmp_path / d)
+        write_ipc(rd.from_arrow(t), out)
+        names = sorted(p.name for p in (tmp_path / d).iterdir()
+                       if p.name.endswith(".arrow"))
+        h = hashlib.md5()
+        for nm in names:
+            h.update(nm.encode())
+            h.update((tmp_path / d / nm).read_bytes())
+        sums.append(h.hexdigest())
+    assert sums[0] == sums[1]
+    back = read_ipc(str(tmp_path / "a")).to_pandas()
+    want = t.to_pandas()
+    assert sorted(back["doc_id"]) == sorted(want["doc_id"])
+    m = back.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert (m["text"] == w["text"]).all()
