@@ -12280,6 +12280,208 @@ FROM d
 """
 
 
+def q206_pk_audit(sf_dir: str):
+    """Primary-key uniqueness audit (the dbt-style DQ test, run at
+    engine scale): per audited table, row count, distinct key count and
+    duplicate surplus — computed as per-key partial counts through ONE
+    keyed exchange per table (distinct = rows where the combined count
+    is 1 …, surplus = Σ(count−1)), so no distinct-set ever
+    materializes.  Tables audited: orders(o_orderkey),
+    customer(c_custkey), part(p_partkey)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    out = []
+    for tbl, key in (("orders", "o_orderkey"),
+                     ("customer", "c_custkey"), ("part", "p_partkey")):
+        ds = read_parquet_clean(f"{sf_dir}/{tbl}.parquet",
+                                columns=[key])
+
+        def partial(batch: pa.Table, key=key) -> pd.DataFrame:
+            ids = batch.column(key).to_numpy(zero_copy_only=False)
+            return pd.DataFrame({"k": ids,
+                                 "n": np.ones(len(ids), np.int64)})
+
+        g = _grouped_sums(ds, ["k"], partial, ["n"],
+                          default_partitions())
+
+        def fold(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"n_rows": pa.array([], pa.int64()),
+                              "n_keys": pa.array([], pa.int64()),
+                              "n_dup_surplus": pa.array([], pa.int64())})
+            if not len(batch):
+                return empty
+            df = batch.to_pandas()
+            n = df["n"].to_numpy(np.int64)
+            return pa.table({
+                "n_rows": pa.array([int(n.sum())], pa.int64()),
+                "n_keys": pa.array([len(n)], pa.int64()),
+                "n_dup_surplus": pa.array([int((n - 1).sum())],
+                                          pa.int64())})
+
+        f = (g.map_batches(fold, batch_format="pyarrow")
+             .to_pandas().sum())  # ≤1 row per block: bounded fold
+        out.append((tbl, int(f["n_rows"]), int(f["n_keys"]),
+                    int(f["n_dup_surplus"])))
+    return pd.DataFrame(out, columns=["tbl", "n_rows", "n_keys",
+                                      "n_dup_surplus"])
+
+
+SQL_Q206 = """
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+         AS n_dup_surplus
+FROM orders
+UNION ALL
+SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+       COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+       COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+"""
+
+
+def q207_fk_audit(sf_dir: str):
+    """Referential-integrity audit (FK orphan counts): lineitem rows
+    whose order key has no parent order, and orders whose customer is
+    missing — each an ANTI-join shrunk to per-key counts BEFORE the
+    exchange (both sides pre-aggregate to distinct keys / key counts,
+    so the exchange moves O(keys) and the orphan count is an exact
+    per-key difference).  The DQ companion of q22's anti-join."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def orphans(child, ckey, parent, pkey):
+        c = read_parquet_clean(f"{sf_dir}/{child}.parquet",
+                               columns=[ckey])
+        p = read_parquet_clean(f"{sf_dir}/{parent}.parquet",
+                               columns=[pkey])
+
+        def c_part(batch: pa.Table) -> pa.Table:
+            ids = batch.column(ckey).to_numpy(zero_copy_only=False)
+            df = (pd.DataFrame({"k": ids,
+                                "n": np.ones(len(ids), np.int64)})
+                  .groupby("k", as_index=False)["n"].sum())
+            df["side"] = np.int64(0)
+            return from_pandas_clean(df)
+
+        def p_part(batch: pa.Table) -> pa.Table:
+            ids = np.unique(batch.column(pkey).to_numpy(
+                zero_copy_only=False))
+            return pa.table({"k": pa.array(ids),
+                             "n": pa.array(np.zeros(len(ids),
+                                                    np.int64)),
+                             "side": pa.array(np.ones(len(ids),
+                                                      np.int64))})
+
+        def fold(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"n_orphan_rows": pa.array([], pa.int64()),
+                              "n_orphan_keys": pa.array([], pa.int64())})
+            if not len(batch):
+                return empty
+            df = batch.to_pandas()
+            has_parent = set(df.loc[df["side"] == 1, "k"].tolist())
+            ch = (df[df["side"] == 0]
+                  .groupby("k", as_index=False)["n"].sum())
+            orphan = ~ch["k"].isin(has_parent)
+            return pa.table({
+                "n_orphan_rows": pa.array(
+                    [int(ch.loc[orphan, "n"].sum())], pa.int64()),
+                "n_orphan_keys": pa.array([int(orphan.sum())],
+                                          pa.int64())})
+
+        both = (c.map_batches(c_part, batch_format="pyarrow")
+                .union(p.map_batches(p_part, batch_format="pyarrow"))
+                .repartition(default_partitions(), keys=["k"])
+                .map_batches(fold, batch_format="pyarrow")
+                .to_pandas().sum())
+        return int(both["n_orphan_rows"]), int(both["n_orphan_keys"])
+
+    r1 = orphans("lineitem", "l_orderkey", "orders", "o_orderkey")
+    r2 = orphans("orders", "o_custkey", "customer", "c_custkey")
+    return pd.DataFrame(
+        [("lineitem->orders",) + r1, ("orders->customer",) + r2],
+        columns=["fk", "n_orphan_rows", "n_orphan_keys"])
+
+
+SQL_Q207 = """
+SELECT 'lineitem->orders' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orphan_keys
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', COUNT(*), COUNT(DISTINCT o.o_custkey)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q208_domain_audit(sf_dir: str):
+    """Accepted-values / range domain audit (the dbt test family over
+    the corpus): per check, violation counts in ONE fused pass —
+    lang outside the expected set, n_chars out of [1, 100 000],
+    empty/whitespace-only text, and doc_id negativity.  Partial counts
+    per check per batch ride a tiny exchange keyed by check id."""
+    import pyarrow.compute as pc
+
+    from oma_ray.sources.parquet import from_pandas_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang",
+                                     "n_chars"])
+    LANGS = ("en", "de", "fr", "es", "it")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        blank = pc.equal(
+            pc.utf8_trim_whitespace(batch.column("text")), "")
+        checks = {
+            "lang_accepted": int((~np.isin(lang, LANGS)).sum()),
+            "chars_in_range": int(((nch < 1)
+                                   | (nch > 100_000)).sum()),
+            "text_nonblank": int(pc.sum(pc.cast(
+                blank, pa.int64())).as_py() or 0),
+            "id_nonnegative": int((ids < 0).sum()),
+        }
+        return pd.DataFrame({
+            "checked": np.full(len(checks), len(lang), np.int64),
+            "chk": list(checks.keys()),
+            "n_viol": np.array(list(checks.values()), np.int64)})
+
+    return _grouped_sums(ds, ["chk"], partial, ["checked", "n_viol"],
+                         2)
+
+
+SQL_Q208 = """
+SELECT 'lang_accepted' AS chk, CAST(COUNT(*) AS BIGINT) AS checked,
+       CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','it')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+FROM documents
+UNION ALL
+SELECT 'chars_in_range', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars < 1 OR n_chars > 100000
+                THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'text_nonblank', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'id_nonnegative', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -12869,6 +13071,9 @@ QUERIES = {
     "q203_dow_heatmap": q203_dow_heatmap,
     "q204_kll_quantiles": q204_kll_quantiles,
     "q205_moving_sum": q205_moving_sum,
+    "q206_pk_audit": q206_pk_audit,
+    "q207_fk_audit": q207_fk_audit,
+    "q208_domain_audit": q208_domain_audit,
 }
 
 ORACLES = {
@@ -13073,4 +13278,7 @@ ORACLES = {
     # q204 is rows-only by design (sketch answer) with a pinned exact-
     # rank accuracy gate (the q137 HLL convention).
     "q205_moving_sum": SQL_Q205,
+    "q206_pk_audit": SQL_Q206,
+    "q207_fk_audit": SQL_Q207,
+    "q208_domain_audit": SQL_Q208,
 }

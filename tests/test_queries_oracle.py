@@ -124,6 +124,9 @@ SUBSET = [
     "q202_focal_smooth",
     "q203_dow_heatmap",
     "q205_moving_sum",
+    "q206_pk_audit",
+    "q207_fk_audit",
+    "q208_domain_audit",
 ]
 
 
