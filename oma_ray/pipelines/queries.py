@@ -12482,6 +12482,333 @@ FROM documents
 """
 
 
+def q209_clustering_coeff(sf_dir: str):
+    """Per-community local clustering coefficient over the CONTRACTED
+    link graph (hosts → 50 community nodes by host % 50 — the synth
+    host graph is triangle-sparse at test scale, the contraction makes
+    the metric non-degenerate while exercising the same machinery) —
+    the q84 wedge plan extended to PER-NODE triangle credits (each
+    closed wedge credits its three corners into a node-keyed sum;
+    `stages/graph.triangle_per_node`), joined with degrees for the
+    exact num/den pair ``coeff = 2·tri / (d·(d−1))``.  Output: nodes
+    in ≥ 1 triangle with (deg, n_tri) — the coefficient derives
+    off-engine (the q110/q171 convention)."""
+    from oma_ray.stages.graph import (_und_distinct, host_edge_ints,
+                                      triangle_per_node)
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.links import host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    raw = host_edge_ints(host_link_edges(make_pages_dataset(sf_dir)))
+
+    def contract(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False) % 50
+        d = batch.column("dst").to_numpy(zero_copy_only=False) % 50
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep]),
+                         "dst": pa.array(d[keep])})
+
+    edges = raw.map_batches(contract, batch_format="pyarrow")
+    tri = triangle_per_node(edges)
+
+    und = _und_distinct(edges, 4)
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "deg": np.ones(2 * len(a),
+                                            dtype=np.int64)})
+
+    deg = _grouped_sums(und, ["node"], deg_partial, ["deg"], 4)
+    out = hash_join(
+        tri, deg, on="node",
+        left_schema=pa.schema([("node", pa.int64()),
+                               ("n_tri", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("deg", pa.int64())]))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64())})
+        return batch.select(["node", "deg", "n_tri"])
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_Q209 = """
+WITH e0 AS (
+  SELECT DISTINCT (doc_id % 1000) % 50 AS src,
+         ((doc_id * 48271 + j) % 1000) % 50 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j
+    AND doc_id % 1000 <> (doc_id * 48271 + j) % 1000
+    AND (doc_id % 1000) % 50 <> ((doc_id * 48271 + j) % 1000) % 50),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM adj GROUP BY u),
+tri AS (
+  SELECT x.u AS node, COUNT(*) AS n_tri
+  FROM adj x JOIN adj y ON y.u = x.u AND y.v > x.v
+  JOIN und e ON e.a = x.v AND e.b = y.v
+  GROUP BY x.u)
+SELECT CAST(tri.node AS BIGINT) AS node,
+       CAST(deg.d AS BIGINT) AS deg,
+       CAST(tri.n_tri AS BIGINT) AS n_tri
+FROM tri JOIN deg ON deg.node = tri.node
+"""
+
+
+def q210_lang_homophily(sf_dir: str):
+    """Attribute homophily of the link graph — do hosts link to
+    same-language hosts?  Each host's DOMINANT language (doc-count
+    majority, ties to the alphabetically first lang — one bounded
+    grouped count), folded onto both endpoints of every edge instance
+    via two hash joins; output one exact row: edges total, homophilous
+    edges, per-mille share.  The mixing diagnostic that pairs with
+    q171's degree assortativity."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.links import host_int, host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+
+    def lang_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "host": ids % 1000,
+            "lang": batch.column("lang").to_numpy(
+                zero_copy_only=False),
+            "n": np.ones(len(ids), dtype=np.int64)})
+
+    hl = _grouped_sums(docs, ["host", "lang"], lang_partial, ["n"], 4)
+
+    def dominant(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.int64()),
+                          "dlang": pa.array([], pa.string())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["host", "n", "lang"],
+                           ascending=[True, False, True],
+                           kind="stable")
+              .groupby("host", as_index=False).head(1))
+        return from_pandas_clean(
+            df[["host", "lang"]].rename(columns={"lang": "dlang"}))
+
+    dom = (hl.repartition(4, keys=["host"])
+           .map_batches(dominant, batch_format="pyarrow"))
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": host_int(batch.column("src_host")),
+            "dst": host_int(batch.column("dst_host")),
+            "n": batch.column("n_links").cast(pa.int64())})
+
+    edges = (host_link_edges(make_pages_dataset(sf_dir))
+             .map_batches(to_ids, batch_format="pyarrow"))
+    j1 = hash_join(edges, dom.rename_columns(
+        {"host": "src", "dlang": "src_lang"}), on="src")
+    j2 = hash_join(j1, dom.rename_columns(
+        {"host": "dst", "dlang": "dst_lang"}), on="dst")
+
+    def sums(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"one": pa.array([], pa.int64()),
+                          "n_edges": pa.array([], pa.int64()),
+                          "n_same": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        same = (batch.column("src_lang").to_numpy(zero_copy_only=False)
+                == batch.column("dst_lang").to_numpy(
+                    zero_copy_only=False))
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "n_edges": pa.array([int(n.sum())], pa.int64()),
+            "n_same": pa.array([int(n[same].sum())], pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if not len(batch) or "n_edges" not in batch.column_names:
+            return pa.table({"n_edges": pa.array([], pa.int64()),
+                             "n_same": pa.array([], pa.int64()),
+                             "same_pm": pa.array([], pa.int64())})
+        df = batch.to_pandas().drop(columns=["one"]).sum()
+        ne, ns = int(df["n_edges"]), int(df["n_same"])
+        return pa.table({"n_edges": pa.array([ne], pa.int64()),
+                         "n_same": pa.array([ns], pa.int64()),
+                         "same_pm": pa.array([ns * 1000 // ne],
+                                             pa.int64())})
+
+    return (j2.map_batches(sums, batch_format="pyarrow")
+            .repartition(1, keys=["one"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q210 = """
+WITH hl AS (
+  SELECT doc_id % 1000 AS host, lang, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2),
+dom AS (
+  SELECT host, lang AS dlang FROM (
+    SELECT host, lang,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY n DESC, lang) AS rk
+    FROM hl) WHERE rk = 1),
+e AS (
+  SELECT doc_id % 1000 AS src, (doc_id * 48271 + j) % 1000 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j),
+j AS (
+  SELECT ds.dlang AS sl, dd.dlang AS dl
+  FROM e JOIN dom ds ON ds.host = e.src
+         JOIN dom dd ON dd.host = e.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS same_pm
+FROM j
+"""
+
+
+def q211_depth_quality_corr(sf_dir: str):
+    """URL-path-depth × document-length correlation — exact Pearson
+    sums (the q171 num/den convention) over (depth, n_chars) where
+    depth counts '/' beyond the scheme in the synthetic url formula
+    (pages carry url "https://siteH.example/pageK" → depth derives from
+    doc_id's page component: 1 + (doc_id % 7 == 0), mirrored exactly).
+    One fused pass + constant-key sums exchange."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        y = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        x = 1 + (ids % 7 == 0).astype(np.int64)
+        return pa.table({
+            "one": pa.array([0], pa.int64()),
+            "n": pa.array([len(x)], pa.int64()),
+            "s_x": pa.array([int(x.sum())], pa.int64()),
+            "s_y": pa.array([int(y.sum())], pa.int64()),
+            "s_xy": pa.array([int((x * y).sum())], pa.int64()),
+            "s_x2": pa.array([int((x * x).sum())], pa.int64()),
+            "s_y2": pa.array([int((y * y).sum())], pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        cols = ["n", "s_x", "s_y", "s_xy", "s_x2", "s_y2"]
+        if not len(batch) or "n" not in batch.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in cols})
+        df = batch.to_pandas().drop(columns=["one"]).sum()
+        return pa.table({c: pa.array([int(df[c])], pa.int64())
+                         for c in cols})
+
+    return (ds.map_batches(sums, batch_format="pyarrow")
+            .repartition(1, keys=["one"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q211 = """
+WITH v AS (
+  SELECT 1 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS x,
+         n_chars AS y
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+       CAST(SUM(x * y) AS BIGINT) AS s_xy,
+       CAST(SUM(x * x) AS BIGINT) AS s_x2,
+       CAST(SUM(y * y) AS BIGINT) AS s_y2
+FROM v
+"""
+
+
+def q212_attribution(sf_dir: str):
+    """Last-touch conversion attribution — per purchase event, the most
+    recent PRECEDING event of another type by the same user (ties by
+    event_id) is the credited channel; output counts per channel plus
+    unattributed purchases (no prior event).  ONE user-keyed exchange;
+    the block kernel is a lexsort + vectorized forward-fill of the last
+    non-purchase (type, ts) per user — the funnel family's attribution
+    twin."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def attr_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"channel": pa.array([], pa.string()),
+                          "n_purchases": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "ts": batch.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False),
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False)}).sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        is_p = df["event_type"].to_numpy() == "purchase"
+        ch = pd.Series(np.where(is_p, None, df["event_type"]),
+                       index=df.index, dtype=object)
+        last = ch.groupby(df["user_id"]).ffill()
+        cred = last[is_p].fillna("(none)")
+        out = (cred.value_counts().rename_axis("channel")
+               .reset_index(name="n_purchases"))
+        out["n_purchases"] = out["n_purchases"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"channel": pa.array([], pa.string()),
+                             "n_purchases": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("channel", as_index=False)
+              ["n_purchases"].sum())
+        return from_pandas_clean(df)
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(attr_block, batch_format="pyarrow")
+            .repartition(2, keys=["channel"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q212 = """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_channel
+  FROM events),
+p AS (
+  SELECT COALESCE(prev_channel,
+                  CASE WHEN event_type <> 'purchase'
+                       THEN event_type END, '(none)') AS channel
+  FROM x WHERE event_type = 'purchase')
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM p GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -13074,6 +13401,10 @@ QUERIES = {
     "q206_pk_audit": q206_pk_audit,
     "q207_fk_audit": q207_fk_audit,
     "q208_domain_audit": q208_domain_audit,
+    "q209_clustering_coeff": q209_clustering_coeff,
+    "q210_lang_homophily": q210_lang_homophily,
+    "q211_depth_quality_corr": q211_depth_quality_corr,
+    "q212_attribution": q212_attribution,
 }
 
 ORACLES = {
@@ -13281,4 +13612,8 @@ ORACLES = {
     "q206_pk_audit": SQL_Q206,
     "q207_fk_audit": SQL_Q207,
     "q208_domain_audit": SQL_Q208,
+    "q209_clustering_coeff": SQL_Q209,
+    "q210_lang_homophily": SQL_Q210,
+    "q211_depth_quality_corr": SQL_Q211,
+    "q212_attribution": SQL_Q212,
 }

@@ -244,6 +244,149 @@ def triangle_count(edges, num_partitions: int | None = None) -> pa.Table:
     })
 
 
+def triangle_per_node(edges, num_partitions: int | None = None):
+    """Per-node triangle counts — the local-clustering front: the same
+    degree-oriented wedge plan as :func:`triangle_count` (each triangle
+    forms exactly ONE wedge, at its lowest-(deg, id) corner), but wedge
+    rows carry their pivot and the close stage credits all THREE corners
+    of every closed wedge into a node-keyed sum.  Returns a Dataset of
+    (node, n_tri) for nodes in ≥ 1 triangle."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+    from oma_ray.stages.dedup import ensure_hash_shuffle, pair_indices
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = max(1, default_partitions() // 2)
+
+    und = _und_distinct(edges, num_partitions).materialize()
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"node": np.concatenate([a, b]),
+                             "deg": np.ones(2 * len(a), dtype=np.int64)})
+
+    deg = _grouped_sums(und, ["node"], deg_partial, ["deg"],
+                        num_partitions)
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return _empty({"u": pa.int64(), "v": pa.int64(),
+                           "deg": pa.int64()})
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "v": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "deg": pa.array(np.full(2 * len(a), -1, dtype=np.int64))})
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "node" not in batch.column_names:
+            return _empty({"u": pa.int64(), "v": pa.int64(),
+                           "deg": pa.int64()})
+        return pa.table({
+            "u": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            "v": batch.column("node"),
+            "deg": batch.column("deg")})
+
+    tagged = und.map_batches(adj_rows, batch_format="pyarrow").union(
+        deg.map_batches(deg_rows, batch_format="pyarrow")
+    ).repartition(num_partitions, keys=["v"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        out_schema = {"u": pa.int64(), "v": pa.int64(),
+                      "deg_v": pa.int64()}
+        if not batch.num_rows or "v" not in batch.column_names:
+            return _empty(out_schema)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        dg = batch.column("deg").to_numpy(zero_copy_only=False)
+        is_deg = u == -1
+        dv, dd = v[is_deg], dg[is_deg]
+        o = np.argsort(dv, kind="stable")
+        dv, dd = dv[o], dd[o]
+        adj = ~is_deg
+        pos = np.searchsorted(dv, v[adj])
+        return pa.table({
+            "u": pa.array(u[adj], type=pa.int64()),
+            "v": pa.array(v[adj], type=pa.int64()),
+            "deg_v": pa.array(dd[pos], type=pa.int64())})
+
+    adj_degv = tagged.map_batches(attach, batch_format="pyarrow")
+
+    def wedges_block(batch: pa.Table) -> pa.Table:
+        out_schema = {"a": pa.int64(), "b": pa.int64(),
+                      "pivot": pa.int64()}
+        if not batch.num_rows or "u" not in batch.column_names:
+            return _empty(out_schema)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, dv, u))
+        su, sv, sdv = u[order], v[order], dv[order]
+        new = np.ones(len(su), dtype=bool)
+        new[1:] = su[1:] != su[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(su)))
+        deg_u = np.repeat(sizes, sizes)
+        higher = (sdv > deg_u) | ((sdv == deg_u) & (sv > su))
+        kept_per_grp = np.add.reduceat(higher.astype(np.int64), starts)
+        kv = sv[higher]
+        ku = su[higher]
+        ks = np.concatenate([[0], np.cumsum(kept_per_grp)[:-1]])
+        ia, ib = pair_indices(
+            [(int(s), int(s + c))
+             for s, c in zip(ks, kept_per_grp) if c >= 2])
+        if not len(ia):
+            return _empty(out_schema)
+        x, y = kv[ia], kv[ib]
+        return pa.table({
+            "a": pa.array(np.minimum(x, y), type=pa.int64()),
+            "b": pa.array(np.maximum(x, y), type=pa.int64()),
+            "pivot": pa.array(ku[ia], type=pa.int64())})
+
+    wedges = adj_degv.repartition(num_partitions, keys=["u"]).map_batches(
+        wedges_block, batch_format="pyarrow")
+
+    def edge_tag(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "a" not in batch.column_names:
+            return _empty({"a": pa.int64(), "b": pa.int64(),
+                           "pivot": pa.int64()})
+        return batch.append_column(
+            "pivot", pa.array(np.full(batch.num_rows, -1,
+                                      dtype=np.int64)))
+
+    def close_block(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": np.array([], dtype=np.int64),
+                              "n_tri": np.array([], dtype=np.int64)})
+        if not batch.num_rows or "a" not in batch.column_names:
+            return empty
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        p = batch.column("pivot").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, b, a))  # edge rows (pivot -1) first
+        sa, sb, sp = a[order], b[order], p[order]
+        new = np.ones(len(sa), dtype=bool)
+        new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(sa)))
+        has_edge = sp[starts] == -1
+        closed = np.repeat(has_edge, sizes) & (sp != -1)
+        if not closed.any():
+            return empty
+        nodes = np.concatenate([sa[closed], sb[closed], sp[closed]])
+        df = (pd.DataFrame({"node": nodes,
+                            "n_tri": np.ones(len(nodes), np.int64)})
+              .groupby("node", as_index=False)["n_tri"].sum())
+        return df
+
+    return _grouped_sums(
+        und.map_batches(edge_tag, batch_format="pyarrow").union(wedges)
+        .repartition(num_partitions, keys=["a", "b"]),
+        ["node"], close_block, ["n_tri"], num_partitions)
+
+
 def reciprocity(edges, num_partitions: int | None = None) -> pa.Table:
     """1-row table ``(n_directed, n_mutual)`` — distinct directed edges
     (self-loops excluded) and unordered pairs linked in BOTH directions.

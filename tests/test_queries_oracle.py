@@ -127,6 +127,10 @@ SUBSET = [
     "q206_pk_audit",
     "q207_fk_audit",
     "q208_domain_audit",
+    "q209_clustering_coeff",
+    "q210_lang_homophily",
+    "q211_depth_quality_corr",
+    "q212_attribution",
 ]
 
 
