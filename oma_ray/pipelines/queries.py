@@ -12809,6 +12809,225 @@ FROM p GROUP BY 1
 """
 
 
+def q213_growth_accounting(sf_dir: str):
+    """Weekly growth accounting — the new / retained / resurrected user
+    decomposition every growth team runs: for each user-week, the user
+    is NEW (first active week), RETAINED (active the week before) or
+    RESURRECTED (returning after a gap ≥ 2 weeks).  ONE user-keyed
+    exchange makes each user's distinct-week vector block-local (the
+    classification is a lexsort diff); per-week partial counts ride a
+    tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "week": ts // (7 * 86_400_000_000)}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"week": pa.array([], pa.int64()),
+                          "n_new": pa.array([], pa.int64()),
+                          "n_retained": pa.array([], pa.int64()),
+                          "n_resurrected": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "week"], kind="stable"))
+        u = df["user_id"].to_numpy(np.int64)
+        w = df["week"].to_numpy(np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        gap1 = np.r_[False, (u[1:] == u[:-1]) & (w[1:] - w[:-1] == 1)]
+        out = pd.DataFrame({
+            "week": w,
+            "n_new": first.astype(np.int64),
+            "n_retained": gap1.astype(np.int64),
+            "n_resurrected": (~first & ~gap1).astype(np.int64)})
+        g = out.groupby("week", as_index=False).sum()
+        return from_pandas_clean(g.astype(np.int64))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"week": pa.array([], pa.int64()),
+                             "n_new": pa.array([], pa.int64()),
+                             "n_retained": pa.array([], pa.int64()),
+                             "n_resurrected": pa.array([], pa.int64())})
+        df = (batch.to_pandas().groupby("week", as_index=False)
+              [["n_new", "n_retained", "n_resurrected"]].sum())
+        return from_pandas_clean(df)
+
+    return (ds.map_batches(weeks, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["user_id"])
+            .map_batches(classify, batch_format="pyarrow")
+            .repartition(2, keys=["week"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q213 = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (7 * 86400000000) AS week
+  FROM events),
+c AS (
+  SELECT week,
+         CASE WHEN LAG(week) OVER w IS NULL THEN 'new'
+              WHEN week - LAG(week) OVER w = 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week))
+SELECT CAST(week AS BIGINT) AS week,
+       CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected
+FROM c GROUP BY 1
+"""
+
+
+def q214_rfm(sf_dir: str):
+    """RFM customer segmentation — recency (days since last order, vs
+    the corpus max order date), frequency (order count), monetary
+    (total dollars, cents//100) per customer, each cut at the exact
+    p25/p75 ``quantile_disc`` thresholds (0.25/0.75 are exactly
+    representable — no float-quantile drift) into buckets 1..3, and
+    the output is counts per 3-digit RFM segment code.
+
+    Shape: one customer-keyed exchange builds the per-customer triple;
+    three bounded-domain value histograms (recency is calendar-bounded,
+    frequency small, dollars the documented bounded-ish domain) give
+    the thresholds; a final fused pass + tiny segment-keyed exchange
+    counts.  The q175/q188 histogram-order-statistics convention."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    # global max order date: tiny aggregate
+    def mx_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"one": pa.array([0], pa.int64()),
+                         "mx": pa.array([int(d.max())], pa.int64())})
+
+    mxdf = (ds.map_batches(mx_partial, batch_format="pyarrow")
+            .to_pandas())
+    max_day = int(mxdf["mx"].max()) // 86_400_000_000
+
+    def cust_partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "cust": batch.column("o_custkey").to_numpy(
+                zero_copy_only=False),
+            "last_day": d // 86_400_000_000,
+            "n_orders": np.ones(len(d), dtype=np.int64),
+            "cents": _cents(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False))})
+
+    def cust_combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cust": pa.array([], pa.int64()),
+                          "r": pa.array([], pa.int64()),
+                          "f": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.int64())})
+        if not len(batch) or "cust" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas().groupby("cust", as_index=False)
+              .agg(last_day=("last_day", "max"),
+                   n_orders=("n_orders", "sum"),
+                   cents=("cents", "sum")))
+        return from_pandas_clean(pd.DataFrame({
+            "cust": df["cust"].to_numpy(np.int64),
+            "r": max_day - df["last_day"].to_numpy(np.int64),
+            "f": df["n_orders"].to_numpy(np.int64),
+            "m": df["cents"].to_numpy(np.int64) // 100}))
+
+    cust = (ds.map_batches(
+        lambda b: from_pandas_clean(cust_partial(b)),
+        batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["cust"])
+        .map_batches(cust_combine, batch_format="pyarrow")
+        .materialize())
+
+    def thresholds(col: str) -> tuple[int, int]:
+        def h_partial(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({
+                "v": batch.column(col).to_numpy(zero_copy_only=False),
+                "n": np.ones(batch.num_rows, dtype=np.int64)})
+
+        hist = (_grouped_sums(cust, ["v"], h_partial, ["n"], 2)
+                .to_pandas().sort_values("v"))
+        v = hist["v"].to_numpy(np.int64)
+        c = hist["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        t25 = int(v[int(np.searchsorted(cum, (n + 3) // 4))])
+        t75 = int(v[int(np.searchsorted(cum, (3 * n + 3) // 4))])
+        return t25, t75
+
+    r25, r75 = thresholds("r")
+    f25, f75 = thresholds("f")
+    m25, m75 = thresholds("m")
+
+    def seg_partial(batch: pa.Table) -> pd.DataFrame:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        f = batch.column("f").to_numpy(zero_copy_only=False)
+        m = batch.column("m").to_numpy(zero_copy_only=False)
+
+        def b3(v, t25, t75):
+            return 1 + (v > t25).astype(np.int64) + (v > t75)
+
+        seg = (b3(r, r25, r75) * 100 + b3(f, f25, f75) * 10
+               + b3(m, m25, m75))
+        return pd.DataFrame({"segment": seg,
+                             "n_cust": np.ones(len(seg), np.int64)})
+
+    return _grouped_sums(cust, ["segment"], seg_partial, ["n_cust"], 2)
+
+
+SQL_Q214 = """
+WITH mx AS (
+  SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS md FROM orders),
+c AS (
+  SELECT o_custkey AS cust,
+         (SELECT md FROM mx)
+           - MAX(epoch_us(o_orderdate) // 86400000000) AS r,
+         COUNT(*) AS f,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) // 100
+           AS m
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT quantile_disc(r, 0.25) AS r25, quantile_disc(r, 0.75) AS r75,
+         quantile_disc(f, 0.25) AS f25, quantile_disc(f, 0.75) AS f75,
+         quantile_disc(m, 0.25) AS m25, quantile_disc(m, 0.75) AS m75
+  FROM c),
+s AS (
+  SELECT (1 + CASE WHEN c.r > t.r25 THEN 1 ELSE 0 END
+            + CASE WHEN c.r > t.r75 THEN 1 ELSE 0 END) * 100
+       + (1 + CASE WHEN c.f > t.f25 THEN 1 ELSE 0 END
+            + CASE WHEN c.f > t.f75 THEN 1 ELSE 0 END) * 10
+       + (1 + CASE WHEN c.m > t.m25 THEN 1 ELSE 0 END
+            + CASE WHEN c.m > t.m75 THEN 1 ELSE 0 END) AS segment
+  FROM c CROSS JOIN t)
+SELECT CAST(segment AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM s GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -13405,6 +13624,8 @@ QUERIES = {
     "q210_lang_homophily": q210_lang_homophily,
     "q211_depth_quality_corr": q211_depth_quality_corr,
     "q212_attribution": q212_attribution,
+    "q213_growth_accounting": q213_growth_accounting,
+    "q214_rfm": q214_rfm,
 }
 
 ORACLES = {
@@ -13616,4 +13837,6 @@ ORACLES = {
     "q210_lang_homophily": SQL_Q210,
     "q211_depth_quality_corr": SQL_Q211,
     "q212_attribution": SQL_Q212,
+    "q213_growth_accounting": SQL_Q213,
+    "q214_rfm": SQL_Q214,
 }

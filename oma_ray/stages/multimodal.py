@@ -164,6 +164,44 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def encode_tga(img: np.ndarray, top_down: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit true-color TGA (image
+    type 2, BGR pixel order; bottom-up unless ``top_down`` sets
+    descriptor bit 5 — both layouts round-trip)."""
+    h, w, _ = img.shape
+    desc = 0x20 if top_down else 0x00
+    header = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0,
+                         w, h, 24, desc)
+    body = img[:, :, ::-1] if top_down else img[::-1, :, ::-1]
+    return header + np.ascontiguousarray(body).tobytes()
+
+
+def decode_tga(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit true-color TGA → (h, w, 3) uint8 RGB (both
+    bottom-up and top-down descriptor layouts, id-field skipped)."""
+    idlen, cmap, imgtype = payload[0], payload[1], payload[2]
+    if imgtype != 2 or cmap != 0:
+        raise ValueError(f"unsupported TGA (type={imgtype}, cmap={cmap})")
+    w, h = struct.unpack_from("<HH", payload, 12)
+    bpp, desc = payload[16], payload[17]
+    if bpp != 24:
+        raise ValueError(f"unsupported TGA bpp={bpp}")
+    off = 18 + idlen
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3,
+                         offset=off)
+    img = data.reshape(h, w, 3)[:, :, ::-1]
+    if not (desc & 0x20):  # bottom-up origin
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _is_tga(payload: bytes) -> bool:
+    """Type-2 uncompressed true-color TGA heuristic (TGA has no leading
+    magic; colormap=0 + imagetype=2 + bpp 24 at the fixed offsets)."""
+    return (len(payload) >= 18 and payload[1] == 0 and payload[2] == 2
+            and payload[16] == 24)
+
+
 def synth_bmp_batch(batch: pa.Table, id_col: str = "doc_id",
                     col: str = "image") -> pa.Table:
     """Attach a real (deterministic gradient) 24-bit BMP per row; widths
@@ -256,6 +294,10 @@ class ImageDecode:
                 h, w = gray.shape
                 c = 1
                 img = np.repeat(gray[:, :, None], 3, axis=2)
+                feats[i] = ppm_features(img, self.feature_dim)
+            elif _is_tga(payload):
+                img = decode_tga(payload)
+                h, w, c = img.shape
                 feats[i] = ppm_features(img, self.feature_dim)
             elif payload[:3] == b"OMI":
                 w, h, c = _decode_image_stub(payload)

@@ -310,3 +310,43 @@ def test_video_zero_frame_clip_is_valid():
     meta = out.column("video_meta")[0].as_py()
     assert meta["n_frames"] == 0 and meta["n_sampled"] == 0
     assert list(out.column("keyframe_idx")[0].as_py()) == []
+
+
+def test_tga_roundtrip_both_orientations():
+    import numpy as np
+
+    from oma_ray.stages.multimodal import decode_tga, encode_tga
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (17, 31), (48, 33), (20, 64)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for td in (False, True):
+            back = decode_tga(encode_tga(img, top_down=td))
+            assert back.shape == (h, w, 3)
+            assert (back == img).all()
+
+
+def test_image_decode_dispatches_tga(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oma_ray.stages.multimodal import ImageDecode, encode_tga
+
+    imgs = []
+    for i in range(6):
+        h, w = 10 + i, 12 + 2 * i
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([yy % 256, xx % 256, (xx + yy) % 256],
+                       axis=-1).astype(np.uint8)
+        imgs.append(encode_tga(img, top_down=bool(i % 2)))
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "image": pa.array(imgs, pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(ImageDecode, concurrency=(1, 2), batch_size=3,
+                        batch_format="pyarrow")
+           .to_pandas())
+    assert len(out) == 6
+    for i, m in enumerate(out.sort_values("doc_id")["image_meta"]):
+        assert m["height"] == 10 + i and m["width"] == 12 + 2 * i
+        assert m["channels"] == 3

@@ -131,6 +131,8 @@ SUBSET = [
     "q210_lang_homophily",
     "q211_depth_quality_corr",
     "q212_attribution",
+    "q213_growth_accounting",
+    "q214_rfm",
 ]
 
 
