@@ -13028,6 +13028,207 @@ FROM s GROUP BY 1
 """
 
 
+def q215_hist_equalize(sf_dir: str):
+    """Histogram equalization of the density raster — the contrast-
+    stretch primitive of raster cartography, exact integers: over the
+    OCCUPIED cells, ``out = (cdf(v) − cdf_min) · 255 // (N − cdf_min)``
+    with cdf from the value histogram (cdf_min = smallest occupied
+    cdf; N = occupied cells; degenerate all-equal rasters map to 0).
+    Distributed count front + a value-histogram cumsum on the bounded
+    domain — the q175/q188 order-statistics shape pointed at pixels."""
+    x = _density_grid64(sf_dir).ravel()
+    occ = np.flatnonzero(x > 0)
+    v = x[occ]
+    uniq, inv = np.unique(v, return_inverse=True)
+    cnt = np.bincount(inv)
+    cdf = np.cumsum(cnt)
+    cdf_min = int(cdf[0])
+    n = int(cdf[-1])
+    den = max(n - cdf_min, 1)
+    lut = ((cdf - cdf_min) * 255 // den).astype(np.int64)
+    return pd.DataFrame({"cell": occ.astype(np.int64),
+                         "v": v.astype(np.int64),
+                         "eq": lut[inv]})
+
+
+SQL_Q215 = f"""
+WITH geo AS ({{GEO}}),
+cnt AS (
+  SELECT ((lat + 900000000) * 64 // 1800000001) * 64
+         + ((lon + 1800000000) * 64 // 3600000001) AS cell,
+         COUNT(*) AS n
+  FROM geo GROUP BY 1),
+h AS (SELECT n AS v, COUNT(*) AS c FROM cnt GROUP BY 1),
+cd AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cdf
+  FROM h),
+m AS (SELECT MIN(cdf) AS cdf_min, MAX(cdf) AS n FROM cd)
+SELECT CAST(cnt.cell AS BIGINT) AS cell, CAST(cnt.n AS BIGINT) AS v,
+       CAST((cd.cdf - m.cdf_min) * 255
+            // GREATEST(m.n - m.cdf_min, 1) AS BIGINT) AS eq
+FROM cnt JOIN cd ON cd.v = cnt.n CROSS JOIN m
+"""
+
+
+def q216_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix — pairwise distinct-user Jaccard between
+    event types (the segment-dedup question of ad/product analytics):
+    q149's basket machinery with baskets = USERS, emitting exact pair
+    intersections plus singleton audience sizes, jaccard_pm derived by
+    exact cross-multiplication.  One user-keyed exchange; |types|²-
+    bounded partials."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle, pair_indices
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False)}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    SENT = "\x00users"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "sup": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "event_type"], kind="stable"))
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy()
+        brk = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(u)]
+        ia, ib = pair_indices(list(zip(starts, ends)))
+        out = pd.DataFrame({
+            "t1": np.r_[t[ia], t, [SENT]],
+            "t2": np.r_[t[ib], t, [SENT]],
+            "sup": np.r_[np.ones(len(ia) + len(t), dtype=np.int64),
+                         [len(starts)]],
+        }).groupby(["t1", "t2"], as_index=False)["sup"].sum()
+        return from_pandas_clean(out)
+
+    parts = (ds.map_batches(rows, batch_format="pyarrow")
+             .repartition(default_partitions(), keys=["user_id"])
+             .map_batches(partials, batch_format="pyarrow")
+             .to_pandas())  # |types|²-bounded pull
+    agg = parts.groupby(["t1", "t2"], as_index=False)["sup"].sum()
+    singles = dict(zip(
+        agg.loc[agg["t1"] == agg["t2"], "t1"],
+        agg.loc[agg["t1"] == agg["t2"], "sup"].astype(int)))
+    p = agg[(agg["t1"] != agg["t2"]) & (agg["t1"] != SENT)].copy()
+    s1 = p["t1"].map(singles).to_numpy(np.int64)
+    s2 = p["t2"].map(singles).to_numpy(np.int64)
+    inter = p["sup"].to_numpy(np.int64)
+    union = s1 + s2 - inter
+    return pd.DataFrame({
+        "t1": p["t1"].to_numpy(), "t2": p["t2"].to_numpy(),
+        "n_both": inter, "n_a": s1, "n_b": s2,
+        "jaccard_pm": inter * 1000 // union})
+
+
+SQL_Q216 = """
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, COUNT(*) AS sup FROM b GROUP BY 1),
+p AS (
+  SELECT a.event_type AS t1, c.event_type AS t2, COUNT(*) AS n_both
+  FROM b a JOIN b c ON a.user_id = c.user_id
+                   AND a.event_type < c.event_type
+  GROUP BY 1, 2)
+SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+       CAST(sa.sup AS BIGINT) AS n_a, CAST(sb.sup AS BIGINT) AS n_b,
+       CAST(n_both * 1000 // (sa.sup + sb.sup - n_both) AS BIGINT)
+         AS jaccard_pm
+FROM p JOIN s sa ON sa.event_type = t1 JOIN s sb ON sb.event_type = t2
+"""
+
+
+def q217_ship_delay(sf_dir: str):
+    """Shipping-delay distribution per order priority — the fact×fact
+    join + histogram-order-statistics composite: lineitem ⋈ orders by
+    key (the q03 byte-sized hash-shuffle join), delay = ship − order
+    days, then per priority the exact n / max / p50 / p90 from a
+    (priority, days)-keyed count exchange (delays are calendar-bounded
+    so the histogram is, too)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        join_type="inner",
+        est_bytes=_fact_bytes(sf_dir, "lineitem", "orders"))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "prio": batch.column("o_orderpriority").to_numpy(
+                zero_copy_only=False),
+            "days": (ship - od) // 86_400_000_000,
+            "n": np.ones(len(ship), dtype=np.int64)})
+
+    hist = _grouped_sums(joined, ["prio", "days"], partial, ["n"],
+                         default_partitions())
+
+    def stats_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"prio": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "max_days": pa.array([], pa.int64()),
+                          "p50": pa.array([], pa.int64()),
+                          "p90": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["prio", "days"],
+                                           kind="stable")
+        rows = []
+        for pr, grp in df.groupby("prio", sort=False):
+            v = grp["days"].to_numpy(np.int64)
+            c = grp["n"].to_numpy(np.int64)
+            n = int(c.sum())
+            cum = np.cumsum(c)
+            p50 = int(v[int(np.searchsorted(cum, (n + 1) // 2))])
+            p90 = int(v[int(np.searchsorted(cum, (9 * n + 9) // 10))])
+            rows.append((pr, n, int(v[-1]), p50, p90))
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["prio", "n", "max_days", "p50", "p90"]))
+
+    return (hist.repartition(4, keys=["prio"])
+            .map_batches(stats_block, batch_format="pyarrow"))
+
+
+SQL_Q217 = """
+WITH j AS (
+  SELECT o.o_orderpriority AS prio,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+           // 86400000000 AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(days) AS BIGINT) AS max_days,
+       CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90
+FROM j GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -13406,6 +13607,8 @@ def _build_hilbert_range_sql():
                                STEPS=_hilbert_sql_steps(13))
     SQL_Q191 = SQL_Q191.format(GEO=_SQL_GEO_DOCS)
     SQL_Q202 = SQL_Q202.format(GEO=_SQL_GEO_DOCS)
+    global SQL_Q215
+    SQL_Q215 = SQL_Q215.format(GEO=_SQL_GEO_DOCS)
 
 
 _build_hilbert_range_sql()
@@ -13626,6 +13829,9 @@ QUERIES = {
     "q212_attribution": q212_attribution,
     "q213_growth_accounting": q213_growth_accounting,
     "q214_rfm": q214_rfm,
+    "q215_hist_equalize": q215_hist_equalize,
+    "q216_audience_overlap": q216_audience_overlap,
+    "q217_ship_delay": q217_ship_delay,
 }
 
 ORACLES = {
@@ -13839,4 +14045,7 @@ ORACLES = {
     "q212_attribution": SQL_Q212,
     "q213_growth_accounting": SQL_Q213,
     "q214_rfm": SQL_Q214,
+    "q215_hist_equalize": SQL_Q215,
+    "q216_audience_overlap": SQL_Q216,
+    "q217_ship_delay": SQL_Q217,
 }

@@ -133,6 +133,9 @@ SUBSET = [
     "q212_attribution",
     "q213_growth_accounting",
     "q214_rfm",
+    "q215_hist_equalize",
+    "q216_audience_overlap",
+    "q217_ship_delay",
 ]
 
 
