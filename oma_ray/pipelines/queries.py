@@ -13229,6 +13229,185 @@ FROM j GROUP BY 1
 """
 
 
+def q218_trade_matrix(sf_dir: str):
+    """Nation-to-nation trade matrix (the TPC-H Q7 volume-shipping
+    shape): revenue cents per (supplier nation, customer nation) over
+    lineitem ⋈ orders ⋈ customer ⋈ nation with supplier ⋈ nation —
+    the engine's canonical mixed-join plan: small dimensions (nation,
+    supplier→nation, customer→nation) fold in as broadcast lookups
+    inside the fused map (one `ray.put` each, per-worker cached), the
+    lineitem⋈orders fact join is the byte-sized hash shuffle (the q03
+    convention), and the (s_nat, c_nat) partial sums ride a tiny final
+    exchange.  At 10⁹ customers the c→nation map switches to a hash
+    join (the memb_broadcast convention); here it is honestly
+    dimension-scale."""
+    import pyarrow.parquet as pq_
+
+    import ray
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"]).to_pandas()
+    n_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]
+                         ).to_pandas()
+    cust = pq_.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"]
+                          ).to_pandas()
+    s_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                     sup["s_nationkey"].to_numpy(np.int64)))
+    c_ref = ray.put((cust["c_custkey"].to_numpy(np.int64),
+                     cust["c_nationkey"].to_numpy(np.int64)))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        join_type="inner",
+        est_bytes=_fact_bytes(sf_dir, "lineitem", "orders"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"s_nat": pa.array([], pa.int64()),
+                          "c_nat": pa.array([], pa.int64()),
+                          "rev_c": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        sk, sn = ray.get(s_ref)
+        ck, cn = ray.get(c_ref)
+        so = np.argsort(sk)
+        co = np.argsort(ck)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        custk = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        s_nat = sn[so][np.searchsorted(sk[so], supp)]
+        c_nat = cn[co][np.searchsorted(ck[co], custk)]
+        e = _cents(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        d = _cents(batch.column("l_discount").to_numpy(
+            zero_copy_only=False))
+        rev = e * (100 - d) // 100
+        df = (pd.DataFrame({"s_nat": s_nat, "c_nat": c_nat,
+                            "rev_c": rev})
+              .groupby(["s_nat", "c_nat"], as_index=False)
+              ["rev_c"].sum())
+        return from_pandas_clean(df)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                          "cust_nation": pa.array([], pa.string()),
+                          "rev_c": pa.array([], pa.int64())})
+        if not len(batch) or "s_nat" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas()
+              .groupby(["s_nat", "c_nat"], as_index=False)
+              ["rev_c"].sum())
+        df["supp_nation"] = df["s_nat"].map(n_name)
+        df["cust_nation"] = df["c_nat"].map(n_name)
+        return from_pandas_clean(
+            df[["supp_nation", "cust_nation", "rev_c"]])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .repartition(4, keys=["s_nat", "c_nat"])
+            .map_batches(combine, batch_format="pyarrow"))
+
+
+SQL_Q218 = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5)
+                              AS BIGINT)) // 100) AS BIGINT) AS rev_c
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q219_supplier_hhi(sf_dir: str):
+    """Supplier concentration per part (Herfindahl–Hirschman index) —
+    the market-concentration metric in exact integers: per part,
+    quantity shares s_i over its suppliers give
+    ``hhi_pm = Σ qᵢ² · 1000 // (Σ qᵢ)²`` (cross-multiplied, no
+    fractions).  One (part, supplier) quantity-sums exchange + a
+    part-keyed block fold; parts with a single supplier score 1000 by
+    construction and are filtered (the interesting rows are the
+    contested parts)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False),
+            "supp": batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False),
+            "q": _cents(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False))})
+
+    ps = _grouped_sums(ds, ["part", "supp"], partial, ["q"],
+                       default_partitions())
+
+    def hhi_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "n_supp": pa.array([], pa.int64()),
+                          "hhi_pm": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().sort_values(["part", "supp"],
+                                           kind="stable")
+        rows = []
+        for p, grp in df.groupby("part", sort=False):
+            q = grp["q"].to_numpy(np.int64)
+            if len(q) < 2:
+                continue
+            tot = int(q.sum())
+            hhi = int((q.astype(object) ** 2).sum()) * 1000 // (
+                tot * tot)
+            rows.append((int(p), len(q), hhi))
+        if not rows:
+            return empty
+        return from_pandas_clean(pd.DataFrame(
+            rows, columns=["part", "n_supp", "hhi_pm"]
+        ).astype(np.int64))
+
+    return (ps.repartition(default_partitions(), keys=["part"])
+            .map_batches(hhi_block, batch_format="pyarrow"))
+
+
+SQL_Q219 = """
+WITH ps AS (
+  SELECT l_partkey AS part, l_suppkey AS supp,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2),
+h AS (
+  SELECT part, COUNT(*) AS n_supp,
+         SUM(CAST(q AS HUGEINT) * q) * 1000
+           // (CAST(SUM(q) AS HUGEINT) * SUM(q)) AS hhi_pm
+  FROM ps GROUP BY part HAVING COUNT(*) >= 2)
+SELECT CAST(part AS BIGINT) AS part, CAST(n_supp AS BIGINT) AS n_supp,
+       CAST(hhi_pm AS BIGINT) AS hhi_pm
+FROM h
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -13832,6 +14011,8 @@ QUERIES = {
     "q215_hist_equalize": q215_hist_equalize,
     "q216_audience_overlap": q216_audience_overlap,
     "q217_ship_delay": q217_ship_delay,
+    "q218_trade_matrix": q218_trade_matrix,
+    "q219_supplier_hhi": q219_supplier_hhi,
 }
 
 ORACLES = {
@@ -14048,4 +14229,6 @@ ORACLES = {
     "q215_hist_equalize": SQL_Q215,
     "q216_audience_overlap": SQL_Q216,
     "q217_ship_delay": SQL_Q217,
+    "q218_trade_matrix": SQL_Q218,
+    "q219_supplier_hhi": SQL_Q219,
 }

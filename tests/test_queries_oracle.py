@@ -136,6 +136,8 @@ SUBSET = [
     "q215_hist_equalize",
     "q216_audience_overlap",
     "q217_ship_delay",
+    "q218_trade_matrix",
+    "q219_supplier_hhi",
 ]
 
 
