@@ -13408,6 +13408,165 @@ FROM h
 """
 
 
+def q220_district_terms(sf_dir: str):
+    """Top terms per district — the geo × text composite: documents
+    tokenize to (doc, term, cnt) partials (one scan), district
+    assignment comes from the SAME distributed PIP join as q55, the
+    two narrow streams meet in a doc-keyed hash join, (admin, term)
+    sums ride one exchange and the top-3 per district contracts
+    per-block before the final fold (counts are exact after the sum
+    exchange — the q187 contraction argument).  Text never moves after
+    tokenization."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.pip import pip_join_by_cell, polygons_table
+
+    ensure_hash_shuffle()
+    polys = _district_polys(64)
+    ptab = polygons_table(polys)
+    admin = pip_join_by_cell(
+        _geo_pages(sf_dir), rd.from_arrow(ptab),
+        polys_schema=ptab.schema)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"doc_id": ids[parent[keep]],
+                            "term": flat[keep]})
+              .groupby(["doc_id", "term"], as_index=False).size()
+              .rename(columns={"size": "cnt"}))
+        df["cnt"] = df["cnt"].astype(np.int64)
+        return from_pandas_clean(df)
+
+    terms = docs.map_batches(tok_partial, batch_format="pyarrow")
+    j = hash_join(
+        terms, admin, on="doc_id", right_on="page_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("term", pa.string()),
+                               ("cnt", pa.int64())]),
+        right_schema=pa.schema([("page_id", pa.int64()),
+                                ("admin_id", pa.int64())]))
+
+    def at_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "admin_id": batch.column("admin_id").to_numpy(
+                zero_copy_only=False),
+            "term": batch.column("term").to_numpy(
+                zero_copy_only=False),
+            "cnt": batch.column("cnt").to_numpy(
+                zero_copy_only=False)})
+
+    at = _grouped_sums(j, ["admin_id", "term"], at_partial, ["cnt"],
+                       default_partitions())
+
+    def topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "rk": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["admin_id", "cnt", "term"],
+                           ascending=[True, False, True],
+                           kind="stable")
+              .groupby("admin_id", as_index=False).head(3))
+        df["rk"] = df.groupby("admin_id").cumcount() + 1
+        df["rk"] = df["rk"].astype(np.int64)
+        return from_pandas_clean(df[["admin_id", "term", "cnt", "rk"]])
+
+    return (at.repartition(4, keys=["admin_id"])
+            .map_batches(topk, batch_format="pyarrow"))
+
+
+SQL_Q220 = None  # assembled below (needs the boxes CTE)
+
+
+def q221_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest — per 8×8 cell, forecast each
+    day's count as the count 7 days earlier and report the exact
+    evaluable-day count and sum of absolute errors (the MLOps backtest
+    metric for the q122/q185 trend family — days without a 7-back
+    observation score the full actual as error, mirroring the
+    COALESCE-0 convention).  One (cell, day) exchange; the per-cell
+    lag join is a block-local searchsorted."""
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[has_geo]
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 8)
+        return pd.DataFrame({
+            "cell": row * 8 + col,
+            "day": ts // 86_400_000_000,
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    g = (_grouped_sums(ds, ["cell", "day"], partial, ["n"], 4)
+         .to_pandas().sort_values(["cell", "day"]))
+    rows = []
+    for c, grp in g.groupby("cell"):
+        d = grp["day"].to_numpy(np.int64)
+        x = grp["n"].to_numpy(np.int64)
+        if len(d) < 2:
+            continue
+        mn = int(d.min())
+        ev = d - 7 >= mn  # evaluable: a 7-back slot exists in range
+        pos = np.searchsorted(d, d - 7)
+        hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)]
+                                == d - 7)
+        fc = np.where(hit, x[np.minimum(pos, len(d) - 1)], 0)
+        err = np.abs(x - fc)[ev]
+        if not ev.any():
+            continue
+        rows.append((int(c), int(ev.sum()), int(err.sum())))
+    return pd.DataFrame(rows, columns=["cell", "n_eval", "sae"]
+                        ).astype(np.int64)
+
+
+SQL_Q221 = f"""
+WITH e AS (
+  SELECT ((({SQL_LAT.format(id='event_id')}) + 900000000) * 8
+            // 1800000001) * 8
+       + ((({SQL_LON.format(id='event_id')}) + 1800000000) * 8
+            // 3600000001) AS cell,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+d AS (SELECT cell, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+m AS (SELECT cell, MIN(day) AS mn, COUNT(*) AS nd FROM d GROUP BY 1),
+ev AS (
+  SELECT d.cell, d.day, d.n, COALESCE(p.n, 0) AS fc
+  FROM d JOIN m USING (cell)
+  LEFT JOIN d p ON p.cell = d.cell AND p.day = d.day - 7
+  WHERE d.day - 7 >= m.mn AND m.nd >= 2)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(ABS(n - fc)) AS BIGINT) AS sae
+FROM ev GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -13628,7 +13787,31 @@ def _build_geo_ctes():
     from oma_ray.synth import sql_boxes_cte, sql_stations_cte
 
     global SQL_Q47, SQL_Q50, SQL_Q52, SQL_Q53, SQL_Q55, SQL_Q57, SQL_Q60
-    global SQL_Q173, SQL_Q193, SQL_Q200
+    global SQL_Q173, SQL_Q193, SQL_Q200, SQL_Q220
+    SQL_Q220 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)}),
+hit AS (
+  SELECT g.doc_id, COALESCE(MIN(b.box_id), -1) AS admin_id
+  FROM g LEFT JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+                    AND g.lat >= b.minlat AND g.lat < b.maxlat
+  GROUP BY g.doc_id),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           AS term
+  FROM documents),
+at AS (
+  SELECT hit.admin_id, tok.term, COUNT(*) AS cnt
+  FROM tok JOIN hit USING (doc_id) GROUP BY 1, 2),
+r AS (
+  SELECT admin_id, term, cnt,
+         row_number() OVER (PARTITION BY admin_id
+                            ORDER BY cnt DESC, term) AS rk
+  FROM at)
+SELECT CAST(admin_id AS BIGINT) AS admin_id, term,
+       CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
     SQL_Q200 = f"""
 WITH g AS ({_SQL_GEO_DOCS}),
 b AS ({sql_boxes_cte(64)}),
@@ -14013,6 +14196,8 @@ QUERIES = {
     "q217_ship_delay": q217_ship_delay,
     "q218_trade_matrix": q218_trade_matrix,
     "q219_supplier_hhi": q219_supplier_hhi,
+    "q220_district_terms": q220_district_terms,
+    "q221_forecast_backtest": q221_forecast_backtest,
 }
 
 ORACLES = {
@@ -14231,4 +14416,6 @@ ORACLES = {
     "q217_ship_delay": SQL_Q217,
     "q218_trade_matrix": SQL_Q218,
     "q219_supplier_hhi": SQL_Q219,
+    "q220_district_terms": SQL_Q220,
+    "q221_forecast_backtest": SQL_Q221,
 }

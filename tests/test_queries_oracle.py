@@ -138,6 +138,8 @@ SUBSET = [
     "q217_ship_delay",
     "q218_trade_matrix",
     "q219_supplier_hhi",
+    "q220_district_terms",
+    "q221_forecast_backtest",
 ]
 
 
