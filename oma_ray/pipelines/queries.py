@@ -13567,6 +13567,135 @@ FROM ev GROUP BY 1
 """
 
 
+def q222_sortmerge_join(sf_dir: str):
+    """The SORT-MERGE join regime made driver-visible: lineitem ⋈
+    orders through `stages/join.sort_merge_join` — range partitioning
+    from a deterministic key sample (q161's sampled splits), contiguous
+    key blocks, vectorized sorted-merge kernel (argsort + searchsorted
+    bounds, no hash table) — then per-priority item counts + revenue.
+    Value-oracled against plain join SQL: the physical plan may only
+    change HOW rows meet, never which rows."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.join import sort_merge_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey",
+                                         "o_orderpriority"])
+    joined = sort_merge_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prio": batch.column("o_orderpriority").to_numpy(
+                zero_copy_only=False),
+            "n_items": np.ones(batch.num_rows, dtype=np.int64),
+            "rev_c": _cents(batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False))})
+
+    return _grouped_sums(joined, ["prio"], partial,
+                         ["n_items", "rev_c"], 2)
+
+
+SQL_Q222 = """
+SELECT o.o_orderpriority AS prio,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_c
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+def q223_nation_share(sf_dir: str):
+    """Two-level ratio-to-parent window — each nation's revenue share
+    within its region (per-mille, exact floor): customer-nation revenue
+    from the q218 mixed-join plan (broadcast dims + byte-sized fact
+    join), then the region totals fold in a second tiny exchange and
+    the share derives per row.  The ratio_to_report window shape at
+    engine scale."""
+    import pyarrow.parquet as pq_
+
+    import ray
+
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"]).to_pandas()
+    cust = pq_.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"]
+                          ).to_pandas()
+    c_ref = ray.put((cust["c_custkey"].to_numpy(np.int64),
+                     cust["c_nationkey"].to_numpy(np.int64)))
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        join_type="inner",
+        est_bytes=_fact_bytes(sf_dir, "lineitem", "orders"))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ck, cn = ray.get(c_ref)
+        co = np.argsort(ck)
+        custk = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        c_nat = cn[co][np.searchsorted(ck[co], custk)]
+        rev = _cents(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        return pd.DataFrame({"nat": c_nat, "rev_c": rev})
+
+    g = (_grouped_sums(joined, ["nat"], partial, ["rev_c"], 4)
+         .to_pandas())  # bounded: |nations|
+    n_reg = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    n_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    r_name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    g["rkey"] = g["nat"].map(n_reg)
+    tot = g.groupby("rkey")["rev_c"].transform("sum")
+    return pd.DataFrame({
+        "region": g["rkey"].map(r_name),
+        "nation": g["nat"].map(n_name),
+        "rev_c": g["rev_c"].astype(np.int64),
+        "share_pm": (g["rev_c"].astype(np.int64) * 1000
+                     // tot.astype(np.int64))}).sort_values(
+        ["region", "nation"]).reset_index(drop=True)
+
+
+SQL_Q223 = """
+WITH nr AS (
+  SELECT n.n_nationkey, n.n_name, r.r_name
+  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey),
+rev AS (
+  SELECT c.c_nationkey AS nat,
+         SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS rev_c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1),
+j AS (
+  SELECT nr.r_name AS region, nr.n_name AS nation, rev.rev_c,
+         SUM(rev.rev_c) OVER (PARTITION BY nr.r_name) AS rtot
+  FROM rev JOIN nr ON nr.n_nationkey = rev.nat)
+SELECT region, nation, CAST(rev_c AS BIGINT) AS rev_c,
+       CAST(rev_c * 1000 // rtot AS BIGINT) AS share_pm
+FROM j
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -14198,6 +14327,8 @@ QUERIES = {
     "q219_supplier_hhi": q219_supplier_hhi,
     "q220_district_terms": q220_district_terms,
     "q221_forecast_backtest": q221_forecast_backtest,
+    "q222_sortmerge_join": q222_sortmerge_join,
+    "q223_nation_share": q223_nation_share,
 }
 
 ORACLES = {
@@ -14418,4 +14549,6 @@ ORACLES = {
     "q219_supplier_hhi": SQL_Q219,
     "q220_district_terms": SQL_Q220,
     "q221_forecast_backtest": SQL_Q221,
+    "q222_sortmerge_join": SQL_Q222,
+    "q223_nation_share": SQL_Q223,
 }

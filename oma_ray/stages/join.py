@@ -309,3 +309,121 @@ def hash_join(left, right, on, right_on=None, join_type="inner",
         return joined.select(out_names)
 
     return both.map_batches(block_join, batch_format="pyarrow")
+
+
+def sort_merge_join(left, right, on: str, right_on: str | None = None,
+                    num_partitions: int | None = None,
+                    left_schema=None, right_schema=None,
+                    sample_pct: int = 10):
+    """RANGE-partitioned sort-merge inner join — the alternative physical
+    plan to :func:`hash_join` for int64 keys: range boundaries come from
+    a deterministic hash sample of the LEFT side's keys (the q161
+    sampled-splits strategy), both sides exchange by range id (keys stay
+    CONTIGUOUS per block, unlike a hash exchange), and the per-block
+    kernel is a vectorized sorted merge (argsort + searchsorted bounds +
+    repeat/gather — no hash table).  Output columns = left schema +
+    non-key right columns.
+
+    Where it wins over hash_join: the output inherits key-sortedness
+    within each range block (downstream sort-within-tile writes and
+    merge consumers skip a re-sort), and range blocks spill/compress
+    better under key locality.  Where it loses: a skewed key sample
+    skews block sizes (never correctness — the q161 argument)."""
+    import pyarrow as pa
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sample import hash_sample_mask
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    right_on = right_on or on
+
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lnames = list(lschema.names)
+    rkeep = [c for c in rschema.names if c != right_on]
+    overlap = set(lnames) & set(rkeep)
+    if overlap:
+        raise ValueError(f"join sides share non-key columns: {overlap}")
+    out_names = lnames + rkeep
+
+    def sample_keys(batch: pa.Table) -> pa.Table:
+        k = batch.column(on).to_numpy(zero_copy_only=False)
+        keep = hash_sample_mask(k, sample_pct)
+        return pa.table({"k": pa.array(k[keep], pa.int64())})
+
+    sample = np.sort(left.map_batches(
+        sample_keys, batch_format="pyarrow").to_pandas()["k"]
+        .to_numpy(np.int64))  # bounded driver pull (sample_pct %)
+    cuts = (sample[np.linspace(0, len(sample) - 1, num_partitions,
+                               dtype=np.int64)[1:]]
+            if len(sample) else np.array([], dtype=np.int64))
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        k = batch.column(on).to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            "__rng", pa.array(np.searchsorted(cuts, k, side="right")
+                              .astype(np.int64)))
+        batch = batch.append_column(
+            "__side", pa.array(np.zeros(len(k), dtype=np.int8)))
+        for c in rkeep:
+            batch = batch.append_column(
+                c, pa.nulls(len(k), type=rtypes[c]))
+        return batch.select([*lnames, "__rng", "__side", *rkeep])
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        k = batch.column(right_on).to_numpy(zero_copy_only=False)
+        cols = {on: batch.column(right_on)}
+        for c in rkeep:
+            cols[c] = batch.column(c)
+        t = pa.table(cols)
+        for c in lnames:
+            if c != on:
+                t = t.append_column(c, pa.nulls(len(t), type=ltypes[c]))
+        t = t.append_column(
+            "__rng", pa.array(np.searchsorted(cuts, k, side="right")
+                              .astype(np.int64)))
+        t = t.append_column(
+            "__side", pa.array(np.ones(len(t), dtype=np.int8)))
+        return t.select([*lnames, "__rng", "__side", *rkeep])
+
+    both = (left.map_batches(pad_left, batch_format="pyarrow")
+            .union(right.map_batches(pad_right, batch_format="pyarrow"))
+            .repartition(num_partitions, keys=["__rng"]))
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not batch.num_rows or "__side" not in batch.column_names:
+            return pa.table({c: pa.array(
+                [], ltypes.get(c, rtypes.get(c)))
+                for c in out_names})
+        side = batch.column("__side")
+        lt = batch.filter(pc.equal(side, 0))
+        rt = batch.filter(pc.equal(side, 1))
+        lk = lt.column(on).to_numpy(zero_copy_only=False)
+        rk = rt.column(on).to_numpy(zero_copy_only=False)
+        lo = np.argsort(lk, kind="stable")
+        ro = np.argsort(rk, kind="stable")
+        slk, srk = lk[lo], rk[ro]
+        beg = np.searchsorted(srk, slk, side="left")
+        end = np.searchsorted(srk, slk, side="right")
+        cnt = end - beg
+        l_idx = np.repeat(lo, cnt)
+        # right gather: for each left row, its run beg..end in sorted right
+        r_pos = (np.repeat(beg, cnt)
+                 + (np.arange(int(cnt.sum()))
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+        r_idx = ro[r_pos]
+        lt2 = lt.take(pa.array(l_idx, pa.int64())).select(lnames)
+        rt2 = rt.take(pa.array(r_idx, pa.int64())).select(rkeep)
+        out = lt2
+        for c in rkeep:
+            out = out.append_column(c, rt2.column(c))
+        return out.select(out_names)
+
+    return both.map_batches(merge_block, batch_format="pyarrow")

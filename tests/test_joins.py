@@ -168,3 +168,38 @@ def test_asof_join_semantics(ray_session):
     assert got["ts"].tolist() == [10, 19, 99]
     assert got["k"].tolist() == [1, 1, 1]
     assert list(got.columns) == ["k", "ts", "lv", "rts", "rv"]
+
+
+def test_sort_merge_join_matches_hash_join(ray_session):
+    """Same rows out of both physical plans, incl. duplicate keys and
+    keys missing on either side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oma_ray.stages.join import hash_join, sort_merge_join
+
+    rng = np.random.RandomState(11)
+    lk = rng.randint(0, 40, size=500).astype(np.int64)
+    rk = rng.randint(20, 60, size=120).astype(np.int64)
+    left = pa.table({"k": pa.array(lk),
+                     "lv": pa.array(np.arange(500, dtype=np.int64))})
+    right = pa.table({"rk": pa.array(rk),
+                      "rv": pa.array(np.arange(120, dtype=np.int64))})
+    sm = sort_merge_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k",
+        right_on="rk", num_partitions=4,
+        left_schema=left.schema, right_schema=right.schema).to_pandas()
+    hj = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on="k",
+        right_on="rk", left_schema=left.schema,
+        right_schema=right.schema).to_pandas()
+
+    def canon(df):
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True))
+
+    a, b = canon(sm), canon(hj)
+    assert len(a) == len(b)
+    assert (a.to_numpy() == b.to_numpy()).all()

@@ -140,6 +140,8 @@ SUBSET = [
     "q219_supplier_hhi",
     "q220_district_terms",
     "q221_forecast_backtest",
+    "q222_sortmerge_join",
+    "q223_nation_share",
 ]
 
 
