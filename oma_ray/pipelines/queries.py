@@ -13696,6 +13696,146 @@ FROM j
 """
 
 
+def q224_majority_coarsen(sf_dir: str):
+    """Categorical raster coarsening by majority vote — the mode-pooling
+    downsample: dominant language per 32×32 cell (doc counts, ties to
+    the alphabetically first lang) pooled 2×2 into a 16×16 majority
+    raster (summed counts per candidate lang, same tie rule).  Two
+    bounded exchanges: (cell, lang) counts, then the coarse fold — the
+    categorical sibling of q49's sum pyramid."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_join import grid_rowcol
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row, col = grid_rowcol(lon[has_geo], lat[has_geo], 32)
+        return pd.DataFrame({
+            "ccell": (row // 2) * 16 + (col // 2),
+            "lang": batch.column("lang").to_numpy(
+                zero_copy_only=False)[has_geo],
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    g = _grouped_sums(ds, ["ccell", "lang"], partial, ["n"], 4)
+
+    def majority(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"ccell": pa.array([], pa.int64()),
+                          "lang": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["ccell", "n", "lang"],
+                           ascending=[True, False, True],
+                           kind="stable")
+              .groupby("ccell", as_index=False).head(1))
+        return from_pandas_clean(df[["ccell", "lang", "n"]])
+
+    return (g.repartition(4, keys=["ccell"])
+            .map_batches(majority, batch_format="pyarrow"))
+
+
+SQL_Q224 = f"""
+WITH g AS (
+  SELECT lang,
+         ((({SQL_LAT.format(id='doc_id')}) + 900000000) * 32
+            // 1800000001) // 2 * 16
+       + ((({SQL_LON.format(id='doc_id')}) + 1800000000) * 32
+            // 3600000001) // 2 AS ccell
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+c AS (SELECT ccell, lang, COUNT(*) AS n FROM g GROUP BY 1, 2),
+r AS (
+  SELECT ccell, lang, n,
+         row_number() OVER (PARTITION BY ccell
+                            ORDER BY n DESC, lang) AS rk
+  FROM c)
+SELECT CAST(ccell AS BIGINT) AS ccell, lang, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1
+"""
+
+
+def q225_cumulative_users(sf_dir: str):
+    """Cumulative distinct users to date — the growth curve: per
+    observed day, how many distinct users have EVER been active up to
+    and including it.  Distinct-to-date = cumsum of first-activity
+    days, so ONE user-keyed exchange (first day block-local) + a
+    calendar-bounded day fold replaces any running COUNT(DISTINCT).
+    Observed days without a first-activity event still emit (carry
+    rows ride the same tiny fold)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "day": ts // 86_400_000_000}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_first": pa.array([], pa.int64()),
+                          "observed": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        df = batch.to_pandas().drop_duplicates()
+        first = df.groupby("user_id", as_index=False)["day"].min()
+        f = (first.groupby("day", as_index=False).size()
+             .rename(columns={"size": "n_first"}))
+        f["observed"] = np.int64(0)
+        obs = pd.DataFrame({
+            "day": np.unique(df["day"].to_numpy(np.int64)),
+            "n_first": np.int64(0), "observed": np.int64(1)})
+        out = pd.concat([f, obs], ignore_index=True)
+        out["n_first"] = out["n_first"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    g = (ds.map_batches(days, batch_format="pyarrow")
+         .repartition(default_partitions(), keys=["user_id"])
+         .map_batches(first_partial, batch_format="pyarrow")
+         .to_pandas())  # calendar-bounded
+    agg = g.groupby("day", as_index=False).agg(
+        n_first=("n_first", "sum"), observed=("observed", "max"))
+    agg = agg.sort_values("day")
+    agg["n_users_cum"] = np.cumsum(agg["n_first"].to_numpy(np.int64))
+    out = agg[agg["observed"] > 0]
+    return pd.DataFrame({
+        "day": out["day"].to_numpy(np.int64),
+        "n_new": out["n_first"].to_numpy(np.int64),
+        "n_users_cum": out["n_users_cum"].to_numpy(np.int64)})
+
+
+SQL_Q225 = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1),
+nf AS (SELECT fday AS day, COUNT(*) AS n_new FROM f GROUP BY 1),
+days AS (SELECT DISTINCT day FROM ud),
+c AS (
+  SELECT d.day, COALESCE(nf.n_new, 0) AS n_new
+  FROM days d LEFT JOIN nf ON nf.day = d.day)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_users_cum
+FROM c
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -14329,6 +14469,8 @@ QUERIES = {
     "q221_forecast_backtest": q221_forecast_backtest,
     "q222_sortmerge_join": q222_sortmerge_join,
     "q223_nation_share": q223_nation_share,
+    "q224_majority_coarsen": q224_majority_coarsen,
+    "q225_cumulative_users": q225_cumulative_users,
 }
 
 ORACLES = {
@@ -14551,4 +14693,6 @@ ORACLES = {
     "q221_forecast_backtest": SQL_Q221,
     "q222_sortmerge_join": SQL_Q222,
     "q223_nation_share": SQL_Q223,
+    "q224_majority_coarsen": SQL_Q224,
+    "q225_cumulative_users": SQL_Q225,
 }
