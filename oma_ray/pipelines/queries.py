@@ -13836,6 +13836,234 @@ FROM c
 """
 
 
+def q226_bloom_semijoin(sf_dir: str):
+    """Bloom-pushdown semi-join — the small-filter ⋉ fact regime: revenue
+    of orders whose customer sits in the AUTOMOBILE segment.  The
+    segment's custkeys fold into a broadcast bloom (built distributively:
+    per-batch DISTINCT bit positions, one collapse, driver packs the
+    bits) so the fact side drops non-members BATCH-LOCALLY — the exact
+    hash-join exchange that follows moves only ~the matching fifth of
+    orders, and false positives die inside it, keeping the result EXACT.
+    First query exercising stages/bloom.py::bloom_semi_join end-to-end."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.bloom import bloom_semi_join
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_mktsegment"), "AUTOMOBILE")
+        return batch.filter(keep).select(["c_custkey"])
+
+    seg = cust.map_batches(seg_keys, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    j = bloom_semi_join(orders, seg, on="o_custkey", right_on="c_custkey",
+                        est_bytes=_fact_bytes(sf_dir, "orders"))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_numpy(
+                zero_copy_only=False),
+            "revenue_c": _cents(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)),
+            "n_orders": np.ones(batch.num_rows, dtype=np.int64)})
+
+    return _grouped_sums(j, ["o_orderpriority"], partial,
+                         ["revenue_c", "n_orders"], 4)
+
+
+SQL_Q226 = f"""
+SELECT o_orderpriority,
+       CAST(SUM({SQL_CENTS.format(c='o_totalprice')}) AS BIGINT)
+         AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'AUTOMOBILE')
+GROUP BY 1
+"""
+
+
+def q227_band_join(sf_dir: str):
+    """Banded theta self-join: per brand, the unordered part pairs whose
+    retail prices sit within 100 cents of each other, with the summed
+    absolute price gap — the |a-b| ≤ ε non-equi join the equi-join family
+    can't express.  Each row ships to its own price bucket and the one
+    below it (resident/ghost), so every in-band pair co-locates in
+    exactly one block of ONE keyed exchange; the block kernel is
+    sort + searchsorted + prefix sums, never an n² cross product
+    (stages/join.py::band_self_pairs)."""
+    from oma_ray.stages.join import band_self_pairs
+
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_brand", "p_retailprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch.column("p_brand"),
+            "price_c": pa.array(_cents(batch.column(
+                "p_retailprice").to_numpy(zero_copy_only=False)))})
+
+    ds = part.map_batches(cents, batch_format="pyarrow")
+    return band_self_pairs(ds, "p_brand", "price_c", band=100)
+
+
+SQL_Q227 = f"""
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         {SQL_CENTS.format(c='p_retailprice')} AS pc
+  FROM part)
+SELECT a.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(b.pc - a.pc)) AS BIGINT) AS sum_diff
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND ABS(b.pc - a.pc) <= 100
+GROUP BY 1
+"""
+
+
+def q228_survival(sf_dir: str):
+    """Kaplan-Meier life table for time-to-conversion with right-
+    censoring: a user's clock starts at their first event; the EVENT is
+    their first high-value purchase (value ≥ 90); users who never
+    convert are CENSORED at the corpus's final day (they stay in the
+    at-risk set, never count as events).  Output one row per event time:
+    (t, n_at_risk, n_events, n_censored_at_t) — all integers, so the
+    oracle is exact (the KM survival product S(t) is a driver-side
+    epilogue of exactly these columns).
+
+    Scale shape: ONE user-keyed exchange makes per-user (first_day,
+    conv_day, last_day) block-global; each block folds users to
+    (first, conv) counts — O(days²) worst case but calendar-bounded —
+    and the at-risk reverse cumsum runs on that tiny fold, never on
+    users."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type",
+                                     "value"])
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = ts // 86_400_000_000
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        conv = (et == "purchase") & (val >= 90.0)
+        big = np.int64(1 << 60)  # "no conversion" sentinel, min-stable
+        df = (pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "first": day,
+            "last": day,
+            "conv": np.where(conv, day, big)})
+            .groupby("user_id", as_index=False)
+            .agg(first=("first", "min"), last=("last", "max"),
+                 conv=("conv", "min")))
+        return from_pandas_clean(df)
+
+    def user_fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"first": pa.array([], pa.int64()),
+                          "conv": pa.array([], pa.int64()),
+                          "last": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas()
+              .groupby("user_id", as_index=False)
+              .agg(first=("first", "min"), last=("last", "max"),
+                   conv=("conv", "min")))
+        g = (df.groupby(["first", "conv"], as_index=False)
+             .agg(last=("last", "max"), n=("user_id", "size")))
+        return from_pandas_clean(g[["first", "conv", "last", "n"]]
+                                 .astype(np.int64))
+
+    hist = (ds.map_batches(user_days, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["user_id"])
+            .map_batches(user_fold, batch_format="pyarrow")
+            .to_pandas())  # calendar-bounded fold, not users
+    hist = (hist.groupby(["first", "conv"], as_index=False)
+            .agg(last=("last", "max"), n=("n", "sum")))
+    max_day = int(hist["last"].max())
+    big = np.int64(1 << 60)
+    conv = hist["conv"].to_numpy(np.int64)
+    first = hist["first"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    converted = conv < big
+    t = np.where(converted, conv - first, max_day - first)
+    tbl = pd.DataFrame({"t": t, "ev": np.where(converted, n, 0),
+                        "cn": np.where(converted, 0, n)})
+    tbl = tbl.groupby("t", as_index=False).sum().sort_values("t")
+    total = np.concatenate([[0], np.cumsum(
+        (tbl["ev"] + tbl["cn"]).to_numpy(np.int64))])
+    at_risk = total[-1] - total[:-1]
+    out = pd.DataFrame({"t": tbl["t"].to_numpy(np.int64),
+                        "n_at_risk": at_risk,
+                        "n_events": tbl["ev"].to_numpy(np.int64),
+                        "n_censored": tbl["cn"].to_numpy(np.int64)})
+    return out[out["n_events"] > 0].reset_index(drop=True)
+
+
+SQL_Q228 = """
+WITH ud AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 86400000000) AS f,
+         MAX(epoch_us(ts) // 86400000000) AS l,
+         MIN(CASE WHEN event_type = 'purchase' AND value >= 90
+                  THEN epoch_us(ts) // 86400000000 END) AS cv
+  FROM events GROUP BY 1),
+m AS (SELECT MAX(l) AS mx FROM ud),
+u AS (
+  SELECT CASE WHEN cv IS NOT NULL THEN cv - f
+              ELSE (SELECT mx FROM m) - f END AS t,
+         CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM ud),
+d AS (
+  SELECT t, SUM(e) AS ev, SUM(1 - e) AS cn FROM u GROUP BY 1),
+r AS (
+  SELECT t, ev, cn,
+         SUM(ev + cn) OVER (ORDER BY t DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_at_risk
+  FROM d)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(ev AS BIGINT) AS n_events,
+       CAST(cn AS BIGINT) AS n_censored
+FROM r WHERE ev > 0
+"""
+
+
+def q229_box_area_join(sf_dir: str):
+    """Rectangle OVERLAY join — q57's cell-cover + reference-point-dedup
+    exchange, now emitting the geometric intersection AREA per pair
+    (fixed-point units², 0 for edge-touching pairs).  The area is
+    computed block-local from coordinates the overlap exchange already
+    co-located, so the overlay costs nothing beyond q57's join; sf_dir
+    is unused except as the driver contract (deterministic fixture
+    sets)."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import box_overlap_join
+    from oma_ray.synth import synth_boxes
+
+    def tab(b):
+        return pa.table({k: pa.array(v) for k, v in b.items()})
+
+    a = rd.from_arrow(tab(synth_boxes(64)))
+    b = rd.from_arrow(tab(synth_boxes(64, start=64)))
+    return box_overlap_join(a, b, with_area=True)
+
+
+SQL_Q229 = None  # assembled below (needs both box CTEs)
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -14177,6 +14405,17 @@ SELECT a.box_id AS a_id, b.box_id AS b_id
 FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
              AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
 """
+    global SQL_Q229
+    SQL_Q229 = f"""
+WITH a AS ({sql_boxes_cte(64)}),
+b AS ({sql_boxes_cte(64, start=64)})
+SELECT a.box_id AS a_id, b.box_id AS b_id,
+       CAST((LEAST(a.maxlon, b.maxlon) - GREATEST(a.minlon, b.minlon))
+          * (LEAST(a.maxlat, b.maxlat) - GREATEST(a.minlat, b.minlat))
+          AS BIGINT) AS area
+FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
+             AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
     SQL_Q55 = f"""
 WITH g AS ({_SQL_GEO_DOCS}),
 b AS ({sql_boxes_cte(64)}),
@@ -14471,6 +14710,10 @@ QUERIES = {
     "q223_nation_share": q223_nation_share,
     "q224_majority_coarsen": q224_majority_coarsen,
     "q225_cumulative_users": q225_cumulative_users,
+    "q226_bloom_semijoin": q226_bloom_semijoin,
+    "q227_band_join": q227_band_join,
+    "q228_survival": q228_survival,
+    "q229_box_area_join": q229_box_area_join,
 }
 
 ORACLES = {
@@ -14695,4 +14938,8 @@ ORACLES = {
     "q223_nation_share": SQL_Q223,
     "q224_majority_coarsen": SQL_Q224,
     "q225_cumulative_users": SQL_Q225,
+    "q226_bloom_semijoin": SQL_Q226,
+    "q227_band_join": SQL_Q227,
+    "q228_survival": SQL_Q228,
+    "q229_box_area_join": SQL_Q229,
 }

@@ -883,10 +883,15 @@ def _box_cover_cells(minlon, minlat, maxlon, maxlat, width: int):
 
 def box_overlap_join(a_ds, b_ds, *, width: int = 128,
                      num_partitions: int | None = None,
-                     a_id: str = "a_id", b_id: str = "b_id"):
+                     a_id: str = "a_id", b_id: str = "b_id",
+                     with_area: bool = False):
     """Distributed interval-overlap join of two RECTANGLE datasets →
     (a_id, b_id) for every overlapping pair (inclusive bounds), each pair
-    emitted EXACTLY ONCE.
+    emitted EXACTLY ONCE.  ``with_area=True`` appends the geometric
+    intersection area ``(min(maxlon)-max(minlon)) · (min(maxlat)-
+    max(minlat))`` in fixed-point units² (0 for edge-touching pairs) —
+    the rectangle OVERLAY join, same exchange, computed block-local from
+    coordinates already co-located.
 
     Scale shape: both sides explode to grid-cell cover rows and co-partition
     by cell through ONE tagged keyed exchange; each block tests only the
@@ -944,7 +949,7 @@ def box_overlap_join(a_ds, b_ds, *, width: int = 128,
             c: batch.column(c).to_numpy(zero_copy_only=False)
             for c in ("box_id", "minlon", "minlat", "maxlon", "maxlat")
         }
-        out_a, out_b = [], []
+        out_a, out_b, out_area = [], [], []
         # a block holds several cells; pairs must be tested per cell so the
         # reference-point ownership check is local to each
         for cc in np.unique(cell):
@@ -968,26 +973,34 @@ def box_overlap_join(a_ds, b_ds, *, width: int = 128,
             ai, bi = np.nonzero(hit)
             out_a.append(cols["box_id"][am][ai])
             out_b.append(cols["box_id"][bm][bi])
+            if with_area:
+                w_ov = (np.minimum(ahi, bhi) - np.maximum(alo, blo))[ai, bi]
+                h_ov = (np.minimum(alat1, blat1)
+                        - np.maximum(alat0, blat0))[ai, bi]
+                out_area.append(w_ov * h_ov)
+        empty_cols = {a_id: pa.array([], type=pa.int64()),
+                      b_id: pa.array([], type=pa.int64())}
+        if with_area:
+            empty_cols["area"] = pa.array([], type=pa.int64())
         if not out_a:
-            return pa.table(
-                {a_id: pa.array([], type=pa.int64()),
-                 b_id: pa.array([], type=pa.int64())}
-            )
-        return pa.table(
-            {
-                a_id: pa.array(np.concatenate(out_a), type=pa.int64()),
-                b_id: pa.array(np.concatenate(out_b), type=pa.int64()),
-            }
-        )
+            return pa.table(empty_cols)
+        full = {
+            a_id: pa.array(np.concatenate(out_a), type=pa.int64()),
+            b_id: pa.array(np.concatenate(out_b), type=pa.int64()),
+        }
+        if with_area:
+            full["area"] = pa.array(np.concatenate(out_area), type=pa.int64())
+        return pa.table(full)
 
     from oma_ray.stages.dedup import _schema_anchor
 
+    anchor_cols = {a_id: pa.array([], type=pa.int64()),
+                   b_id: pa.array([], type=pa.int64())}
+    if with_area:
+        anchor_cols["area"] = pa.array([], type=pa.int64())
     return _schema_anchor(
         both.map_batches(block_join, batch_format="pyarrow"),
-        pa.table(
-            {a_id: pa.array([], type=pa.int64()),
-             b_id: pa.array([], type=pa.int64())}
-        ),
+        pa.table(anchor_cols),
     )
 
 

@@ -427,3 +427,116 @@ def sort_merge_join(left, right, on: str, right_on: str | None = None,
         return out.select(out_names)
 
     return both.map_batches(merge_block, batch_format="pyarrow")
+
+
+def band_self_pairs(ds, group_col: str, value_col: str, band: int,
+                    num_partitions: int | None = None):
+    """Banded non-equi SELF-join aggregate: per ``group_col``, the number
+    of unordered row pairs whose integer ``value_col`` differ by at most
+    ``band``, plus the summed |difference| — the theta-band join regime
+    (price-within-ε, timestamp-within-Δ) the equi-join family can't
+    express.
+
+    Scale shape: each row keys to bucket ``v // band`` and ships twice —
+    as RESIDENT of its own bucket and as GHOST to ``bucket - 1`` — so any
+    in-band pair is co-located in exactly one block: same-bucket pairs in
+    their shared bucket, cross-bucket pairs in the LOWER bucket (a ghost's
+    value strictly exceeds every co-blocked resident's, so no pair is seen
+    twice and no self-pair forms).  ONE keyed exchange on
+    ``(group, bucket)`` moves 2 rows per input row; the per-block kernel
+    is sort + ``searchsorted`` + prefix sums — O(n log n), never the n²
+    cross product a naive theta join costs.  Output is O(groups) partial
+    rows folded by a second tiny exchange-free combine.
+
+    Returns a Dataset of ``(group, n_pairs, sum_diff)`` int64 rows.
+    """
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import _schema_anchor, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        b = v // band
+        return pa.table({
+            group_col: pa.array(np.concatenate([g, g])),
+            "bucket": pa.array(np.concatenate([b, b - 1])),
+            "v": pa.array(np.concatenate([v, v])),
+            "ghost": pa.array(np.concatenate(
+                [np.zeros(len(v), np.int8), np.ones(len(v), np.int8)])),
+        })
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "sum_diff": pa.array([], pa.int64())})
+        if not batch.num_rows or "bucket" not in batch.column_names:
+            return empty
+        import pandas as pd
+
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        gh = batch.column("ghost").to_numpy(zero_copy_only=False)
+        out_g, out_n, out_s = [], [], []
+        df = pd.DataFrame({"g": g, "bk": bk})
+        for (gg, bb), idx in df.groupby(["g", "bk"]).indices.items():
+            m_r = gh[idx] == 0
+            r = np.sort(v[idx][m_r])
+            if not len(r):
+                continue
+            n_p = np.int64(0)
+            s_d = np.int64(0)
+            # resident×resident: j > i with r[j] - r[i] <= band
+            pref = np.concatenate([[0], np.cumsum(r)])
+            hi = np.searchsorted(r, r + band, side="right")
+            i = np.arange(len(r))
+            cnt = hi - i - 1
+            n_p += cnt.sum()
+            s_d += ((pref[hi] - pref[i + 1]) - cnt * r).sum()
+            # resident×ghost: ghost bucket == bb+1, value strictly > resident
+            gvals = np.sort(v[idx][~m_r])
+            if len(gvals):
+                gpref = np.concatenate([[0], np.cumsum(gvals)])
+                gc = np.searchsorted(gvals, r + band, side="right")
+                n_p += gc.sum()
+                s_d += (gpref[gc] - gc * r).sum()
+            if n_p:
+                out_g.append(gg)
+                out_n.append(n_p)
+                out_s.append(s_d)
+        if not out_g:
+            return empty
+        return pa.table({group_col: pa.array(out_g),
+                         "n_pairs": pa.array(out_n, pa.int64()),
+                         "sum_diff": pa.array(out_s, pa.int64())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if not batch.num_rows or group_col not in batch.column_names:
+            return batch
+        df = (batch.to_pandas()
+              .groupby(group_col, as_index=False)[["n_pairs", "sum_diff"]]
+              .sum())
+        return pa.table({group_col: pa.array(df[group_col].to_numpy(object)),
+                         "n_pairs": pa.array(
+                             df["n_pairs"].to_numpy(np.int64)),
+                         "sum_diff": pa.array(
+                             df["sum_diff"].to_numpy(np.int64))})
+
+    anchor = pa.table({group_col: pa.array([], pa.string()),
+                       "n_pairs": pa.array([], pa.int64()),
+                       "sum_diff": pa.array([], pa.int64())})
+    return _schema_anchor(
+        ds.map_batches(scatter, batch_format="pyarrow")
+        .repartition(num_partitions, keys=[group_col, "bucket"])
+        .map_batches(block_pairs, batch_format="pyarrow")
+        .repartition(max(1, num_partitions // 4), keys=[group_col])
+        .map_batches(combine, batch_format="pyarrow"),
+        anchor,
+    )

@@ -548,3 +548,74 @@ def test_ipc_shards_deterministic(tmp_path, ray_session):
     m = back.sort_values("doc_id").reset_index(drop=True)
     w = want.sort_values("doc_id").reset_index(drop=True)
     assert (m["text"] == w["text"]).all()
+
+
+def test_band_self_pairs_matches_brute(ray_session):
+    """Banded theta self-join (resident/ghost bucketing): pair counts and
+    summed |diff| per group match the quadratic brute force, including
+    values straddling bucket boundaries and exact-band gaps."""
+    import ray.data as rd
+
+    from oma_ray.stages.join import band_self_pairs
+
+    rng = np.random.default_rng(11)
+    n = 400
+    groups = np.array(["g0", "g1", "g2"])[rng.integers(0, 3, n)]
+    # cluster values so bands are dense; include exact multiples of band
+    vals = (rng.integers(0, 40, n) * 25).astype(np.int64)
+    band = 100
+
+    want = {}
+    for g in np.unique(groups):
+        v = vals[groups == g]
+        diff = np.abs(v[:, None] - v[None, :])
+        m = np.triu(diff <= band, k=1)
+        want[g] = (int(m.sum()), int(diff[m].sum()))
+
+    ds = rd.from_arrow(pa.table({"g": groups, "v": vals})).repartition(7)
+    out = (band_self_pairs(ds, "g", "v", band)
+           .to_pandas().set_index("g"))
+    for g, (np_, sd) in want.items():
+        assert int(out.loc[g, "n_pairs"]) == np_, g
+        assert int(out.loc[g, "sum_diff"]) == sd, g
+    assert len(out) == len(want)
+
+
+def test_box_overlap_join_with_area_matches_brute(ray_session):
+    """with_area=True: every overlapping pair carries the exact geometric
+    intersection area (0 for edge-touching), still exactly once."""
+    import ray.data as rd
+
+    from oma_ray.stages.geo_join import box_overlap_join
+
+    def boxes(n, seed):
+        i = np.arange(n, dtype=np.int64)
+        cx = (i * 48271 + seed) % 2_000_000_000 - 1_000_000_000
+        cy = (i * 69621 + seed * 3) % 1_000_000_000 - 500_000_000
+        hw = 50_000_000 + (i * 104729) % 250_000_000
+        hh = 30_000_000 + (i * 7919) % 150_000_000
+        return {"box_id": i, "minlon": cx - hw, "maxlon": cx + hw,
+                "minlat": cy - hh, "maxlat": cy + hh}
+
+    a, b = boxes(80, 7), boxes(90, 1234567)
+    want = {}
+    for i in range(80):
+        for j in range(90):
+            w = min(a["maxlon"][i], b["maxlon"][j]) - max(
+                a["minlon"][i], b["minlon"][j])
+            h = min(a["maxlat"][i], b["maxlat"][j]) - max(
+                a["minlat"][i], b["minlat"][j])
+            if w >= 0 and h >= 0:
+                want[(i, j)] = int(w) * int(h)
+    assert want
+
+    def tab(d):
+        return pa.table({k: pa.array(v) for k, v in d.items()})
+
+    out = box_overlap_join(
+        rd.from_arrow(tab(a)).repartition(3),
+        rd.from_arrow(tab(b)).repartition(4),
+        width=64, with_area=True,
+    ).to_pandas()
+    got = {(r.a_id, r.b_id): r.area for r in out.itertuples()}
+    assert got == want
