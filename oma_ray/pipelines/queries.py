@@ -14064,6 +14064,312 @@ def q229_box_area_join(sf_dir: str):
 SQL_Q229 = None  # assembled below (needs both box CTEs)
 
 
+def q230_slope_zonal(sf_dir: str):
+    """Raster-algebra → zonal stats: terrain roughness (clamped central
+    differences |E−W|+|N−S| over the broadcast elevation raster, derived
+    ONCE on the driver and broadcast like any raster —
+    stages/raster.py::synth_slope) sampled at every geo-tagged page and
+    summed per 100×100-cell zone.  The slope raster is closed-form so the
+    oracle recomputes every sampled value from the elevation formula at
+    the four neighbor cells."""
+    from oma_ray.stages.raster import RasterSample, synth_slope
+    from oma_ray.stages.taskcache import CachedStage
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        return pa.table({"lon": pa.array(lon[has_geo]),
+                         "lat": pa.array(lat[has_geo])})
+
+    geo = ds.map_batches(coords, batch_format="pyarrow")
+    sampled = geo.map_batches(
+        CachedStage(RasterSample, _broadcast_once("slope_raster",
+                                                  synth_slope),
+                    out_col="slope"),
+        batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        row = np.minimum((lat + 900_000_000) // 1_000_000, 1799)
+        col = np.minimum((lon + 1_800_000_000) // 1_000_000, 3599)
+        return pd.DataFrame({
+            "zone_id": (row // 100) * 36 + (col // 100),
+            "slope_sum": batch.column("slope").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_pages": np.ones(batch.num_rows, dtype=np.int64)})
+
+    return _grouped_sums(sampled, ["zone_id"], partial,
+                         ["slope_sum", "n_pages"], 4)
+
+
+from oma_ray.stages.raster import (  # noqa: E402
+    SQL_COL as _SQL_COL,
+    SQL_ROW as _SQL_ROW,
+    SQL_SLOPE as _SQL_SLOPE,
+)
+
+SQL_Q230 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+rc AS (
+  SELECT doc_id,
+         {_SQL_ROW.format(lat='lat')} AS r,
+         {_SQL_COL.format(lon='lon')} AS c
+  FROM g)
+SELECT CAST((r // 100) * 36 + (c // 100) AS BIGINT) AS zone_id,
+       CAST(SUM({_SQL_SLOPE.format(r='r', c='c')}) AS BIGINT)
+         AS slope_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM rc GROUP BY 1
+"""
+
+
+def q231_viewshed(sf_dir: str):
+    """Line-of-sight viewshed — the raster×vector composite: every
+    geo-tagged page finds its nearest station (min d², ties to the lower
+    id — q50's rule) and is VISIBLE from it iff none of 15 equally-spaced
+    points along the connecting segment has terrain elevation above the
+    station's cell elevation + 2000.  Per station: pages assigned and
+    pages visible.
+
+    Scale shape: stations and the elevation raster broadcast once; the
+    per-batch kernel is three numpy gathers (d² matrix → argmin, (n×15)
+    interpolated cells → one raster gather → row-max), then grouped sums
+    — no exchange carries anything but the O(stations) partial rows.
+    Interpolation uses sign·(|Δ|·s // 16) — truncation toward zero — so
+    the DuckDB mirror (`//` truncates) is bit-exact."""
+    from oma_ray.stages.raster import synth_raster
+    from oma_ray.stages.taskcache import CachedStage
+    from oma_ray.synth import geo_for_ids, synth_stations
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    class Viewshed:
+        def __init__(self, raster_ref):
+            import ray
+
+            self.raster = (ray.get(raster_ref)
+                           if isinstance(raster_ref, ray.ObjectRef)
+                           else raster_ref)
+            st = synth_stations(64)
+            self.sx = st["lon"].astype(np.int64)
+            self.sy = st["lat"].astype(np.int64)
+            srow = np.minimum((self.sy + 900_000_000) // 1_000_000, 1799)
+            scol = np.minimum((self.sx + 1_800_000_000) // 1_000_000, 3599)
+            self.s_elev = self.raster[srow, scol].astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lon, lat, has_geo = geo_for_ids(ids)
+            px = lon[has_geo].astype(np.int64)
+            py = lat[has_geo].astype(np.int64)
+            if not len(px):
+                return pa.table({"station_id": pa.array([], pa.int64()),
+                                 "n_pages": pa.array([], pa.int64()),
+                                 "n_visible": pa.array([], pa.int64())})
+            dx = np.abs(px[:, None] - self.sx[None, :]) // 100
+            dy = np.abs(py[:, None] - self.sy[None, :]) // 100
+            ns = np.argmin(dx * dx + dy * dy, axis=1)  # first min = low id
+            sx, sy = self.sx[ns], self.sy[ns]
+            s = np.arange(1, 16, dtype=np.int64)[None, :]
+            ddx, ddy = px - sx, py - sy
+            xs = sx[:, None] + np.sign(ddx)[:, None] * (
+                np.abs(ddx)[:, None] * s // 16)
+            ys = sy[:, None] + np.sign(ddy)[:, None] * (
+                np.abs(ddy)[:, None] * s // 16)
+            row = np.minimum((ys + 900_000_000) // 1_000_000, 1799)
+            col = np.minimum((xs + 1_800_000_000) // 1_000_000, 3599)
+            maxe = self.raster[row, col].astype(np.int64).max(axis=1)
+            vis = maxe <= self.s_elev[ns] + 2000
+            df = (pd.DataFrame({"station_id": ns.astype(np.int64),
+                                "n_pages": np.int64(1),
+                                "n_visible": vis.astype(np.int64)})
+                  .groupby("station_id", as_index=False).sum())
+            from oma_ray.sources.parquet import from_pandas_clean
+
+            return from_pandas_clean(df)
+
+    partials = ds.map_batches(
+        CachedStage(Viewshed,
+                    _broadcast_once("elev_raster_full", synth_raster)),
+        batch_format="pyarrow")
+
+    def identity(batch: pa.Table) -> pd.DataFrame:
+        return batch.to_pandas()
+
+    return _grouped_sums(partials, ["station_id"], identity,
+                         ["n_pages", "n_visible"], 4)
+
+
+SQL_Q231 = None  # assembled below (needs the stations CTE)
+
+
+def q232_custdist(sf_dir: str):
+    """Order-count distribution (TPC-H Q13 shape): histogram of customers
+    by how many orders they placed, INCLUDING zero-order customers — the
+    aggregate-then-outer-join-then-reaggregate double hop.  Order counts
+    pre-aggregate per batch so the first exchange moves O(customers);
+    the left-outer hash join fills absent customers with 0; the second
+    fold is O(distinct counts)."""
+    from oma_ray.stages.join import hash_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+
+    def cnt_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": batch.column("o_custkey").to_numpy(
+                zero_copy_only=False),
+            "c_count": np.ones(batch.num_rows, dtype=np.int64)})
+
+    counts = _grouped_sums(orders, ["c_custkey"], cnt_partial,
+                           ["c_count"], 4)
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    j = hash_join(cust, counts, on="c_custkey", join_type="left_outer",
+                  est_bytes=_fact_bytes(sf_dir, "customer", "orders"))
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        c = batch.column("c_count").to_numpy(zero_copy_only=False)
+        # left-outer: zero-order customers surface as nulls (float NaN)
+        c = (np.nan_to_num(c).astype(np.int64)
+             if c.dtype.kind == "f" else c.astype(np.int64))
+        return pd.DataFrame({
+            "c_count": c,
+            "custdist": np.ones(batch.num_rows, dtype=np.int64)})
+
+    return _grouped_sums(j, ["c_count"], hist_partial, ["custdist"], 4)
+
+
+SQL_Q232 = """
+WITH c AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c GROUP BY 1
+"""
+
+
+def q233_big_orders(sf_dir: str):
+    """Large-volume orders (TPC-H Q18 shape): the aggregate-then-semijoin
+    regime — per-order quantity sums (pre-aggregated per batch, one keyed
+    exchange) filter to >300 units, and only the qualifying handful joins
+    back to orders and the customer dimension.  The filter runs BEFORE
+    the join, so the join exchange moves the qualifying fraction, not the
+    fact table."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.join import broadcast_join, hash_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False),
+            "qty_c": _cents(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False))})
+
+    sums = _grouped_sums(li, ["o_orderkey"], qty_partial, ["qty_c"], 4)
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("qty_c"), 30000)),
+        batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    j = hash_join(big, orders, on="o_orderkey",
+                  est_bytes=_fact_bytes(sf_dir, "orders"))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    out = broadcast_join(j, cust, keys=["o_custkey"],
+                         right_keys=["c_custkey"], join_type="inner")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch.column("c_name"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": pa.array(_cents(batch.column(
+                "o_totalprice").to_numpy(zero_copy_only=False))),
+            "qty_c": batch.column("qty_c").cast(pa.int64())})
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_Q233 = f"""
+WITH t AS (
+  SELECT l_orderkey,
+         SUM({SQL_CENTS.format(c='l_quantity')}) AS qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM({SQL_CENTS.format(c='l_quantity')}) > 30000)
+SELECT c.c_name, o.o_orderkey,
+       {SQL_CENTS.format(c='o.o_totalprice')} AS total_c,
+       CAST(t.qty_c AS BIGINT) AS qty_c
+FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q234_promo_share(sf_dir: str):
+    """Promotion revenue share per ship month (TPC-H Q14 shape,
+    integer-exact): promo and total discounted-revenue units per month,
+    the CASE-inside-aggregate pattern over a dimension broadcast — the
+    part type map ships once (ray.put), the fact side never exchanges
+    anything but O(months) partial rows."""
+    from oma_ray.stages.join import broadcast_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    j = broadcast_join(li, part, keys=["l_partkey"],
+                       right_keys=["p_partkey"], join_type="inner")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = ship // 86_400_000_000
+        dt = (day.astype("datetime64[D]"))
+        ym = (dt.astype("datetime64[M]").astype(np.int64)
+              + 1970 * 12)  # months since year 0, int
+        e = _cents(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        d = _cents(batch.column("l_discount").to_numpy(
+            zero_copy_only=False))
+        rev = e * (100 - d)
+        promo = (batch.column("p_type").to_numpy(
+            zero_copy_only=False) == "PROMO").astype(np.int64)
+        return pd.DataFrame({"ym": ym,
+                             "promo_u": rev * promo,
+                             "total_u": rev})
+
+    return _grouped_sums(j, ["ym"], partial, ["promo_u", "total_u"], 4)
+
+
+SQL_Q234 = f"""
+SELECT (EXTRACT(year FROM l_shipdate) * 12
+        + EXTRACT(month FROM l_shipdate) - 1) AS ym,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN {SQL_CENTS.format(c='l_extendedprice')}
+                   * (100 - {SQL_CENTS.format(c='l_discount')})
+                ELSE 0 END) AS BIGINT) AS promo_u,
+       CAST(SUM({SQL_CENTS.format(c='l_extendedprice')}
+                * (100 - {SQL_CENTS.format(c='l_discount')}))
+            AS BIGINT) AS total_u
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -14405,6 +14711,44 @@ SELECT a.box_id AS a_id, b.box_id AS b_id
 FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
              AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
 """
+    global SQL_Q231
+    SQL_Q231 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+s AS ({sql_stations_cte(64)}),
+d AS (
+  SELECT g.doc_id AS page_id, g.lon AS px, g.lat AS py,
+         s.station_id, s.lon AS sx, s.lat AS sy,
+         row_number() OVER (
+           PARTITION BY g.doc_id
+           ORDER BY {_SQL_D2.format(lon='g.lon', lat='g.lat',
+                                    qlon='s.lon', qlat='s.lat')},
+                    s.station_id) AS rn
+  FROM g CROSS JOIN s),
+near AS (
+  SELECT page_id, station_id, px, py, sx, sy,
+         (LEAST((sy + 900000000) // 1000000, 1799) * 7919
+          + LEAST((sx + 1800000000) // 1000000, 3599) * 104729) % 10000
+           AS selev
+  FROM d WHERE rn = 1),
+pt AS (
+  SELECT page_id, station_id, selev,
+         sx + CASE WHEN px >= sx THEN ((px - sx) * t.s) // 16
+                   ELSE -(((sx - px) * t.s) // 16) END AS xs,
+         sy + CASE WHEN py >= sy THEN ((py - sy) * t.s) // 16
+                   ELSE -(((sy - py) * t.s) // 16) END AS ys
+  FROM near CROSS JOIN range(1, 16) t(s)),
+e AS (
+  SELECT page_id, station_id, ANY_VALUE(selev) AS selev,
+         MAX((LEAST((ys + 900000000) // 1000000, 1799) * 7919
+              + LEAST((xs + 1800000000) // 1000000, 3599) * 104729)
+             % 10000) AS maxe
+  FROM pt GROUP BY 1, 2)
+SELECT CAST(station_id AS BIGINT) AS station_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN maxe <= selev + 2000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_visible
+FROM e GROUP BY 1
+"""
     global SQL_Q229
     SQL_Q229 = f"""
 WITH a AS ({sql_boxes_cte(64)}),
@@ -14714,6 +15058,11 @@ QUERIES = {
     "q227_band_join": q227_band_join,
     "q228_survival": q228_survival,
     "q229_box_area_join": q229_box_area_join,
+    "q230_slope_zonal": q230_slope_zonal,
+    "q231_viewshed": q231_viewshed,
+    "q232_custdist": q232_custdist,
+    "q233_big_orders": q233_big_orders,
+    "q234_promo_share": q234_promo_share,
 }
 
 ORACLES = {
@@ -14942,4 +15291,9 @@ ORACLES = {
     "q227_band_join": SQL_Q227,
     "q228_survival": SQL_Q228,
     "q229_box_area_join": SQL_Q229,
+    "q230_slope_zonal": SQL_Q230,
+    "q231_viewshed": SQL_Q231,
+    "q232_custdist": SQL_Q232,
+    "q233_big_orders": SQL_Q233,
+    "q234_promo_share": SQL_Q234,
 }

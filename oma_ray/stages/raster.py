@@ -158,3 +158,33 @@ SQL_ELEV = (
     "((LEAST(({lat} + 900000000) // 1000000, 1799) * 7919"
     " + LEAST(({lon} + 1800000000) // 1000000, 3599) * 104729) % 10000)"
 )
+
+
+def synth_slope() -> np.ndarray:
+    """Terrain-roughness raster derived from ``synth_raster`` by clamped
+    central differences: slope(r,c) = |E−W| + |N−S| with edge cells
+    clamping the neighbor index — a focal (3×3-dependent) derivation
+    computed ONCE on the full array and broadcast like any raster, the
+    raster-algebra step of a slope/aspect pipeline.  Mirrored closed-form
+    in SQL_SLOPE so the oracle reproduces every sampled value."""
+    e = synth_raster().astype(np.int64)
+    ce = np.minimum(np.arange(RASTER_COLS) + 1, RASTER_COLS - 1)
+    cw = np.maximum(np.arange(RASTER_COLS) - 1, 0)
+    rs = np.minimum(np.arange(RASTER_ROWS) + 1, RASTER_ROWS - 1)
+    rn = np.maximum(np.arange(RASTER_ROWS) - 1, 0)
+    dx = np.abs(e[:, ce] - e[:, cw])
+    dy = np.abs(e[rs, :] - e[rn, :])
+    return (dx + dy).astype(np.int32)
+
+
+# slope at the cell of (lon, lat): elev-formula recomputed at the four
+# clamped neighbors ({r}/{c} are the row/col SQL fragments)
+SQL_SLOPE = (
+    "(ABS((({r}) * 7919 + LEAST(({c}) + 1, 3599) * 104729) % 10000"
+    "   - (({r}) * 7919 + GREATEST(({c}) - 1, 0) * 104729) % 10000)"
+    " + ABS((LEAST(({r}) + 1, 1799) * 7919 + ({c}) * 104729) % 10000"
+    "   - (GREATEST(({r}) - 1, 0) * 7919 + ({c}) * 104729) % 10000))"
+)
+
+SQL_ROW = "LEAST(({lat} + 900000000) // 1000000, 1799)"
+SQL_COL = "LEAST(({lon} + 1800000000) // 1000000, 3599)"
