@@ -14370,6 +14370,153 @@ GROUP BY 1
 """
 
 
+def q235_hex_cells(sf_dir: str):
+    """Hexagonal cell binning — the H3-role index, integer-exact: hex
+    cells are the Voronoi regions of a triangular center lattice
+    (columns every 1.5a, odd columns offset half a row), so a point's
+    cell is its nearest lattice center.  The kernel floors to a
+    candidate (i, j), tests the 3×3 neighbor centers with integer d²
+    (ties → lower cell id) and never touches a float — unlike true
+    H3/S2 there is no spherical math, but the adjacency topology (6
+    neighbors) and the binning role are the same, and the oracle can
+    mirror every step.  Output: pages per hex cell.
+
+    Scale: pure per-batch numpy (one (n×9) distance matrix), partial
+    counts, one O(cells) exchange."""
+    from oma_ray.synth import geo_for_ids
+
+    A = 40_000_000   # 1.5a column pitch → a ≈ 2.67e7 fixed units
+    B = 34_641_016   # half row pitch ≈ a·√3/2 scaled (near-regular hexes)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        x = lon[has_geo].astype(np.int64) + 1_800_000_000
+        y = lat[has_geo].astype(np.int64) + 900_000_000
+        i0, j0 = x // A, y // (2 * B)
+        di = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+        dj = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+        ii = i0[:, None] + di[None, :]
+        jj = j0[:, None] + dj[None, :]
+        cx = ii * A
+        cy = (2 * jj + (ii & 1)) * B
+        d2 = (x[:, None] - cx) ** 2 + (y[:, None] - cy) ** 2
+        cell = ii * 100_000 + jj  # unique: i ∈ [0, 90], j ∈ [0, 26k]
+        # min d², ties to the LOWER cell id: lexsort-free via composite
+        order = np.argsort(cell, axis=1, kind="stable")
+        d2s = np.take_along_axis(d2, order, axis=1)
+        cells = np.take_along_axis(cell, order, axis=1)
+        pick = np.argmin(d2s, axis=1)  # first min = lowest cell id
+        hexcell = cells[np.arange(len(pick)), pick]
+        return pd.DataFrame({"hex_id": hexcell,
+                             "n_pages": np.ones(len(pick),
+                                                dtype=np.int64)})
+
+    return _grouped_sums(ds, ["hex_id"], partial, ["n_pages"], 4)
+
+
+SQL_Q235 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+p AS (
+  SELECT doc_id, lon + 1800000000 AS x, lat + 900000000 AS y
+  FROM g),
+cand AS (
+  SELECT p.doc_id, p.x, p.y,
+         (p.x // 40000000 + di.i) AS ii,
+         (p.y // 69282032 + dj.j) AS jj
+  FROM p
+  CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS i) di
+  CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS j) dj),
+d AS (
+  SELECT doc_id, ii * 100000 + jj AS hex_id,
+         (x - ii * 40000000) * (x - ii * 40000000)
+       + (y - (2 * jj + ((ii + 2) % 2)) * 34641016)
+       * (y - (2 * jj + ((ii + 2) % 2)) * 34641016) AS d2,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY (x - ii * 40000000)
+                                     * (x - ii * 40000000)
+                                   + (y - (2 * jj + ((ii + 2) % 2)) * 34641016)
+                                   * (y - (2 * jj + ((ii + 2) % 2)) * 34641016),
+                                     ii * 100000 + jj) AS rn
+  FROM cand)
+SELECT CAST(hex_id AS BIGINT) AS hex_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM d WHERE rn = 1
+GROUP BY 1
+"""
+
+
+def q236_kdist(sf_dir: str):
+    """k-distance profile per station (the DBSCAN-ε tuning curve): each
+    station's squared distance to its 10th-nearest geo page.  The
+    engine's shape is the reverse-kNN partial-top-k: every batch keeps
+    at most k candidate distances PER STATION (np.partition on the
+    (pages×stations) d² matrix), one station-keyed exchange folds the
+    partials, so the exchange moves O(stations·k) — never a page."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids, synth_stations
+
+    K = 10
+    ensure_hash_shuffle()
+    st = synth_stations(64)
+    sx = st["lon"].astype(np.int64)
+    sy = st["lat"].astype(np.int64)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"station_id": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.int64())})
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        px = lon[has_geo].astype(np.int64)
+        py = lat[has_geo].astype(np.int64)
+        if not len(px):
+            return empty
+        dx = np.abs(px[:, None] - sx[None, :]) // 100
+        dy = np.abs(py[:, None] - sy[None, :]) // 100
+        d2 = dx * dx + dy * dy  # (n, 64)
+        kk = min(K, d2.shape[0])
+        top = np.partition(d2, kk - 1, axis=0)[:kk, :]  # k smallest/station
+        n_st = top.shape[1]
+        return pa.table({
+            "station_id": pa.array(np.repeat(np.arange(n_st,
+                                                       dtype=np.int64),
+                                             top.shape[0])),
+            "d2": pa.array(top.T.reshape(-1))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"station_id": pa.array([], pa.int64()),
+                          "kdist2": pa.array([], pa.int64())})
+        if not batch.num_rows or "station_id" not in batch.column_names:
+            return empty
+        df = batch.to_pandas()
+        out_s, out_d = [], []
+        for sid, grp in df.groupby("station_id"):
+            v = np.sort(grp["d2"].to_numpy(np.int64))
+            if len(v) >= K:
+                out_s.append(sid)
+                out_d.append(v[K - 1])
+        if not out_s:
+            return empty
+        return from_pandas_clean(pd.DataFrame({
+            "station_id": np.asarray(out_s, np.int64),
+            "kdist2": np.asarray(out_d, np.int64)}))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["station_id"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q236 = None  # assembled below (needs the stations CTE)
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -14710,6 +14857,23 @@ b AS ({sql_boxes_cte(64, start=64)})
 SELECT a.box_id AS a_id, b.box_id AS b_id
 FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
              AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
+    global SQL_Q236
+    SQL_Q236 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+s AS ({sql_stations_cte(64)}),
+d AS (
+  SELECT s.station_id,
+         {_SQL_D2.format(lon='g.lon', lat='g.lat',
+                         qlon='s.lon', qlat='s.lat')} AS d2,
+         row_number() OVER (
+           PARTITION BY s.station_id
+           ORDER BY {_SQL_D2.format(lon='g.lon', lat='g.lat',
+                                    qlon='s.lon', qlat='s.lat')}) AS rn
+  FROM g CROSS JOIN s)
+SELECT CAST(station_id AS BIGINT) AS station_id,
+       CAST(d2 AS BIGINT) AS kdist2
+FROM d WHERE rn = 10
 """
     global SQL_Q231
     SQL_Q231 = f"""
@@ -15063,6 +15227,8 @@ QUERIES = {
     "q232_custdist": q232_custdist,
     "q233_big_orders": q233_big_orders,
     "q234_promo_share": q234_promo_share,
+    "q235_hex_cells": q235_hex_cells,
+    "q236_kdist": q236_kdist,
 }
 
 ORACLES = {
@@ -15296,4 +15462,6 @@ ORACLES = {
     "q232_custdist": SQL_Q232,
     "q233_big_orders": SQL_Q233,
     "q234_promo_share": SQL_Q234,
+    "q235_hex_cells": SQL_Q235,
+    "q236_kdist": SQL_Q236,
 }
