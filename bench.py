@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q112_dbscan",
     "q163_pmi_collocations",
     "q200_geo_curation",
+    "q226_bloom_semijoin",
+    "q231_viewshed",
+    "q235_hex_cells",
 ]
 
 

@@ -14517,6 +14517,242 @@ def q236_kdist(sf_dir: str):
 SQL_Q236 = None  # assembled below (needs the stations CTE)
 
 
+def q237_cogroup_orders(sf_dir: str):
+    """Three-way COGROUP in ONE exchange: orders ⟗ lineitem-counts ⟗
+    returned-counts, all keyed by orderkey — the multiway colocated-union
+    join (tag each source, union under one padded schema, exchange once,
+    fold all three sources per block).  A conventional plan would pay two
+    exchanges; the cogroup pays one and the per-block fold is a pandas
+    pivot.  Output: per order, total cents, item count, returned-item
+    count (orders with zero lineitems keep 0s)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": pa.array(_cents(batch.column(
+                "o_totalprice").to_numpy(zero_copy_only=False))),
+            "n_items": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "n_returned": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "src": pa.array(np.zeros(batch.num_rows, np.int8))})
+
+    def tag_items(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({
+            "o_orderkey": batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False),
+            "n_items": np.ones(batch.num_rows, np.int64),
+            "n_returned": (rf == "R").astype(np.int64)})
+            .groupby("o_orderkey", as_index=False).sum())
+        df["total_c"] = np.int64(0)
+        df["src"] = np.int8(1)
+        return from_pandas_clean(df[["o_orderkey", "total_c", "n_items",
+                                     "n_returned", "src"]])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "total_c": pa.array([], pa.int64()),
+                          "n_items": pa.array([], pa.int64()),
+                          "n_returned": pa.array([], pa.int64())})
+        if not batch.num_rows or "src" not in batch.column_names:
+            return empty
+        df = batch.to_pandas()
+        agg = (df.groupby("o_orderkey", as_index=False)
+               .agg(total_c=("total_c", "sum"),
+                    n_items=("n_items", "sum"),
+                    n_returned=("n_returned", "sum"),
+                    has_order=("src", "min")))
+        agg = agg[agg["has_order"] == 0]  # keep keys present in orders
+        return from_pandas_clean(agg[["o_orderkey", "total_c",
+                                      "n_items", "n_returned"]]
+                                 .astype(np.int64))
+
+    both = (orders.map_batches(tag_orders, batch_format="pyarrow")
+            .union(li.map_batches(tag_items, batch_format="pyarrow"))
+            .repartition(default_partitions(), keys=["o_orderkey"]))
+    return both.map_batches(fold, batch_format="pyarrow")
+
+
+SQL_Q237 = f"""
+SELECT o.o_orderkey,
+       {SQL_CENTS.format(c='o.o_totalprice')} AS total_c,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM(CASE WHEN l.l_returnflag = 'R'
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_returned
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q238_partition_checksums(sf_dir: str):
+    """Per-partition integrity fingerprints — the anti-entropy /
+    reconciliation primitive behind resumable ingestion: every one of 16
+    hash-buckets of doc_id reports row count, an ORDER-INDEPENDENT
+    XOR fingerprint of a deterministic per-row mix, and the summed
+    payload length.  Two replicas (or a checkpoint and a re-run) compare
+    O(partitions) rows instead of re-reading data.  XOR folds per batch,
+    then once per bucket after an O(buckets) exchange — commutative, so
+    block order never matters."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        mix = (ids * 2654435761) % (1 << 32)
+        mix = (mix * 40503 + nch) % (1 << 32)
+        df = pd.DataFrame({"bucket": ids % 16, "mix": mix,
+                           "n_rows": np.int64(1), "sum_chars": nch})
+        agg = df.groupby("bucket", as_index=False).agg(
+            xor_sig=("mix", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))),
+            n_rows=("n_rows", "sum"), sum_chars=("sum_chars", "sum"))
+        return from_pandas_clean(agg.astype(np.int64))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "xor_sig": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "sum_chars": pa.array([], pa.int64())})
+        if not batch.num_rows or "bucket" not in batch.column_names:
+            return empty
+        df = batch.to_pandas().groupby("bucket", as_index=False).agg(
+            xor_sig=("xor_sig", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.int64))),
+            n_rows=("n_rows", "sum"), sum_chars=("sum_chars", "sum"))
+        return from_pandas_clean(df.astype(np.int64))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(4, keys=["bucket"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q238 = """
+SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+       CAST(BIT_XOR(((doc_id * 2654435761) % 4294967296 * 40503
+                     + n_chars) % 4294967296) AS BIGINT) AS xor_sig,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q239_rasterize_traj(sf_dir: str):
+    """Vector→raster rasterization — the inverse of the zonal family:
+    user trajectories (event fixes ordered by ts, consecutive fixes form
+    segments) are sampled at 8 interior points per segment and the
+    samples accumulate into a coarse 18×36 heat raster.  Sampling uses
+    the same sign·(|Δ|·s // 8) truncation as q231 so the oracle mirrors
+    every cell hit.  Scale shape: ONE user-keyed exchange orders each
+    trajectory block-locally; the sample scatter is numpy; cell counts
+    fold through an O(cells) exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(batch.column("user_id").to_numpy(
+                zero_copy_only=False)[has_geo]),
+            "ts": pa.array(ts[has_geo]),
+            "event_id": pa.array(ids[has_geo]),
+            "x": pa.array(lon[has_geo].astype(np.int64)
+                          + 1_800_000_000),
+            "y": pa.array(lat[has_geo].astype(np.int64)
+                          + 900_000_000)})
+
+    def segments(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_id": pa.array([], pa.int64()),
+                          "n_samples": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, x, y = uid[order], x[order], y[order]
+        same = uid[1:] == uid[:-1]
+        x0, y0 = x[:-1][same], y[:-1][same]
+        x1, y1 = x[1:][same], y[1:][same]
+        if not len(x0):
+            return empty
+        s = np.arange(1, 9, dtype=np.int64)[None, :]
+        ddx, ddy = x1 - x0, y1 - y0
+        xs = x0[:, None] + np.sign(ddx)[:, None] * (
+            np.abs(ddx)[:, None] * s // 8)
+        ys = y0[:, None] + np.sign(ddy)[:, None] * (
+            np.abs(ddy)[:, None] * s // 8)
+        row = np.minimum(ys // 100_000_000, 17)
+        col = np.minimum(xs // 100_000_000, 35)
+        cell = (row * 36 + col).reshape(-1)
+        df = (pd.DataFrame({"cell_id": cell,
+                            "n_samples": np.int64(1)})
+              .groupby("cell_id", as_index=False).sum())
+        return from_pandas_clean(df.astype(np.int64))
+
+    counts = (ds.map_batches(project, batch_format="pyarrow")
+              .repartition(default_partitions(), keys=["user_id"])
+              .map_batches(segments, batch_format="pyarrow"))
+
+    def identity(batch: pa.Table) -> pd.DataFrame:
+        return batch.to_pandas()
+
+    return _grouped_sums(counts, ["cell_id"], identity,
+                         ["n_samples"], 4)
+
+
+SQL_Q239 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         ({SQL_LON.format(id='event_id')}) + 1800000000 AS x,
+         ({SQL_LAT.format(id='event_id')}) + 900000000 AS y
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+seg AS (
+  SELECT user_id, x, y,
+         LAG(x) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS px,
+         LAG(y) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS py
+  FROM e),
+pt AS (
+  SELECT px + CASE WHEN x >= px THEN ((x - px) * t.s) // 8
+              ELSE -(((px - x) * t.s) // 8) END AS xs,
+         py + CASE WHEN y >= py THEN ((y - py) * t.s) // 8
+              ELSE -(((py - y) * t.s) // 8) END AS ys
+  FROM seg CROSS JOIN range(1, 9) t(s)
+  WHERE px IS NOT NULL)
+SELECT CAST(LEAST(ys // 100000000, 17) * 36
+          + LEAST(xs // 100000000, 35) AS BIGINT) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM pt GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -15229,6 +15465,9 @@ QUERIES = {
     "q234_promo_share": q234_promo_share,
     "q235_hex_cells": q235_hex_cells,
     "q236_kdist": q236_kdist,
+    "q237_cogroup_orders": q237_cogroup_orders,
+    "q238_partition_checksums": q238_partition_checksums,
+    "q239_rasterize_traj": q239_rasterize_traj,
 }
 
 ORACLES = {
@@ -15464,4 +15703,7 @@ ORACLES = {
     "q234_promo_share": SQL_Q234,
     "q235_hex_cells": SQL_Q235,
     "q236_kdist": SQL_Q236,
+    "q237_cogroup_orders": SQL_Q237,
+    "q238_partition_checksums": SQL_Q238,
+    "q239_rasterize_traj": SQL_Q239,
 }

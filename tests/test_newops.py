@@ -619,3 +619,55 @@ def test_box_overlap_join_with_area_matches_brute(ray_session):
     ).to_pandas()
     got = {(r.a_id, r.b_id): r.area for r in out.itertuples()}
     assert got == want
+
+
+def test_hex_candidate_set_is_sufficient():
+    """q235's 3×3 candidate window: the nearest hex-lattice center of any
+    point in the world box is always inside the window (so the windowed
+    argmin IS the global Voronoi assignment, ties to lower cell id)."""
+    A, B = 40_000_000, 34_641_016
+    rng = np.random.default_rng(35)
+    x = rng.integers(0, 3_600_000_001, 4000).astype(np.int64)
+    y = rng.integers(0, 1_800_000_001, 4000).astype(np.int64)
+
+    def windowed(x, y):
+        i0, j0 = x // A, y // (2 * B)
+        di = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+        dj = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+        ii = i0[:, None] + di[None, :]
+        jj = j0[:, None] + dj[None, :]
+        cx = ii * A
+        cy = (2 * jj + (ii & 1)) * B
+        d2 = (x[:, None] - cx) ** 2 + (y[:, None] - cy) ** 2
+        cell = ii * 100_000 + jj
+        order = np.argsort(cell, axis=1, kind="stable")
+        d2s = np.take_along_axis(d2, order, axis=1)
+        cells = np.take_along_axis(cell, order, axis=1)
+        pick = np.argmin(d2s, axis=1)
+        return cells[np.arange(len(pick)), pick]
+
+    # brute force over a generous ±3 window (superset of any plausible
+    # winner: a center 3+ columns/rows away is farther than the in-window
+    # best by construction of the pitches)
+    def brute(x, y):
+        i0, j0 = x // A, y // (2 * B)
+        offs = [(i, j) for i in range(-3, 4) for j in range(-3, 4)]
+        best_d = None
+        best_c = None
+        for di, dj in offs:
+            ii = i0 + di
+            jj = j0 + dj
+            cx = ii * A
+            cy = (2 * jj + (ii & 1)) * B
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            cell = ii * 100_000 + jj
+            if best_d is None:
+                best_d, best_c = d2, cell
+            else:
+                better = (d2 < best_d) | ((d2 == best_d) & (cell < best_c))
+                best_d = np.where(better, d2, best_d)
+                best_c = np.where(better, cell, best_c)
+        return best_c
+
+    got, want = windowed(x, y), brute(x, y)
+    assert (got == want).all(), int((got != want).sum())
