@@ -14753,6 +14753,147 @@ FROM pt GROUP BY 1
 """
 
 
+def q240_audio_tones(sf_dir: str):
+    """Multimodal DSP with a planted-truth oracle: every document gets a
+    REAL PCM16 WAV payload (0.25 s, dominant tone at one of four exact
+    DFT bins chosen by doc_id % 4, plus a weaker off-tone), an actor-pool
+    stage decodes the RIFF bytes and runs a 4-bin Goertzel/DFT power
+    scan, and the argmax bin must recover the plant for EVERY row — the
+    oracle simply states ``doc_id % 4``, so a single mis-detection
+    hash-fails the query.  The decode+detect kernel is one (batch×2000)
+    × (2000×8) matmul, not a per-sample loop; payload synthesis and
+    byte decode are honest per-row (bytes are bytes)."""
+    from oma_ray.stages.multimodal import decode_wav, encode_wav
+
+    RATE, N = 8000, 2000
+    CANDS = np.array([400, 800, 1200, 1600])
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = np.arange(N) / RATE
+        payloads = []
+        for i in ids:
+            ix = int(i) % 4
+            x = (0.6 * np.sin(2 * np.pi * CANDS[ix] * t)
+                 + 0.15 * np.sin(2 * np.pi * CANDS[(ix + 2) % 4] * t))
+            payloads.append(encode_wav((x * 20000).astype(np.int16),
+                                       RATE))
+        return pa.table({"doc_id": pa.array(ids),
+                         "audio": pa.array(payloads, type=pa.binary())})
+
+    class ToneDetect:
+        def __init__(self):
+            t = np.arange(N) / RATE
+            w = 2 * np.pi * CANDS[:, None] * t[None, :]
+            self.basis = np.concatenate([np.cos(w), np.sin(w)])  # (8, N)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mats = np.stack([
+                decode_wav(p.as_py())[0][:N].astype(np.float64)
+                for p in batch.column("audio")])
+            proj = mats @ self.basis.T  # (b, 8)
+            power = proj[:, :4] ** 2 + proj[:, 4:] ** 2
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "tone_ix": pa.array(np.argmax(power, axis=1)
+                                    .astype(np.int64))})
+
+    return (ds.map_batches(synth, batch_format="pyarrow",
+                           batch_size=256)
+            .map_batches(ToneDetect, batch_format="pyarrow",
+                         concurrency=2, batch_size=256))
+
+
+SQL_Q240 = """
+SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS tone_ix FROM documents
+"""
+
+
+def q241_aspect_zonal(sf_dir: str):
+    """Terrain aspect classes — the categorical raster-algebra sibling of
+    q230: each geo page's cell is classed by its dominant gradient
+    direction (E if the W→E difference dominates and is positive, W if
+    negative; else S/N from the N→S difference; |dx| ties go to the x
+    axis), then counted per (zone, aspect).  Same broadcast-raster
+    mechanics; the oracle recomputes the neighbor elevations closed-
+    form."""
+    from oma_ray.stages.raster import synth_raster
+    from oma_ray.stages.taskcache import CachedStage
+    from oma_ray.synth import geo_for_ids
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    class Aspect:
+        def __init__(self, raster_ref):
+            import ray
+
+            self.e = (ray.get(raster_ref)
+                      if isinstance(raster_ref, ray.ObjectRef)
+                      else raster_ref).astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lon, lat, has_geo = geo_for_ids(ids)
+            x = lon[has_geo].astype(np.int64)
+            y = lat[has_geo].astype(np.int64)
+            row = np.minimum((y + 900_000_000) // 1_000_000, 1799)
+            col = np.minimum((x + 1_800_000_000) // 1_000_000, 3599)
+            e = self.e
+            dx = (e[row, np.minimum(col + 1, 3599)]
+                  - e[row, np.maximum(col - 1, 0)])
+            dy = (e[np.minimum(row + 1, 1799), col]
+                  - e[np.maximum(row - 1, 0), col])
+            aspect = np.where(
+                np.abs(dx) >= np.abs(dy),
+                np.where(dx >= 0, 0, 1),
+                np.where(dy >= 0, 2, 3)).astype(np.int64)
+            return pa.table({
+                "zone_id": pa.array((row // 100) * 36 + (col // 100)),
+                "aspect_ix": pa.array(aspect)})
+
+    partials = ds.map_batches(
+        CachedStage(Aspect, _broadcast_once("elev_raster_full",
+                                            synth_raster)),
+        batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["n_pages"] = np.int64(1)
+        return df
+
+    return _grouped_sums(partials, ["zone_id", "aspect_ix"], partial,
+                         ["n_pages"], 4)
+
+
+SQL_Q241 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+rc AS (
+  SELECT doc_id,
+         {_SQL_ROW.format(lat='lat')} AS r,
+         {_SQL_COL.format(lon='lon')} AS c
+  FROM g),
+d AS (
+  SELECT (r // 100) * 36 + (c // 100) AS zone_id,
+         ((r * 7919 + LEAST(c + 1, 3599) * 104729) % 10000
+          - (r * 7919 + GREATEST(c - 1, 0) * 104729) % 10000) AS dx,
+         ((LEAST(r + 1, 1799) * 7919 + c * 104729) % 10000
+          - (GREATEST(r - 1, 0) * 7919 + c * 104729) % 10000) AS dy
+  FROM rc)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(CASE WHEN ABS(dx) >= ABS(dy)
+                 THEN CASE WHEN dx >= 0 THEN 0 ELSE 1 END
+                 ELSE CASE WHEN dy >= 0 THEN 2 ELSE 3 END
+            END AS BIGINT) AS aspect_ix,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM d GROUP BY 1, 2
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -15468,6 +15609,8 @@ QUERIES = {
     "q237_cogroup_orders": q237_cogroup_orders,
     "q238_partition_checksums": q238_partition_checksums,
     "q239_rasterize_traj": q239_rasterize_traj,
+    "q240_audio_tones": q240_audio_tones,
+    "q241_aspect_zonal": q241_aspect_zonal,
 }
 
 ORACLES = {
@@ -15706,4 +15849,6 @@ ORACLES = {
     "q237_cogroup_orders": SQL_Q237,
     "q238_partition_checksums": SQL_Q238,
     "q239_rasterize_traj": SQL_Q239,
+    "q240_audio_tones": SQL_Q240,
+    "q241_aspect_zonal": SQL_Q241,
 }
