@@ -14894,6 +14894,222 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q242_teleports(sf_dir: str):
+    """GPS-outlier detection — the geo data-quality gate: per user, count
+    fix-to-fix transitions that are physically implausible (movement
+    d² > 10¹⁰ scaled units within < 2 h).  ONE user-keyed exchange, then
+    the block kernel is the lexsort-diff idiom (no Python loop over
+    fixes); emits only users with ≥1 teleport."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    D2_MAX = 10_000_000_000
+    DT_MAX = 7_200_000_000  # 2 h in µs
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(batch.column("user_id").to_numpy(
+                zero_copy_only=False)[has_geo]),
+            "ts": pa.array(ts[has_geo]),
+            "event_id": pa.array(ids[has_geo]),
+            "lon": pa.array(lon[has_geo].astype(np.int64)),
+            "lat": pa.array(lat[has_geo].astype(np.int64))})
+
+    def teleports(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_teleports": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        lon, lat = lon[order], lat[order]
+        same = uid[1:] == uid[:-1]
+        dx = np.abs(np.diff(lon)) // 100
+        dy = np.abs(np.diff(lat)) // 100
+        d2 = dx * dx + dy * dy
+        dt = np.diff(ts)
+        tp = same & (d2 > D2_MAX) & (dt < DT_MAX)
+        if not tp.any():
+            return empty
+        df = (pd.DataFrame({"user_id": uid[1:][tp],
+                            "n_teleports": np.int64(1)})
+              .groupby("user_id", as_index=False).sum())
+        return from_pandas_clean(df.astype(np.int64))
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["user_id"])
+            .map_batches(teleports, batch_format="pyarrow"))
+
+
+SQL_Q242 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+s AS (
+  SELECT user_id, epoch_us(ts) AS tu, lon, lat,
+         LAG(epoch_us(ts)) OVER w AS ptu,
+         LAG(lon) OVER w AS plon,
+         LAG(lat) OVER w AS plat
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT user_id
+  FROM s
+  WHERE ptu IS NOT NULL
+    AND (ABS(lon - plon) // 100) * (ABS(lon - plon) // 100)
+      + (ABS(lat - plat) // 100) * (ABS(lat - plat) // 100)
+        > 10000000000
+    AND tu - ptu < 7200000000)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_teleports
+FROM t GROUP BY 1
+"""
+
+
+def q243_upsert_latest(sf_dir: str):
+    """CDC compaction — latest-writer-wins upsert: the events stream is a
+    change log keyed by (user_id, event_type); the compacted state is
+    each key's most recent value (ties on ts broken by highest event_id,
+    the log-offset rule).  ONE keyed exchange; the block kernel picks
+    per-key argmax by lexsort — the merge step of any LSM/CDC sink.
+    Values compare as cents to stay integer-exact."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "tu": ts,
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False),
+            "value_c": _cents(batch.column("value").to_numpy(
+                zero_copy_only=False))})
+        # block-local pre-compaction: keep the per-key winner per batch
+        df = (df.sort_values(["user_id", "event_type", "tu", "event_id"])
+              .groupby(["user_id", "event_type"], as_index=False)
+              .tail(1))
+        return from_pandas_clean(df)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "value_c": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["user_id", "event_type", "tu", "event_id"])
+              .groupby(["user_id", "event_type"], as_index=False)
+              .tail(1))
+        return from_pandas_clean(df[["user_id", "event_type",
+                                     "value_c"]])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(),
+                         keys=["user_id", "event_type"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q243 = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         {SQL_CENTS.format(c='value')} AS value_c,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, value_c
+FROM r WHERE rn = 1
+"""
+
+
+def q244_zone_lang_concat(sf_dir: str):
+    """Ordered group-concat: per 10°-zone, the langs present joined in
+    DESCENDING page-count order (count ties alphabetical) — the ordered
+    string-aggregate that demands a deterministic within-group order
+    after the exchange, not just a fold.  Counts pre-aggregate per batch;
+    the concat itself touches O(zones × langs) rows."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row = np.minimum((lat[has_geo] + 900_000_000) // 100_000_000, 17)
+        col = np.minimum((lon[has_geo] + 1_800_000_000)
+                         // 100_000_000, 35)
+        return pd.DataFrame({
+            "zone_id": row * 36 + col,
+            "lang": batch.column("lang").to_numpy(
+                zero_copy_only=False)[has_geo],
+            "n": np.ones(int(has_geo.sum()), dtype=np.int64)})
+
+    counts = _grouped_sums(ds, ["zone_id", "lang"], partial, ["n"], 4)
+
+    def concat(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"zone_id": pa.array([], pa.int64()),
+                          "langs": pa.array([], pa.string())})
+        if not batch.num_rows or "zone_id" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas()
+              .sort_values(["zone_id", "n", "lang"],
+                           ascending=[True, False, True],
+                           kind="stable"))
+        agg = (df.groupby("zone_id")["lang"]
+               .agg(lambda s: ",".join(s)).reset_index()
+               .rename(columns={"lang": "langs"}))
+        return pa.table({
+            "zone_id": pa.array(agg["zone_id"].to_numpy(np.int64)),
+            "langs": pa.array(agg["langs"].to_numpy(object),
+                              type=pa.string())})
+
+    return (counts.repartition(4, keys=["zone_id"])
+            .map_batches(concat, batch_format="pyarrow"))
+
+
+SQL_Q244 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+z AS (
+  SELECT LEAST((lat + 900000000) // 100000000, 17) * 36
+       + LEAST((lon + 1800000000) // 100000000, 35) AS zone_id,
+         d.lang
+  FROM g JOIN documents d USING (doc_id)),
+c AS (SELECT zone_id, lang, COUNT(*) AS n FROM z GROUP BY 1, 2)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       string_agg(lang, ',' ORDER BY n DESC, lang) AS langs
+FROM c GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -15611,6 +15827,9 @@ QUERIES = {
     "q239_rasterize_traj": q239_rasterize_traj,
     "q240_audio_tones": q240_audio_tones,
     "q241_aspect_zonal": q241_aspect_zonal,
+    "q242_teleports": q242_teleports,
+    "q243_upsert_latest": q243_upsert_latest,
+    "q244_zone_lang_concat": q244_zone_lang_concat,
 }
 
 ORACLES = {
@@ -15851,4 +16070,7 @@ ORACLES = {
     "q239_rasterize_traj": SQL_Q239,
     "q240_audio_tones": SQL_Q240,
     "q241_aspect_zonal": SQL_Q241,
+    "q242_teleports": SQL_Q242,
+    "q243_upsert_latest": SQL_Q243,
+    "q244_zone_lang_concat": SQL_Q244,
 }
