@@ -15110,6 +15110,63 @@ FROM c GROUP BY 1
 """
 
 
+def q245_spatial_thinning(sf_dir: str):
+    """Spatially balanced corpus thinning — one representative document
+    per 10°-zone cell (lowest doc_id, the deterministic pick), plus how
+    many candidates the cell had: the curation move that stops dense
+    metros from dominating a geo-balanced training mix.  Grouped-min is
+    a mergeable aggregate: per-batch min + count, ONE O(cells) exchange,
+    block-local re-min."""
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row = np.minimum((lat[has_geo] + 900_000_000) // 100_000_000, 17)
+        col = np.minimum((lon[has_geo] + 1_800_000_000)
+                         // 100_000_000, 35)
+        df = (pd.DataFrame({"zone_id": row * 36 + col,
+                            "keep_id": ids[has_geo],
+                            "n_candidates": np.int64(1)})
+              .groupby("zone_id", as_index=False)
+              .agg(keep_id=("keep_id", "min"),
+                   n_candidates=("n_candidates", "sum")))
+        return from_pandas_clean(df.astype(np.int64))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"zone_id": pa.array([], pa.int64()),
+                          "keep_id": pa.array([], pa.int64()),
+                          "n_candidates": pa.array([], pa.int64())})
+        if not batch.num_rows or "zone_id" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas()
+              .groupby("zone_id", as_index=False)
+              .agg(keep_id=("keep_id", "min"),
+                   n_candidates=("n_candidates", "sum")))
+        return from_pandas_clean(df.astype(np.int64))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(4, keys=["zone_id"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q245 = f"""
+WITH g AS ({_SQL_GEO_DOCS})
+SELECT CAST(LEAST((lat + 900000000) // 100000000, 17) * 36
+          + LEAST((lon + 1800000000) // 100000000, 35) AS BIGINT)
+         AS zone_id,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates
+FROM g GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -15830,6 +15887,7 @@ QUERIES = {
     "q242_teleports": q242_teleports,
     "q243_upsert_latest": q243_upsert_latest,
     "q244_zone_lang_concat": q244_zone_lang_concat,
+    "q245_spatial_thinning": q245_spatial_thinning,
 }
 
 ORACLES = {
@@ -16073,4 +16131,5 @@ ORACLES = {
     "q242_teleports": SQL_Q242,
     "q243_upsert_latest": SQL_Q243,
     "q244_zone_lang_concat": SQL_Q244,
+    "q245_spatial_thinning": SQL_Q245,
 }
