@@ -12604,8 +12604,12 @@ def q210_lang_homophily(sf_dir: str):
         return from_pandas_clean(
             df[["host", "lang"]].rename(columns={"lang": "dlang"}))
 
+    # materialize: dom is O(hosts) tiny and consumed by BOTH joins —
+    # without it Ray re-executes the two upstream shuffles per consumer,
+    # doubling the plan's concurrent shuffle-operator count
     dom = (hl.repartition(4, keys=["host"])
-           .map_batches(dominant, batch_format="pyarrow"))
+           .map_batches(dominant, batch_format="pyarrow")
+           .materialize())
 
     def to_ids(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -14613,8 +14617,13 @@ def q238_partition_checksums(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
-        mix = (ids * 2654435761) % (1 << 32)
-        mix = (mix * 40503 + nch) % (1 << 32)
+        # uint64 over the masked low 32 bits: ids ≥ 2^32 would overflow a
+        # signed multiply (numpy wraps, DuckDB doesn't) — same guard as
+        # the sample.py hash predicate family
+        mix = ((ids.astype(np.uint64) & np.uint64(0xFFFFFFFF))
+               * np.uint64(2654435761)) % np.uint64(1 << 32)
+        mix = ((mix * np.uint64(40503) + nch.astype(np.uint64))
+               % np.uint64(1 << 32)).astype(np.int64)
         df = pd.DataFrame({"bucket": ids % 16, "mix": mix,
                            "n_rows": np.int64(1), "sum_chars": nch})
         agg = df.groupby("bucket", as_index=False).agg(
@@ -14643,8 +14652,10 @@ def q238_partition_checksums(sf_dir: str):
 
 SQL_Q238 = """
 SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
-       CAST(BIT_XOR(((doc_id * 2654435761) % 4294967296 * 40503
-                     + n_chars) % 4294967296) AS BIGINT) AS xor_sig,
+       CAST(BIT_XOR(CAST(
+             (CAST((doc_id & 4294967295) AS HUGEINT) * 2654435761
+              % 4294967296 * 40503 + n_chars) % 4294967296
+            AS BIGINT)) AS BIGINT) AS xor_sig,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1

@@ -43,7 +43,17 @@ def ensure_hash_shuffle() -> None:
     64-partition exchange on a 32-core node tries to provision 64 actors
     and the pipeline stalls on actor startup + CPU contention.  A pool of
     ~cores/4 actors serves any partition count (partitions are multiplexed
-    onto aggregators) while leaving the cores to the map stages."""
+    onto aggregators) while leaving the cores to the map stages.
+
+    The aggregators' LOGICAL CPU reservation must also be fractional: Ray
+    2.49 sizes it as min(1, (CPU/2)/partitions) per partition
+    (hash_shuffle.py:1007-1020), so a plan with several concurrent
+    shuffle operators (multi-join DAGs re-execute shared lineage per
+    consumer) can demand more logical CPUs in aggregator actors than the
+    node has — actor creation pends and the executor deadlocks (observed:
+    a 7-shuffle plan at num_cpus=4 hangs forever).  A small per-partition
+    override (0.03) keeps every pool schedulable; aggregators still use
+    real CPU when busy — the reservation only gates admission."""
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
 
@@ -52,6 +62,7 @@ def ensure_hash_shuffle() -> None:
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = max(2, cluster_cpus() // 4)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.03
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
