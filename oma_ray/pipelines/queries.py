@@ -15178,6 +15178,141 @@ FROM g GROUP BY 1
 """
 
 
+def q246_image_dups(sf_dir: str):
+    """Content-addressed image dedup with a planted-truth oracle: every
+    document carries a real 24-bit BMP (deterministic gradient); docs
+    with ``doc_id % 7 == 3`` carry an EXACT COPY of doc_id−1's image.
+    The stage decodes, aHashes (8×8 mean-threshold, the perceptual-hash
+    blocking key) and md5s each payload, ships only (id, ahash, md5) —
+    48 bytes/row, never pixels — through ONE keyed exchange, and emits a
+    (dup_id, base_id) pair per content-equal group.  The synth geometry
+    makes chance collisions impossible below id ≡ id' (mod 768), so the
+    output is EXACTLY the planted pairs and the oracle states them in
+    closed form — one false pair or missed copy hash-fails."""
+    import hashlib
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.multimodal import (
+        decode_bmp,
+        resize_nearest,
+        synth_bmp_batch,
+    )
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # planted copies need the BASE row's payload: synth is pure, so
+        # recompute the base id's image instead of fetching the row
+        src = np.where((ids % 7 == 3) & (ids >= 1), ids - 1, ids)
+        t = synth_bmp_batch(pa.table({"doc_id": pa.array(src)}))
+        return pa.table({"doc_id": pa.array(ids),
+                         "image": t.column("image")})
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ah, md = [], []
+        for p in batch.column("image"):
+            raw = p.as_py()
+            img = decode_bmp(raw)
+            gray = img.astype(np.uint32).mean(axis=2)
+            g8 = resize_nearest(gray, 8, 8)
+            bits = (g8 >= g8.mean()).reshape(-1)
+            ah.append(int(np.packbits(bits).view(">u8")[0] >> np.uint64(0)))
+            md.append(hashlib.md5(raw).hexdigest())
+        return pa.table({"doc_id": pa.array(ids),
+                         "ahash": pa.array(np.asarray(ah, np.uint64)
+                                           .astype(np.int64)),
+                         "md5": pa.array(md, type=pa.string())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"dup_id": pa.array([], pa.int64()),
+                          "base_id": pa.array([], pa.int64())})
+        if not batch.num_rows or "md5" not in batch.column_names:
+            return empty
+        df = batch.to_pandas().sort_values("doc_id")
+        out_d, out_b = [], []
+        for _, grp in df.groupby(["ahash", "md5"]):
+            ids = grp["doc_id"].to_numpy(np.int64)
+            for j in range(1, len(ids)):
+                out_b.append(ids[0])
+                out_d.append(ids[j])
+        if not out_d:
+            return empty
+        return pa.table({"dup_id": pa.array(out_d, pa.int64()),
+                         "base_id": pa.array(out_b, pa.int64())})
+
+    return (ds.map_batches(synth, batch_format="pyarrow",
+                           batch_size=128)
+            .map_batches(sigs, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["ahash"])
+            .map_batches(pairs, batch_format="pyarrow"))
+
+
+SQL_Q246 = """
+SELECT doc_id AS dup_id, doc_id - 1 AS base_id
+FROM documents
+WHERE doc_id % 7 = 3 AND doc_id >= 1
+  AND (doc_id - 1) IN (SELECT doc_id FROM documents)
+"""
+
+
+def q247_scene_change(sf_dir: str):
+    """Video scene-change detection with a planted-truth oracle: each
+    document carries a real RAWV clip (n = 6 + id%10 frames) whose
+    brightness jumps at frame c = 1 + id%(n−1); the stage decodes the
+    frames, computes per-frame means and picks argmax |Δmean| + 1 —
+    which must equal the plant for every row (small per-frame jitter is
+    planted below the jump so the detector has to beat noise).  Map-only
+    (no exchange); the per-clip work is one reshape-mean, not a
+    per-pixel Python loop."""
+    from oma_ray.stages.multimodal import decode_rawv, encode_rawv
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            n = 6 + int(i) % 10
+            c = 1 + int(i) % (n - 1)
+            w, h = 16, 12
+            f = np.arange(n)
+            base = np.where(f < c, 40, 200).astype(np.uint8)
+            jitter = ((f * 3) % 7).astype(np.uint8)  # ≤6, ≪ the jump
+            frames = np.broadcast_to(
+                (base + jitter)[:, None, None, None],
+                (n, h, w, 3)).copy()
+            payloads.append(encode_rawv(frames))
+        return pa.table({"doc_id": pa.array(ids),
+                         "video": pa.array(payloads, type=pa.binary())})
+
+    def detect(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = []
+        for p in batch.column("video"):
+            frames = decode_rawv(p.as_py())
+            means = frames.reshape(frames.shape[0], -1).mean(axis=1)
+            out.append(int(np.argmax(np.abs(np.diff(means)))) + 1)
+        return pa.table({"doc_id": pa.array(ids),
+                         "scene_ix": pa.array(np.asarray(out, np.int64))})
+
+    return (ds.map_batches(synth, batch_format="pyarrow",
+                           batch_size=128)
+            .map_batches(detect, batch_format="pyarrow"))
+
+
+SQL_Q247 = """
+SELECT doc_id,
+       CAST(1 + doc_id % (5 + doc_id % 10) AS BIGINT) AS scene_ix
+FROM documents
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -15899,6 +16034,8 @@ QUERIES = {
     "q243_upsert_latest": q243_upsert_latest,
     "q244_zone_lang_concat": q244_zone_lang_concat,
     "q245_spatial_thinning": q245_spatial_thinning,
+    "q246_image_dups": q246_image_dups,
+    "q247_scene_change": q247_scene_change,
 }
 
 ORACLES = {
@@ -16143,4 +16280,6 @@ ORACLES = {
     "q243_upsert_latest": SQL_Q243,
     "q244_zone_lang_concat": SQL_Q244,
     "q245_spatial_thinning": SQL_Q245,
+    "q246_image_dups": SQL_Q246,
+    "q247_scene_change": SQL_Q247,
 }
