@@ -15313,6 +15313,74 @@ FROM documents
 """
 
 
+def q248_knn_classify(sf_dir: str):
+    """kNN majority-vote classification — the label-propagation read of
+    the kNN machinery: each query vector takes the modal label of its 10
+    cosine neighbors (vote ties → lower label id).  The classifier rides
+    q15's exact partial-top-k (per-batch ≤k+1 candidates per query move,
+    never the corpus); the label lookup joins the O(queries·k) neighbor
+    rows against the embeddings table through the colocated hash join,
+    so labels are never broadcast."""
+    from oma_ray.stages.join import hash_join
+    from oma_ray.stages.knn import knn_cosine
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    ids, mat = _query_vectors(sf_dir)
+    nn = knn_cosine(ds, ids, mat, k=10).select_columns(
+        ["query_id", "vec_id"])
+    labels = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"])
+    j = hash_join(nn, labels, on="vec_id")
+
+    def vote(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        counts = (df.groupby(["query_id", "label"], as_index=False)
+                  .size().rename(columns={"size": "votes"}))
+        top = (counts.sort_values(["query_id", "votes", "label"],
+                                  ascending=[True, False, True],
+                                  kind="stable")
+               .groupby("query_id", as_index=False).head(1))
+        return pa.table({
+            "query_id": pa.array(top["query_id"].to_numpy(np.int64)),
+            "pred_label": pa.array(top["label"].to_numpy(np.int64)),
+            "votes": pa.array(top["votes"].to_numpy(np.int64))})
+
+    # neighbor set is O(queries·k): the vote folds on the driver-side
+    # single block after one repartition(1) (canonical small result)
+    return (j.repartition(1)
+            .map_batches(vote, batch_format="pyarrow"))
+
+
+SQL_Q248 = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 9) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+nn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id) AS rank
+    FROM s) t
+  WHERE rank <= 10),
+v AS (
+  SELECT nn.query_id, e.label, COUNT(*) AS votes
+  FROM nn JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rn
+  FROM v) t
+WHERE rn = 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16036,6 +16104,7 @@ QUERIES = {
     "q245_spatial_thinning": q245_spatial_thinning,
     "q246_image_dups": q246_image_dups,
     "q247_scene_change": q247_scene_change,
+    "q248_knn_classify": q248_knn_classify,
 }
 
 ORACLES = {
@@ -16282,4 +16351,5 @@ ORACLES = {
     "q245_spatial_thinning": SQL_Q245,
     "q246_image_dups": SQL_Q246,
     "q247_scene_change": SQL_Q247,
+    "q248_knn_classify": SQL_Q248,
 }
