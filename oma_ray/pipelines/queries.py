@@ -15381,6 +15381,62 @@ WHERE rn = 1
 """
 
 
+def q249_skew_report(sf_dir: str):
+    """Partition-skew diagnostics — the planner's view of the salted-sink
+    machinery: per 10°-zone, page count, its per-mille share of the geo
+    corpus, a hot flag (share > 2× the uniform share) and the salt
+    factor ⌈share × zones⌉ a salted writer would apply.  One O(zones)
+    exchange; the global total folds from the same partials (no second
+    scan)."""
+    from oma_ray.synth import geo_for_ids
+
+    N_ZONES = 18 * 36
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        row = np.minimum((lat[has_geo] + 900_000_000) // 100_000_000, 17)
+        col = np.minimum((lon[has_geo] + 1_800_000_000)
+                         // 100_000_000, 35)
+        return pd.DataFrame({"zone_id": row * 36 + col,
+                             "n_pages": np.ones(int(has_geo.sum()),
+                                                dtype=np.int64)})
+
+    counts = _grouped_sums(ds, ["zone_id"], partial, ["n_pages"], 4)
+    df = counts.to_pandas()  # O(zones) — the canonical small result
+    total = int(df["n_pages"].sum())
+    n = df["n_pages"].to_numpy(np.int64)
+    share_pm = n * 1000 // max(total, 1)
+    hot = (n * N_ZONES > 2 * total).astype(np.int64)
+    salt = np.maximum(1, -(-(n * N_ZONES) // max(total, 1)))
+    return pd.DataFrame({
+        "zone_id": df["zone_id"].to_numpy(np.int64),
+        "n_pages": n, "share_pm": share_pm, "hot": hot,
+        "salt_factor": salt.astype(np.int64)})
+
+
+SQL_Q249 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+z AS (
+  SELECT LEAST((lat + 900000000) // 100000000, 17) * 36
+       + LEAST((lon + 1800000000) // 100000000, 35) AS zone_id
+  FROM g),
+c AS (SELECT zone_id, COUNT(*) AS n FROM z GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(n AS BIGINT) AS n_pages,
+       CAST(n * 1000 // total AS BIGINT) AS share_pm,
+       CAST(CASE WHEN n * 648 > 2 * total THEN 1 ELSE 0 END AS BIGINT)
+         AS hot,
+       CAST(GREATEST(1, (n * 648 + total - 1) // total) AS BIGINT)
+         AS salt_factor
+FROM c, t
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16105,6 +16161,7 @@ QUERIES = {
     "q246_image_dups": q246_image_dups,
     "q247_scene_change": q247_scene_change,
     "q248_knn_classify": q248_knn_classify,
+    "q249_skew_report": q249_skew_report,
 }
 
 ORACLES = {
@@ -16352,4 +16409,5 @@ ORACLES = {
     "q246_image_dups": SQL_Q246,
     "q247_scene_change": SQL_Q247,
     "q248_knn_classify": SQL_Q248,
+    "q249_skew_report": SQL_Q249,
 }
