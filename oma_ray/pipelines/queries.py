@@ -15437,6 +15437,109 @@ FROM c, t
 """
 
 
+def q250_asof_nearest(sf_dir: str):
+    """NEAREST-event as-of join — q30's backward-only semantics widened
+    to both directions: every click attaches the same user's purchase
+    with the smallest |Δt| (ties → the earlier purchase, so backward
+    wins), clicks of users with no purchases drop.  ONE user-keyed
+    tagged exchange; the block kernel is per-user searchsorted against
+    the sorted purchase times — two gathers decide backward vs forward,
+    no scan over candidates."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def clicks(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "t": t.column("ts").cast(pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def purchases(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        df = (pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "t": t.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+            .drop_duplicates())
+        df["event_id"] = np.int64(-1)
+        df["side"] = np.int8(1)
+        return from_pandas_clean(df[["user_id", "event_id", "t",
+                                     "side"]])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "ts_us": pa.array([], pa.int64()),
+                          "purch_us": pa.array([], pa.int64()),
+                          "dt_us": pa.array([], pa.int64())})
+        if not b.num_rows or "side" not in b.column_names:
+            return empty
+        df = b.to_pandas()
+        out = []
+        for uid, grp in df.groupby("user_id"):
+            p = np.sort(grp.loc[grp["side"] == 1, "t"]
+                        .to_numpy(np.int64))
+            c = grp[grp["side"] == 0]
+            if not len(p) or not len(c):
+                continue
+            t = c["t"].to_numpy(np.int64)
+            i = np.searchsorted(p, t, side="right")
+            back = np.clip(i - 1, 0, len(p) - 1)
+            fwd = np.clip(i, 0, len(p) - 1)
+            d_back = np.where(i - 1 >= 0, np.abs(t - p[back]),
+                              np.int64(1 << 62))
+            d_fwd = np.where(i < len(p), np.abs(p[fwd] - t),
+                             np.int64(1 << 62))
+            use_back = d_back <= d_fwd  # tie → earlier (backward)
+            pts = np.where(use_back, p[back], p[fwd])
+            out.append(pd.DataFrame({
+                "event_id": c["event_id"].to_numpy(np.int64),
+                "ts_us": t, "purch_us": pts,
+                "dt_us": np.abs(t - pts)}))
+        if not out:
+            return empty
+        return from_pandas_clean(pd.concat(out, ignore_index=True))
+
+    both = (ev.map_batches(clicks, batch_format="pyarrow")
+            .union(ev.map_batches(purchases, batch_format="pyarrow"))
+            .repartition(default_partitions(), keys=["user_id"]))
+    return both.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_Q250 = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT DISTINCT user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT l.event_id, l.t, r.pts,
+         CASE WHEN l.t >= r.pts THEN l.t - r.pts
+              ELSE r.pts - l.t END AS dt,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY CASE WHEN l.t >= r.pts THEN l.t - r.pts
+                         ELSE r.pts - l.t END, r.pts) AS rn
+  FROM l JOIN r USING (user_id))
+SELECT event_id, CAST(t AS BIGINT) AS ts_us,
+       CAST(pts AS BIGINT) AS purch_us, CAST(dt AS BIGINT) AS dt_us
+FROM j WHERE rn = 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16162,6 +16265,7 @@ QUERIES = {
     "q247_scene_change": q247_scene_change,
     "q248_knn_classify": q248_knn_classify,
     "q249_skew_report": q249_skew_report,
+    "q250_asof_nearest": q250_asof_nearest,
 }
 
 ORACLES = {
@@ -16410,4 +16514,5 @@ ORACLES = {
     "q247_scene_change": SQL_Q247,
     "q248_knn_classify": SQL_Q248,
     "q249_skew_report": SQL_Q249,
+    "q250_asof_nearest": SQL_Q250,
 }
