@@ -15540,6 +15540,49 @@ FROM j WHERE rn = 1
 """
 
 
+def q251_rolling_median(sf_dir: str):
+    """Rolling order-statistic window — the 7-row discrete median of
+    daily order revenue: daily sums pre-aggregate per batch through ONE
+    O(days) exchange, and the rolling median (the element DuckDB's
+    windowed ``quantile_disc(0.5)`` picks: index ⌊(n−1)/2⌋ of the sorted
+    window) is a calendar-bounded driver epilogue — order statistics
+    never touch row-scale data."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "day": ts // 86_400_000_000,
+            "rev_c": _cents(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False))})
+
+    daily = (_grouped_sums(ds, ["day"], partial, ["rev_c"], 4)
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    rev = daily["rev_c"].to_numpy(np.int64)
+    med = np.empty(len(rev), dtype=np.int64)
+    for i in range(len(rev)):
+        w = np.sort(rev[max(0, i - 6):i + 1])
+        med[i] = w[(len(w) - 1) // 2]
+    return pd.DataFrame({"day": daily["day"].to_numpy(np.int64),
+                         "rev_c": rev, "med7_c": med})
+
+
+SQL_Q251 = f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM({SQL_CENTS.format(c='o_totalprice')}) AS rev_c
+  FROM orders GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(rev_c AS BIGINT) AS rev_c,
+       CAST(quantile_disc(rev_c, 0.5) OVER (
+              ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS med7_c
+FROM d
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16266,6 +16309,7 @@ QUERIES = {
     "q248_knn_classify": q248_knn_classify,
     "q249_skew_report": q249_skew_report,
     "q250_asof_nearest": q250_asof_nearest,
+    "q251_rolling_median": q251_rolling_median,
 }
 
 ORACLES = {
@@ -16515,4 +16559,5 @@ ORACLES = {
     "q248_knn_classify": SQL_Q248,
     "q249_skew_report": SQL_Q249,
     "q250_asof_nearest": SQL_Q250,
+    "q251_rolling_median": SQL_Q251,
 }
