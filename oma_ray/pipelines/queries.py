@@ -15583,6 +15583,79 @@ FROM d
 """
 
 
+def q252_geofence_enters(sf_dir: str):
+    """Geofence ENTER events — the movement×boundary composite: user
+    fixes (event geo) classify into the 64 admin boxes (first-match
+    lowest id, q55's edge rule), and an ENTER fires when consecutive
+    fixes of one user change zone into a real box (prev ≠ cur, cur ≠
+    −1).  The box set broadcasts (64 rows); ONE user-keyed exchange
+    orders trajectories; per-box enter counts fold through an O(boxes)
+    second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids, synth_boxes
+
+    ensure_hash_shuffle()
+    bx = synth_boxes(64)
+    lo, hi = bx["minlon"], bx["maxlon"]
+    la, ha = bx["minlat"], bx["maxlat"]
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = lon[has_geo][:, None]
+        y = lat[has_geo][:, None]
+        m = ((x > lo[None, :]) & (x <= hi[None, :])
+             & (y >= la[None, :]) & (y < ha[None, :]))
+        any_hit = m.any(axis=1)
+        admin = np.where(any_hit, np.argmax(m, axis=1), -1)
+        return pa.table({
+            "user_id": pa.array(batch.column("user_id").to_numpy(
+                zero_copy_only=False)[has_geo]),
+            "ts": pa.array(ts[has_geo]),
+            "event_id": pa.array(ids[has_geo]),
+            "admin": pa.array(admin.astype(np.int64))})
+
+    def enters(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"admin_id": pa.array([], pa.int64()),
+                          "n_enters": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ad = batch.column("admin").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ad = uid[order], ad[order]
+        same = uid[1:] == uid[:-1]
+        enter = same & (ad[1:] != ad[:-1]) & (ad[1:] != -1)
+        if not enter.any():
+            return empty
+        df = (pd.DataFrame({"admin_id": ad[1:][enter],
+                            "n_enters": np.int64(1)})
+              .groupby("admin_id", as_index=False).sum())
+        return from_pandas_clean(df.astype(np.int64))
+
+    counts = (ds.map_batches(assign, batch_format="pyarrow")
+              .repartition(default_partitions(), keys=["user_id"])
+              .map_batches(enters, batch_format="pyarrow"))
+
+    def identity(batch: pa.Table) -> pd.DataFrame:
+        return batch.to_pandas()
+
+    return _grouped_sums(counts, ["admin_id"], identity,
+                         ["n_enters"], 4)
+
+
+SQL_Q252 = None  # assembled below (needs the boxes CTE)
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -15923,6 +15996,31 @@ b AS ({sql_boxes_cte(64, start=64)})
 SELECT a.box_id AS a_id, b.box_id AS b_id
 FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
              AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
+    global SQL_Q252
+    SQL_Q252 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+b AS ({sql_boxes_cte(64)}),
+hit AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         COALESCE(MIN(b.box_id), -1) AS admin
+  FROM e LEFT JOIN b ON e.lon > b.minlon AND e.lon <= b.maxlon
+                    AND e.lat >= b.minlat AND e.lat < b.maxlat
+  GROUP BY 1, 2, 3),
+s AS (
+  SELECT admin,
+         LAG(admin) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS padmin
+  FROM hit)
+SELECT CAST(admin AS BIGINT) AS admin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_enters
+FROM s
+WHERE padmin IS NOT NULL AND admin <> padmin AND admin <> -1
+GROUP BY 1
 """
     global SQL_Q236
     SQL_Q236 = f"""
@@ -16310,6 +16408,7 @@ QUERIES = {
     "q249_skew_report": q249_skew_report,
     "q250_asof_nearest": q250_asof_nearest,
     "q251_rolling_median": q251_rolling_median,
+    "q252_geofence_enters": q252_geofence_enters,
 }
 
 ORACLES = {
@@ -16560,4 +16659,5 @@ ORACLES = {
     "q249_skew_report": SQL_Q249,
     "q250_asof_nearest": SQL_Q250,
     "q251_rolling_median": SQL_Q251,
+    "q252_geofence_enters": SQL_Q252,
 }
