@@ -15656,6 +15656,64 @@ def q252_geofence_enters(sf_dir: str):
 SQL_Q252 = None  # assembled below (needs the boxes CTE)
 
 
+def q253_haar_levels(sf_dir: str):
+    """Two-level integer Haar decomposition of the daily-revenue series —
+    the multiresolution transform (unnormalized, so every coefficient is
+    an exact integer): observed days sort into 4-day blocks (trailing
+    partial block dropped), each emitting the level-2 approximation
+    a2 = Σx, the level-2 detail d2 = (x0+x1)−(x2+x3) and the two level-1
+    details x0−x1, x2−x3.  Daily sums pre-aggregate through ONE O(days)
+    exchange; the transform is a calendar-bounded driver epilogue."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "day": ts // 86_400_000_000,
+            "rev_c": _cents(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False))})
+
+    daily = (_grouped_sums(ds, ["day"], partial, ["rev_c"], 4)
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    x = daily["rev_c"].to_numpy(np.int64)
+    nb = len(x) // 4
+    x = x[:nb * 4].reshape(nb, 4)
+    return pd.DataFrame({
+        "block": np.arange(nb, dtype=np.int64),
+        "a2_c": x.sum(axis=1),
+        "d2_c": (x[:, 0] + x[:, 1]) - (x[:, 2] + x[:, 3]),
+        "d1a_c": x[:, 0] - x[:, 1],
+        "d1b_c": x[:, 2] - x[:, 3]})
+
+
+SQL_Q253 = f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM({SQL_CENTS.format(c='o_totalprice')}) AS rev_c
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT rev_c,
+         row_number() OVER (ORDER BY day) - 1 AS rk
+  FROM d),
+b AS (
+  SELECT rk // 4 AS block, rk % 4 AS pos, rev_c FROM r)
+SELECT CAST(block AS BIGINT) AS block,
+       CAST(SUM(rev_c) AS BIGINT) AS a2_c,
+       CAST(SUM(CASE WHEN pos < 2 THEN rev_c ELSE -rev_c END)
+            AS BIGINT) AS d2_c,
+       CAST(SUM(CASE WHEN pos = 0 THEN rev_c
+                     WHEN pos = 1 THEN -rev_c ELSE 0 END)
+            AS BIGINT) AS d1a_c,
+       CAST(SUM(CASE WHEN pos = 2 THEN rev_c
+                     WHEN pos = 3 THEN -rev_c ELSE 0 END)
+            AS BIGINT) AS d1b_c
+FROM b GROUP BY 1
+HAVING COUNT(*) = 4
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16409,6 +16467,7 @@ QUERIES = {
     "q250_asof_nearest": q250_asof_nearest,
     "q251_rolling_median": q251_rolling_median,
     "q252_geofence_enters": q252_geofence_enters,
+    "q253_haar_levels": q253_haar_levels,
 }
 
 ORACLES = {
@@ -16660,4 +16719,5 @@ ORACLES = {
     "q250_asof_nearest": SQL_Q250,
     "q251_rolling_median": SQL_Q251,
     "q252_geofence_enters": SQL_Q252,
+    "q253_haar_levels": SQL_Q253,
 }
