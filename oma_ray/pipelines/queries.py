@@ -15714,6 +15714,135 @@ HAVING COUNT(*) = 4
 """
 
 
+def q254_fanout_profile(sf_dir: str):
+    """Write-amplification profile of multi-tile assignment: when a page
+    fans out to EVERY box that contains it (q57's overlap semantics, not
+    first-match), how many copies does each page cost?  Histogram of
+    pages by containment degree (0..), the planning number a fanout sink
+    sizes itself with.  Broadcast 64-box masks, per-batch degree =
+    row-sum, one O(degrees) exchange."""
+    from oma_ray.synth import geo_for_ids, synth_boxes
+
+    b1, b2 = synth_boxes(64), synth_boxes(64, start=64)
+    lo = np.concatenate([b1["minlon"], b2["minlon"]])
+    hi = np.concatenate([b1["maxlon"], b2["maxlon"]])
+    la = np.concatenate([b1["minlat"], b2["minlat"]])
+    ha = np.concatenate([b1["maxlat"], b2["maxlat"]])
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        x = lon[has_geo][:, None]
+        y = lat[has_geo][:, None]
+        deg = ((x > lo[None, :]) & (x <= hi[None, :])
+               & (y >= la[None, :]) & (y < ha[None, :])).sum(axis=1)
+        return pd.DataFrame({"degree": deg.astype(np.int64),
+                             "n_pages": np.ones(len(deg), np.int64)})
+
+    return _grouped_sums(ds, ["degree"], partial, ["n_pages"], 4)
+
+
+SQL_Q254 = None  # assembled below (needs the boxes CTE)
+
+
+def q255_twohop_reach(sf_dir: str):
+    """Distinct 2-hop reach per host — the friends-of-friends size over
+    the link graph: |{w : v→u→w}| excluding w = v, counted DISTINCT.
+    The edge list self-joins through ONE mid-keyed colocated exchange
+    (edges tagged by role, each mid's in- and out-edges meet in one
+    block); (src, dst2) pairs dedup through a second keyed exchange
+    before the per-src count — pair volume is degree-bounded, never
+    |V|²."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.links import host_int, host_link_edges
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": host_int(batch.column("src_host")),
+            "dst": host_int(batch.column("dst_host"))})
+
+    edges = (host_link_edges(make_pages_dataset(sf_dir))
+             .map_batches(to_ids, batch_format="pyarrow")
+             .materialize())  # consumed twice: one execution
+
+    def tag_out(batch: pa.Table) -> pa.Table:
+        # role 0: edge v→mid (keyed by mid = dst)
+        return pa.table({"mid": batch.column("dst"),
+                         "other": batch.column("src"),
+                         "role": pa.array(
+                             np.zeros(batch.num_rows, np.int8))})
+
+    def tag_in(batch: pa.Table) -> pa.Table:
+        # role 1: edge mid→w (keyed by mid = src)
+        return pa.table({"mid": batch.column("src"),
+                         "other": batch.column("dst"),
+                         "role": pa.array(
+                             np.ones(batch.num_rows, np.int8))})
+
+    def compose(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst2": pa.array([], pa.int64())})
+        if not batch.num_rows or "mid" not in batch.column_names:
+            return empty
+        df = batch.to_pandas().drop_duplicates()
+        out = []
+        for _, grp in df.groupby("mid"):
+            v = grp.loc[grp["role"] == 0, "other"].to_numpy(np.int64)
+            w = grp.loc[grp["role"] == 1, "other"].to_numpy(np.int64)
+            if not len(v) or not len(w):
+                continue
+            vv = np.repeat(v, len(w))
+            ww = np.tile(w, len(v))
+            keep = vv != ww
+            out.append(pd.DataFrame({"src": vv[keep],
+                                     "dst2": ww[keep]})
+                       .drop_duplicates())
+        if not out:
+            return empty
+        return from_pandas_clean(pd.concat(out, ignore_index=True))
+
+    def count_distinct(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "n_reach2": pa.array([], pa.int64())})
+        if not batch.num_rows or "src" not in batch.column_names:
+            return empty
+        df = (batch.to_pandas().drop_duplicates()
+              .groupby("src", as_index=False).size()
+              .rename(columns={"size": "n_reach2"}))
+        return from_pandas_clean(df.astype(np.int64))
+
+    pairs = (edges.map_batches(tag_out, batch_format="pyarrow")
+             .union(edges.map_batches(tag_in, batch_format="pyarrow"))
+             .repartition(default_partitions(), keys=["mid"])
+             .map_batches(compose, batch_format="pyarrow"))
+    return (pairs.repartition(default_partitions(), keys=["src"])
+            .map_batches(count_distinct, batch_format="pyarrow"))
+
+
+SQL_Q255 = """
+WITH e AS (
+  SELECT DISTINCT doc_id % 1000 AS src,
+         (doc_id * 48271 + j) % 1000 AS dst
+  FROM documents, (VALUES (1), (2), (3)) v(j)
+  WHERE doc_id % 4 >= j),
+p AS (
+  SELECT DISTINCT a.src, b.dst AS dst2
+  FROM e a JOIN e b ON a.dst = b.src
+  WHERE a.src <> b.dst)
+SELECT CAST(src AS BIGINT) AS src,
+       CAST(COUNT(*) AS BIGINT) AS n_reach2
+FROM p GROUP BY 1
+"""
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16054,6 +16183,19 @@ b AS ({sql_boxes_cte(64, start=64)})
 SELECT a.box_id AS a_id, b.box_id AS b_id
 FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
              AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
+    global SQL_Q254
+    SQL_Q254 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({sql_boxes_cte(64)} UNION ALL {sql_boxes_cte(64, start=64)}),
+d AS (
+  SELECT g.doc_id, COUNT(b.box_id) AS degree
+  FROM g LEFT JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+                    AND g.lat >= b.minlat AND g.lat < b.maxlat
+  GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM d GROUP BY 1
 """
     global SQL_Q252
     SQL_Q252 = f"""
@@ -16468,6 +16610,8 @@ QUERIES = {
     "q251_rolling_median": q251_rolling_median,
     "q252_geofence_enters": q252_geofence_enters,
     "q253_haar_levels": q253_haar_levels,
+    "q254_fanout_profile": q254_fanout_profile,
+    "q255_twohop_reach": q255_twohop_reach,
 }
 
 ORACLES = {
@@ -16720,4 +16864,6 @@ ORACLES = {
     "q251_rolling_median": SQL_Q251,
     "q252_geofence_enters": SQL_Q252,
     "q253_haar_levels": SQL_Q253,
+    "q254_fanout_profile": SQL_Q254,
+    "q255_twohop_reach": SQL_Q255,
 }
