@@ -142,6 +142,21 @@ SUBSET = [
     "q221_forecast_backtest",
     "q222_sortmerge_join",
     "q223_nation_share",
+    "q227_band_join",
+    "q228_survival",
+    "q230_slope_zonal",
+    "q231_viewshed",
+    "q235_hex_cells",
+    "q237_cogroup_orders",
+    "q239_rasterize_traj",
+    "q240_audio_tones",
+    "q243_upsert_latest",
+    "q246_image_dups",
+    "q247_scene_change",
+    "q250_asof_nearest",
+    "q252_geofence_enters",
+    "q253_haar_levels",
+    "q255_twohop_reach",
 ]
 
 
