@@ -15843,6 +15843,79 @@ FROM p GROUP BY 1
 """
 
 
+def q256_station_handoffs(sf_dir: str):
+    """Facility handoff matrix — the cell-tower / basestation mobility
+    aggregate: each user fix snaps to its nearest station (min d², ties
+    to the lower id), and a HANDOFF fires when consecutive fixes of one
+    user change station; counts fold per (from, to) pair.  Stations
+    broadcast once; ONE user-keyed exchange orders trajectories; the
+    O(stations²)-bounded pair counts ride a tiny second exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import geo_for_ids, synth_stations
+
+    ensure_hash_shuffle()
+    st = synth_stations(64)
+    sx = st["lon"].astype(np.int64)
+    sy = st["lat"].astype(np.int64)
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    def snap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat, has_geo = geo_for_ids(ids)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        px = lon[has_geo].astype(np.int64)
+        py = lat[has_geo].astype(np.int64)
+        dx = np.abs(px[:, None] - sx[None, :]) // 100
+        dy = np.abs(py[:, None] - sy[None, :]) // 100
+        ns = np.argmin(dx * dx + dy * dy, axis=1)  # first min = low id
+        return pa.table({
+            "user_id": pa.array(batch.column("user_id").to_numpy(
+                zero_copy_only=False)[has_geo]),
+            "ts": pa.array(ts[has_geo]),
+            "event_id": pa.array(ids[has_geo]),
+            "station": pa.array(ns.astype(np.int64))})
+
+    def handoffs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"from_id": pa.array([], pa.int64()),
+                          "to_id": pa.array([], pa.int64()),
+                          "n_handoffs": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        stn = batch.column("station").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, stn = uid[order], stn[order]
+        same = uid[1:] == uid[:-1]
+        ho = same & (stn[1:] != stn[:-1])
+        if not ho.any():
+            return empty
+        df = (pd.DataFrame({"from_id": stn[:-1][ho],
+                            "to_id": stn[1:][ho],
+                            "n_handoffs": np.int64(1)})
+              .groupby(["from_id", "to_id"], as_index=False).sum())
+        return from_pandas_clean(df.astype(np.int64))
+
+    counts = (ds.map_batches(snap, batch_format="pyarrow")
+              .repartition(default_partitions(), keys=["user_id"])
+              .map_batches(handoffs, batch_format="pyarrow"))
+
+    def identity(batch: pa.Table) -> pd.DataFrame:
+        return batch.to_pandas()
+
+    return _grouped_sums(counts, ["from_id", "to_id"], identity,
+                         ["n_handoffs"], 4)
+
+
+SQL_Q256 = None  # assembled below (needs the stations CTE)
+
+
 def q184_pushdown_scan(sf_dir: str):
     """Predicate + projection pushdown AT THE READ — q02's filter
     expressed as a pyarrow dataset expression handed to
@@ -16183,6 +16256,36 @@ b AS ({sql_boxes_cte(64, start=64)})
 SELECT a.box_id AS a_id, b.box_id AS b_id
 FROM a JOIN b ON a.minlon <= b.maxlon AND b.minlon <= a.maxlon
              AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
+    global SQL_Q256
+    SQL_Q256 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         {SQL_LON.format(id='event_id')} AS lon,
+         {SQL_LAT.format(id='event_id')} AS lat
+  FROM events WHERE {SQL_HAS_GEO.format(id='event_id')}),
+s AS ({sql_stations_cte(64)}),
+near AS (
+  SELECT user_id, ts, event_id, station_id FROM (
+    SELECT e.user_id, e.ts, e.event_id, s.station_id,
+           row_number() OVER (
+             PARTITION BY e.event_id
+             ORDER BY {_SQL_D2.format(lon='e.lon', lat='e.lat',
+                                      qlon='s.lon', qlat='s.lat')},
+                      s.station_id) AS rn
+    FROM e CROSS JOIN s) t
+  WHERE rn = 1),
+h AS (
+  SELECT station_id AS to_id,
+         LAG(station_id) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_id
+  FROM near)
+SELECT CAST(from_id AS BIGINT) AS from_id,
+       CAST(to_id AS BIGINT) AS to_id,
+       CAST(COUNT(*) AS BIGINT) AS n_handoffs
+FROM h
+WHERE from_id IS NOT NULL AND from_id <> to_id
+GROUP BY 1, 2
 """
     global SQL_Q254
     SQL_Q254 = f"""
@@ -16612,6 +16715,7 @@ QUERIES = {
     "q253_haar_levels": q253_haar_levels,
     "q254_fanout_profile": q254_fanout_profile,
     "q255_twohop_reach": q255_twohop_reach,
+    "q256_station_handoffs": q256_station_handoffs,
 }
 
 ORACLES = {
@@ -16866,4 +16970,5 @@ ORACLES = {
     "q253_haar_levels": SQL_Q253,
     "q254_fanout_profile": SQL_Q254,
     "q255_twohop_reach": SQL_Q255,
+    "q256_station_handoffs": SQL_Q256,
 }
