@@ -75,6 +75,32 @@ def _grouped_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
     )
 
 
+def _global_topk(ds, by: list[str], descending: list[bool], k: int):
+    """Bounded global top-k WITHOUT a global sort: per-block partial top-k
+    (each block forwards ≤ k rows) → single-partition collapse of the
+    ≤ blocks·k survivors → final sort + head(k).  Ray Data's ``sort`` is a
+    full range-partition all-to-all; at 10^12 rows that shuffles the whole
+    table to return k rows, so every bounded-top-k query routes through
+    this fold instead (VERDICT r4 finding #1).  The collapse exchange moves
+    O(blocks·k) rows — constant in the input size."""
+    ascending = [not d for d in descending]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        df = batch.to_pandas()
+        if not len(df):
+            return batch
+        df = df.sort_values(by, ascending=ascending, kind="stable").head(k)
+        return from_pandas_clean(df.reset_index(drop=True))
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
 # --- q01: pricing summary (TPC-H Q1 shape; exercises filter + wide agg) -----
 
 def _fact_bytes(sf_dir: str, *tables: str) -> int:
@@ -240,9 +266,9 @@ def q03_topk_revenue(sf_dir: str):
         )
 
     per_order = _grouped_sums(joined, ["o_orderkey"], partial, ["revenue_u"])
-    return per_order.sort(
-        key=["revenue_u", "o_orderkey"], descending=[True, False]
-    ).limit(10)
+    return _global_topk(
+        per_order, ["revenue_u", "o_orderkey"], [True, False], 10
+    )
 
 
 SQL_Q03 = f"""
@@ -279,10 +305,9 @@ def q04_top_orders(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(fn, batch_format="pyarrow")
-        .sort(key=["total_c", "o_orderkey"], descending=[True, False])
-        .limit(20)
+    return _global_topk(
+        ds.map_batches(fn, batch_format="pyarrow"),
+        ["total_c", "o_orderkey"], [True, False], 20,
     )
 
 
@@ -599,7 +624,7 @@ def q13_cell_hotspots(sf_dir: str):
         return pd.DataFrame({"cell_id": c, "n_pages": np.ones(len(c), dtype=np.int64)})
 
     grouped = _grouped_sums(ds, ["cell_id"], partial, ["n_pages"])
-    return grouped.sort(key=["n_pages", "cell_id"], descending=[True, False]).limit(50)
+    return _global_topk(grouped, ["n_pages", "cell_id"], [True, False], 50)
 
 
 SQL_Q13 = f"""

@@ -193,3 +193,18 @@ def test_query_matches_oracle(name, con):
             assert (g.astype(str) == w.astype(str)).all(), c
         else:
             assert (g == w).all(), c
+
+
+@pytest.mark.parametrize(
+    "name", ["q03_topk_revenue", "q04_top_orders", "q13_cell_hotspots"]
+)
+def test_bounded_topk_has_no_global_sort(name):
+    """VERDICT r4 #1: bounded top-k must use the partial-top-k fold, not a
+    full range-partition sort — assert on the executed plan string."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    ds = QUERIES[name](SF)
+    ds = ds.materialize()
+    plan = ds.stats()
+    assert "Sort" not in plan, plan
+    assert len(ds.to_pandas()) > 0
