@@ -508,3 +508,51 @@ def simplify_ring(lon: np.ndarray, lat: np.ndarray, eps: int) -> np.ndarray:
         stack.append((a, m))
         stack.append((m, b))
     return keep
+
+
+def radial_simplify(x: np.ndarray, y: np.ndarray, eps2: int) -> np.ndarray:
+    """Radial-distance trajectory simplification: keep the first fix and
+    every later fix whose squared distance to the LAST KEPT fix is
+    ``>= eps2``.  The recurrence is inherently sequential (each decision
+    depends on the previous kept fix), so this is the per-trajectory
+    kernel run inside a user-keyed ``map_batches`` block — bounded by
+    trajectory length, never by table size.
+
+    Returns the kept indices as an int64 array (always starts with 0).
+    """
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    kx, ky = int(x[0]), int(y[0])
+    kept = [0]
+    for i in range(1, len(x)):
+        dx, dy = int(x[i]) - kx, int(y[i]) - ky
+        if dx * dx + dy * dy >= eps2:
+            kept.append(i)
+            kx, ky = int(x[i]), int(y[i])
+    return np.asarray(kept, dtype=np.int64)
+
+
+def radial_invariant_ok(x: np.ndarray, y: np.ndarray, kept: np.ndarray,
+                        eps2: int) -> bool:
+    """Verify the radial-simplification contract over an ACTUAL output:
+    the first fix is kept, every consecutive kept pair is >= eps apart,
+    and every dropped fix is < eps from its last kept predecessor.  Used
+    both by q183's embedded exactness gate (recomputed over the kernel's
+    real output, not a bound that holds by construction) and by the
+    hypothesis brute test."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    kept = np.asarray(kept, dtype=np.int64)
+    if len(kept) == 0 or kept[0] != 0:
+        return False
+    dx = np.diff(x[kept])
+    dy = np.diff(y[kept])
+    if ((dx * dx + dy * dy) < eps2).any():
+        return False
+    # map every fix to its last kept predecessor; dropped ⇒ < eps away
+    last = kept[np.searchsorted(kept, np.arange(len(x)), side="right") - 1]
+    drop = np.ones(len(x), dtype=bool)
+    drop[kept] = False
+    ddx = x[drop] - x[last[drop]]
+    ddy = y[drop] - y[last[drop]]
+    return bool(((ddx * ddx + ddy * ddy) < eps2).all())

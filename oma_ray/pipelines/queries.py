@@ -9819,7 +9819,16 @@ def q168_ipc_roundtrip(sf_dir: str):
     row-wise serialization), read back via ``read_binary_files`` + a
     per-FILE decode map.  The oracle compares doc_id, lang AND the text
     column byte-for-byte against the original table (the q135/q147
-    roundtrip convention)."""
+    roundtrip convention).
+
+    SINGLE-NODE assumption (ADVICE r4): Ray workers write their IPC
+    shards into a driver-local ``tempfile.TemporaryDirectory``, which on
+    a multi-node cluster would land on each worker's OWN filesystem and
+    leave ``read_ipc`` a partial shard set.  At 100 TB the scratch dir
+    must be shared storage (S3/NFS): pass an ``sf_dir``-relative or
+    cluster-visible URI as the roundtrip root — ``write_ipc/read_ipc``
+    take any path Arrow's filesystem layer resolves, so only this
+    test-harness default is node-local."""
     import tempfile
 
     from oma_ray.sources.arrowipc import read_ipc, write_ipc
@@ -15210,10 +15219,11 @@ def q246_image_dups(sf_dir: str):
     The stage decodes, aHashes (8×8 mean-threshold, the perceptual-hash
     blocking key) and md5s each payload, ships only (id, ahash, md5) —
     48 bytes/row, never pixels — through ONE keyed exchange, and emits a
-    (dup_id, base_id) pair per content-equal group.  The synth geometry
-    makes chance collisions impossible below id ≡ id' (mod 768), so the
-    output is EXACTLY the planted pairs and the oracle states them in
-    closed form — one false pair or missed copy hash-fails."""
+    (dup_id, base_id) pair per content-equal group.  Synth content is
+    unique corpus-wide (the full id is stamped into the pixels), so the
+    output is EXACTLY the planted pairs at EVERY corpus size and the
+    oracle states them in closed form — one false pair or missed copy
+    hash-fails."""
     import hashlib
 
     from oma_ray.cluster import default_partitions
@@ -16010,10 +16020,14 @@ def q183_traj_simplify(sf_dir: str):
             "y": pa.array((lat[has_geo] + 900_000_000) // 1000)})
 
     def simplify_block(batch: pa.Table) -> pa.Table:
+        from oma_ray.functions.geo import (radial_invariant_ok,
+                                           radial_simplify)
+
         empty = pa.table({"user_id": pa.array([], pa.int64()),
                           "n_fixes": pa.array([], pa.int64()),
                           "n_kept": pa.array([], pa.int64()),
-                          "kept_pm": pa.array([], pa.int64())})
+                          "kept_pm": pa.array([], pa.int64()),
+                          "inv_ok": pa.array([], pa.int64())})
         if not len(batch):
             return empty
         df = batch.to_pandas().sort_values(
@@ -16024,28 +16038,30 @@ def q183_traj_simplify(sf_dir: str):
         rows = []
         bounds = np.r_[0, np.flatnonzero(np.diff(u)) + 1, len(u)]
         for s, e in zip(bounds[:-1], bounds[1:]):
-            kx, ky = x[s], y[s]
-            kept = 1
-            # sequential radial recurrence (bounded by trajectory len)
-            for i in range(s + 1, e):
-                dx, dy = x[i] - kx, y[i] - ky
-                if dx * dx + dy * dy >= EPS2:
-                    kept += 1
-                    kx, ky = x[i], y[i]
+            # sequential radial recurrence (bounded by trajectory len),
+            # then the invariant RECOMPUTED over the actual kept set —
+            # consecutive kept pairs >= EPS, dropped fixes < EPS from
+            # their last kept predecessor (ADVICE r4: the old gate's
+            # 1 <= n_kept <= n_fixes bound held by construction)
+            kept = radial_simplify(x[s:e], y[s:e], EPS2)
+            inv = radial_invariant_ok(x[s:e], y[s:e], kept, EPS2)
             n = e - s
-            rows.append((int(u[s]), n, kept, kept * 1000 // n))
+            rows.append((int(u[s]), n, len(kept),
+                         len(kept) * 1000 // n, int(inv)))
         return from_pandas_clean(pd.DataFrame(
-            rows, columns=["user_id", "n_fixes", "n_kept", "kept_pm"]
+            rows, columns=["user_id", "n_fixes", "n_kept", "kept_pm",
+                           "inv_ok"]
         ).astype(np.int64))
 
     out = (ds.map_batches(add_geo, batch_format="pyarrow")
            .repartition(default_partitions(), keys=["user_id"])
            .map_batches(simplify_block, batch_format="pyarrow")
            .to_pandas().sort_values("user_id").reset_index(drop=True))
-    # embedded self-check: simplification must COMPRESS world-spread
-    # synthetic trajectories (n_kept ≤ n_fixes always; ratio sane) and
-    # every user must keep ≥ 1 fix.
-    ok = ((out["n_kept"] >= 1) & (out["n_kept"] <= out["n_fixes"])).all()
+    # embedded exactness gate: every trajectory's recomputed radial
+    # invariant must hold (a regression in the kernel trips this even
+    # though the query is rows-only / oracle-less)
+    ok = bool(out["inv_ok"].all()) and len(out) > 0
+    out = out.drop(columns=["inv_ok"])
     return _quality_gate(out, "invariant_ok_x1000",
                          1.0 if ok else 0.0, 0.999)
 

@@ -205,7 +205,11 @@ def _is_tga(payload: bytes) -> bool:
 def synth_bmp_batch(batch: pa.Table, id_col: str = "doc_id",
                     col: str = "image") -> pa.Table:
     """Attach a real (deterministic gradient) 24-bit BMP per row; widths
-    deliberately hit every padding residue (w % 4 ∈ {0,1,2,3})."""
+    deliberately hit every padding residue (w % 4 ∈ {0,1,2,3}).  The full
+    64-bit id is stamped into the first 8 pixels' blue channel so content
+    is UNIQUE corpus-wide (the gradient alone repeats with period
+    lcm(64,48,256)=768 in the id, which would plant unintended exact
+    duplicates at corpora larger than 768 docs — ADVICE r4)."""
     ids = batch.column(id_col).to_numpy()
     payloads = []
     for i in ids:
@@ -220,6 +224,8 @@ def synth_bmp_batch(batch: pa.Table, id_col: str = "doc_id",
             ],
             axis=-1,
         ).astype(np.uint8)
+        px[0, :8, 0] = np.frombuffer(
+            np.uint64(i).tobytes(), dtype=np.uint8)
         payloads.append(encode_bmp(px))
     return batch.append_column(col, pa.array(payloads, type=pa.binary()))
 

@@ -431,21 +431,17 @@ def test_manhattan_dt_matches_bruteforce():
 
 
 def test_radial_simplify_matches_bruteforce():
-    """q183's per-user radial recurrence vs a direct reference walk."""
+    """q183's SHIPPED kernel (functions.geo.radial_simplify) vs a direct
+    reference walk, plus the shipped invariant checker vs a brute one —
+    testing the importable helpers the pipeline actually calls (ADVICE
+    r4: the old test validated an inline copy of the algorithm)."""
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    EPS2 = 2000 * 2000
+    from oma_ray.functions.geo import radial_invariant_ok, radial_simplify
 
-    def engine_kernel(x, y):
-        kx, ky, kept = x[0], y[0], [0]
-        for i in range(1, len(x)):
-            dx, dy = x[i] - kx, y[i] - ky
-            if dx * dx + dy * dy >= EPS2:
-                kept.append(i)
-                kx, ky = x[i], y[i]
-        return kept
+    EPS2 = 2000 * 2000
 
     @settings(max_examples=60, deadline=None)
     @given(st.lists(st.tuples(st.integers(0, 10000), st.integers(0, 10000)),
@@ -453,20 +449,31 @@ def test_radial_simplify_matches_bruteforce():
     def check(pts):
         x = np.array([p[0] for p in pts], dtype=np.int64)
         y = np.array([p[1] for p in pts], dtype=np.int64)
-        kept = engine_kernel(x, y)
-        # invariants: first kept; consecutive kept pairs >= EPS apart;
-        # every dropped point < EPS from its last kept predecessor
-        assert kept[0] == 0
-        for a, b in zip(kept[:-1], kept[1:]):
-            d2 = (x[b] - x[a]) ** 2 + (y[b] - y[a]) ** 2
-            assert d2 >= EPS2
+        kept = radial_simplify(x, y, EPS2)
+        # brute reference walk
+        kx, ky, want = x[0], y[0], [0]
+        for i in range(1, len(x)):
+            dx, dy = x[i] - kx, y[i] - ky
+            if dx * dx + dy * dy >= EPS2:
+                want.append(i)
+                kx, ky = x[i], y[i]
+        assert kept.tolist() == want
+        # shipped invariant checker agrees with a brute invariant check
+        assert radial_invariant_ok(x, y, kept, EPS2)
         last = 0
         for i in range(1, len(x)):
-            if i in kept:
+            if i in want:
                 last = i
                 continue
             d2 = (x[i] - x[last]) ** 2 + (y[i] - y[last]) ** 2
             assert d2 < EPS2
+        # a corrupted kept set must FAIL the shipped checker
+        if len(kept) > 1:
+            assert not radial_invariant_ok(x, y, kept[1:], EPS2)
+        dropped = sorted(set(range(len(x))) - set(want))
+        if dropped and len(x) > 1:
+            bad = np.sort(np.r_[kept, dropped[:1]])
+            assert not radial_invariant_ok(x, y, bad, EPS2)
 
     check()
 
