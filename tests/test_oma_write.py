@@ -114,3 +114,34 @@ def test_streaming_assembly_from_partitioned_dir(ray_session, tmp_path,
     oma0 = str(tmp_path / "streamed0.oma")
     write_oma_from_dir(out_dir, oma0, zip_slices=False)
     assert Counter(entries_from_oma(oma0)) == Counter(golden_entries)
+
+
+@pytest.mark.parametrize("zipped", [True, False])
+def test_continuation_chunks_roundtrip(tmp_path, golden_entries, zipped):
+    """Memory-pressure continuation chunks (TypeAnalysis.java:499-514,
+    deterministic-threshold form): with ``chunk_max_elements`` set, a
+    bounds group splits into consecutive same-(type, bounds) chunk-table
+    rows, each a complete chunk; the file decodes to the identical entry
+    multiset, and the constrained table really does contain
+    duplicate-bounds rows (i.e. the flag is not a no-op)."""
+    from collections import Counter as C
+
+    from oma_ray.sources.oma_file import oma_index
+
+    p = str(tmp_path / "cont.oma")
+    write_oma(p, golden_entries, TypeConfig.default(), zip_slices=zipped,
+              chunk_max_elements=2)
+    assert Counter(entries_from_oma(p)) == Counter(golden_entries)
+
+    ix = oma_index(p)
+    key_counts = C((c[2], tuple(c[3])) for c in ix["chunks"])
+    n_dup = sum(v for v in key_counts.values() if v > 1)
+    assert n_dup > 0, "cap=2 must force at least one continuation chunk"
+
+    # unconstrained control: same entries, no duplicate-bounds rows
+    p0 = str(tmp_path / "plain.oma")
+    write_oma(p0, golden_entries, TypeConfig.default(), zip_slices=zipped)
+    ix0 = oma_index(p0)
+    key_counts0 = C((c[2], tuple(c[3])) for c in ix0["chunks"])
+    assert all(v == 1 for v in key_counts0.values())
+    assert len(ix["chunks"]) > len(ix0["chunks"])

@@ -112,3 +112,74 @@ def test_uncompressed_mode_decodes_identically(golden):
     a = entries_from_oma(golden["default"])
     b = entries_from_oma(golden["uncompressed"])
     assert collections.Counter(a) == collections.Counter(b)
+
+
+needs_jar_env = pytest.mark.skipif(
+    os.environ.get("RUN_JAR") != "1", reason="set RUN_JAR=1 to run the jar"
+)
+
+
+@needs_java
+@needs_jar_env
+def test_jar_two_level_split_is_byte_invariant(tmp_path):
+    """The reference's two-level prechunk split (ChunkGenerator.java:
+    165-192,302-399; triggered whenever #bounds >= max_chunks) is an
+    fd/memory workaround with NO effect on output bytes: the jar's
+    ``-c 2`` output (42k bounds → two-level, verbose confirms
+    "Using two-level splitting") is byte-identical to its default run.
+    This is why the engine's partitioned-parquet sink needs no analogue
+    (COVERAGE.md K-gaps) — measured, not assumed."""
+    from oma_ray.synth_osm import osm_fixture_xml
+
+    xml = osm_fixture_xml()
+    default = _run_reference(tmp_path, xml, "default")
+    c2 = _run_reference(tmp_path, xml, "c2", extra_args=("-c", "2"))
+    assert open(default, "rb").read() == open(c2, "rb").read()
+
+
+@needs_java
+@needs_jar_env
+def test_jar_continuation_chunks_decode_identically(tmp_path):
+    """Memory-pressure continuation chunks (TypeAnalysis.java:499-514):
+    run the jar on a 30k-node synthetic extract with a constrained heap
+    (-Xmx260m) and a memlimit above the post-allocation free heap
+    (-m 220m) so ``memavail() < memlimit`` trips mid-chunk ("Memory low.
+    Splitting chunk."), producing duplicate-bounds chunk-table rows; our
+    reader must decode that file to the EXACT entry multiset of the
+    unconstrained run, and the writer's ``chunk_max_elements`` form must
+    round-trip the same multiset."""
+    from collections import Counter
+
+    from oma_ray.pipelines.osm import entries_from_oma
+    from oma_ray.sources.oma_file import oma_index
+    from oma_ray.sources.pbf import write_pbf
+    from oma_ray.synth_osm import synth_big_osm
+
+    nodes, ways, rels = synth_big_osm(30000)
+    pbf = str(tmp_path / "big.pbf")
+    write_pbf(pbf, nodes, ways, rels)
+
+    def run(name, java_args=(), oma_args=()):
+        out = tmp_path / f"{name}.oma"
+        tmpd = tmp_path / f"tmp_{name}"
+        tmpd.mkdir()
+        r = subprocess.run(
+            ["java", *java_args, "-jar", JAR, "-p", "all", "-v", "-v",
+             "-v", "-tmp", str(tmpd), *oma_args, pbf, str(out)],
+            check=True, capture_output=True, timeout=600, text=True,
+        )
+        return str(out), r.stdout
+
+    ref, _ = run("ref")
+    forced, log = run("forced", java_args=("-Xmx260m",),
+                      oma_args=("-m", "220m"))
+    assert "Memory low" in log, "constrained run must actually split"
+
+    ix = oma_index(forced)
+    keyc = collections.Counter(
+        (c[2], tuple(c[3])) for c in ix["chunks"])
+    assert any(v > 1 for v in keyc.values()), "no continuation chunks"
+
+    a = Counter(entries_from_oma(forced))
+    b = Counter(entries_from_oma(ref))
+    assert a == b
