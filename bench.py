@@ -139,6 +139,29 @@ def run_bench() -> dict:
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    # Exchange-free sink variant (VERDICT r4 #8): per-task direct
+    # partitioned write, no keyed repartition, leaf compaction after —
+    # measured 2.2x faster than the salted-exchange sink at sf0.1 when the
+    # sink bounds the job (BASELINE.md round 5 A/B).  The exchange sink
+    # stays the headline default: it is the north-star job shape
+    # (explicit groupby-on-cell + salted skew split + sort-within-tile)
+    # and produces ~45x fewer, whole-file-sorted outputs.
+    direct_sink = float("inf")
+    if not scaling_arm:
+        from oma_ray.state.compact import compact_dir
+
+        for _ in range(2):
+            out = tempfile.mkdtemp(prefix="bench_direct_", dir="/tmp")
+            try:
+                t0 = time.time()
+                summary = run_tiling(SF_DIR, replicate=REPLICATE,
+                                     out_dir=out, sink="direct")
+                compact_dir(out, target_bytes=128 << 20)
+                direct_sink = min(direct_sink, time.time() - t0)
+                assert summary["n_pages"].sum() == n_pages
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
     # SECOND headline: the fused web-curation pass (extract → quality →
     # PII → fingerprint-distinct; one narrow keyed exchange) — the webtext
     # counterpart of the spatial flagship
@@ -185,6 +208,9 @@ def run_bench() -> dict:
     if curation != float("inf"):
         out["value_curation"] = round(curation, 3)
         out["curation_pages_per_sec"] = round(n_pages / curation)
+    if direct_sink != float("inf"):
+        out["value_direct_sink"] = round(direct_sink, 3)
+        out["direct_sink_pages_per_sec"] = round(n_pages / direct_sink)
     ray.shutdown()
     return out
 

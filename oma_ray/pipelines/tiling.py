@@ -163,6 +163,46 @@ def tile_summary(ds, as_dataset: bool = False):
     return out
 
 
+def write_tiled_direct(
+    ds,
+    out_dir: str,
+    *,
+    sort_within_tile: bool = True,
+    compact_target_bytes: int | None = None,
+):
+    """EXCHANGE-FREE sink variant (VERDICT r4 #8): skip the keyed
+    repartition entirely — every fused upstream task sorts its own block
+    by (tile_id, page_id) and the parquet writer splits it across
+    ``tile_bucket=`` directories directly.  No shuffle, no aggregator
+    pool, maximum pipeline overlap; the cost is file count (≈ #tasks ×
+    #buckets-touched-per-task small files instead of #partitions), paid
+    back by ``state/compact.py`` merging each leaf directory afterwards
+    (embarrassingly parallel, rows never leave their partition).
+
+    Skew note: hot buckets need no salting here — there is no exchange
+    partition to serialize; a hot bucket just collects more files.  The
+    A/B against the salted-exchange sink lives in bench/BASELINE.md; at
+    cluster scale the exchange sink buys fewer, bigger files up front
+    (better for a read-heavy consumer), the direct sink buys a shuffle-
+    free write path (better when the sink is the bottleneck)."""
+    def sort_block(batch: pa.Table) -> pa.Table:
+        if not sort_within_tile:
+            return batch
+        idx = pa.compute.sort_indices(
+            batch,
+            sort_keys=[("tile_id", "ascending"), ("page_id", "ascending")],
+        )
+        return batch.take(idx)
+
+    out = ds.map_batches(sort_block, batch_format="pyarrow")
+    out.write_parquet(out_dir, partition_cols=["tile_bucket"])
+    if compact_target_bytes:
+        from oma_ray.state.compact import compact_dir
+
+        compact_dir(out_dir, target_bytes=compact_target_bytes)
+    return out_dir
+
+
 def write_tiled(
     ds,
     out_dir: str,
@@ -226,11 +266,14 @@ def run_tiling(
     out_dir: str | None = None,
     pip_concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
+    sink: str = "exchange",
 ):
     """End-to-end flagship run over the synthetic pages for ``sf_dir``.
 
     Returns the per-tile summary Dataset.  When ``out_dir`` is given, also
     writes the tiled pages as parquet partitioned by ``tile_bucket``.
+    ``sink="exchange"`` (default) is the salted keyed-repartition sink;
+    ``sink="direct"`` the exchange-free per-task sink (A/B in BASELINE.md).
     """
     import ray
 
@@ -255,7 +298,9 @@ def run_tiling(
         pip_concurrency=pip_concurrency, batch_size=batch_size,
         lineage=lineage,
     )
-    if out_dir is not None:
+    if out_dir is not None and sink == "direct":
+        write_tiled_direct(ds, out_dir)
+    elif out_dir is not None:
         # hot-bucket detection on a replicate=1 PROXY pipeline (the page
         # replication is deterministic, so the bucket distribution is
         # identical at 1/replicate the cost) — never a second full pass
