@@ -16567,6 +16567,133 @@ def _build_hilbert_range_sql():
 _build_hilbert_range_sql()
 
 
+def q257_substring_dedup(sf_dir: str):
+    """Cross-document exact substring (repeated k-gram span) dedup — the
+    'Deduplicating Training Data Makes Language Models Better'
+    (Lee et al. 2022) primitive, k=8 tokens: any 8-token window whose
+    exact text occurs at ≥ 2 positions corpus-wide marks ALL its
+    occurrences; per document, the union of marked [pos, pos+8) spans is
+    the token count a span-removal pass would delete.  Output: one row
+    per affected doc — (doc_id, n_tokens, n_dup_tokens).
+
+    Shape (100 TB): tokenization + gram identity are the MinHash
+    machinery's vectorized kernels (Arrow whitespace split → SipHash
+    token hashes → rolling 64-bit polynomial per window; the gram TEXT
+    never materializes) → ONE gram-keyed exchange of (gram, doc, pos,
+    n_tok) int64 rows (32 B/window, O(tokens) windows) → per-block dup
+    filter (a gram's occurrences are co-located) → ONE doc-keyed
+    exchange → vectorized interval union per doc (sorted fixed-width
+    windows: union = Σ min(gap, k) + k).  No all-pairs, no text shuffle;
+    the SQL oracle states the same spans by exact gram STRING equality,
+    so a 64-bit gram collision or any kernel drift hash-fails."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.functions.text import _POLY, _token_hashes
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    K = 8
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        th, counts = _token_hashes(batch.column("text"))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        total = len(th)
+        if total < K:
+            return empty
+        roll = th[: total - K + 1].copy()
+        for j in range(1, K):
+            roll = roll * _POLY + th[j: total - K + 1 + j]
+        long_m = counts >= K
+        if not long_m.any():
+            return empty
+        reps = (counts - K + 1)[long_m]
+        base = np.repeat(starts[long_m], reps)
+        csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        offs = np.arange(int(reps.sum())) - np.repeat(csum, reps)
+        return pa.table({
+            "gram": pa.array(roll[base + offs].view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids[long_m], reps)),
+            "pos": pa.array(offs),
+            "n_tokens": pa.array(np.repeat(counts[long_m], reps))})
+
+    def dup_filter(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "gram" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        g = batch.column("gram").to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        grp = np.concatenate([[0], np.cumsum(np.diff(gs) != 0)])
+        sizes = np.bincount(grp)
+        keep = order[sizes[grp] >= 2]
+        t = batch.take(pa.array(np.sort(keep)))
+        return t.drop_columns(["gram"])
+
+    def doc_union(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_dup_tokens": pa.array([], pa.int64())})
+        if not batch.num_rows or "doc_id" not in batch.column_names:
+            return empty
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        ntk = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        doc, pos, ntk = doc[order], pos[order], ntk[order]
+        bnd = np.concatenate([[0], np.flatnonzero(np.diff(doc)) + 1])
+        # sorted fixed-width windows: union length = sum(min(gap, K)) + K
+        gaps = np.minimum(np.diff(pos), K).astype(np.int64)
+        gaps[bnd[1:] - 1] = 0  # cross-doc diffs contribute nothing
+        seg = np.add.reduceat(np.concatenate([gaps, [0]])[:len(doc)], bnd) \
+            if len(doc) else np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc[bnd]),
+            "n_tokens": pa.array(ntk[bnd]),
+            "n_dup_tokens": pa.array(seg + K)})
+
+    n = default_partitions()
+    return (ds.map_batches(windows, batch_format="pyarrow")
+            .repartition(n, keys=["gram"])
+            .map_batches(dup_filter, batch_format="pyarrow")
+            .repartition(n, keys=["doc_id"])
+            .map_batches(doc_union, batch_format="pyarrow"))
+
+
+SQL_Q257 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+p AS (
+  SELECT doc_id, len(l) AS n_tokens, l,
+         unnest(range(1, greatest(len(l) - 6, 1))) AS pos
+  FROM toks),
+g AS (
+  SELECT doc_id, n_tokens, pos,
+         array_to_string(l[pos:pos+7], ' ') AS gram
+  FROM p),
+dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) >= 2),
+occ AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS t
+  FROM occ)
+SELECT o.doc_id, CAST(MAX(o.n_tokens) AS BIGINT) AS n_tokens,
+       CAST((SELECT COUNT(*) FROM cov c
+             WHERE c.doc_id = o.doc_id) AS BIGINT) AS n_dup_tokens
+FROM occ o GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -16824,6 +16951,7 @@ QUERIES = {
     "q254_fanout_profile": q254_fanout_profile,
     "q255_twohop_reach": q255_twohop_reach,
     "q256_station_handoffs": q256_station_handoffs,
+    "q257_substring_dedup": q257_substring_dedup,
 }
 
 ORACLES = {
@@ -17079,4 +17207,5 @@ ORACLES = {
     "q254_fanout_profile": SQL_Q254,
     "q255_twohop_reach": SQL_Q255,
     "q256_station_handoffs": SQL_Q256,
+    "q257_substring_dedup": SQL_Q257,
 }

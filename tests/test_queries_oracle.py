@@ -157,6 +157,7 @@ SUBSET = [
     "q252_geofence_enters",
     "q253_haar_levels",
     "q255_twohop_reach",
+    "q257_substring_dedup",
 ]
 
 
