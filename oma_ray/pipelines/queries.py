@@ -7287,7 +7287,7 @@ SQL_Q131 = _build_kmeans_sql()
 SQL_Q151 = _build_kmeans_sql(quality=True)
 
 
-def q132_redirect_chains(sf_dir: str):
+def q132_redirect_chains(sf_dir: str, driver_max_nodes: int = 2_000_000):
     """Redirect-chain resolution by pointer doubling — the crawl-graph
     canonicalization primitive: every url follows its redirect chain to
     the terminal target in O(log depth) keyed exchanges instead of
@@ -7296,17 +7296,42 @@ def q132_redirect_chains(sf_dir: str):
     every target exists — the node-table-closure assumption a real crawl
     satisfies by construction).
 
-    Each doubling round composes the jump table with itself — one
-    ``hash_join`` (ptr → node) + materialize per round (the cc.py
-    iteration idiom); 6 rounds cover chains of depth ≤ 2⁶ = 64 ≥ the
-    ⌈log₂ max_id⌉ bound of the halving chain.  The SQL mirror is the
-    one-hop-per-row recursive CTE — same terminal rows, hop counts
+    Dual regime (the cc.py idiom): ≤ ``driver_max_nodes`` the doubling
+    runs as a vectorized numpy fold on the driver (the jump table at
+    this size is KB–MB); above it, each doubling round composes the jump
+    table with itself — one ``hash_join`` (ptr → node) + materialize per
+    round.  6 rounds cover chains of depth ≤ 2⁶ = 64 ≥ the
+    ⌈log₂ max_id⌉ bound of the halving chain.  Forced-distributed parity
+    is pinned by a pytest (``driver_max_nodes=0``).  The SQL mirror is
+    the one-hop-per-row recursive CTE — same terminal rows, hop counts
     checked exactly."""
     from oma_ray.sources.parquet import from_pandas_clean
     from oma_ray.stages.join import hash_join
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["doc_id"])
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs <= driver_max_nodes:
+        import ray.data as rd
+
+        ids = np.sort(ds.to_pandas()["doc_id"].to_numpy(np.int64))
+        redir = (ids % 3 == 0) & (ids > 0)
+        ptr = np.where(redir, ids // 2, ids)
+        dist = redir.astype(np.int64)
+        for _ in range(6):
+            # searchsorted, not ids[ptr]: exact parity with the hash-join
+            # regime if ids are ever non-contiguous
+            j = np.searchsorted(ids, ptr)
+            if not np.array_equal(ids[j], ptr):
+                raise AssertionError(
+                    "q132: redirect target outside the node table "
+                    "(closure assumption)")
+            dist = dist + dist[j]
+            ptr = ptr[j]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids), "final_id": pa.array(ptr),
+            "n_hops": pa.array(dist)}))
 
     def init(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -7852,21 +7877,42 @@ WHERE i * 1000 >= 400 * (sa.n + sb.n - i)
 """
 
 
-def q139_bfs_hops(sf_dir: str):
+def q139_bfs_hops(sf_dir: str, driver_max_edges: int = 2_000_000):
     """Multi-source BFS hop distances on the extracted host graph (seeds:
     hosts 0–2) bounded at 6 hops — the crawl-frontier / influence-radius
-    primitive.  Per round the distance table joins the edge list once
-    (hash_join src → host) and a host-keyed min-combine exchange folds
-    new candidates in; re-expanding settled hosts is redundant but
-    harmless under min semantics (a frontier-only delta is the standard
-    optimization at scale).  The oracle is the bounded recursive CTE with
-    UNION dedup + final MIN."""
+    primitive.  Dual regime (the cc.py idiom): ≤ ``driver_max_edges``
+    the 6 relaxation rounds run as a numpy ``minimum.at`` scatter on the
+    driver (the edge list at this size is MBs); above it, per round the
+    distance table joins the edge list once (hash_join src → host) and a
+    host-keyed min-combine exchange folds new candidates in;
+    re-expanding settled hosts is redundant but harmless under min
+    semantics (a frontier-only delta is the standard optimization at
+    scale).  Forced-distributed parity is pinned by a pytest
+    (``driver_max_edges=0``).  The oracle is the bounded recursive CTE
+    with UNION dedup + final MIN."""
     from oma_ray.sources.parquet import from_pandas_clean
     from oma_ray.stages.dedup import ensure_hash_shuffle
     from oma_ray.stages.join import hash_join
 
-    ensure_hash_shuffle()
     edges = _host_int_edges(sf_dir).materialize()
+    if edges.count() <= driver_max_edges:
+        import ray.data as rd
+
+        df = edges.to_pandas()
+        s = df["src"].to_numpy(np.int64)
+        t = df["dst"].to_numpy(np.int64)
+        hosts = np.unique(np.r_[s, t])
+        si = np.searchsorted(hosts, s)
+        ti = np.searchsorted(hosts, t)
+        INF = np.iinfo(np.int64).max // 2
+        d = np.where(hosts < 3, 0, INF)
+        for _ in range(6):
+            np.minimum.at(d, ti, d[si] + 1)
+        keep = d < INF
+        return rd.from_arrow(pa.table({"host": pa.array(hosts[keep]),
+                                       "d": pa.array(d[keep])}))
+
+    ensure_hash_shuffle()
     e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
                           ("w", pa.int64())])
 

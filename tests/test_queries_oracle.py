@@ -209,3 +209,25 @@ def test_bounded_topk_has_no_global_sort(name):
     plan = ds.stats()
     assert "Sort" not in plan, plan
     assert len(ds.to_pandas()) > 0
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("q132_redirect_chains", {"driver_max_nodes": 0}),
+    ("q139_bfs_hops", {"driver_max_edges": 0}),
+])
+def test_iterative_graph_forced_distributed_parity(name, kw, con):
+    """q132/q139 dual regime (round 5): the driver-side numpy fold is the
+    small-scale fast path; force the gate to 0 so the keyed-exchange
+    iteration runs, and pin it to the same oracle."""
+    from oma_ray.pipelines.queries import ORACLES, QUERIES
+
+    got = canon(QUERIES[name](SF, **kw).to_pandas())
+    want = canon(con.sql(ORACLES[name]).df())
+    assert len(got) == len(want), (len(got), len(want))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype == object or w.dtype == object:
+            assert (g.astype(str) == w.astype(str)).all(), c
+        else:
+            assert (g == w).all(), c
