@@ -16740,6 +16740,441 @@ FROM occ o GROUP BY 1
 """
 
 
+_CMS_H = ((99991, 31), (99989, 57), (99971, 123))  # (a_i, b_i) per row
+_CMS_P, _CMS_W = 1000003, 512
+
+
+def q258_cms_freq(sf_dir: str):
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) over the event user stream — the streaming heavy-hitter
+    counter that complements the exact Misra-Gries (q136) and HLL
+    (q137) sketches: d=3 rows × w=512 buckets of universal hashes
+    h_i(x) = ((a_i·x + b_i) mod p) mod w, estimate = min_i row_i[h_i(x)].
+    Output: the top-20 true-count users with (true_n, cms_est) — the
+    overestimate bias (est ≥ true, est ≤ true + εN w.h.p.) is visible in
+    the columns.
+
+    Shape (100 TB): per-batch ``np.add.at`` partial sketches emitted as
+    ≤ d·w (slot, c) rows → ONE keyed exchange folds them (mergeable
+    partials, the sketch contract); true top-20 rides the q03
+    partial-top-k fold.  Driver pulls exactly d·w + 20 bounded rows.
+    The SQL oracle restates the SAME hash arithmetic bucket-by-bucket,
+    so any kernel drift (mod order, overflow) hash-fails."""
+    import ray.data as rd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def sketch_partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch.column("user_id").to_numpy(zero_copy_only=False)
+        flat = np.zeros(len(_CMS_H) * _CMS_W, dtype=np.int64)
+        for i, (a, b) in enumerate(_CMS_H):
+            np.add.at(flat, i * _CMS_W + ((a * x + b) % _CMS_P) % _CMS_W,
+                      np.int64(1))
+        nz = np.flatnonzero(flat)
+        return pd.DataFrame({"slot": nz, "c": flat[nz]})
+
+    cms = _grouped_sums(ds, ["slot"], sketch_partial, ["c"]).to_pandas()
+    flat = np.zeros(len(_CMS_H) * _CMS_W, dtype=np.int64)
+    if len(cms):  # ≤ d·w rows: bounded by the sketch constant
+        flat[cms["slot"].to_numpy()] = cms["c"].to_numpy()
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"user_id": x,
+                             "true_n": np.ones(len(x), np.int64)})
+
+    top = _global_topk(_grouped_sums(ds, ["user_id"], count_partial,
+                                     ["true_n"]),
+                       ["true_n", "user_id"], [True, False], 20).to_pandas()
+    u = top["user_id"].to_numpy(np.int64)
+    est = np.min(np.stack([
+        flat[i * _CMS_W + ((a * u + b) % _CMS_P) % _CMS_W]
+        for i, (a, b) in enumerate(_CMS_H)]), axis=0)
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array(u),
+        "true_n": pa.array(top["true_n"].to_numpy(np.int64)),
+        "cms_est": pa.array(est)}))
+
+
+SQL_Q258 = f"""
+WITH h AS (SELECT * FROM (VALUES {", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_H))}) v(i, a, b)),
+buckets AS (
+  SELECT i, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS bk,
+         COUNT(*) AS c
+  FROM events, h GROUP BY 1, 2),
+top AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY 1
+  ORDER BY true_n DESC, user_id LIMIT 20)
+SELECT t.user_id, CAST(t.true_n AS BIGINT) AS true_n,
+       CAST(MIN(b.c) AS BIGINT) AS cms_est
+FROM top t
+JOIN h ON TRUE
+JOIN buckets b
+  ON b.i = h.i AND b.bk = ((h.a * t.user_id + h.b) % {_CMS_P}) % {_CMS_W}
+GROUP BY 1, 2
+"""
+
+
+def q259_als_rank1(sf_dir: str):
+    """One rank-1 ALS alternation (Koren/Hu-style matrix factorization,
+    the recommender primitive) over the implicit rating matrix
+    user = l_suppkey, item = l_partkey % 100, r = l_quantity with
+    deterministic item init v₀(j) = 1 + j mod 7: the user sweep solves
+    u = Σ r·v₀ / Σ v₀² in closed form (kept exact as the fixed-point
+    integer (10⁴·N) // D), the item sweep's exact integer sums
+    (s_ru = Σ r·u, s_uu = Σ u²) are the output — v₁ = s_ru/s_uu derives
+    off-engine, the q110/q159 num/den convention so no float crosses
+    the oracle.
+
+    Shape (100 TB): user sweep = ONE user-keyed grouped-sums exchange;
+    factor fold-back = hash join of the ratings stream against the
+    factor table (never driver-materialized); item sweep = ONE
+    item-keyed grouped-sums exchange.  int64 holds to ~10¹² rating rows
+    (u ≤ 5·10⁵ ⇒ Σu² ≤ 2.5·10¹¹/row); past that the finalize lifts to
+    object ints."""
+    from oma_ray.stages.join import hash_join
+
+    def ratings(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": batch.column("l_suppkey").cast(pa.int64()),
+            "item": pa.array(batch.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64) % 100),
+            "r": pa.array(q.astype(np.int64))})
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity"])
+    rat = li.map_batches(ratings, batch_format="pyarrow").materialize()
+
+    def user_partial(batch: pa.Table) -> pd.DataFrame:
+        v0 = 1 + batch.column("item").to_numpy(zero_copy_only=False) % 7
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"u": batch.column("u").to_numpy(
+                                 zero_copy_only=False),
+                             "n": r * v0, "d": v0 * v0})
+
+    uf = _grouped_sums(rat, ["u"], user_partial, ["n", "d"])
+
+    def finish_u(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({"u": batch.column("u"),
+                         "uu": pa.array((10000 * n) // d)})
+
+    uf = uf.map_batches(finish_u, batch_format="pyarrow")
+    r_schema = pa.schema([("u", pa.int64()), ("item", pa.int64()),
+                          ("r", pa.int64())])
+    u_schema = pa.schema([("u", pa.int64()), ("uu", pa.int64())])
+    joined = hash_join(rat, uf, on="u", left_schema=r_schema,
+                       right_schema=u_schema)
+
+    def item_partial(batch: pa.Table) -> pd.DataFrame:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        uu = batch.column("uu").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"item": batch.column("item").to_numpy(
+                                 zero_copy_only=False),
+                             "s_ru": r * uu, "s_uu": uu * uu})
+
+    return _grouped_sums(joined, ["item"], item_partial, ["s_ru", "s_uu"])
+
+
+SQL_Q259 = """
+WITH r AS (
+  SELECT l_suppkey AS u, l_partkey % 100 AS item,
+         CAST(l_quantity AS BIGINT) AS r
+  FROM lineitem),
+uf AS (
+  SELECT u, CAST((10000 * SUM(r * (1 + item % 7)))
+                 // SUM((1 + item % 7) * (1 + item % 7)) AS BIGINT) AS uu
+  FROM r GROUP BY 1)
+SELECT r.item, CAST(SUM(r.r * uf.uu) AS BIGINT) AS s_ru,
+       CAST(SUM(uf.uu * uf.uu) AS BIGINT) AS s_uu
+FROM r JOIN uf USING (u) GROUP BY 1
+"""
+
+
+def q260_apriori_triples(sf_dir: str):
+    """Frequent-triple mining with the Apriori candidate prune (Agrawal
+    & Srikant 1994) over order baskets (basket = l_orderkey,
+    item = l_partkey % 25), support ≥ max(5, n_orders // 400): level-1
+    (frequent items) and level-2 (frequent pairs) supports are computed
+    first and BROADCAST; the triple pass only enumerates per-basket
+    triples whose three member pairs are all frequent — the downward-
+    closure property guarantees no frequent triple is missed, which the
+    exact SQL 3-way self-join oracle verifies value-for-value.
+
+    Shape (100 TB): ONE basket-keyed exchange co-locates each basket's
+    distinct items (materialized once, reused by levels 2 and 3);
+    candidate sets stay bounded by the item-space constant (≤ 25 items
+    ⇒ ≤ 300 pairs driver-pulled, the Apriori small side) and ride
+    ``ray.put`` broadcast; per-level (key-tuple)-keyed grouped-sums
+    exchanges fold supports.  Skewed mega-baskets are capped by the
+    item-space bound, not row count."""
+    import ray.data as rd
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    supp = max(5, n_orders // 400)
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bk": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "it": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False) % 25})
+        df = df.drop_duplicates()
+        return from_pandas_clean(df)
+
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "bk" not in df.columns:
+            return pa.table({"bk": pa.array([], pa.int64()),
+                             "it": pa.array([], pa.int64())})
+        return from_pandas_clean(
+            df.drop_duplicates().sort_values(["bk", "it"]))
+
+    baskets = (li.map_batches(pair_partial, batch_format="pyarrow")
+               .repartition(default_partitions(), keys=["bk"])
+               .map_batches(block_distinct, batch_format="pyarrow")
+               .materialize())
+
+    def item_partial(batch: pa.Table) -> pd.DataFrame:
+        it = batch.column("it").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"it": it, "n": np.ones(len(it), np.int64)})
+
+    f1 = _grouped_sums(baskets, ["it"], item_partial, ["n"]).to_pandas()
+    f1 = set(f1.loc[f1["n"] >= supp, "it"])  # ≤ 25: item-space constant
+
+    def basket_masks(batch: pa.Table) -> np.ndarray:
+        """uint64 item bitmask per basket in the block (item space ≤ 25
+        < 64 bits by construction; a wider dictionary shards the mask)."""
+        bk = batch.column("bk").to_numpy(zero_copy_only=False)
+        it = batch.column("it").to_numpy(zero_copy_only=False)
+        if not len(bk):
+            return np.zeros(0, dtype=np.uint64)
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        return np.bitwise_or.reduceat(
+            np.uint64(1) << it.astype(np.uint64), starts)
+
+    def count_candidates(cand: np.ndarray, cols: dict):
+        """Per-block partial supports of candidate masks — vectorized
+        basket×candidate containment test, bounded by the candidate
+        constant (Apriori small side)."""
+        def fn(batch: pa.Table) -> pd.DataFrame:
+            empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                  for c in (*cols, "support")})
+            if not batch.num_rows or "bk" not in batch.column_names:
+                return empty
+            masks = basket_masks(batch)
+            if not len(masks) or not len(cand):
+                return empty
+            hit = (masks[:, None] & cand[None, :]) == cand[None, :]
+            n = hit.sum(axis=0).astype(np.int64)
+            out = {c: v for c, v in cols.items()}
+            out["support"] = n
+            return pd.DataFrame(out)
+        return fn
+
+    empty_out = pa.table({"ia": pa.array([], pa.int64()),
+                          "ib": pa.array([], pa.int64()),
+                          "ic": pa.array([], pa.int64()),
+                          "support": pa.array([], pa.int64())})
+
+    # level 2: candidate pairs = frequent items² (downward closure)
+    items = np.array(sorted(f1), dtype=np.uint64)
+    if len(items) < 3:
+        import ray.data as rd
+        return rd.from_arrow(empty_out)
+    pa_i, pb_i = np.triu_indices(len(items), k=1)
+    cand2 = (np.uint64(1) << items[pa_i]) | (np.uint64(1) << items[pb_i])
+    f2_sup = _grouped_sums(
+        baskets, ["ia", "ib"],
+        count_candidates(cand2, {"ia": items[pa_i].astype(np.int64),
+                                 "ib": items[pb_i].astype(np.int64)}),
+        ["support"]).to_pandas()
+    f2_sup = f2_sup.loc[f2_sup["support"] >= supp]  # ≤ C(25,2) rows
+    f2 = set(zip(f2_sup["ia"], f2_sup["ib"]))
+
+    # level 3: candidate triples = those whose 3 member pairs are all
+    # frequent (the Apriori prune); enumerated on the driver from the
+    # bounded f2 set, broadcast into the count kernel
+    tri = sorted({(a, b, c) for (a, b) in f2 for (b2, c) in f2
+                  if b == b2 and (a, c) in f2})
+    if not tri:
+        import ray.data as rd
+        return rd.from_arrow(empty_out)
+    ta = np.array([t[0] for t in tri], dtype=np.uint64)
+    tb = np.array([t[1] for t in tri], dtype=np.uint64)
+    tc = np.array([t[2] for t in tri], dtype=np.uint64)
+    cand3 = ((np.uint64(1) << ta) | (np.uint64(1) << tb)
+             | (np.uint64(1) << tc))
+    t3 = _grouped_sums(
+        baskets, ["ia", "ib", "ic"],
+        count_candidates(cand3, {"ia": ta.astype(np.int64),
+                                 "ib": tb.astype(np.int64),
+                                 "ic": tc.astype(np.int64)}),
+        ["support"])
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "support" not in batch.column_names:
+            return pa.table({"ia": pa.array([], pa.int64()),
+                             "ib": pa.array([], pa.int64()),
+                             "ic": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("support"), supp))
+
+    return t3.map_batches(final_filter, batch_format="pyarrow")
+
+
+SQL_Q260 = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey % 25 AS it FROM lineitem),
+s AS (SELECT GREATEST(5, (SELECT COUNT(*) FROM orders) // 400) AS supp)
+SELECT t1.it AS ia, t2.it AS ib, t3.it AS ic,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b t1
+JOIN b t2 ON t1.bk = t2.bk AND t1.it < t2.it
+JOIN b t3 ON t2.bk = t3.bk AND t2.it < t3.it
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT supp FROM s)
+"""
+
+
+def q261_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension type-2 interval build — the warehouse
+    temporal-table primitive: per user, the event_type stream ordered by
+    (ts, event_id) collapses consecutive equal states; each change row
+    becomes a versioned validity interval [valid_from, valid_to) with
+    valid_to = the next change's start (−1 marks the open current row).
+    Timestamps cross as epoch microseconds so no timezone/precision
+    ambiguity reaches the oracle.
+
+    Shape (100 TB): ONE user-keyed exchange; per block a single lexsort
+    (user, ts, event_id) + vectorized change mask / shifted next-start /
+    per-user cumsum version — the sessions.py idiom, no Python row
+    loop.  The SQL mirror is LAG-based change detection + LEAD validity,
+    ties broken by the same event_id ordering."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "state": pa.array([], pa.string()),
+            "valid_from_us": pa.array([], pa.int64()),
+            "valid_to_us": pa.array([], pa.int64()),
+            "version_n": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        st = batch.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t, st = uid[order], t[order], st[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        change = first | np.concatenate([[True], st[1:] != st[:-1]])
+        cu, ct, cs = uid[change], t[change], st[change]
+        cfirst = first[change]
+        nxt = np.concatenate([ct[1:], [np.int64(-1)]])
+        same_user = np.concatenate([cu[1:] == cu[:-1], [False]])
+        valid_to = np.where(same_user, nxt, np.int64(-1))
+        idx = np.arange(len(cu), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(cfirst, idx, 0))
+        version = idx - start + 1
+        return pa.table({
+            "user_id": pa.array(cu), "state": pa.array(cs),
+            "valid_from_us": pa.array(ct),
+            "valid_to_us": pa.array(valid_to),
+            "version_n": pa.array(version)})
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(build, batch_format="pyarrow"))
+
+
+SQL_Q261 = """
+WITH o AS (
+  SELECT user_id, event_type AS state,
+         CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+         LAG(event_type) OVER w AS prev,
+         ROW_NUMBER() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ch AS (
+  SELECT user_id, state, t,
+         ROW_NUMBER() OVER v AS version_n,
+         LEAD(t) OVER v AS nxt
+  FROM o WHERE prev IS NULL OR state <> prev
+  WINDOW v AS (PARTITION BY user_id ORDER BY t, rn))
+SELECT user_id, state, t AS valid_from_us,
+       COALESCE(nxt, -1) AS valid_to_us,
+       CAST(version_n AS BIGINT) AS version_n
+FROM ch
+"""
+
+
+_DICT_PATTERNS = ("sort", "table", "scan", "key", "order", "fast")
+
+
+def q262_dict_scan(sf_dir: str):
+    """Multi-pattern dictionary scan over the corpus — the blocklist /
+    taxonomy-tagging primitive: per literal pattern, the number of
+    matching documents and the total occurrence count.  Patterns are
+    border-free (no proper prefix = suffix), so Arrow's non-overlapping
+    ``count_substring`` equals the all-occurrences count and the SQL
+    replace()-length mirror is exact.
+
+    Shape (100 TB): pure fused map — k vectorized C++ kernel passes per
+    batch (k = dictionary size; a 10³⁺-pattern dictionary would swap in
+    an Aho-Corasick automaton built once per actor in ``__init__``, the
+    q73 blocklist seam) → per-batch partial sums → ONE pattern-keyed
+    grouped-sums exchange of k·blocks tiny rows.  No text ever
+    shuffles."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch.column("text")
+        pats, docs, occs = [], [], []
+        for p in _DICT_PATTERNS:
+            c = pc.count_substring(text, pattern=p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pats.append(p)
+            docs.append(int((c > 0).sum()))
+            occs.append(int(c.sum()))
+        return pd.DataFrame({"pattern": pats, "n_docs": docs,
+                             "n_occ": occs})
+
+    return _grouped_sums(ds, ["pattern"], partial, ["n_docs", "n_occ"])
+
+
+SQL_Q262 = f"""
+WITH pats AS (SELECT * FROM (VALUES {", ".join(
+    f"('{p}')" for p in _DICT_PATTERNS)}) v(pattern))
+SELECT pattern,
+  CAST(SUM(CASE WHEN contains(text, pattern) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_docs,
+  CAST(SUM((length(text) - length(replace(text, pattern, '')))
+           // length(pattern)) AS BIGINT) AS n_occ
+FROM documents, pats GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -16998,6 +17433,11 @@ QUERIES = {
     "q255_twohop_reach": q255_twohop_reach,
     "q256_station_handoffs": q256_station_handoffs,
     "q257_substring_dedup": q257_substring_dedup,
+    "q258_cms_freq": q258_cms_freq,
+    "q259_als_rank1": q259_als_rank1,
+    "q260_apriori_triples": q260_apriori_triples,
+    "q261_scd2_intervals": q261_scd2_intervals,
+    "q262_dict_scan": q262_dict_scan,
 }
 
 ORACLES = {
@@ -17254,4 +17694,9 @@ ORACLES = {
     "q255_twohop_reach": SQL_Q255,
     "q256_station_handoffs": SQL_Q256,
     "q257_substring_dedup": SQL_Q257,
+    "q258_cms_freq": SQL_Q258,
+    "q259_als_rank1": SQL_Q259,
+    "q260_apriori_triples": SQL_Q260,
+    "q261_scd2_intervals": SQL_Q261,
+    "q262_dict_scan": SQL_Q262,
 }

@@ -158,6 +158,11 @@ SUBSET = [
     "q253_haar_levels",
     "q255_twohop_reach",
     "q257_substring_dedup",
+    "q258_cms_freq",
+    "q259_als_rank1",
+    "q260_apriori_triples",
+    "q261_scd2_intervals",
+    "q262_dict_scan",
 ]
 
 
