@@ -8692,10 +8692,23 @@ def q152_global_rank(sf_dir: str):
     ensure_hash_shuffle()
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "n_chars"])
+    return _global_rank_exact(ds, "doc_id", "n_chars")
+
+
+def _global_rank_exact(ds, id_col: str, val_col: str):
+    """Exact distributed 1-based rank under ``ORDER BY val, id`` over a
+    bounded value domain (q152's machinery, shared with q264): bounded
+    histogram → exclusive prefix offsets → val-keyed exchange → local
+    sort + offset."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
 
     def hist_partial(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame({
-            "v": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            "v": batch.column(val_col).to_numpy(zero_copy_only=False),
             "n": np.ones(batch.num_rows, dtype=np.int64)})
 
     hist = (_grouped_sums(ds, ["v"], hist_partial, ["n"], 2)
@@ -8706,22 +8719,20 @@ def q152_global_rank(sf_dir: str):
 
     def block_rank(batch: pa.Table) -> pa.Table:
         if not len(batch):
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64())})
-        df = batch.to_pandas().sort_values(["n_chars", "doc_id"],
+        df = batch.to_pandas().sort_values([val_col, id_col],
                                            kind="stable")
-        v = df["n_chars"].to_numpy(np.int64)
+        v = df[val_col].to_numpy(np.int64)
         brk = np.r_[True, v[1:] != v[:-1]]
         within = np.arange(len(v)) - np.maximum.accumulate(
             np.where(brk, np.arange(len(v)), 0))
         base = np.array([offset[x] for x in v.tolist()], dtype=np.int64)
         return from_pandas_clean(pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
+            id_col: df[id_col].to_numpy(np.int64),
             "rank": base + within + 1}))
 
-    from oma_ray.cluster import default_partitions
-
-    return (ds.repartition(default_partitions(), keys=["n_chars"])
+    return (ds.repartition(default_partitions(), keys=[val_col])
             .map_batches(block_rank, batch_format="pyarrow"))
 
 
@@ -17175,6 +17186,185 @@ FROM documents, pats GROUP BY 1
 """
 
 
+def q263_embed_gram(sf_dir: str):
+    """Distributed Gram matrix of the embedding table — the PCA /
+    covariance front: G[i,j] = Σ_v q_i(v)·q_j(v) over all vectors, upper
+    triangle (i ≤ j, 0-based), with coordinates quantized
+    q = floor(x·10⁶) so the sums are exact integers on both engines
+    (float32 → float64 widening and floor are IEEE-identical in numpy
+    and DuckDB — the num/den convention for linear algebra).
+
+    Shape (100 TB): pure map + ONE (i,j)-keyed exchange of d(d+1)/2-row
+    partials: each batch computes its n×d quantized block's QᵀQ in one
+    integer matmul and emits the bounded triangle — the classic
+    mergeable-moment reduction; no vector ever shuffles.  int64 holds to
+    ~10¹⁴ rows at |x| ≤ 1; past that the finalize lifts to object
+    ints."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        e = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(e * 1e6).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(g.shape[0])
+        return pd.DataFrame({"i": iu.astype(np.int64),
+                             "j": ju.astype(np.int64),
+                             "s_qq": g[iu, ju]})
+
+    return _grouped_sums(ds, ["i", "j"], partial, ["s_qq"])
+
+
+SQL_Q263 = """
+WITH u AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, range(1, 65) t(i))
+SELECT a.i - 1 AS i, b.i - 1 AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS s_qq
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+def q264_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two document
+    rankings — the retrieval / RAG result-merging primitive: ranking A
+    orders by length (n_chars DESC), ranking B by occurrences of the
+    term 'key' (DESC), ties by doc_id; the fused score is the exact
+    integer Σ floor(10⁹ / (60 + rank)) and the output is the top-50 by
+    (rrf DESC, doc_id).
+
+    Shape (100 TB): each ranking is q152's exact distributed rank
+    (bounded histogram + val-keyed exchange — no global sort); the two
+    rank tables meet in ONE doc-keyed hash join; top-50 rides the q03
+    partial-top-k fold.  Rank 1 = best via negated scores, so the ASC
+    rank machinery is shared untouched."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.join import hash_join
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "n_chars"])
+
+    def score_a(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "va": pa.array(-n.astype(np.int64))})
+
+    def score_b(batch: pa.Table) -> pa.Table:
+        c = pc.count_substring(batch.column("text"), pattern="key")
+        c = c.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "vb": pa.array(-c)})
+
+    ra = _global_rank_exact(
+        docs.map_batches(score_a, batch_format="pyarrow"), "doc_id", "va")
+    rb = _global_rank_exact(
+        docs.map_batches(score_b, batch_format="pyarrow"), "doc_id", "vb")
+
+    def rn(col):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             col: batch.column("rank")})
+        return f
+
+    r_schema = lambda c: pa.schema([("doc_id", pa.int64()),
+                                    (c, pa.int64())])  # noqa: E731
+    joined = hash_join(
+        ra.map_batches(rn("ra"), batch_format="pyarrow"),
+        rb.map_batches(rn("rb"), batch_format="pyarrow"),
+        on="doc_id", left_schema=r_schema("ra"), right_schema=r_schema("rb"))
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        a = batch.column("ra").to_numpy(zero_copy_only=False)
+        b = batch.column("rb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "rrf": pa.array(10**9 // (60 + a) + 10**9 // (60 + b))})
+
+    return _global_topk(joined.map_batches(fuse, batch_format="pyarrow"),
+                        ["rrf", "doc_id"], [True, False], 50)
+
+
+SQL_Q264 = """
+WITH ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents),
+rb AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY (length(text) - length(replace(text, 'key', ''))) // 3 DESC,
+             doc_id) AS r
+  FROM documents)
+SELECT a.doc_id,
+       CAST(1000000000 // (60 + a.r) + 1000000000 // (60 + b.r)
+            AS BIGINT) AS rrf
+FROM ra a JOIN rb b ON a.doc_id = b.doc_id
+ORDER BY rrf DESC, a.doc_id LIMIT 50
+"""
+
+
+def q265_full_outer_daily(sf_dir: str):
+    """Full-outer daily alignment of two independent fact streams —
+    order revenue per day ⟗ event count per day — the one join type the
+    suite hadn't exercised, expressed the scalable way: as a UNION of
+    both sides' keyed partials folded in ONE day-keyed grouped-sums
+    exchange (each side emits zeros for the other's measure, so
+    COALESCE semantics fall out of the sum).  Days with only orders or
+    only events both survive — exactly FULL OUTER.
+
+    Shape (100 TB): two fused scans + one bounded-key exchange
+    (O(days) rows); no join-side ever materializes."""
+    o = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderdate", "o_totalprice"])
+    e = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    US_DAY = 86_400_000_000
+
+    def o_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_DAY
+        return pa.table({
+            "day": pa.array(d),
+            "rev_c": pa.array(_cents(batch.column(
+                "o_totalprice").to_numpy(zero_copy_only=False))),
+            "n_ev": pa.array(np.zeros(len(d), np.int64))})
+
+    def e_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_DAY
+        z = np.zeros(len(d), np.int64)
+        return pa.table({"day": pa.array(d), "rev_c": pa.array(z),
+                         "n_ev": pa.array(np.ones(len(d), np.int64))})
+
+    both = (o.map_batches(o_part, batch_format="pyarrow")
+            .union(e.map_batches(e_part, batch_format="pyarrow")))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": batch.column("day").to_numpy(zero_copy_only=False),
+            "rev_c": batch.column("rev_c").to_numpy(zero_copy_only=False),
+            "n_ev": batch.column("n_ev").to_numpy(zero_copy_only=False)})
+
+    return _grouped_sums(both, ["day"], partial, ["rev_c", "n_ev"])
+
+
+SQL_Q265 = f"""
+WITH a AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM({SQL_CENTS.format(c='o_totalprice')}) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         COUNT(*) AS n_ev
+  FROM events GROUP BY 1)
+SELECT COALESCE(a.day, b.day) AS day,
+       CAST(COALESCE(a.rev_c, 0) AS BIGINT) AS rev_c,
+       CAST(COALESCE(b.n_ev, 0) AS BIGINT) AS n_ev
+FROM a FULL OUTER JOIN b ON a.day = b.day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -17438,6 +17628,9 @@ QUERIES = {
     "q260_apriori_triples": q260_apriori_triples,
     "q261_scd2_intervals": q261_scd2_intervals,
     "q262_dict_scan": q262_dict_scan,
+    "q263_embed_gram": q263_embed_gram,
+    "q264_rrf_fusion": q264_rrf_fusion,
+    "q265_full_outer_daily": q265_full_outer_daily,
 }
 
 ORACLES = {
@@ -17699,4 +17892,7 @@ ORACLES = {
     "q260_apriori_triples": SQL_Q260,
     "q261_scd2_intervals": SQL_Q261,
     "q262_dict_scan": SQL_Q262,
+    "q263_embed_gram": SQL_Q263,
+    "q264_rrf_fusion": SQL_Q264,
+    "q265_full_outer_daily": SQL_Q265,
 }

@@ -163,6 +163,9 @@ SUBSET = [
     "q260_apriori_triples",
     "q261_scd2_intervals",
     "q262_dict_scan",
+    "q263_embed_gram",
+    "q264_rrf_fusion",
+    "q265_full_outer_daily",
 ]
 
 
