@@ -17365,6 +17365,256 @@ FROM a FULL OUTER JOIN b ON a.day = b.day
 """
 
 
+def q266_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the event stream — the privacy-curation
+    gate a training-data pipeline runs before release: quasi-identifier
+    = (user cohort user_id % 50, event_type, hour-of-day); every QI
+    group with 1 ≤ n < k = 5 is a violation the pipeline must suppress
+    or generalize.  Output: the violating groups with their counts.
+
+    Shape (100 TB): ONE QI-keyed grouped-sums exchange (combiner
+    pre-aggregates per batch, so the exchange moves O(distinct QI) rows
+    per block) + a vectorized threshold filter.  The audit is mergeable
+    across shards by construction."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    US_HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "cohort": batch.column("user_id").to_numpy(
+                zero_copy_only=False) % 50,
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "hod": (t // US_HOUR) % 24,
+            "n": np.ones(batch.num_rows, dtype=np.int64)})
+
+    g = _grouped_sums(ds, ["cohort", "event_type", "hod"], partial, ["n"])
+
+    def violations(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "n" not in batch.column_names:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "hod": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return batch.filter(pa.compute.less(batch.column("n"), 5))
+
+    return g.map_batches(violations, batch_format="pyarrow")
+
+
+SQL_Q266 = """
+SELECT user_id % 50 AS cohort, event_type,
+       (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+"""
+
+
+_WALK_STEPS = 4
+
+
+def _walk_hash(step: int, dst: np.ndarray) -> np.ndarray:
+    """Deterministic per-step edge score — the hash coin of the walk."""
+    return ((np.int64(step) * 131 + dst * 9973) * 48271) % 1000003
+
+
+def q267_hash_walks(sf_dir: str, driver_max_edges: int = 2_000_000):
+    """Deterministic hash walks on the host graph — the random-walk
+    sampling primitive behind node2vec/DeepWalk-style embedding corpora,
+    made reproducible: from every seed host < 10, take 4 steps where
+    step s at node u moves to the out-neighbor v minimizing the hash
+    h(s, v) (ties: min v).  Output: (seed, step, host) path rows,
+    step 0 = the seed; a dead-end truncates the walk on both engines.
+
+    Dual regime (the q132/q139 idiom): ≤ ``driver_max_edges`` the four
+    next-hop foldings run as numpy lexsort-argmin on the driver; above
+    it each step is ONE src-keyed grouped-argmin exchange producing the
+    step's next-hop table + ONE hash join advancing the frontier —
+    walk fan-out never materializes more than (seeds × 1) rows per
+    step.  The SQL mirror precomputes each step's next-hop table with a
+    row_number window, then chains four inner joins."""
+    import ray.data as rd
+
+    edges = _host_int_edges(sf_dir).materialize()
+
+    def next_hop_driver(s: np.ndarray, t: np.ndarray, step: int):
+        h = _walk_hash(step, t)
+        order = np.lexsort((t, h, s))
+        ss, hs, ts = s[order], h[order], t[order]
+        first = np.r_[True, ss[1:] != ss[:-1]]
+        return ss[first], ts[first]
+
+    if edges.count() <= driver_max_edges:
+        df = edges.to_pandas()
+        s = df["src"].to_numpy(np.int64)
+        t = df["dst"].to_numpy(np.int64)
+        seeds = np.unique(s[s < 10])
+        out_seed = [seeds]
+        out_step = [np.zeros(len(seeds), np.int64)]
+        out_host = [seeds]
+        cur_seed, cur = seeds, seeds
+        for step in range(_WALK_STEPS):
+            nsrc, ndst = next_hop_driver(s, t, step)
+            j = np.searchsorted(nsrc, cur)
+            j = np.minimum(j, len(nsrc) - 1) if len(nsrc) else j
+            alive = len(nsrc) > 0
+            ok = (nsrc[j] == cur) if alive else np.zeros(len(cur), bool)
+            cur_seed, cur = cur_seed[ok], ndst[j[ok]]
+            out_seed.append(cur_seed)
+            out_step.append(np.full(len(cur), step + 1, np.int64))
+            out_host.append(cur)
+        return rd.from_arrow(pa.table({
+            "seed": pa.array(np.concatenate(out_seed)),
+            "step": pa.array(np.concatenate(out_step)),
+            "host": pa.array(np.concatenate(out_host))}))
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.join import hash_join
+
+    ensure_hash_shuffle()
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        u = np.unique(s[s < 10])
+        return pa.table({"seed": pa.array(u), "cur": pa.array(u)})
+
+    frontier = (edges.map_batches(seed_rows, batch_format="pyarrow")
+                .repartition(2, keys=["seed"])
+                .map_batches(
+                    lambda b: from_pandas_clean(
+                        b.to_pandas().drop_duplicates())
+                    if b.num_rows else b,
+                    batch_format="pyarrow")
+                .materialize())
+    paths = [frontier.map_batches(
+        lambda b, s=0: pa.table({
+            "seed": b.column("seed"),
+            "step": pa.array(np.zeros(b.num_rows, np.int64)),
+            "host": b.column("cur")}),
+        batch_format="pyarrow")]
+    f_schema = pa.schema([("seed", pa.int64()), ("cur", pa.int64())])
+    n_schema = pa.schema([("nsrc", pa.int64()), ("ndst", pa.int64())])
+
+    for step in range(_WALK_STEPS):
+        def hop_partial(batch: pa.Table, step=step) -> pd.DataFrame:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            t = batch.column("dst").to_numpy(zero_copy_only=False)
+            nsrc, ndst = next_hop_driver(s, t, step)
+            return pd.DataFrame({"nsrc": nsrc, "ndst": ndst,
+                                 "h": _walk_hash(step, ndst)})
+
+        def hop_combine(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows or "nsrc" not in batch.column_names:
+                return pa.table({"nsrc": pa.array([], pa.int64()),
+                                 "ndst": pa.array([], pa.int64())})
+            s = batch.column("nsrc").to_numpy(zero_copy_only=False)
+            t = batch.column("ndst").to_numpy(zero_copy_only=False)
+            h = batch.column("h").to_numpy(zero_copy_only=False)
+            order = np.lexsort((t, h, s))
+            first = np.r_[True, s[order][1:] != s[order][:-1]]
+            keep = order[first]
+            return pa.table({"nsrc": pa.array(s[keep]),
+                             "ndst": pa.array(t[keep])})
+
+        nxt = (edges.map_batches(hop_partial, batch_format="pyarrow")
+               .repartition(default_partitions(), keys=["nsrc"])
+               .map_batches(hop_combine, batch_format="pyarrow"))
+        frontier = (hash_join(frontier, nxt, on="cur", right_on="nsrc",
+                              left_schema=f_schema, right_schema=n_schema)
+                    .map_batches(
+                        lambda b: pa.table({"seed": b.column("seed"),
+                                            "cur": b.column("ndst")}),
+                        batch_format="pyarrow")
+                    .materialize())
+        paths.append(frontier.map_batches(
+            lambda b, s=step + 1: pa.table({
+                "seed": b.column("seed"),
+                "step": pa.array(np.full(b.num_rows, s, np.int64)),
+                "host": b.column("cur")}),
+            batch_format="pyarrow"))
+
+    out = paths[0]
+    for p_ in paths[1:]:
+        out = out.union(p_)
+    return out
+
+
+def _sql_q267() -> str:
+    hops = []
+    for s in range(_WALK_STEPS):
+        hops.append(f"""
+n{s} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src
+      ORDER BY ((({s} * 131 + dst * 9973)) * 48271) % 1000003, dst) AS rn
+    FROM e) WHERE rn = 1)""")
+    chain = ["w0 AS (SELECT src AS seed, src AS cur FROM "
+             "(SELECT DISTINCT src FROM e WHERE src < 10))"]
+    for s in range(_WALK_STEPS):
+        chain.append(f"w{s + 1} AS (SELECT w{s}.seed, n{s}.dst AS cur "
+                     f"FROM w{s} JOIN n{s} ON n{s}.src = w{s}.cur)")
+    selects = [f"SELECT seed, CAST({s} AS BIGINT) AS step, cur AS host "
+               f"FROM w{s}" for s in range(_WALK_STEPS + 1)]
+    return (f"WITH e AS ({_SQL_HOST_EDGES}),"
+            + ",".join(hops) + "," + ",".join(chain)
+            + " " + " UNION ALL ".join(selects))
+
+
+SQL_Q267 = _sql_q267()
+
+
+def q268_grouped_moments(sf_dir: str):
+    """Per-label moment matrices over the embedding table — the grouped
+    GLM/ridge front (one normal-equation block per class): for each
+    label, the exact integer upper triangle of QᵀQ over the first 8
+    quantized coordinates (q = floor(x·10⁶), the q263 convention).
+    Downstream a solver turns each bounded block into per-class
+    regression weights off-engine.
+
+    Shape (100 TB): per-batch numpy einsum per label present in the
+    batch (labels are low-cardinality by construction) → ONE
+    (label,i,j)-keyed exchange of bounded partial rows.  The vectors
+    never shuffle; skewed labels pre-reduce in the combiner."""
+    D = 8
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lab = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        e = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False))[:, :D].astype(np.float64)
+        q = np.floor(e * 1e6).astype(np.int64)
+        iu, ju = np.triu_indices(D)
+        frames = []
+        for lv in np.unique(lab):
+            g = q[lab == lv].T @ q[lab == lv]
+            frames.append(pd.DataFrame({
+                "label": np.full(len(iu), lv, np.int64),
+                "i": iu.astype(np.int64), "j": ju.astype(np.int64),
+                "s_qq": g[iu, ju]}))
+        return pd.concat(frames, ignore_index=True)
+
+    return _grouped_sums(ds, ["label", "i", "j"], partial, ["s_qq"])
+
+
+SQL_Q268 = """
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, range(1, 9) t(i))
+SELECT a.label, a.i - 1 AS i, b.i - 1 AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS s_qq
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -17631,6 +17881,9 @@ QUERIES = {
     "q263_embed_gram": q263_embed_gram,
     "q264_rrf_fusion": q264_rrf_fusion,
     "q265_full_outer_daily": q265_full_outer_daily,
+    "q266_k_anonymity": q266_k_anonymity,
+    "q267_hash_walks": q267_hash_walks,
+    "q268_grouped_moments": q268_grouped_moments,
 }
 
 ORACLES = {
@@ -17895,4 +18148,7 @@ ORACLES = {
     "q263_embed_gram": SQL_Q263,
     "q264_rrf_fusion": SQL_Q264,
     "q265_full_outer_daily": SQL_Q265,
+    "q266_k_anonymity": SQL_Q266,
+    "q267_hash_walks": SQL_Q267,
+    "q268_grouped_moments": SQL_Q268,
 }

@@ -166,6 +166,9 @@ SUBSET = [
     "q263_embed_gram",
     "q264_rrf_fusion",
     "q265_full_outer_daily",
+    "q266_k_anonymity",
+    "q267_hash_walks",
+    "q268_grouped_moments",
 ]
 
 
@@ -222,6 +225,7 @@ def test_bounded_topk_has_no_global_sort(name):
 @pytest.mark.parametrize("name,kw", [
     ("q132_redirect_chains", {"driver_max_nodes": 0}),
     ("q139_bfs_hops", {"driver_max_edges": 0}),
+    ("q267_hash_walks", {"driver_max_edges": 0}),
 ])
 def test_iterative_graph_forced_distributed_parity(name, kw, con):
     """q132/q139 dual regime (round 5): the driver-side numpy fold is the
