@@ -17615,6 +17615,239 @@ GROUP BY 1, 2, 3
 """
 
 
+_GC_ROUNDS = 5
+
+
+def q269_greedy_cover(sf_dir: str):
+    """Greedy maximum-coverage data selection (the submodular
+    corpus-subset primitive — facility-location/coverage greedy à la
+    Nemhauser: each round picks the document covering the most
+    still-uncovered token bigrams, ties by min doc_id; 5 rounds).
+    Output: (round, doc_id, gain) — the classic (1−1/e) selection
+    trace.  The SQL oracle unrolls the 5 greedy stages (the q131
+    kmeans-unroll convention), so every pick and gain is value-exact.
+
+    Shape (100 TB): ONE (doc,token)-distinct exchange up front; per
+    round, a broadcast covered-set filter + per-doc grouped gains + the
+    partial-top-1 fold, then the winner's token set (bounded by the
+    feature-space constant — the documented greedy-cover assumption)
+    joins the covered set on the driver.  Rounds are inherently
+    sequential; each is O(uncovered rows) with no all-pairs."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "tok": pa.array([], pa.string())})
+        if not batch.num_rows:
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(batch.column("text"),
+                                      pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ne = pc.not_equal(flat, "")
+        doc_of = np.repeat(np.arange(len(ids)), lens)[
+            ne.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(ne)
+        if len(flat) < 2:
+            return empty
+        big = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        same = doc_of[1:] == doc_of[:-1]
+        df = pd.DataFrame({
+            "doc_id": ids[doc_of[:-1][same]],
+            "tok": big.filter(pa.array(same)).to_pandas().to_numpy()})
+        return from_pandas_clean(df.drop_duplicates())
+
+    dt = (ds.map_batches(doc_bigrams, batch_format="pyarrow")
+          .repartition(default_partitions(), keys=["doc_id", "tok"])
+          .map_batches(
+              lambda b: from_pandas_clean(b.to_pandas().drop_duplicates())
+              if b.num_rows and "doc_id" in b.column_names else b,
+              batch_format="pyarrow")
+          .materialize())
+
+    covered: set = set()
+    picks = []
+    for rnd in range(1, _GC_ROUNDS + 1):
+        cov = sorted(covered)
+
+        def gain_partial(batch: pa.Table, cov=cov) -> pd.DataFrame:
+            df = batch.to_pandas()
+            if not len(df) or "doc_id" not in df.columns:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "gain": pd.Series([], dtype=np.int64)})
+            df = df[~df["tok"].isin(cov)]
+            return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                                 "gain": np.ones(len(df), np.int64)})
+
+        gains = _grouped_sums(dt, ["doc_id"], gain_partial, ["gain"])
+        top = _global_topk(gains, ["gain", "doc_id"],
+                           [True, False], 1).to_pandas()
+        if not len(top) or int(top["gain"].iloc[0]) <= 0:
+            break
+        win = int(top["doc_id"].iloc[0])
+        picks.append((rnd, win, int(top["gain"].iloc[0])))
+        # winner's token set: bounded by the per-doc vocabulary constant
+        wtok = (dt.map_batches(
+            lambda b, w=win: b.filter(
+                pa.compute.equal(b.column("doc_id"), w))
+            if b.num_rows and "doc_id" in b.column_names else b,
+            batch_format="pyarrow").to_pandas())
+        covered.update(wtok["tok"].tolist())
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "round": pa.array([p[0] for p in picks], pa.int64()),
+        "doc_id": pa.array([p[1] for p in picks], pa.int64()),
+        "gain": pa.array([p[2] for p in picks], pa.int64())}))
+
+
+def _build_greedy_cover_sql(rounds: int = _GC_ROUNDS) -> str:
+    parts = [r"""toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+  FROM documents),
+dt AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] AS tok FROM (
+    SELECT doc_id, l, unnest(range(1, greatest(len(l), 1))) AS i
+    FROM toks))"""]
+    sel = []
+    prev_cov = None
+    for r in range(1, rounds + 1):
+        anti = (f" WHERE tok NOT IN (SELECT tok FROM {prev_cov})"
+                if prev_cov else "")
+        parts.append(f"g{r} AS (SELECT doc_id, COUNT(*) AS gain "
+                     f"FROM dt{anti} GROUP BY 1)")
+        parts.append(f"w{r} AS (SELECT doc_id, gain FROM g{r} "
+                     f"ORDER BY gain DESC, doc_id LIMIT 1)")
+        cov_prev = f" UNION SELECT tok FROM {prev_cov}" if prev_cov else ""
+        parts.append(f"c{r} AS (SELECT dt.tok FROM dt "
+                     f"JOIN w{r} USING (doc_id){cov_prev})")
+        prev_cov = f"c{r}"
+        sel.append(f"SELECT CAST({r} AS BIGINT) AS round, doc_id, "
+                   f"CAST(gain AS BIGINT) AS gain FROM w{r}")
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+
+
+SQL_Q269 = _build_greedy_cover_sql()
+
+
+_MODEL_W = {"sort": 7, "table": 5, "scan": 3, "key": 11, "order": 2,
+            "fast": 13}
+_MODEL_BIAS = 100
+
+
+class _LinearScorer:
+    """Actor-pool 'model inference' stage: the (stand-in) model — a
+    linear scorer over dictionary-term counts — is loaded ONCE per
+    actor in ``__init__`` (the brief's batched-inference pattern: model
+    load / pattern compile / index build happens per actor, never per
+    batch); ``__call__`` scores a whole batch with vectorized kernels.
+    A real checkpoint swap-in changes only ``__init__``."""
+
+    def __init__(self):
+        self.terms = list(_MODEL_W)
+        self.w = np.array([_MODEL_W[t] for t in self.terms],
+                          dtype=np.int64)
+        self.bias = np.int64(_MODEL_BIAS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = np.stack([
+            pc.count_substring(batch.column("text"), pattern=t)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in self.terms], axis=1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "score": pa.array(feats @ self.w + self.bias)})
+
+
+def q270_model_score(sf_dir: str):
+    """Batched model inference over the corpus — the scoring/filtering
+    stage of a training-data pipeline (quality classifier, reward
+    model, toxicity scorer), run as an ACTOR POOL: ``_LinearScorer``
+    holds the model state from ``__init__`` and scores whole Arrow
+    batches; the output is the top-100 documents by (score DESC,
+    doc_id).  The stand-in model is an integer-exact linear scorer so
+    the SQL oracle verifies every score; swapping in a real model
+    keeps the identical Ray plumbing (concurrency×batch_size sizes the
+    pool to the node).
+
+    Shape (100 TB): fused actor-pool map (no exchange) + the
+    partial-top-k fold.  Text never shuffles."""
+    from oma_ray.cluster import cluster_cpus
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    # autoscaling pool with min 1: a FIXED pool of size ≥ num_cpus would
+    # starve the downstream top-k shuffle of logical CPUs and deadlock
+    # on small nodes (the ensure_hash_shuffle gotcha, low-CPU variant)
+    pool_max = max(1, min(8, cluster_cpus() // 2))
+    scored = ds.map_batches(_LinearScorer, concurrency=(1, pool_max),
+                            batch_size=4096, batch_format="pyarrow")
+    return _global_topk(scored, ["score", "doc_id"], [True, False], 100)
+
+
+SQL_Q270 = ("SELECT doc_id, CAST("
+            + " + ".join(
+                f"{w} * ((length(text) - length(replace(text, '{t}', '')))"
+                f" // {len(t)})" for t, w in _MODEL_W.items())
+            + f" + {_MODEL_BIAS} AS BIGINT) AS score FROM documents "
+            "ORDER BY score DESC, doc_id LIMIT 100")
+
+
+def q271_negative_samples(sf_dir: str):
+    """Deterministic negative sampling for contrastive training — per
+    anchor document, k = 4 pseudo-random negatives drawn rejection-free
+    from the corpus id space: neg = (anchor + 1 + h(anchor, j) mod
+    (N−1)) mod N, which is ≠ anchor by construction (the +1 offset
+    lives in [1, N−1]), reproducible across runs and engines.  Relies
+    on the contiguous-id closure the synth corpus guarantees (asserted
+    loudly, the q132 convention).
+
+    Shape (100 TB): pure fused map — zero exchanges, zero state; N
+    rides in as a broadcast scalar."""
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < 0 or ids.max() >= n):
+            raise AssertionError(
+                "q271: doc_id outside [0, N) — contiguity assumption")
+        k = 4
+        a = np.repeat(ids, k)
+        j = np.tile(np.arange(k, dtype=np.int64), len(ids))
+        h = (a * 2654435761 + j * 40503) % 1000003
+        neg = (a + 1 + h % (n - 1)) % n
+        return pa.table({"doc_id": pa.array(a), "j": pa.array(j),
+                         "neg_id": pa.array(neg)})
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_Q271 = """
+SELECT doc_id, j, (doc_id + 1 +
+        ((doc_id * 2654435761 + j * 40503) % 1000003)
+        % ((SELECT COUNT(*) FROM documents) - 1))
+       % (SELECT COUNT(*) FROM documents) AS neg_id
+FROM documents, (SELECT unnest(range(0, 4)) AS j) t
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -17884,6 +18117,9 @@ QUERIES = {
     "q266_k_anonymity": q266_k_anonymity,
     "q267_hash_walks": q267_hash_walks,
     "q268_grouped_moments": q268_grouped_moments,
+    "q269_greedy_cover": q269_greedy_cover,
+    "q270_model_score": q270_model_score,
+    "q271_negative_samples": q271_negative_samples,
 }
 
 ORACLES = {
@@ -18151,4 +18387,7 @@ ORACLES = {
     "q266_k_anonymity": SQL_Q266,
     "q267_hash_walks": SQL_Q267,
     "q268_grouped_moments": SQL_Q268,
+    "q269_greedy_cover": SQL_Q269,
+    "q270_model_score": SQL_Q270,
+    "q271_negative_samples": SQL_Q271,
 }

@@ -169,6 +169,9 @@ SUBSET = [
     "q266_k_anonymity",
     "q267_hash_walks",
     "q268_grouped_moments",
+    "q269_greedy_cover",
+    "q270_model_score",
+    "q271_negative_samples",
 ]
 
 
