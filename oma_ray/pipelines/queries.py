@@ -17848,6 +17848,85 @@ FROM documents, (SELECT unnest(range(0, 4)) AS j) t
 """
 
 
+def q272_span_corruption(sf_dir: str):
+    """T5-style span-corruption plan over the corpus — the denoising
+    pretraining data generator (Raffel et al. 2020): per document,
+    deterministic 3-token spans every 10 tokens starting at offset
+    o = (doc_id · 2654435761) mod 7, each with its sentinel id; the
+    output row carries the actual masked span TEXT so the extraction
+    (not just the arithmetic) is oracle-verified.
+
+    Shape (100 TB): pure fused map — the q257 repeat/arange span
+    expansion over the flat token array + three vectorized gathers and
+    an Arrow join kernel; zero exchanges, zero state.  Target/input
+    sequence assembly downstream is the q83 packing stage."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "sentinel_id": pa.array([], pa.int64()),
+                          "start": pa.array([], pa.int64()),
+                          "span_text": pa.array([], pa.string())})
+        if not batch.num_rows:
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(batch.column("text"),
+                                      pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # compact empties, then per-doc token counts + start offsets
+        flat = flat.filter(pa.array(ne))
+        n = np.add.reduceat(ne.astype(np.int64), np.r_[0, np.cumsum(
+            lens)[:-1]]) if len(lens) else np.zeros(0, np.int64)
+        n = np.where(lens == 0, 0, n)
+        doc_start = np.r_[0, np.cumsum(n)[:-1]]
+        o = (ids * 2654435761) % 7
+        reps = np.maximum((n - o - 3) // 10 + 1, 0)
+        reps = np.where(n >= o + 3, reps, 0)
+        if not reps.sum():
+            return empty
+        csum = np.r_[0, np.cumsum(reps)[:-1]]
+        j = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            csum, reps)
+        start = np.repeat(o, reps) + 10 * j
+        sg = np.repeat(doc_start, reps) + start
+        t0 = flat.take(pa.array(sg))
+        t1 = flat.take(pa.array(sg + 1))
+        t2 = flat.take(pa.array(sg + 2))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, reps)),
+            "sentinel_id": pa.array(j),
+            "start": pa.array(start),
+            "span_text": pc.binary_join_element_wise(t0, t1, t2, " ")})
+
+    return ds.map_batches(spans, batch_format="pyarrow")
+
+
+SQL_Q272 = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+  FROM documents),
+s AS (
+  SELECT doc_id, l, len(l) AS n,
+         (doc_id * 2654435761) % 7 AS o
+  FROM toks),
+j AS (
+  SELECT doc_id, l, o,
+         unnest(range(0, greatest((n - o - 3) // 10 + 1,
+                                  0))) AS sentinel_id
+  FROM s WHERE n >= o + 3)
+SELECT doc_id, sentinel_id, o + 10 * sentinel_id AS start,
+       array_to_string(l[o + 10 * sentinel_id + 1:
+                         o + 10 * sentinel_id + 3], ' ') AS span_text
+FROM j
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -18120,6 +18199,7 @@ QUERIES = {
     "q269_greedy_cover": q269_greedy_cover,
     "q270_model_score": q270_model_score,
     "q271_negative_samples": q271_negative_samples,
+    "q272_span_corruption": q272_span_corruption,
 }
 
 ORACLES = {
@@ -18390,4 +18470,5 @@ ORACLES = {
     "q269_greedy_cover": SQL_Q269,
     "q270_model_score": SQL_Q270,
     "q271_negative_samples": SQL_Q271,
+    "q272_span_corruption": SQL_Q272,
 }

@@ -172,6 +172,7 @@ SUBSET = [
     "q269_greedy_cover",
     "q270_model_score",
     "q271_negative_samples",
+    "q272_span_corruption",
 ]
 
 
