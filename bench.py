@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q226_bloom_semijoin",
     "q231_viewshed",
     "q235_hex_cells",
+    "q258_cms_freq",
+    "q260_apriori_triples",
+    "q270_model_score",
 ]
 
 
