@@ -17927,6 +17927,103 @@ FROM j
 """
 
 
+def q273_grouping_sets(sf_dir: str):
+    """``GROUP BY GROUPING SETS ((rf, ls), (ls), ())`` with the ANSI
+    grouping_id — the general multi-granularity form that ROLLUP (q31)
+    and CUBE (q59) specialize, on a set list NEITHER can express (the
+    (rf) level is deliberately absent).  grouping_id bit i ⟺ key i
+    aggregated away (DuckDB's GROUPING() convention).
+
+    Shape (100 TB): finest requested set reads the input once; the (ls)
+    set re-aggregates that O(groups) aggregate; () folds the smallest —
+    the rollup/cube derivation rule, one O(rows) exchange total."""
+    from oma_ray.stages.rollup import grouping_sets_sums
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_numpy(
+                zero_copy_only=False),
+            "l_linestatus": batch.column("l_linestatus").to_numpy(
+                zero_copy_only=False),
+            "sum_qty_c": _cents(batch.column("l_quantity").to_numpy(
+                zero_copy_only=False)),
+            "n_items": np.ones(batch.num_rows, dtype=np.int64)})
+
+    return grouping_sets_sums(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_returnflag", "l_linestatus"), ("l_linestatus",), ()],
+        partial, ["sum_qty_c", "n_items"],
+        {"l_returnflag": pa.string(), "l_linestatus": pa.string()})
+
+
+SQL_Q273 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({SQL_CENTS.format(c='l_quantity')}) AS BIGINT) AS sum_qty_c,
+  COUNT(*) AS n_items,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def q274_keep_best_dedup(sf_dir: str):
+    """Canonical selection under duplication — exact dedup that keeps
+    the BEST copy, not the first: the corpus unions with a mirror of
+    itself (source suffixed ``_mirror``, ids shifted — q09's synthetic
+    duplication), and per content group the winner is the non-mirror
+    copy, ties by doc_id; the real-pipeline shape is 'prefer the
+    canonical crawl over its mirrors'.  Output: (text_md5, doc_id,
+    source) of each winner.
+
+    Shape (100 TB): ``keep_best_dedup`` — md5 per batch, within-batch
+    argmin combiner, ONE 32-B-keyed exchange of per-batch winners."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.dedup import keep_best_dedup
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(batch.column("doc_id"), 1_000_000),
+            "text": batch.column("text"),
+            "source": pc.binary_join_element_wise(
+                batch.column("source"),
+                pa.array(["_mirror"] * batch.num_rows), "")})
+
+    def rank(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        r = pc2.ends_with(batch.column("source"), pattern="_mirror")
+        return batch.append_column(
+            "rank", pc2.cast(r, pa.int64()))
+
+    both = (docs.union(docs.map_batches(mirror, batch_format="pyarrow"))
+            .map_batches(rank, batch_format="pyarrow"))
+    return keep_best_dedup(both, carry=("source",))
+
+
+SQL_Q274 = """
+WITH all_docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source || '_mirror' FROM documents),
+r AS (
+  SELECT md5(text) AS text_md5, doc_id, source,
+         CAST(ends_with(source, '_mirror') AS BIGINT) AS rank,
+         row_number() OVER (
+           PARTITION BY md5(text)
+           ORDER BY ends_with(source, '_mirror'), doc_id) AS rn
+  FROM all_docs)
+SELECT text_md5, rank, doc_id, source FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -18200,6 +18297,8 @@ QUERIES = {
     "q270_model_score": q270_model_score,
     "q271_negative_samples": q271_negative_samples,
     "q272_span_corruption": q272_span_corruption,
+    "q273_grouping_sets": q273_grouping_sets,
+    "q274_keep_best_dedup": q274_keep_best_dedup,
 }
 
 ORACLES = {
@@ -18471,4 +18570,6 @@ ORACLES = {
     "q270_model_score": SQL_Q270,
     "q271_negative_samples": SQL_Q271,
     "q272_span_corruption": SQL_Q272,
+    "q273_grouping_sets": SQL_Q273,
+    "q274_keep_best_dedup": SQL_Q274,
 }

@@ -568,3 +568,35 @@ def edit_distance_pairs(ds, col: str = "word",
              "b": pa.array([], type=pa.string())}
         ),
     )
+
+
+def keep_best_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    rank_col: str = "rank", carry: tuple = (),
+                    num_partitions: int | None = None):
+    """Canonical selection: keep the BEST duplicate per distinct text —
+    min ``(rank_col, id_col)`` per md5 group — rather than exact_dedup's
+    keep-first.  ``carry`` columns ride along with the winner.  Shape is
+    exact_dedup's: vectorized md5 per batch → within-batch argmin
+    (combiner) → ONE keyed exchange on the 32-B hash (text + carried
+    payload of the per-batch winners only) → per-block argmin."""
+    ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    cols = ["text_md5", rank_col, id_col, *carry]
+    hashed = ds.map_batches(Md5Hash(text_col), batch_format="pyarrow")
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "text_md5" not in df.columns:
+            return batch
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        best = (df.sort_values(["text_md5", rank_col, id_col],
+                               kind="stable")
+                .drop_duplicates("text_md5"))
+        return from_pandas_clean(best[cols])
+
+    return (hashed.select_columns(cols)
+            .map_batches(local_best, batch_format="pyarrow")
+            .repartition(num_partitions, keys=["text_md5"])
+            .map_batches(local_best, batch_format="pyarrow"))

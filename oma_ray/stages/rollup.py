@@ -139,3 +139,56 @@ def cube_sums(ds, keys: list[str], partial_fn, sum_cols: list[str],
         smallest, ["_all"], _total_partial(sum_cols), sum_cols, 1,
     ).drop_columns(["_all"])
     return _union_levels([*done.values(), total], keys, key_types, sum_cols)
+
+
+def grouping_sets_sums(ds, keys: list[str], sets: list[tuple],
+                       partial_fn, sum_cols: list[str], key_types: dict,
+                       num_partitions: int | None = None):
+    """``GROUP BY GROUPING SETS(sets...)`` with an ANSI ``grouping_id``
+    column (bit i set ⟺ keys[i] grouped away — DuckDB's GROUPING()
+    convention) — the general form rollup/cube specialize.
+
+    Derivation mirrors ``cube_sums``: the finest REQUESTED set reads the
+    input once; every other set re-aggregates the smallest materialized
+    superset among (input ∪ built sets); the empty set folds whichever
+    aggregate is smallest.  Each exchange past the first moves
+    O(groups)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.pipelines.queries import _grouped_sums
+
+    coarse_parts = max(1, default_partitions() // 4)
+    sets = sorted({tuple(s) for s in sets}, key=len, reverse=True)
+    done: dict[tuple, "object"] = {}
+    levels = []
+    for sub in sets:
+        if sub:
+            parents = [p for p in done if set(sub) < set(p)]
+            if parents:
+                parent = min(parents, key=len)
+                lvl = _grouped_sums(done[parent], list(sub),
+                                    _reagg(list(sub), sum_cols), sum_cols,
+                                    coarse_parts).materialize()
+            else:
+                lvl = _grouped_sums(ds, list(sub), partial_fn, sum_cols,
+                                    num_partitions).materialize()
+            done[sub] = lvl
+        else:
+            src = (done[min(done, key=len)] if done else
+                   _grouped_sums(ds, list(keys), partial_fn, sum_cols,
+                                 num_partitions).materialize())
+            lvl = _grouped_sums(src, ["_all"], _total_partial(sum_cols),
+                                sum_cols, 1).drop_columns(["_all"])
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in sub)
+
+        def tag(batch: pa.Table, gid=gid) -> pa.Table:
+            out = _null_filled(batch, keys, key_types, sum_cols)
+            return out.append_column(
+                "grouping_id",
+                pa.array([gid] * out.num_rows, pa.int64()))
+
+        levels.append(lvl.map_batches(tag, batch_format="pyarrow"))
+    out = None
+    for lvl in levels:
+        out = lvl if out is None else out.union(lvl)
+    return out

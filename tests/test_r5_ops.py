@@ -155,3 +155,70 @@ def test_greedy_cover_trace_is_greedy(ray_session):
         assert len(best[1] - covered) == int(r["gain"])
         assert len(sets[int(r["doc_id"])] - covered) == int(r["gain"])
         covered |= sets[int(r["doc_id"])]
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    """q273 on real data: every GROUPING SETS level matches a pandas
+    groupby over the raw lineitem table, and grouping_id carries the
+    ANSI bit convention (bit i set ⟺ keys[i] aggregated away)."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q273_grouping_sets"](SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_quantity"]).to_pandas()
+    li["sum_qty_c"] = _cents(li["l_quantity"].to_numpy())
+
+    fine = out[out["grouping_id"] == 0]
+    exp = li.groupby(["l_returnflag", "l_linestatus"],
+                     as_index=False).agg(sum_qty_c=("sum_qty_c", "sum"),
+                                         n_items=("sum_qty_c", "size"))
+    got = (fine[["l_returnflag", "l_linestatus", "sum_qty_c", "n_items"]]
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True), check_dtype=False)
+
+    # (l_linestatus) level: grouping_id = 0b10 (l_returnflag grouped away)
+    mid = out[out["grouping_id"] == 2]
+    assert mid["l_returnflag"].isna().all()
+    exp_mid = li.groupby("l_linestatus")["sum_qty_c"].sum()
+    got_mid = dict(zip(mid["l_linestatus"], mid["sum_qty_c"]))
+    assert got_mid == exp_mid.to_dict()
+
+    # () level: grouping_id = 0b11, one all-null row with the grand total
+    tot = out[out["grouping_id"] == 3]
+    assert len(tot) == 1
+    assert tot["l_returnflag"].isna().all() and tot["l_linestatus"].isna().all()
+    assert int(tot["sum_qty_c"].iloc[0]) == int(li["sum_qty_c"].sum())
+    assert int(tot["n_items"].iloc[0]) == len(li)
+    # the (l_returnflag) level is deliberately absent from the set list
+    assert set(out["grouping_id"].unique()) == {0, 2, 3}
+
+
+def test_keep_best_dedup_picks_canonical(ray_session):
+    """q274 on real data: exactly one winner per distinct text, every
+    winner is the non-mirror copy (rank 0), and its doc_id is the group
+    minimum among rank-0 members."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q274_keep_best_dedup"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    import hashlib
+
+    docs["text_md5"] = [hashlib.md5(t.encode()).hexdigest()
+                        for t in docs["text"]]
+    assert out["text_md5"].is_unique
+    assert set(out["text_md5"]) == set(docs["text_md5"])
+    # mirrors (doc_id+1e6, rank 1) must never win
+    assert (out["rank"] == 0).all()
+    assert not out["source"].str.endswith("_mirror").any()
+    exp_min = docs.groupby("text_md5")["doc_id"].min()
+    got = dict(zip(out["text_md5"], out["doc_id"]))
+    assert got == exp_min.to_dict()
