@@ -18024,6 +18024,357 @@ SELECT text_md5, rank, doc_id, source FROM r WHERE rn = 1
 """
 
 
+_BM25_TERMS = ["hash", "join", "vector", "stream"]
+
+
+def q275_bm25_topk(sf_dir: str):
+    """BM25 top-20 document search (k1=1.2, b=0.75) for a fixed term
+    set — the lexical-retrieval primitive under RAG / eval-set mining.
+    Linear idf ``N·10⁶ ∕ (df+1)`` instead of the classic log idf (the
+    q35 convention: integer arithmetic end-to-end so the DuckDB oracle
+    matches bit-for-bit; log is a one-line swap that loses exactness);
+    the Okapi saturation/length terms are kept exactly, evaluated in
+    milli-units with floor division mirrored literally in SQL.
+
+    Shape (100 TB): TWO streaming passes — (1) corpus stats (per-term
+    df, total token count) as one term-keyed grouped-sums exchange of
+    ≤ (|terms|+1)·blocks tiny rows, driver-pulled (≤ 5 rows) and closed
+    over; (2) fused tokenize→score map + the bounded ``_global_topk``
+    fold (≤ k rows per block, one O(blocks·k) collapse).  No token and
+    no text ever shuffles.  int64 headroom note: idf_u·tf·2200 stays
+    < 2⁶³ up to N ≈ 10¹² docs at the synthetic dl ≤ 10³."""
+    import pyarrow.compute as pc
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    terms = _BM25_TERMS
+
+    def _tokens(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        return parent[keep], flat[keep]
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        parent, flat = _tokens(batch)
+        rows = [("", np.int64(len(flat)), np.int64(0))]
+        for t in terms:
+            in_doc = np.unique(parent[flat == t])
+            rows.append((t, np.int64(0), np.int64(len(in_doc))))
+        return pd.DataFrame(rows, columns=["term", "n_toks", "df"])
+
+    stats = _grouped_sums(
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"]),
+        ["term"], stats_partial, ["n_toks", "df"]).to_pandas()
+    total_toks = int(stats.loc[stats["term"] == "", "n_toks"].iloc[0])
+    df_map = dict(zip(stats["term"], stats["df"].astype(int)))
+    avgdl_m = total_toks * 1000 // n_docs
+    idf_u = {t: (n_docs * 1_000_000) // (df_map.get(t, 0) + 1)
+             for t in terms}
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokens(batch)
+        n = batch.num_rows
+        dl = np.bincount(parent, minlength=n).astype(np.int64)
+        norm_k = (dl * 1_000_000) // avgdl_m
+        sat_m = (1200 * (250 + (750 * norm_k) // 1000)) // 1000
+        score_u = np.zeros(n, dtype=np.int64)
+        for t in terms:
+            tf = np.bincount(parent[flat == t], minlength=n).astype(np.int64)
+            den_m = tf * 1000 + sat_m
+            score_u += (idf_u[t] * tf * 2200) // den_m
+        keep = score_u > 0
+        return pa.table({
+            "doc_id": pa.array(
+                batch.column("doc_id").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+            "score_u": pa.array(score_u[keep], pa.int64())})
+
+    return _global_topk(ds.map_batches(score, batch_format="pyarrow"),
+                        ["score_u", "doc_id"], [True, False], 20)
+
+
+_SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+SQL_Q275 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT COUNT(*) FROM tok) AS total_toks),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+          WHERE term IN ({_SQL_BM25_TERMS}) GROUP BY 1),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_SQL_BM25_TERMS}) GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(SUM(
+      (((stats.n * 1000000) // (dfreq.df + 1)) * tf.tf * 2200) //
+      (tf.tf * 1000 +
+       (1200 * (250 + (750 * ((dl.dl * 1000000) //
+                              ((stats.total_toks * 1000) // stats.n)))
+                // 1000)) // 1000)
+    ) AS BIGINT) AS score_u
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1)
+SELECT doc_id, score_u FROM scored WHERE score_u > 0
+ORDER BY score_u DESC, doc_id LIMIT 20
+"""
+
+
+def q276_set_ops(sf_dir: str):
+    """Distributed set algebra between two derived key sets — INTERSECT
+    / EXCEPT over distinct purchasing vs erroring users, classified in
+    one pass (the A∖B, B∖A, A∩B split a curation pipeline uses to
+    diff corpus snapshots).
+
+    Shape (100 TB): per-batch distinct (user, in_a, in_b) combiner →
+    ONE user-keyed grouped-sums exchange (presence counts, O(users
+    per batch) partials) → vectorized classify.  Never materializes
+    either set on the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        m = (et == "purchase") | (et == "error")
+        df = pd.DataFrame({"user_id": uid[m],
+                           "in_a": (et[m] == "purchase").astype(np.int64),
+                           "in_b": (et[m] == "error").astype(np.int64)})
+        return df.groupby("user_id", as_index=False).max()
+
+    flags = _grouped_sums(ds, ["user_id"], partial, ["in_a", "in_b"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        a = batch.column("in_a").to_numpy(zero_copy_only=False) > 0
+        b = batch.column("in_b").to_numpy(zero_copy_only=False) > 0
+        op = np.where(a & b, "intersect",
+                      np.where(a, "except_a", "except_b"))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "op": pa.array(op, pa.string())})
+
+    return flags.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_Q276 = """
+WITH f AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1)
+SELECT user_id,
+  CASE WHEN a = 1 AND b = 1 THEN 'intersect'
+       WHEN a = 1 THEN 'except_a' ELSE 'except_b' END AS op
+FROM f
+"""
+
+
+def q277_unpivot(sf_dir: str):
+    """UNPIVOT / melt: a wide per-priority aggregate (order count, total
+    cents, open-order count) reshaped to long (key, measure, value) —
+    the reporting/export complement of q38's pivot.
+
+    Shape (100 TB): one O(rows) grouped-sums exchange builds the wide
+    aggregate (O(groups) rows); the melt is a vectorized per-batch
+    reshape of that aggregate — no second exchange."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        st = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_numpy(
+                zero_copy_only=False),
+            "n_orders": np.ones(batch.num_rows, dtype=np.int64),
+            "sum_total_c": _cents(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)),
+            "n_open": (st == "O").astype(np.int64)})
+
+    measures = ["n_orders", "sum_total_c", "n_open"]
+    wide = _grouped_sums(ds, ["o_orderpriority"], partial, measures)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        pri = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": pa.array(np.repeat(pri, len(measures))),
+            "measure": pa.array(measures * n, pa.string()),
+            "value": pa.array(np.concatenate(
+                [np.stack([batch.column(m).to_numpy(zero_copy_only=False)
+                           for m in measures], axis=1).ravel()])
+                if n else np.array([], dtype=np.int64), pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_Q277 = f"""
+WITH w AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+    CAST(SUM({SQL_CENTS.format(c='o_totalprice')}) AS BIGINT) AS sum_total_c,
+    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_open
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM w
+UNION ALL
+SELECT o_orderpriority, 'sum_total_c', sum_total_c FROM w
+UNION ALL
+SELECT o_orderpriority, 'n_open', n_open FROM w
+"""
+
+
+_FD_CANDIDATES = [
+    ("orders:o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("orders:o_custkey->o_orderstatus", "orders", "o_custkey",
+     "o_orderstatus"),
+    ("lineitem:l_orderkey->l_returnflag", "lineitem", "l_orderkey",
+     "l_returnflag"),
+    ("lineitem:l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("customer:c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+]
+
+
+def q278_fd_audit(sf_dir: str):
+    """Functional-dependency discovery audit — for each candidate
+    lhs→rhs dependency, the number of distinct lhs keys and how many of
+    them VIOLATE the dependency (more than one distinct rhs) — the
+    schema-profiling complement of the q206/q207/q208 pk/fk/domain
+    audits.
+
+    Shape (100 TB): per-batch distinct-pair combiner (ships at most one
+    (fd, lhs, rhs) row per distinct pair per batch) → ONE (fd,
+    lhs)-keyed exchange co-locating each key, per-block distinct-rhs
+    count → O(keys)-row grouped-sums fold to 5 rows."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    per_cand = []
+    for fd, table, lhs, rhs in _FD_CANDIDATES:
+        ds = read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                                columns=[lhs, rhs])
+
+        def pairs(batch: pa.Table, fd=fd, lhs=lhs, rhs=rhs) -> pa.Table:
+            df = pd.DataFrame({
+                "lhs": batch.column(lhs).to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "rhs": batch.column(rhs).to_numpy(
+                    zero_copy_only=False).astype(str)})
+            df = df.drop_duplicates()
+            df.insert(0, "fd", fd)
+            return from_pandas_clean(df)
+
+        per_cand.append(ds.map_batches(pairs, batch_format="pyarrow"))
+
+    allp = per_cand[0]
+    for p in per_cand[1:]:
+        allp = allp.union(p)
+
+    def rhs_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "fd" not in df.columns:
+            return batch
+        g = (df.groupby(["fd", "lhs"], as_index=False)["rhs"].nunique()
+             .rename(columns={"rhs": "n_rhs"}))
+        g["n_rhs"] = g["n_rhs"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    keyed = (allp.repartition(default_partitions(), keys=["fd", "lhs"])
+             .map_batches(rhs_counts, batch_format="pyarrow"))
+
+    def fold(batch: pa.Table) -> pd.DataFrame:
+        n_rhs = batch.column("n_rhs").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "fd": batch.column("fd").to_numpy(zero_copy_only=False),
+            "n_keys": np.ones(len(n_rhs), dtype=np.int64),
+            "n_violating": (n_rhs > 1).astype(np.int64)})
+
+    return _grouped_sums(keyed, ["fd"], fold, ["n_keys", "n_violating"],
+                         num_partitions=1)
+
+
+SQL_Q278 = """
+WITH per_key AS (
+  SELECT 'orders:o_custkey->o_orderpriority' AS fd, o_custkey AS lhs,
+         COUNT(DISTINCT o_orderpriority) AS n_rhs FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'orders:o_custkey->o_orderstatus', o_custkey,
+         COUNT(DISTINCT o_orderstatus) FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem:l_orderkey->l_returnflag', l_orderkey,
+         COUNT(DISTINCT l_returnflag) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem:l_partkey->l_suppkey', l_partkey,
+         COUNT(DISTINCT l_suppkey) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'customer:c_nationkey->c_mktsegment', CAST(c_nationkey AS BIGINT),
+         COUNT(DISTINCT c_mktsegment) FROM customer GROUP BY 2)
+SELECT fd, COUNT(*) AS n_keys,
+  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+FROM per_key GROUP BY 1
+"""
+
+
+def q279_cdf_normalize(sf_dir: str):
+    """Global CDF / percentile-rank transform: each document's length
+    mapped to its corpus-wide percentile ``10⁶·|{dl' < dl}| ∕ N`` — the
+    quantile-normalization feature-engineering primitive (ties share
+    the min rank, = ANSI RANK()-1).
+
+    Shape (100 TB): ONE value-keyed grouped-counts exchange builds the
+    length histogram (O(distinct values) rows — this op assumes a
+    value-bounded domain, the histogram-CDF regime; an unbounded
+    continuous domain takes the q204 KLL sketch path instead), driver
+    cumsum → broadcast dict → stateless fused map.  Rows never
+    shuffle."""
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = _grouped_sums(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["n_chars"]),
+        ["n_chars"], counts, ["cnt"]).to_pandas().sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy()
+    less = np.concatenate([[0], np.cumsum(hist["cnt"].to_numpy())[:-1]])
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def transform(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, nc)
+        pct_u = (less[idx] * 1_000_000) // n_docs
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars"),
+                         "pct_u": pa.array(pct_u, pa.int64())})
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
+SQL_Q279 = """
+SELECT doc_id, n_chars,
+  CAST(((RANK() OVER (ORDER BY n_chars) - 1) * 1000000) //
+       (SELECT COUNT(*) FROM documents) AS BIGINT) AS pct_u
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -18299,6 +18650,11 @@ QUERIES = {
     "q272_span_corruption": q272_span_corruption,
     "q273_grouping_sets": q273_grouping_sets,
     "q274_keep_best_dedup": q274_keep_best_dedup,
+    "q275_bm25_topk": q275_bm25_topk,
+    "q276_set_ops": q276_set_ops,
+    "q277_unpivot": q277_unpivot,
+    "q278_fd_audit": q278_fd_audit,
+    "q279_cdf_normalize": q279_cdf_normalize,
 }
 
 ORACLES = {
@@ -18572,4 +18928,9 @@ ORACLES = {
     "q272_span_corruption": SQL_Q272,
     "q273_grouping_sets": SQL_Q273,
     "q274_keep_best_dedup": SQL_Q274,
+    "q275_bm25_topk": SQL_Q275,
+    "q276_set_ops": SQL_Q276,
+    "q277_unpivot": SQL_Q277,
+    "q278_fd_audit": SQL_Q278,
+    "q279_cdf_normalize": SQL_Q279,
 }

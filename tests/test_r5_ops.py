@@ -222,3 +222,112 @@ def test_keep_best_dedup_picks_canonical(ray_session):
     exp_min = docs.groupby("text_md5")["doc_id"].min()
     got = dict(zip(out["text_md5"], out["doc_id"]))
     assert got == exp_min.to_dict()
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    """q275 on real data: the shipped pipeline's top-20 equals a
+    brute-force integer BM25 recomputed in plain python over the raw
+    corpus (same tokenization, same milli-unit floor arithmetic)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _BM25_TERMS, QUERIES
+
+    out = QUERIES["q275_bm25_topk"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {r.doc_id: re.findall(r"[a-z]+", r.text.lower())
+            for r in docs.itertuples()}
+    n = len(docs)
+    total = sum(len(t) for t in toks.values())
+    avgdl_m = total * 1000 // n
+    df = {t: sum(t in tk for tk in toks.values()) for t in _BM25_TERMS}
+    scores = {}
+    for did, tk in toks.items():
+        norm_k = len(tk) * 1_000_000 // avgdl_m
+        sat_m = (1200 * (250 + (750 * norm_k) // 1000)) // 1000
+        s = 0
+        for t in _BM25_TERMS:
+            tf = tk.count(t)
+            idf_u = n * 1_000_000 // (df[t] + 1)
+            s += (idf_u * tf * 2200) // (tf * 1000 + sat_m)
+        if s > 0:
+            scores[did] = s
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(zip(out["doc_id"], out["score_u"]))
+    assert got == exp
+
+
+def test_set_ops_classification(ray_session):
+    """q276 on real data vs brute python sets."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q276_set_ops"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    a = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    b = set(ev.loc[ev["event_type"] == "error", "user_id"])
+    got = dict(zip(out["user_id"], out["op"]))
+    exp = ({u: "intersect" for u in a & b}
+           | {u: "except_a" for u in a - b}
+           | {u: "except_b" for u in b - a})
+    assert got == exp
+
+
+def test_unpivot_reconstructs_wide(ray_session):
+    """q277 on real data: melting produces exactly 3 rows per priority
+    and pivoting back equals a pandas wide aggregate."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q277_unpivot"](SF).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    assert (out.groupby("o_orderpriority").size() == 3).all()
+    back = out.pivot(index="o_orderpriority", columns="measure",
+                     values="value")
+    for pri, g in od.groupby("o_orderpriority"):
+        assert back.loc[pri, "n_orders"] == len(g)
+        assert back.loc[pri, "sum_total_c"] == _cents(
+            g["o_totalprice"].to_numpy()).sum()
+        assert back.loc[pri, "n_open"] == (g["o_orderstatus"] == "O").sum()
+
+
+def test_fd_audit_matches_pandas(ray_session):
+    """q278 on real data: violation counts equal pandas nunique>1 per
+    candidate dependency."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _FD_CANDIDATES, QUERIES
+
+    out = QUERIES["q278_fd_audit"](SF).to_pandas().set_index("fd")
+    assert len(out) == len(_FD_CANDIDATES)
+    for fd, table, lhs, rhs in _FD_CANDIDATES:
+        df = pq.read_table(f"{SF}/{table}.parquet",
+                           columns=[lhs, rhs]).to_pandas()
+        nun = df.groupby(lhs)[rhs].nunique()
+        assert out.loc[fd, "n_keys"] == len(nun)
+        assert out.loc[fd, "n_violating"] == int((nun > 1).sum())
+
+
+def test_cdf_normalize_is_min_rank(ray_session):
+    """q279 on real data: pct_u equals (count of strictly smaller
+    lengths)·1e6//N, ties share it, and pct_u is monotone in
+    n_chars."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = (QUERIES["q279_cdf_normalize"](SF).to_pandas()
+           .sort_values("n_chars"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["n_chars"]).to_pandas()
+    n = len(docs)
+    nc = docs["n_chars"].to_numpy()
+    for v, g in out.groupby("n_chars"):
+        exp = int((nc < v).sum()) * 1_000_000 // n
+        assert (g["pct_u"] == exp).all()
+    assert (np.diff(out["pct_u"].to_numpy()) >= 0).all()
