@@ -17082,40 +17082,44 @@ def q261_scd2_intervals(sf_dir: str):
                             columns=["event_id", "ts", "user_id",
                                      "event_type"])
 
-    def build(batch: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "user_id": pa.array([], pa.int64()),
-            "state": pa.array([], pa.string()),
-            "valid_from_us": pa.array([], pa.int64()),
-            "valid_to_us": pa.array([], pa.int64()),
-            "version_n": pa.array([], pa.int64())})
-        if not batch.num_rows or "user_id" not in batch.column_names:
-            return empty
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        t = batch.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        st = batch.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, t, uid))
-        uid, t, st = uid[order], t[order], st[order]
-        first = np.concatenate([[True], uid[1:] != uid[:-1]])
-        change = first | np.concatenate([[True], st[1:] != st[:-1]])
-        cu, ct, cs = uid[change], t[change], st[change]
-        cfirst = first[change]
-        nxt = np.concatenate([ct[1:], [np.int64(-1)]])
-        same_user = np.concatenate([cu[1:] == cu[:-1], [False]])
-        valid_to = np.where(same_user, nxt, np.int64(-1))
-        idx = np.arange(len(cu), dtype=np.int64)
-        start = np.maximum.accumulate(np.where(cfirst, idx, 0))
-        version = idx - start + 1
-        return pa.table({
-            "user_id": pa.array(cu), "state": pa.array(cs),
-            "valid_from_us": pa.array(ct),
-            "valid_to_us": pa.array(valid_to),
-            "version_n": pa.array(version)})
-
     return (ds.repartition(default_partitions(), keys=["user_id"])
-            .map_batches(build, batch_format="pyarrow"))
+            .map_batches(_scd2_build, batch_format="pyarrow"))
+
+
+def _scd2_build(batch: pa.Table) -> pa.Table:
+    """Per-block SCD2 interval kernel (q261's body, shared with the q280
+    point-in-time join): one lexsort (user, ts, event_id) + vectorized
+    change mask / shifted next-start / per-user cumsum version."""
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "state": pa.array([], pa.string()),
+        "valid_from_us": pa.array([], pa.int64()),
+        "valid_to_us": pa.array([], pa.int64()),
+        "version_n": pa.array([], pa.int64())})
+    if not batch.num_rows or "user_id" not in batch.column_names:
+        return empty
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    t = batch.column("ts").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    st = batch.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, t, uid))
+    uid, t, st = uid[order], t[order], st[order]
+    first = np.concatenate([[True], uid[1:] != uid[:-1]])
+    change = first | np.concatenate([[True], st[1:] != st[:-1]])
+    cu, ct, cs = uid[change], t[change], st[change]
+    cfirst = first[change]
+    nxt = np.concatenate([ct[1:], [np.int64(-1)]])
+    same_user = np.concatenate([cu[1:] == cu[:-1], [False]])
+    valid_to = np.where(same_user, nxt, np.int64(-1))
+    idx = np.arange(len(cu), dtype=np.int64)
+    start = np.maximum.accumulate(np.where(cfirst, idx, 0))
+    version = idx - start + 1
+    return pa.table({
+        "user_id": pa.array(cu), "state": pa.array(cs),
+        "valid_from_us": pa.array(ct),
+        "valid_to_us": pa.array(valid_to),
+        "version_n": pa.array(version)})
 
 
 SQL_Q261 = """
@@ -18375,6 +18379,357 @@ FROM documents
 """
 
 
+def q280_pit_join(sf_dir: str):
+    """Point-in-time join against an SCD2 dimension — the warehouse
+    temporal probe: each purchase event attaches the state interval
+    (built by the q261 kernel over the user's NON-purchase stream) that
+    contains its timestamp.  Because SCD2 intervals tile each user's
+    timeline gaplessly, containment reduces to an as-of match on
+    valid_from (zero-width intervals — two changes at one timestamp —
+    are filtered first, exactly the rows the SQL ``from ≤ ts < to``
+    predicate excludes); purchases before a user's first interval drop
+    (inner semantics).
+
+    Shape (100 TB): TWO user-keyed exchanges — one builds the interval
+    dimension (O(changes) rows out), one is the shared asof_join kernel
+    (lexsort + maximum.accumulate, stages/asof.py) co-locating each
+    user's intervals with its probes.  Both sides pre-project; no text
+    or payload beyond the joined columns moves."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.asof import asof_join
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def probe_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id"),
+            "value_c": pa.array(_cents(b.column("value").to_numpy(
+                zero_copy_only=False)), pa.int64())})
+
+    left = (ev.filter(expr="event_type == 'purchase'")
+            .map_batches(probe_proj, batch_format="pyarrow"))
+
+    def nonzero_width(b: pa.Table) -> pa.Table:
+        if not b.num_rows or "valid_from_us" not in b.column_names:
+            return b
+        keep = pc.not_equal(b.column("valid_to_us"),
+                            b.column("valid_from_us"))
+        b = b.filter(keep)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts_us": b.column("valid_from_us"),
+            "state": b.column("state"),
+            "valid_to_us": b.column("valid_to_us"),
+            "version_n": b.column("version_n")})
+
+    right = (ev.filter(expr="event_type != 'purchase'")
+             .repartition(default_partitions(), keys=["user_id"])
+             .map_batches(_scd2_build, batch_format="pyarrow")
+             .map_batches(nonzero_width, batch_format="pyarrow"))
+
+    return asof_join(
+        left, right, on="user_id", ts="ts_us",
+        right_out_ts="valid_from_us",
+        left_payload=[("event_id", pa.int64()), ("value_c", pa.int64())],
+        right_payload=[("state", pa.string()),
+                       ("valid_to_us", pa.int64()),
+                       ("version_n", pa.int64())])
+
+
+SQL_Q280 = """
+WITH np AS (
+  SELECT user_id, event_type AS state,
+         CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+         LAG(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+iv AS (
+  SELECT user_id, state, t AS valid_from_us,
+         ROW_NUMBER() OVER v AS version_n,
+         COALESCE(LEAD(t) OVER v, -1) AS valid_to_us
+  FROM np WHERE prev IS NULL OR state <> prev
+  WINDOW v AS (PARTITION BY user_id ORDER BY t, rn)),
+p AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.ts_us, p.event_id, p.value_c,
+       iv.valid_from_us, iv.state, iv.valid_to_us,
+       CAST(iv.version_n AS BIGINT) AS version_n
+FROM p JOIN iv ON p.user_id = iv.user_id
+  AND p.ts_us >= iv.valid_from_us
+  AND (iv.valid_to_us = -1 OR p.ts_us < iv.valid_to_us)
+"""
+
+
+_MOMENT_COLS = [("lineitem.l_partkey", "lineitem", "l_partkey"),
+                ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+                ("orders.o_custkey", "orders", "o_custkey"),
+                ("events.user_id", "events", "user_id")]
+
+
+def q281_key_moments(sf_dir: str):
+    """Frequency moments of join-key columns — the optimizer-statistics
+    / join-planning primitive: per key column, F0 (distinct keys), F1
+    (rows) and F2 (Σ deg², the EXACT self-join cardinality — what a
+    planner sizes a shuffle join by, and what AMS sketches estimate).
+
+    Shape (100 TB): per column ONE key-keyed grouped-counts exchange
+    (combiner pre-sums per batch) → a 1-partition O(distinct)-row fold
+    emitting a single (col, f0, f1, f2) row.  int64 holds F2 to
+    ~3·10⁹-row hot keys."""
+    outs = []
+    for label, table, col in _MOMENT_COLS:
+        ds = read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def counts(batch: pa.Table, col=col) -> pd.DataFrame:
+            return pd.DataFrame({
+                "k": batch.column(col).to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+
+        hist = _grouped_sums(ds, ["k"], counts, ["cnt"])
+
+        def fold(batch: pa.Table, label=label) -> pd.DataFrame:
+            c = batch.column("cnt").to_numpy(zero_copy_only=False)
+            return pd.DataFrame({
+                "col": [label], "f0": [np.int64(len(c))],
+                "f1": [c.sum()], "f2": [(c * c).sum()]})
+
+        outs.append(_grouped_sums(hist, ["col"], fold,
+                                  ["f0", "f1", "f2"], num_partitions=1))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+SQL_Q281 = """
+WITH d1 AS (SELECT COUNT(*) c FROM lineitem GROUP BY l_partkey),
+d2 AS (SELECT COUNT(*) c FROM lineitem GROUP BY l_suppkey),
+d3 AS (SELECT COUNT(*) c FROM orders GROUP BY o_custkey),
+d4 AS (SELECT COUNT(*) c FROM events GROUP BY user_id)
+SELECT 'lineitem.l_partkey' AS col, COUNT(*) AS f0,
+       CAST(SUM(c) AS BIGINT) AS f1, CAST(SUM(c*c) AS BIGINT) AS f2 FROM d1
+UNION ALL SELECT 'lineitem.l_suppkey', COUNT(*),
+       CAST(SUM(c) AS BIGINT), CAST(SUM(c*c) AS BIGINT) FROM d2
+UNION ALL SELECT 'orders.o_custkey', COUNT(*),
+       CAST(SUM(c) AS BIGINT), CAST(SUM(c*c) AS BIGINT) FROM d3
+UNION ALL SELECT 'events.user_id', COUNT(*),
+       CAST(SUM(c) AS BIGINT), CAST(SUM(c*c) AS BIGINT) FROM d4
+"""
+
+
+def q282_cdc_apply(sf_dir: str):
+    """CDC log apply with column-level last-writer-wins and delete
+    tombstones — the lakehouse MERGE primitive: the event stream is a
+    change log per user ('error' = full-row delete; 'click' patches
+    column x; 'view' patches column y; order = (ts, event_id)).  Final
+    state: users with ≥1 op after their last delete, carrying each
+    column's last patch after that delete (−1 if never patched) and the
+    live-op count.
+
+    Shape (100 TB): ONE user-keyed exchange; per block a lexsort + two
+    ``np.maximum.reduceat`` passes (last-delete position, then last
+    patch per column among live ops) — no Python row loop."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+
+    def apply_log(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "last_click_c": pa.array([], pa.int64()),
+            "last_view_c": pa.array([], pa.int64()),
+            "n_live_ops": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = _cents(batch.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, t, uid))
+        uid, et, v = uid[order], et[order], v[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        starts = np.flatnonzero(first)
+        idx = np.arange(len(uid), dtype=np.int64)
+        rel = idx - np.repeat(starts, np.diff(
+            np.append(starts, len(uid))))
+        err_rel = np.where(et == "error", rel, np.int64(-1))
+        last_err = np.maximum.reduceat(err_rel, starts)
+        live = rel > np.repeat(last_err, np.diff(
+            np.append(starts, len(uid))))
+
+        def last_patch(mask: np.ndarray) -> np.ndarray:
+            pos = np.where(mask & live, idx, np.int64(-1))
+            last = np.maximum.reduceat(pos, starts)
+            return np.where(last >= 0, v[np.maximum(last, 0)],
+                            np.int64(-1))
+
+        n_live = np.add.reduceat(live.astype(np.int64), starts)
+        keep = n_live > 0
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep]),
+            "last_click_c": pa.array(last_patch(et == "click")[keep]),
+            "last_view_c": pa.array(last_patch(et == "view")[keep]),
+            "n_live_ops": pa.array(n_live[keep])})
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(apply_log, batch_format="pyarrow"))
+
+
+SQL_Q282 = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+err AS (
+  SELECT user_id,
+         COALESCE(MAX(CASE WHEN event_type = 'error' THEN rn END), 0)
+           AS ern
+  FROM e GROUP BY 1),
+live AS (SELECT e.* FROM e JOIN err USING (user_id) WHERE rn > ern)
+SELECT user_id,
+  COALESCE(arg_max(v, rn) FILTER (WHERE event_type = 'click'), -1)
+    AS last_click_c,
+  COALESCE(arg_max(v, rn) FILTER (WHERE event_type = 'view'), -1)
+    AS last_view_c,
+  COUNT(*) AS n_live_ops
+FROM live GROUP BY 1
+"""
+
+
+_GAP_H = 3_600_000_000  # one hour in epoch microseconds
+
+
+def q283_gap_fill(sf_dir: str):
+    """Time-grid gap fill with forward fill — the time-series resample
+    primitive: per user, an hourly grid from the hour of their first
+    event to the hour of their last, each grid hour carrying the value
+    of the user's last event BEFORE the hour's end (ties by event_id)
+    and the count of events inside the hour (0 marks a filled gap).
+
+    Shape (100 TB): ONE user-keyed exchange; per block the grid is
+    materialized vectorized (repeat + cumulative offsets — O(grid)
+    rows, bounded by span·users per block), filled with the asof
+    lexsort + maximum.accumulate merge of events and hour-end probes,
+    and counted with one ``np.add.at`` scatter.  Grid rows are emitted,
+    never shuffled."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    H = _GAP_H
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "hour": pa.array([], pa.int64()),
+            "value_c": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        v = _cents(batch.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, t, uid))
+        uid, t, v = uid[order], t[order], v[order]
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(uid))
+        h0 = t[starts] // H
+        h1 = t[ends - 1] // H
+        n_i = (h1 - h0 + 1)
+        total = int(n_i.sum())
+        g_user = np.repeat(uid[starts], n_i)
+        g_off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_i)[:-1]]), n_i)
+        g_hour = np.repeat(h0, n_i) + g_off
+        probe_t = (g_hour + 1) * H - 1
+        # asof merge: events (side 0) before hour-end probes (side 1)
+        # at equal time; running max of event positions = last event
+        # at-or-before each probe.  Every probe has one (first grid
+        # hour ends after the user's first event), but guard anyway.
+        all_t = np.concatenate([t, probe_t])
+        all_u = np.concatenate([uid, g_user])
+        side = np.concatenate([
+            np.zeros(len(t), np.int8), np.ones(total, np.int8)])
+        seq = np.concatenate([
+            np.arange(len(t), dtype=np.int64),
+            np.zeros(total, np.int64)])
+        m_order = np.lexsort((seq, side, all_t, all_u))
+        side_s = side[m_order]
+        evpos = np.where(side_s == 0,
+                         np.arange(len(m_order), dtype=np.int64),
+                         np.int64(-1))
+        ff = np.maximum.accumulate(evpos)
+        ppos = np.nonzero(side_s == 1)[0]
+        cand = ff[ppos]
+        ok = (cand >= 0) & (all_u[m_order[np.maximum(cand, 0)]]
+                            == all_u[m_order[ppos]])
+        g_val = np.full(total, np.int64(-1))
+        g_idx = m_order[ppos] - len(t)
+        ev_sorted_idx = m_order[np.maximum(cand, 0)]
+        g_val[g_idx[ok]] = v[ev_sorted_idx[ok]]
+        # events-per-hour scatter
+        user_ix = np.searchsorted(starts, np.arange(len(uid)),
+                                  side="right") - 1
+        gstarts = np.concatenate([[0], np.cumsum(n_i)[:-1]])
+        pos = gstarts[user_ix] + (t // H - h0[user_ix])
+        n_ev = np.zeros(total, dtype=np.int64)
+        np.add.at(n_ev, pos, 1)
+        return pa.table({
+            "user_id": pa.array(g_user), "hour": pa.array(g_hour),
+            "value_c": pa.array(g_val), "n_events": pa.array(n_ev)})
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(fill, batch_format="pyarrow"))
+
+
+SQL_Q283 = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+  FROM events),
+e2 AS (SELECT user_id, t, arg_max(v, event_id) AS v
+       FROM e GROUP BY 1, 2),
+b AS (SELECT user_id, MIN(t) // {_GAP_H} AS h0, MAX(t) // {_GAP_H} AS h1
+      FROM e GROUP BY 1),
+g AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS hour FROM b),
+gp AS (SELECT user_id, hour, (hour + 1) * {_GAP_H} - 1 AS probe FROM g),
+c AS (SELECT user_id, t // {_GAP_H} AS hour, COUNT(*) AS n FROM e
+      GROUP BY 1, 2),
+f AS (SELECT gp.user_id, gp.hour, e2.v AS value_c
+      FROM gp ASOF JOIN e2
+        ON gp.user_id = e2.user_id AND gp.probe >= e2.t)
+SELECT f.user_id, f.hour, f.value_c,
+       COALESCE(c.n, 0) AS n_events
+FROM f LEFT JOIN c ON f.user_id = c.user_id AND f.hour = c.hour
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -18655,6 +19010,10 @@ QUERIES = {
     "q277_unpivot": q277_unpivot,
     "q278_fd_audit": q278_fd_audit,
     "q279_cdf_normalize": q279_cdf_normalize,
+    "q280_pit_join": q280_pit_join,
+    "q281_key_moments": q281_key_moments,
+    "q282_cdc_apply": q282_cdc_apply,
+    "q283_gap_fill": q283_gap_fill,
 }
 
 ORACLES = {
@@ -18933,4 +19292,8 @@ ORACLES = {
     "q277_unpivot": SQL_Q277,
     "q278_fd_audit": SQL_Q278,
     "q279_cdf_normalize": SQL_Q279,
+    "q280_pit_join": SQL_Q280,
+    "q281_key_moments": SQL_Q281,
+    "q282_cdc_apply": SQL_Q282,
+    "q283_gap_fill": SQL_Q283,
 }

@@ -331,3 +331,110 @@ def test_cdf_normalize_is_min_rank(ray_session):
         exp = int((nc < v).sum()) * 1_000_000 // n
         assert (g["pct_u"] == exp).all()
     assert (np.diff(out["pct_u"].to_numpy()) >= 0).all()
+
+
+def test_pit_join_containment(ray_session):
+    """q280 on real data: every output row's probe timestamp lies inside
+    its attached interval, version numbers are positive, and the probe
+    count equals purchases at-or-after their user's first non-purchase
+    event."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q280_pit_join"](SF).to_pandas()
+    assert len(out)
+    inside = (out["ts_us"] >= out["valid_from_us"]) & (
+        (out["valid_to_us"] == -1) | (out["ts_us"] < out["valid_to_us"]))
+    assert inside.all()
+    assert (out["version_n"] >= 1).all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    first_np = (ev[ev["event_type"] != "purchase"]
+                .groupby("user_id")["us"].min())
+    p = ev[ev["event_type"] == "purchase"].join(
+        first_np.rename("f"), on="user_id")
+    assert len(out) == int((p["us"] >= p["f"]).sum())
+    assert out["event_id"].is_unique
+
+
+def test_cdc_apply_matches_bruteforce(ray_session):
+    """q282 on real data vs a plain-python log replay."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q282_cdc_apply"](SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = _cents(ev["value"].to_numpy())
+    ev["us"] = ev["ts"].astype("int64")
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        click = view = -1
+        n = 0
+        for r in g.itertuples():
+            if r.event_type == "error":
+                click = view = -1
+                n = 0
+            else:
+                n += 1
+                if r.event_type == "click":
+                    click = r.v
+                elif r.event_type == "view":
+                    view = r.v
+        if n > 0:
+            exp[uid] = (click, view, n)
+    got = {u: (int(r["last_click_c"]), int(r["last_view_c"]),
+               int(r["n_live_ops"])) for u, r in out.iterrows()}
+    assert got == exp
+
+
+def test_gap_fill_grid_and_ffill(ray_session):
+    """q283 on real data: per user the grid is exactly the hour range,
+    n_events sums to the user's event count, gap hours carry the
+    forward-filled value of the previous non-gap hour, and event hours
+    carry the hour's last event value."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _GAP_H, _cents
+
+    out = (QUERIES["q283_gap_fill"](SF).to_pandas()
+           .sort_values(["user_id", "hour"]))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = _cents(ev["value"].to_numpy())
+    ev["us"] = ev["ts"].astype("int64")
+    ev["h"] = ev["us"] // _GAP_H
+    for uid, g in out.groupby("user_id"):
+        e = ev[ev["user_id"] == uid].sort_values(["us", "event_id"])
+        h0, h1 = e["h"].min(), e["h"].max()
+        assert list(g["hour"]) == list(range(h0, h1 + 1))
+        assert g["n_events"].sum() == len(e)
+        prev = None
+        for r in g.itertuples():
+            in_hour = e[e["h"] == r.hour]
+            if len(in_hour):
+                assert r.n_events == len(in_hour)
+                assert r.value_c == in_hour["v"].iloc[-1]
+            else:
+                assert r.n_events == 0
+                assert r.value_c == prev
+            prev = r.value_c
+
+
+def test_key_moments_f2_is_selfjoin_size(ray_session):
+    """q281 on real data: F2 equals the literal pandas self-join size
+    and F0/F1 the distinct/row counts, per column."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _MOMENT_COLS, QUERIES
+
+    out = QUERIES["q281_key_moments"](SF).to_pandas().set_index("col")
+    for label, table, col in _MOMENT_COLS:
+        s = pq.read_table(f"{SF}/{table}.parquet",
+                          columns=[col]).to_pandas()[col]
+        vc = s.value_counts()
+        assert out.loc[label, "f0"] == s.nunique()
+        assert out.loc[label, "f1"] == len(s)
+        assert out.loc[label, "f2"] == int((vc * vc).sum())
