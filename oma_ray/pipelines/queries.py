@@ -18730,6 +18730,282 @@ FROM f LEFT JOIN c ON f.user_id = c.user_id AND f.hour = c.hour
 """
 
 
+def q284_curriculum_bins(sf_dir: str, n_bins: int = 8):
+    """Curriculum packing: the corpus ordered by a difficulty proxy
+    (n_chars, ties by doc_id) is split into ``n_bins`` stages of EQUAL
+    TOKEN BUDGET — bin = (tokens before this doc in curriculum order)
+    · K ∕ total_tokens — the weighted counterpart of q45's equal-count
+    deciles; a training run consumes stage 0 first.
+
+    Shape (100 TB): tokens counted in the same fused pass that emits
+    per-difficulty-value histogram partials; ONE value-keyed exchange
+    builds (per n_chars value) token sums, driver cumsum → broadcast
+    offsets (bounded-domain regime, as q279); a SECOND n_chars-keyed
+    exchange resolves within-value ordering by doc_id (each value's
+    docs co-located, one block lexsort + cumsum).  No text shuffles
+    after tokenize."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(parent[flat != ""],
+                            minlength=batch.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "n_toks": pa.array(n_tok, pa.int64())})
+
+    toked = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars"],
+    ).map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "toks": batch.column("n_toks").to_numpy(
+                zero_copy_only=False)})
+
+    hist = (_grouped_sums(toked, ["n_chars"], hist_partial, ["toks"])
+            .to_pandas().sort_values("n_chars"))
+    total = int(hist["toks"].sum())
+    vals = hist["n_chars"].to_numpy()
+    before = np.concatenate([[0], np.cumsum(hist["toks"].to_numpy())[:-1]])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_toks": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64())})
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_toks").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, nc))
+        nc, did, nt = nc[order], did[order], nt[order]
+        first = np.concatenate([[True], nc[1:] != nc[:-1]])
+        cum = np.cumsum(nt) - nt
+        seg_base = np.maximum.accumulate(np.where(first, cum, 0))
+        within = cum - seg_base
+        off = before[np.searchsorted(vals, nc)]
+        bins = (off + within) * n_bins // max(total, 1)
+        return pa.table({"doc_id": pa.array(did),
+                         "n_toks": pa.array(nt),
+                         "bin": pa.array(bins.astype(np.int64))})
+
+    return (toked.repartition(default_partitions(), keys=["n_chars"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+SQL_Q284 = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         x -> x <> '')) AS n_toks
+  FROM documents),
+w AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(SUM(n_toks) OVER (
+           ORDER BY n_chars, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS before_toks,
+         CAST((SELECT SUM(n_toks) FROM t) AS BIGINT) AS total
+  FROM t)
+SELECT doc_id, n_toks,
+       CAST((before_toks * 8) // GREATEST(total, 1) AS BIGINT) AS bin
+FROM w
+"""
+
+
+def q285_length_buckets(sf_dir: str):
+    """Power-of-two length bucketing with padding-waste accounting —
+    the batch-shaping primitive for fixed-shape training kernels: each
+    doc lands in the bucket ``cap = 2^⌈log2(n_toks)⌉`` (0-token docs in
+    bucket 1), and per bucket the op reports doc count, true token sum
+    and the padding overhead ``cap·n_docs − Σ tokens`` a dense batch of
+    that shape would waste.
+
+    Shape (100 TB): fused tokenize + bit-twiddled bucket per batch →
+    ONE O(buckets·blocks)-row grouped-sums exchange (≤ ~40 buckets
+    ever exist)."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        nt = np.bincount(parent[flat != ""],
+                         minlength=batch.num_rows).astype(np.int64)
+        safe = np.maximum(nt, 1)
+        cap = np.int64(1) << np.int64(
+            np.ceil(np.log2(safe.astype(np.float64)))).astype(np.int64)
+        # float log2 is exact for powers of two < 2^53; verify anyway
+        cap = np.where(cap < safe, cap * 2, cap)
+        cap = np.where(cap // 2 >= safe, cap // 2, cap)
+        return pd.DataFrame({"bucket": cap, "n_docs": np.ones_like(nt),
+                             "sum_toks": nt})
+
+    out = _grouped_sums(ds, ["bucket"], partial, ["n_docs", "sum_toks"])
+
+    def waste(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_toks").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "padding", pa.array(b * n - s, pa.int64()))
+
+    return out.map_batches(waste, batch_format="pyarrow")
+
+
+SQL_Q285 = """
+WITH t AS (
+  SELECT GREATEST(len(list_filter(
+           regexp_extract_all(lower(text), '[a-z]+'), x -> x <> '')), 0)
+         AS nt
+  FROM documents),
+b AS (
+  SELECT nt,
+    CAST(CASE WHEN nt <= 1 THEN 1 WHEN nt <= 2 THEN 2 WHEN nt <= 4 THEN 4
+         WHEN nt <= 8 THEN 8 WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+         WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+         WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+         WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048
+         WHEN nt <= 4096 THEN 4096 WHEN nt <= 8192 THEN 8192
+         ELSE 16384 END AS BIGINT) AS bucket
+  FROM t)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_toks,
+       CAST(bucket * COUNT(*) - SUM(nt) AS BIGINT) AS padding
+FROM b GROUP BY bucket
+"""
+
+
+def q286_next_event_labels(sf_dir: str):
+    """Supervised-label generation from the event stream — the
+    next-action-prediction dataset builder: per user in (ts, event_id)
+    order, each event becomes a training row (feature = its type, label
+    = the NEXT event's type, gap_us = time to it); each user's last
+    event has no label and drops.
+
+    Shape (100 TB): ONE user-keyed exchange; per block a lexsort +
+    shifted-array label/gap — the sessions.py idiom.  Output streams
+    straight to the training sink; nothing re-shuffles."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def labels(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "feature": pa.array([], pa.string()),
+            "label": pa.array([], pa.string()),
+            "gap_us": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t, eid, et = uid[order], t[order], eid[order], et[order]
+        has_next = np.concatenate([uid[1:] == uid[:-1], [False]])
+        nxt_et = np.concatenate([et[1:], [""]])
+        nxt_t = np.concatenate([t[1:], [np.int64(0)]])
+        k = has_next
+        return pa.table({
+            "event_id": pa.array(eid[k]), "user_id": pa.array(uid[k]),
+            "feature": pa.array(et[k]), "label": pa.array(nxt_et[k]),
+            "gap_us": pa.array(nxt_t[k] - t[k])})
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(labels, batch_format="pyarrow"))
+
+
+SQL_Q286 = """
+WITH o AS (
+  SELECT event_id, user_id, event_type AS feature,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         LEAD(event_type) OVER w AS label,
+         LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER w AS nxt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, feature, label, nxt - t AS gap_us
+FROM o WHERE label IS NOT NULL
+"""
+
+
+def q287_interleave(sf_dir: str, k: int = 100):
+    """Deterministic round-robin corpus interleave — the training-order
+    assembler: doc rank r = position within its source (by doc_id), and
+    the global order is (r, source); the op emits the first ``k`` docs
+    of that order — one doc per source per round, sources cycling
+    alphabetically, the shape that keeps a mixture stationary from step
+    0.
+
+    Shape (100 TB): ONE source-keyed exchange ranks each source's docs
+    in its own block (lexsort + running count); then the bounded
+    ``_global_topk`` fold on (r, source) — O(blocks·k) collapse, no
+    global sort."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "source": pa.array([], pa.string()),
+                          "r": pa.array([], pa.int64())})
+        if not batch.num_rows or "source" not in batch.column_names:
+            return empty
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, src))
+        src, did = src[order], did[order]
+        first = np.concatenate([[True], src[1:] != src[:-1]])
+        idx = np.arange(len(src), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        return pa.table({"doc_id": pa.array(did),
+                         "source": pa.array(src),
+                         "r": pa.array(idx - seg + 1)})
+
+    ranked = (ds.repartition(default_partitions(), keys=["source"])
+              .map_batches(rank, batch_format="pyarrow"))
+    return _global_topk(ranked, ["r", "source", "doc_id"],
+                        [False, False, False], k)
+
+
+SQL_Q287 = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+  FROM documents)
+SELECT doc_id, source, CAST(r AS BIGINT) AS r
+FROM r ORDER BY r, source, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -19014,6 +19290,10 @@ QUERIES = {
     "q281_key_moments": q281_key_moments,
     "q282_cdc_apply": q282_cdc_apply,
     "q283_gap_fill": q283_gap_fill,
+    "q284_curriculum_bins": q284_curriculum_bins,
+    "q285_length_buckets": q285_length_buckets,
+    "q286_next_event_labels": q286_next_event_labels,
+    "q287_interleave": q287_interleave,
 }
 
 ORACLES = {
@@ -19296,4 +19576,8 @@ ORACLES = {
     "q281_key_moments": SQL_Q281,
     "q282_cdc_apply": SQL_Q282,
     "q283_gap_fill": SQL_Q283,
+    "q284_curriculum_bins": SQL_Q284,
+    "q285_length_buckets": SQL_Q285,
+    "q286_next_event_labels": SQL_Q286,
+    "q287_interleave": SQL_Q287,
 }

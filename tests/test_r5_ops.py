@@ -438,3 +438,102 @@ def test_key_moments_f2_is_selfjoin_size(ray_session):
         assert out.loc[label, "f0"] == s.nunique()
         assert out.loc[label, "f1"] == len(s)
         assert out.loc[label, "f2"] == int((vc * vc).sum())
+
+
+def _tok_counts(sf):
+    import re
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"]).to_pandas()
+    docs["nt"] = [len(re.findall(r"[a-z]+", t.lower()))
+                  for t in docs["text"]]
+    return docs
+
+
+def test_curriculum_bins_equal_token_budget(ray_session):
+    """q284 on real data: bins are non-decreasing along the curriculum
+    order, each bin's token mass is within one max-doc of total/8, and
+    the bin formula matches a brute cumsum."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q284_curriculum_bins"](SF).to_pandas()
+    docs = _tok_counts(SF).sort_values(["n_chars", "doc_id"])
+    total = docs["nt"].sum()
+    before = docs["nt"].cumsum() - docs["nt"]
+    exp = dict(zip(docs["doc_id"], before * 8 // max(total, 1)))
+    got = dict(zip(out["doc_id"], out["bin"]))
+    assert got == exp
+    mass = (out.join(docs.set_index("doc_id")["nt"], on="doc_id")
+            .groupby("bin")["n_toks"].sum())
+    assert (abs(mass - total / 8) <= docs["nt"].max() + total / 8 * 0.01).all()
+
+
+def test_length_buckets_pow2(ray_session):
+    """q285 on real data: buckets are powers of two, every doc's bucket
+    is the least power ≥ its token count, and padding is
+    cap·n − Σtoks."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q285_length_buckets"](SF).to_pandas()
+    docs = _tok_counts(SF)
+    caps = out["bucket"].to_numpy()
+    assert ((caps & (caps - 1)) == 0).all()
+
+    def cap(n):
+        c = 1
+        while c < max(n, 1):
+            c *= 2
+        return c
+
+    exp = docs.groupby(docs["nt"].map(cap))["nt"].agg(["size", "sum"])
+    got = out.set_index("bucket").sort_index()
+    assert list(got.index) == list(exp.index)
+    assert (got["n_docs"].to_numpy() == exp["size"].to_numpy()).all()
+    assert (got["sum_toks"].to_numpy() == exp["sum"].to_numpy()).all()
+    assert (got["padding"] == got.index * got["n_docs"]
+            - got["sum_toks"]).all()
+
+
+def test_next_event_labels_shift(ray_session):
+    """q286 on real data: one row per non-terminal event, label/gap
+    equal the next event in (ts, event_id) order."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q286_next_event_labels"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        rows = list(g.itertuples())
+        for a, b in zip(rows, rows[1:]):
+            exp[a.event_id] = (a.event_type, b.event_type, b.us - a.us)
+    got = {r.event_id: (r.feature, r.label, r.gap_us)
+           for r in out.itertuples()}
+    assert got == exp
+
+
+def test_interleave_round_robin(ray_session):
+    """q287 on real data: one doc per source per round while sources
+    last, ranks are within-source doc_id positions, k rows out."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = (QUERIES["q287_interleave"](SF).to_pandas()
+           .sort_values(["r", "source"]).reset_index(drop=True))
+    assert len(out) == 100
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    n_src = docs["source"].nunique()
+    # the first n_src rows are round 1 with all sources exactly once
+    assert set(out.loc[: n_src - 1, "source"]) == set(docs["source"])
+    assert (out.loc[: n_src - 1, "r"] == 1).all()
+    for row in out.itertuples():
+        members = sorted(
+            docs.loc[docs["source"] == row.source, "doc_id"])
+        assert members[row.r - 1] == row.doc_id
