@@ -19006,6 +19006,253 @@ FROM r ORDER BY r, source, doc_id LIMIT 100
 """
 
 
+def q288_nucleus_trim(sf_dir: str, p_mille: int = 900):
+    """Per-source nucleus (top-p) trimming — the mixture-curation
+    primitive: within each source, docs ordered by length descending
+    (ties by doc_id) are kept while the cumulative token mass BEFORE
+    the doc stays under p = 90% of the source's total; the tail is
+    dropped.  Emits the kept docs with their within-source rank and
+    cumulative mass — the per-group-budget counterpart of q284's
+    global curriculum.
+
+    Shape (100 TB): ONE source-keyed exchange (fused tokenize rides
+    the map side); per block one lexsort + segmented cumsum
+    (maximum.accumulate base trick) and a vectorized keep mask.  Only
+    kept rows are emitted."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        nt = np.bincount(parent[flat != ""],
+                         minlength=batch.num_rows).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "n_toks": pa.array(nt, pa.int64())})
+
+    toked = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"],
+    ).map_batches(tokenize, batch_format="pyarrow")
+
+    def trim(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "source": pa.array([], pa.string()),
+                          "n_toks": pa.array([], pa.int64()),
+                          "rank_in_src": pa.array([], pa.int64()),
+                          "cum_toks": pa.array([], pa.int64())})
+        if not batch.num_rows or "source" not in batch.column_names:
+            return empty
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_toks").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nt, src))
+        src, did, nt = src[order], did[order], nt[order]
+        first = np.concatenate([[True], src[1:] != src[:-1]])
+        idx = np.arange(len(src), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        cum = np.cumsum(nt)
+        base = np.maximum.accumulate(np.where(first, cum - nt, 0))
+        within_before = (cum - nt) - base
+        totals = np.zeros(len(src), dtype=np.int64)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(src))
+        seg_total = cum[ends - 1] - np.where(starts > 0, cum[starts - 1], 0)
+        totals = np.repeat(seg_total, ends - starts)
+        keep = within_before * 1000 < totals * p_mille
+        return pa.table({
+            "doc_id": pa.array(did[keep]),
+            "source": pa.array(src[keep]),
+            "n_toks": pa.array(nt[keep]),
+            "rank_in_src": pa.array((idx - seg + 1)[keep]),
+            "cum_toks": pa.array(cum[keep] - base[keep])})
+
+    return (toked.repartition(default_partitions(), keys=["source"])
+            .map_batches(trim, batch_format="pyarrow"))
+
+
+SQL_Q288 = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_toks
+  FROM documents),
+w AS (
+  SELECT doc_id, source, n_toks,
+         ROW_NUMBER() OVER o AS rank_in_src,
+         CAST(SUM(n_toks) OVER (PARTITION BY source) AS BIGINT) AS total,
+         CAST(SUM(n_toks) OVER (o ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_toks
+  FROM t WINDOW o AS (PARTITION BY source ORDER BY n_toks DESC, doc_id))
+SELECT doc_id, source, n_toks, CAST(rank_in_src AS BIGINT) AS rank_in_src,
+       cum_toks
+FROM w WHERE (cum_toks - n_toks) * 1000 < total * 900
+"""
+
+
+def q289_contrastive_pairs(sf_dir: str):
+    """Contrastive positive-pair generation — the embedding-training
+    data builder: each doc with ≥ 2 whitespace tokens splits at the
+    token midpoint into (anchor, positive); the op emits md5 digests of
+    the two halves (training IDs) plus their token counts.  Pairs from
+    the same document are the positives; in-batch others serve as
+    negatives downstream (the q271 sampler's contract).
+
+    Shape (100 TB): pure fused map, no exchange at all; the digest loop
+    is per-row only because hashlib has no vector form (the Md5Hash
+    stage's own convention).  Digests (32 B) replace text in the
+    output, so the sink never carries the corpus."""
+    import hashlib
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, a_md5, b_md5, a_n, b_n = [], [], [], [], []
+        for i, txt in enumerate(texts):
+            toks = txt.split()
+            if len(toks) < 2:
+                continue
+            mid = len(toks) // 2
+            a = " ".join(toks[:mid])
+            b = " ".join(toks[mid:])
+            out_id.append(did[i])
+            a_md5.append(hashlib.md5(a.encode()).hexdigest())
+            b_md5.append(hashlib.md5(b.encode()).hexdigest())
+            a_n.append(mid)
+            b_n.append(len(toks) - mid)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "anchor_md5": pa.array(a_md5, pa.string()),
+            "positive_md5": pa.array(b_md5, pa.string()),
+            "anchor_toks": pa.array(a_n, pa.int64()),
+            "positive_toks": pa.array(b_n, pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_Q289 = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+           AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n, len(toks) // 2 AS mid
+  FROM t WHERE len(toks) >= 2)
+SELECT doc_id,
+  md5(array_to_string(toks[1:mid], ' ')) AS anchor_md5,
+  md5(array_to_string(toks[mid+1:n], ' ')) AS positive_md5,
+  CAST(mid AS BIGINT) AS anchor_toks,
+  CAST(n - mid AS BIGINT) AS positive_toks
+FROM s
+"""
+
+
+def q290_kn_counts(sf_dir: str):
+    """Kneser-Ney continuation statistics — the LM-smoothing stats
+    pass: per word, its raw unigram count, its continuation count
+    N1+(•w) (distinct left contexts — the KN unigram numerator) and
+    distinct right contexts N1+(w•); document boundaries do not form
+    bigrams.
+
+    Shape (100 TB): per-batch distinct (left,right) bigram combiner →
+    ONE word-keyed exchange carrying tagged (word, neighbor, dir)
+    distinct pairs + unigram count partials → per-block distinct fold.
+    Moves O(distinct bigrams per batch), never occurrences."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        parent, flat = parent[keep], flat[keep]
+        # unigram partials: neighbor "" / dir 2 rows carry counts
+        uni = pd.DataFrame({"word": flat}).groupby(
+            "word", as_index=False).size().rename(columns={"size": "cnt"})
+        uni["neighbor"] = ""
+        uni["dir"] = np.int8(2)
+        adj = parent[1:] == parent[:-1]
+        l_, r_ = flat[:-1][adj], flat[1:][adj]
+        bi = pd.DataFrame({"l": l_, "r": r_}).drop_duplicates()
+        left_of = pd.DataFrame({"word": bi["r"], "neighbor": bi["l"],
+                                "dir": np.int8(0),
+                                "cnt": np.int64(0)})
+        right_of = pd.DataFrame({"word": bi["l"], "neighbor": bi["r"],
+                                 "dir": np.int8(1),
+                                 "cnt": np.int64(0)})
+        out = pd.concat([uni[["word", "neighbor", "dir", "cnt"]],
+                         left_of, right_of], ignore_index=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return from_pandas_clean(out)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "word" not in df.columns:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n_unigram": pa.array([], pa.int64()),
+                             "n_left_ctx": pa.array([], pa.int64()),
+                             "n_right_ctx": pa.array([], pa.int64())})
+        uni = (df[df["dir"] == 2].groupby("word")["cnt"].sum()
+               .rename("n_unigram"))
+        lc = (df[df["dir"] == 0].drop_duplicates(["word", "neighbor"])
+              .groupby("word").size().rename("n_left_ctx"))
+        rc = (df[df["dir"] == 1].drop_duplicates(["word", "neighbor"])
+              .groupby("word").size().rename("n_right_ctx"))
+        out = pd.concat([uni, lc, rc], axis=1).fillna(0).reset_index()
+        for c in ("n_unigram", "n_left_ctx", "n_right_ctx"):
+            out[c] = out[c].astype(np.int64)
+        return from_pandas_clean(out)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["word"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q290 = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents),
+series AS (SELECT generate_series AS i FROM generate_series(1, 256)),
+tok AS (SELECT doc_id, toks[i] AS term FROM t CROSS JOIN series
+        WHERE i <= len(toks)),
+bi AS (
+  SELECT DISTINCT toks[i] AS l, toks[i+1] AS r
+  FROM t CROSS JOIN series WHERE i + 1 <= len(toks)),
+uni AS (SELECT term AS word, COUNT(*) AS n_unigram FROM tok GROUP BY 1),
+lc AS (SELECT r AS word, COUNT(DISTINCT l) AS n_left_ctx FROM bi
+       GROUP BY 1),
+rc AS (SELECT l AS word, COUNT(DISTINCT r) AS n_right_ctx FROM bi
+       GROUP BY 1)
+SELECT uni.word, uni.n_unigram,
+       COALESCE(lc.n_left_ctx, 0) AS n_left_ctx,
+       COALESCE(rc.n_right_ctx, 0) AS n_right_ctx
+FROM uni LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -19294,6 +19541,9 @@ QUERIES = {
     "q285_length_buckets": q285_length_buckets,
     "q286_next_event_labels": q286_next_event_labels,
     "q287_interleave": q287_interleave,
+    "q288_nucleus_trim": q288_nucleus_trim,
+    "q289_contrastive_pairs": q289_contrastive_pairs,
+    "q290_kn_counts": q290_kn_counts,
 }
 
 ORACLES = {
@@ -19580,4 +19830,7 @@ ORACLES = {
     "q285_length_buckets": SQL_Q285,
     "q286_next_event_labels": SQL_Q286,
     "q287_interleave": SQL_Q287,
+    "q288_nucleus_trim": SQL_Q288,
+    "q289_contrastive_pairs": SQL_Q289,
+    "q290_kn_counts": SQL_Q290,
 }

@@ -445,8 +445,9 @@ def _tok_counts(sf):
 
     import pyarrow.parquet as pq
 
-    docs = pq.read_table(f"{sf}/documents.parquet",
-                         columns=["doc_id", "text", "n_chars"]).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "text", "n_chars", "source"]).to_pandas()
     docs["nt"] = [len(re.findall(r"[a-z]+", t.lower()))
                   for t in docs["text"]]
     return docs
@@ -537,3 +538,80 @@ def test_interleave_round_robin(ray_session):
         members = sorted(
             docs.loc[docs["source"] == row.source, "doc_id"])
         assert members[row.r - 1] == row.doc_id
+
+
+def test_nucleus_trim_budget(ray_session):
+    """q288 on real data: per source, kept docs are the length-desc
+    prefix, the pre-doc cumulative mass of every kept doc is under 90%
+    of the source total, and the first dropped doc would cross it."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q288_nucleus_trim"](SF).to_pandas()
+    docs = _tok_counts(SF)
+    for src, g in docs.groupby("source"):
+        g = g.sort_values(["nt", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        total = g["nt"].sum()
+        cum = g["nt"].cumsum()
+        keep_mask = (cum - g["nt"]) * 1000 < total * 900
+        kept = out[out["source"] == src].sort_values("rank_in_src")
+        assert list(kept["doc_id"]) == list(g.loc[keep_mask, "doc_id"])
+        assert list(kept["cum_toks"]) == list(cum[keep_mask])
+        assert (kept["rank_in_src"].to_numpy()
+                == np.arange(1, keep_mask.sum() + 1)).all()
+
+
+def test_contrastive_pairs_split(ray_session):
+    """q289 on real data: digests equal md5 of the literal halves and
+    token counts add up."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q289_contrastive_pairs"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    n_expected = sum(len(t.split()) >= 2 for t in docs["text"])
+    assert len(out) == n_expected
+    for r in out.sample(min(50, len(out)), random_state=0).itertuples():
+        toks = text[r.doc_id].split()
+        mid = len(toks) // 2
+        assert r.anchor_toks == mid
+        assert r.positive_toks == len(toks) - mid
+        assert r.anchor_md5 == hashlib.md5(
+            " ".join(toks[:mid]).encode()).hexdigest()
+        assert r.positive_md5 == hashlib.md5(
+            " ".join(toks[mid:]).encode()).hexdigest()
+
+
+def test_kn_counts_bruteforce(ray_session):
+    """q290 on real data vs a plain-python KN stats pass; continuation
+    counts never exceed unigram counts or vocabulary size."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q290_kn_counts"](SF).to_pandas().set_index("word")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    uni: dict = {}
+    left: dict = {}
+    right: dict = {}
+    for t in docs["text"]:
+        toks = re.findall(r"[a-z]+", t.lower())
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            left.setdefault(b, set()).add(a)
+            right.setdefault(a, set()).add(b)
+    assert set(out.index) == set(uni)
+    for w in uni:
+        assert out.loc[w, "n_unigram"] == uni[w]
+        assert out.loc[w, "n_left_ctx"] == len(left.get(w, ()))
+        assert out.loc[w, "n_right_ctx"] == len(right.get(w, ()))
+        assert out.loc[w, "n_left_ctx"] <= len(uni)
