@@ -18765,10 +18765,14 @@ def q284_curriculum_bins(sf_dir: str, n_bins: int = 8):
             "n_chars": batch.column("n_chars"),
             "n_toks": pa.array(n_tok, pa.int64())})
 
+    # Two consumers (histogram, then assignment) re-execute this fused
+    # read+tokenize lineage rather than materializing an O(rows)
+    # projection into the object store — at 10^12 rows a second
+    # streaming pass is the cheaper side of that trade.
     toked = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "n_chars"],
-    ).map_batches(tokenize, batch_format="pyarrow").materialize()
+    ).map_batches(tokenize, batch_format="pyarrow")
 
     def hist_partial(batch: pa.Table) -> pd.DataFrame:
         return pd.DataFrame({
@@ -19253,6 +19257,284 @@ FROM uni LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)
 """
 
 
+def q291_str_pack(sf_dir: str, leaf_cap: int = 64):
+    """Sort-Tile-Recursive R-tree bulk load (Leutenegger et al. 1997) —
+    the spatial-index construction primitive: geo pages rank by
+    (lon, id) into ⌈√L⌉ vertical slices (L = ⌈n∕C⌉ leaves, C = 64),
+    each slice ranks by (lat, id) into C-point leaves; the output maps
+    every point to its (slice, leaf_id).  Leaf MBRs then never overlap
+    along the slice axis — the property that makes STR trees fast.
+
+    Shape (100 TB): rank-by-(lon,id) does NOT globally sort — a
+    lon-value histogram exchange + driver cumsum (bounded-domain
+    regime, as q279) gives per-value offsets, a lon-keyed exchange
+    resolves within-value order; then ONE slice-keyed exchange ranks
+    (lat, id) per slice block.  Three O(rows) exchanges total, no
+    range-partition sort, no driver materialization beyond the
+    histogram."""
+    import math
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+
+    def proj(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(batch.column("lon"))
+        b = batch.filter(valid)
+        return pa.table({
+            "page_id": b.column("page_id"),
+            "lon": b.column("lon").cast(pa.int64()),
+            "lat": b.column("lat").cast(pa.int64())})
+
+    # histogram + rank consumers re-execute this streaming lineage; an
+    # O(rows) materialized projection would not fit the object store at
+    # 10^12 rows (q284's trade, same call).
+    pts = (make_pages_dataset(sf_dir)
+           .map_batches(GeoParse(), batch_format="pyarrow")
+           .drop_columns(["html", "text", "url", "warc_ts", "lang"])
+           .map_batches(proj, batch_format="pyarrow"))
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lon": batch.column("lon").to_numpy(zero_copy_only=False),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = (_grouped_sums(pts, ["lon"], hist_partial, ["cnt"])
+            .to_pandas().sort_values("lon"))
+    n = int(hist["cnt"].sum())
+    leaves = (n + leaf_cap - 1) // leaf_cap
+    s = math.isqrt(leaves - 1) + 1 if leaves > 0 else 1
+    slice_size = s * leaf_cap
+    vals = hist["lon"].to_numpy()
+    before = np.concatenate([[0], np.cumsum(hist["cnt"].to_numpy())[:-1]])
+
+    def x_rank(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"page_id": pa.array([], pa.int64()),
+                          "lat": pa.array([], pa.int64()),
+                          "slice": pa.array([], pa.int64())})
+        if not batch.num_rows or "lon" not in batch.column_names:
+            return empty
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pid, lon))
+        lon, lat, pid = lon[order], lat[order], pid[order]
+        first = np.concatenate([[True], lon[1:] != lon[:-1]])
+        idx = np.arange(len(lon), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        rank = before[np.searchsorted(vals, lon)] + (idx - seg)
+        return pa.table({"page_id": pa.array(pid),
+                         "lat": pa.array(lat),
+                         "slice": pa.array(rank // slice_size)})
+
+    def y_rank(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"page_id": pa.array([], pa.int64()),
+                          "slice": pa.array([], pa.int64()),
+                          "leaf_id": pa.array([], pa.int64())})
+        if not batch.num_rows or "slice" not in batch.column_names:
+            return empty
+        sl = batch.column("slice").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pid, lat, sl))
+        sl, pid = sl[order], pid[order]
+        first = np.concatenate([[True], sl[1:] != sl[:-1]])
+        idx = np.arange(len(sl), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        leaf = sl * s + (idx - seg) // leaf_cap
+        return pa.table({"page_id": pa.array(pid),
+                         "slice": pa.array(sl),
+                         "leaf_id": pa.array(leaf)})
+
+    nparts = default_partitions()
+    return (pts.repartition(nparts, keys=["lon"])
+            .map_batches(x_rank, batch_format="pyarrow")
+            .repartition(nparts, keys=["slice"])
+            .map_batches(y_rank, batch_format="pyarrow"))
+
+
+SQL_Q291 = f"""
+WITH g AS (
+  SELECT doc_id AS page_id,
+         {SQL_LON.format(id='doc_id')} AS lon,
+         {SQL_LAT.format(id='doc_id')} AS lat
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+p AS (SELECT COUNT(*) AS n,
+             (COUNT(*) + 63) // 64 AS leaves FROM g),
+series AS (SELECT generate_series AS i FROM generate_series(1, 100000)),
+sq AS (SELECT MIN(i) AS s FROM series, p WHERE i * i >= p.leaves),
+xr AS (
+  SELECT page_id, lat,
+         (ROW_NUMBER() OVER (ORDER BY lon, page_id) - 1)
+           // (sq.s * 64) AS slice
+  FROM g CROSS JOIN sq),
+yr AS (
+  SELECT page_id, slice,
+         slice * (SELECT s FROM sq)
+         + (ROW_NUMBER() OVER (PARTITION BY slice ORDER BY lat, page_id)
+            - 1) // 64 AS leaf_id
+  FROM xr)
+SELECT page_id, CAST(slice AS BIGINT) AS slice,
+       CAST(leaf_id AS BIGINT) AS leaf_id
+FROM yr
+"""
+
+
+def q292_convex_hulls(sf_dir: str):
+    """Per-cell convex hulls (Andrew's monotone chain over integer
+    coordinates — exact cross products, no floats): geo pages bucket
+    into a coarse 8×8° grid; per cell the op emits the hull's vertex
+    count, doubled shoelace area and point count.  The iterative chain
+    is not SQL-expressible, so this is a rows-only entry with an
+    EMBEDDED EXACTNESS GATE (the q14/q25 convention): every kernel
+    call re-verifies that each hull is strictly convex and that every
+    input point of the cell lies inside-or-on it (exact integer
+    cross-product tests), raising on any violation.
+
+    Shape (100 TB): per-batch LOCAL hulls per cell first (a combiner —
+    hull(hull(A) ∪ hull(B)) = hull(A ∪ B), so only ≤ hull-size points
+    per (cell, batch) ever ship) → ONE cell-keyed exchange → per-block
+    final chain + gate."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    CELL = 80_000_000  # 8 degrees in 1e-7 units
+
+    def proj(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch.column("lon"))
+        b = batch.filter(valid)
+        lon = b.column("lon").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lat = b.column("lat").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cell = ((lat + 900_000_000) // CELL) * 64 + (
+            (lon + 1_800_000_000) // CELL)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def local_hulls(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "cell" not in batch.column_names:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "lon": pa.array([], pa.int64()),
+                             "lat": pa.array([], pa.int64()),
+                             "n_pts": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "cell": batch.column("cell").to_numpy(zero_copy_only=False),
+            "lon": batch.column("lon").to_numpy(zero_copy_only=False),
+            "lat": batch.column("lat").to_numpy(zero_copy_only=False),
+            "n_pts": batch.column("n_pts").to_numpy(zero_copy_only=False)
+            if "n_pts" in batch.column_names
+            else np.ones(batch.num_rows, dtype=np.int64)})
+        out = []
+        for cell, g in df.groupby("cell"):
+            hull = _monotone_chain(g["lon"].to_numpy(),
+                                   g["lat"].to_numpy())
+            out.append(pd.DataFrame({
+                "cell": cell, "lon": hull[:, 0], "lat": hull[:, 1],
+                "n_pts": np.int64(0)}))
+            out[-1].iloc[0, out[-1].columns.get_loc("n_pts")] = (
+                g["n_pts"].sum())
+        res = pd.concat(out, ignore_index=True)
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(res)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_hull": pa.array([], pa.int64()),
+                          "area2": pa.array([], pa.int64()),
+                          "n_pts": pa.array([], pa.int64())})
+        if not batch.num_rows or "cell" not in batch.column_names:
+            return empty
+        df = pd.DataFrame({
+            "cell": batch.column("cell").to_numpy(zero_copy_only=False),
+            "lon": batch.column("lon").to_numpy(zero_copy_only=False),
+            "lat": batch.column("lat").to_numpy(zero_copy_only=False),
+            "n_pts": batch.column("n_pts").to_numpy(
+                zero_copy_only=False)})
+        rows = []
+        for cell, g in df.groupby("cell"):
+            x, y = g["lon"].to_numpy(), g["lat"].to_numpy()
+            hull = _monotone_chain(x, y)
+            _gate_hull(hull, x, y)
+            hx, hy = hull[:, 0], hull[:, 1]
+            area2 = int(np.sum(hx * np.roll(hy, -1)
+                               - np.roll(hx, -1) * hy))
+            rows.append((cell, len(hull), abs(area2),
+                         int(g["n_pts"].sum())))
+        res = pd.DataFrame(rows, columns=["cell", "n_hull", "area2",
+                                          "n_pts"])
+        for c in res.columns:
+            res[c] = res[c].astype(np.int64)
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        return from_pandas_clean(res)
+
+    pts = (make_pages_dataset(sf_dir)
+           .map_batches(GeoParse(), batch_format="pyarrow")
+           .drop_columns(["html", "text", "url", "warc_ts", "lang"])
+           .map_batches(proj, batch_format="pyarrow"))
+    return (pts.map_batches(local_hulls, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["cell"])
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+def _monotone_chain(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain on int64 coords → CCW hull (n×2).
+    Collinear boundary points are dropped (strict turns); degenerate
+    inputs (all collinear) return the 2 extreme points, singletons 1."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)  # sorts (x, y)
+    if len(pts) <= 2:
+        return pts
+
+    def half(p):
+        out = []
+        for q in p:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (int(a[0] - o[0]) * int(q[1] - o[1])
+                        - int(a[1] - o[1]) * int(q[0] - o[0])) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+    return hull if len(hull) else pts[:1]
+
+
+def _gate_hull(hull: np.ndarray, x: np.ndarray, y: np.ndarray) -> None:
+    """Exactness gate: hull strictly convex (CCW) and all points
+    inside-or-on.  Raises on violation — a chain bug cannot pass."""
+    h = hull
+    if len(h) >= 3:
+        nx = np.roll(h, -1, axis=0)
+        nnx = np.roll(h, -2, axis=0)
+        cross = ((nx[:, 0] - h[:, 0]) * (nnx[:, 1] - h[:, 1])
+                 - (nx[:, 1] - h[:, 1]) * (nnx[:, 0] - h[:, 0]))
+        if not (cross > 0).all():
+            raise AssertionError("q292: hull not strictly convex")
+        for i in range(len(h)):
+            a, b = h[i], h[(i + 1) % len(h)]
+            side = ((b[0] - a[0]) * (y - a[1])
+                    - (b[1] - a[1]) * (x - a[0]))
+            if not (side >= 0).all():
+                raise AssertionError("q292: point outside hull")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -19544,6 +19826,8 @@ QUERIES = {
     "q288_nucleus_trim": q288_nucleus_trim,
     "q289_contrastive_pairs": q289_contrastive_pairs,
     "q290_kn_counts": q290_kn_counts,
+    "q291_str_pack": q291_str_pack,
+    "q292_convex_hulls": q292_convex_hulls,
 }
 
 ORACLES = {
@@ -19833,4 +20117,5 @@ ORACLES = {
     "q288_nucleus_trim": SQL_Q288,
     "q289_contrastive_pairs": SQL_Q289,
     "q290_kn_counts": SQL_Q290,
+    "q291_str_pack": SQL_Q291,
 }

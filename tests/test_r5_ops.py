@@ -615,3 +615,88 @@ def test_kn_counts_bruteforce(ray_session):
         assert out.loc[w, "n_left_ctx"] == len(left.get(w, ()))
         assert out.loc[w, "n_right_ctx"] == len(right.get(w, ()))
         assert out.loc[w, "n_left_ctx"] <= len(uni)
+
+
+def _geo_points(sf):
+    import pyarrow.parquet as pq
+
+    from oma_ray.synth import geo_for_ids
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    lon, lat, has = geo_for_ids(ids)
+    return pd.DataFrame({"page_id": ids[has], "lon": lon[has],
+                         "lat": lat[has]})
+
+
+def test_str_pack_structure(ray_session):
+    """q291 on real data: every leaf ≤ 64 points, slices are
+    lon-disjoint (boundaries may touch on ties), leaves within a slice
+    lat-disjoint, and total leaves = Σ per-slice ⌈size/64⌉."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q291_str_pack"](SF).to_pandas()
+    pts = _geo_points(SF)
+    j = out.merge(pts, on="page_id")
+    assert len(j) == len(pts)
+    assert (j.groupby("leaf_id").size() <= 64).all()
+    sl = j.groupby("slice")["lon"].agg(["min", "max"]).sort_index()
+    assert (sl["max"].to_numpy()[:-1] <= sl["min"].to_numpy()[1:]).all()
+    for s, g in j.groupby("slice"):
+        lv = g.groupby("leaf_id")["lat"].agg(["min", "max"]).sort_index()
+        assert (lv["max"].to_numpy()[:-1] <= lv["min"].to_numpy()[1:]).all()
+        assert len(lv) == (len(g) + 63) // 64
+
+
+def test_convex_hulls_vs_jarvis(ray_session):
+    """q292 on real data: per cell, area2 and vertex count match an
+    INDEPENDENT gift-wrapping (Jarvis march) hull — a different
+    algorithm, not a re-run of the shipped chain."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q292_convex_hulls"](SF).to_pandas().set_index("cell")
+    pts = _geo_points(SF)
+    CELL = 80_000_000
+    pts["cell"] = ((pts["lat"] + 900_000_000) // CELL) * 64 + (
+        (pts["lon"] + 1_800_000_000) // CELL)
+
+    def jarvis(P):
+        P = [tuple(p) for p in
+             np.unique(np.array(P, dtype=np.int64), axis=0)]
+        if len(P) <= 2:
+            return P
+        hull = []
+        start = min(P)
+        p = start
+        while True:
+            hull.append(p)
+            q = P[0] if P[0] != p else P[1]
+            for r in P:
+                if r == p:
+                    continue
+                cr = ((q[0] - p[0]) * (r[1] - p[1])
+                      - (q[1] - p[1]) * (r[0] - p[0]))
+                d_q = abs(q[0] - p[0]) + abs(q[1] - p[1])
+                d_r = abs(r[0] - p[0]) + abs(r[1] - p[1])
+                if cr < 0 or (cr == 0 and d_r > d_q):
+                    q = r
+            p = q
+            if p == start:
+                break
+        return hull
+
+    assert set(out.index) == set(pts["cell"].unique())
+    rng = np.random.RandomState(0)
+    cells = rng.choice(pts["cell"].unique(), size=12, replace=False)
+    for cell in cells:
+        g = pts[pts["cell"] == cell]
+        h = jarvis(np.stack([g["lon"], g["lat"]], axis=1))
+        hx = np.array([p[0] for p in h], dtype=np.int64)
+        hy = np.array([p[1] for p in h], dtype=np.int64)
+        area2 = abs(int(np.sum(hx * np.roll(hy, -1)
+                               - np.roll(hx, -1) * hy)))
+        assert out.loc[cell, "area2"] == area2
+        assert out.loc[cell, "n_pts"] == len(g)
+        if len(h) >= 3:
+            assert out.loc[cell, "n_hull"] == len(h)
