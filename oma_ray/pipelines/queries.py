@@ -19535,6 +19535,139 @@ def _gate_hull(hull: np.ndarray, x: np.ndarray, y: np.ndarray) -> None:
                 raise AssertionError("q292: point outside hull")
 
 
+def q293_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary-overlap matrix across sources — the
+    domain-shift / corpus-comparison primitive: for every source pair
+    (a ≤ b) the number of distinct words both contain; the diagonal
+    (a = b) is each source's vocabulary size, so Jaccard = common ∕
+    (|A| + |B| − common) falls out downstream without a join.
+
+    Shape (100 TB): per-batch distinct (source, word) combiner → ONE
+    word-keyed exchange → per block each word expands to its
+    ≤ S(S+1)/2 source pairs (S = #sources, a bounded catalog constant)
+    → O(S²) grouped-sums fold.  Occurrences never move — only distinct
+    membership."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def membership(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"word": flat[keep],
+                           "source": src[parent[keep]]}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df) or "word" not in df.columns:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=str),
+                                 "source_b": pd.Series([], dtype=str),
+                                 "n_common": pd.Series([],
+                                                       dtype=np.int64)})
+        df = df.drop_duplicates()
+        out_a, out_b = [], []
+        for _, g in df.groupby("word"):
+            ss = np.sort(g["source"].to_numpy())
+            ii, jj = np.triu_indices(len(ss))
+            out_a.append(ss[ii])
+            out_b.append(ss[jj])
+        return pd.DataFrame({
+            "source_a": np.concatenate(out_a),
+            "source_b": np.concatenate(out_b),
+            "n_common": np.ones(sum(len(a) for a in out_a),
+                                dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+    members = (ds.map_batches(membership, batch_format="pyarrow")
+               .repartition(default_partitions(), keys=["word"]))
+    return _grouped_sums(members, ["source_a", "source_b"], pairs,
+                         ["n_common"])
+
+
+SQL_Q293 = """
+WITH sw AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM sw a JOIN sw b ON a.term = b.term AND a.source <= b.source)
+SELECT source_a, source_b, COUNT(*) AS n_common
+FROM p GROUP BY 1, 2
+"""
+
+
+_BOOT_B = 32
+_BOOT_THR = [368, 736, 920, 981, 996]  # per-mille Poisson(1) CDF
+
+
+def q294_poisson_bootstrap(sf_dir: str):
+    """Distributed Poisson bootstrap (Chamandy et al. 2012) of the
+    order-value total — THE bootstrap that works on a stream: replica b
+    gives each row an i.i.d.-ish Poisson(1) weight from a DETERMINISTIC
+    hash (per-mille CDF table, so the SQL oracle reproduces every
+    weight bit-for-bit), and emits (b, Σw·x, Σw); the B=32 replica
+    totals estimate the sampling distribution without materializing
+    any resample.
+
+    Shape (100 TB): pure fused map — per batch a (rows × B) weight
+    matrix from one vectorized hash per replica, collapsed to B partial
+    rows — then ONE O(B·blocks)-row grouped-sums fold.  No resampled
+    row ever exists."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    thr = np.array(_BOOT_THR, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        x = _cents(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        masked = ids.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        rows = []
+        for b in range(_BOOT_B):
+            mixed = (masked * np.uint64(4096) + np.uint64(b)) & np.uint64(
+                0xFFFFFFFF)
+            u = ((mixed * np.uint64(2654435761)) % np.uint64(1 << 32)
+                 ).astype(np.int64) % 1000
+            w = np.searchsorted(thr, u, side="right").astype(np.int64)
+            rows.append((np.int64(b), int((w * x).sum()), int(w.sum())))
+        return pd.DataFrame(rows, columns=["b", "sum_wx_c", "sum_w"])
+
+    return _grouped_sums(ds, ["b"], partial, ["sum_wx_c", "sum_w"],
+                         num_partitions=1)
+
+
+SQL_Q294 = f"""
+WITH b AS (SELECT generate_series AS b FROM generate_series(0, {_BOOT_B - 1})),
+w AS (
+  SELECT b.b,
+    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS x,
+    (SELECT CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                 WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+                 WHEN u < 996 THEN 4 ELSE 5 END
+     FROM (SELECT ((((o_orderkey & 4294967295) * 4096 + b.b)
+                    & 4294967295) * 2654435761) % 4294967296 % 1000
+           AS u)) AS w
+  FROM orders CROSS JOIN b)
+SELECT b, CAST(SUM(w * x) AS BIGINT) AS sum_wx_c,
+       CAST(SUM(w) AS BIGINT) AS sum_w
+FROM w GROUP BY b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -19828,6 +19961,8 @@ QUERIES = {
     "q290_kn_counts": q290_kn_counts,
     "q291_str_pack": q291_str_pack,
     "q292_convex_hulls": q292_convex_hulls,
+    "q293_vocab_overlap": q293_vocab_overlap,
+    "q294_poisson_bootstrap": q294_poisson_bootstrap,
 }
 
 ORACLES = {
@@ -20118,4 +20253,6 @@ ORACLES = {
     "q289_contrastive_pairs": SQL_Q289,
     "q290_kn_counts": SQL_Q290,
     "q291_str_pack": SQL_Q291,
+    "q293_vocab_overlap": SQL_Q293,
+    "q294_poisson_bootstrap": SQL_Q294,
 }

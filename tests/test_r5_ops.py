@@ -700,3 +700,59 @@ def test_convex_hulls_vs_jarvis(ray_session):
         assert out.loc[cell, "n_pts"] == len(g)
         if len(h) >= 3:
             assert out.loc[cell, "n_hull"] == len(h)
+
+
+def test_vocab_overlap_symmetric_properties(ray_session):
+    """q293 on real data: diagonal equals per-source vocabulary size,
+    off-diagonal common ≤ min of the two vocabularies, and a brute
+    python set intersection reproduces every pair."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q293_vocab_overlap"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    vocab: dict = {}
+    for r in docs.itertuples():
+        vocab.setdefault(r.source, set()).update(
+            re.findall(r"[a-z]+", r.text.lower()))
+    srcs = sorted(vocab)
+    assert len(out) == len(srcs) * (len(srcs) + 1) // 2
+    got = {(r.source_a, r.source_b): r.n_common for r in out.itertuples()}
+    for i, a in enumerate(srcs):
+        for b in srcs[i:]:
+            exp = len(vocab[a] & vocab[b])
+            assert got[(a, b)] == exp
+            assert exp <= min(len(vocab[a]), len(vocab[b]))
+
+
+def test_poisson_bootstrap_weights(ray_session):
+    """q294 on real data: every replica total matches a brute python
+    re-derivation of the hash weights, and the mean replica weight sum
+    is near n (E[w]=0.997 per the per-mille CDF table)."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import (_BOOT_B, _BOOT_THR, QUERIES,
+                                           _cents)
+
+    out = QUERIES["q294_poisson_bootstrap"](SF).to_pandas().set_index("b")
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    x = _cents(od["o_totalprice"].to_numpy())
+    ids = od["o_orderkey"].to_numpy().astype(np.uint64) & np.uint64(
+        0xFFFFFFFF)
+    thr = np.array(_BOOT_THR, dtype=np.int64)
+    assert len(out) == _BOOT_B
+    for b in range(_BOOT_B):
+        mixed = (ids * np.uint64(4096) + np.uint64(b)) & np.uint64(
+            0xFFFFFFFF)
+        u = ((mixed * np.uint64(2654435761)) % np.uint64(1 << 32)
+             ).astype(np.int64) % 1000
+        w = np.searchsorted(thr, u, side="right")
+        assert out.loc[b, "sum_wx_c"] == int((w * x).sum())
+        assert out.loc[b, "sum_w"] == int(w.sum())
+    n = len(od)
+    assert abs(out["sum_w"].mean() - 0.997 * n) < 0.2 * n
