@@ -19668,6 +19668,90 @@ FROM w GROUP BY b
 """
 
 
+_WP_MULTI = ["th", "he", "in", "er", "an", "re", "or", "st", "ta", "sc",
+             "jo", "ue", "va", "ba", "tch", "ream", "umn", "dow", "ata",
+             "lumn", "der", "ash", "oin", "ort", "erge", "roup", "uery",
+             "ilter", "ort", "ow", "ec"]
+_WP_VOCAB = sorted({*(chr(c) for c in range(ord("a"), ord("z") + 1)),
+                    *_WP_MULTI})
+
+
+def q295_wordpiece(sf_dir: str):
+    """Greedy longest-match subword tokenization (WordPiece-style, no
+    continuation marker) with a FULL value oracle: every corpus word
+    segments left-to-right into the longest vocabulary piece at each
+    position (single letters guarantee progress), and the op reports
+    each piece's total occurrence count over the token stream.  The SQL
+    mirror replays the greedy automaton with a RECURSIVE CTE over
+    DISTINCT words + a correlated longest-prefix subquery — the
+    iterative op stays value-oracled, not rows-only.
+
+    Shape (100 TB): per batch, words collapse to (unique word, count)
+    first, so the greedy loop runs once per DISTINCT word per batch
+    (the synth vocabulary is bounded; an open-vocabulary corpus swaps
+    in a trie/Aho-Corasick automaton built once per actor — the q73
+    blocklist seam) → (piece, count) partials → ONE piece-keyed
+    grouped-sums fold.  Text never shuffles."""
+    import pyarrow.compute as pc
+
+    vocab = set(_WP_VOCAB)
+    maxlen = max(len(p) for p in vocab)
+
+    def segment(w: str) -> list:
+        out, i = [], 0
+        while i < len(w):
+            for L in range(min(maxlen, len(w) - i), 0, -1):
+                if w[i:i + L] in vocab:
+                    out.append(w[i:i + L])
+                    i += L
+                    break
+        return out
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        flat = flat[flat != ""]
+        words, counts = np.unique(flat, return_counts=True)
+        agg: dict = {}
+        for w, c in zip(words, counts):
+            for p in segment(w):
+                agg[p] = agg.get(p, 0) + int(c)
+        return pd.DataFrame({"piece": list(agg.keys()),
+                             "n_occ": np.array(list(agg.values()),
+                                               dtype=np.int64)})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return _grouped_sums(ds, ["piece"], partial, ["n_occ"])
+
+
+_SQL_WP_VOCAB = ", ".join(f"('{p}')" for p in _WP_VOCAB)
+SQL_Q295 = f"""
+WITH RECURSIVE
+vocab(piece) AS (SELECT * FROM (VALUES {_SQL_WP_VOCAB}) v(piece)),
+tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents),
+wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY 1),
+seg(w, rest, piece) AS (
+  SELECT w, w AS rest, CAST(NULL AS VARCHAR) AS piece FROM wf
+  UNION ALL
+  SELECT t.w, substr(t.rest, length(t.p) + 1), t.p
+  FROM (SELECT s.w, s.rest,
+               (SELECT piece FROM vocab
+                WHERE starts_with(s.rest, piece)
+                ORDER BY length(piece) DESC, piece LIMIT 1) AS p
+        FROM seg s WHERE s.rest <> '') t)
+SELECT piece, CAST(SUM(f) AS BIGINT) AS n_occ
+FROM seg JOIN wf USING (w)
+WHERE piece IS NOT NULL
+GROUP BY piece
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -19963,6 +20047,7 @@ QUERIES = {
     "q292_convex_hulls": q292_convex_hulls,
     "q293_vocab_overlap": q293_vocab_overlap,
     "q294_poisson_bootstrap": q294_poisson_bootstrap,
+    "q295_wordpiece": q295_wordpiece,
 }
 
 ORACLES = {
@@ -20255,4 +20340,5 @@ ORACLES = {
     "q291_str_pack": SQL_Q291,
     "q293_vocab_overlap": SQL_Q293,
     "q294_poisson_bootstrap": SQL_Q294,
+    "q295_wordpiece": SQL_Q295,
 }

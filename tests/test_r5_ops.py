@@ -756,3 +756,34 @@ def test_poisson_bootstrap_weights(ray_session):
         assert out.loc[b, "sum_w"] == int(w.sum())
     n = len(od)
     assert abs(out["sum_w"].mean() - 0.997 * n) < 0.2 * n
+
+
+def test_wordpiece_greedy_property(ray_session):
+    """q295 on real data: a brute per-word greedy re-derivation (checking
+    at every position that NO longer vocab piece matches than the one
+    taken) reproduces the counts, and pieces rejoin to their words."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _WP_VOCAB, QUERIES
+
+    out = QUERIES["q295_wordpiece"](SF).to_pandas().set_index("piece")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    vocab = set(_WP_VOCAB)
+    maxlen = max(len(p) for p in vocab)
+    counts: dict = {}
+    for t in docs["text"]:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            i, parts = 0, []
+            while i < len(w):
+                cands = [w[i:i + L] for L in range(1, maxlen + 1)
+                         if w[i:i + L] in vocab and i + L <= len(w)]
+                best = max(cands, key=len)
+                parts.append(best)
+                i += len(best)
+            assert "".join(parts) == w
+            for p in parts:
+                counts[p] = counts.get(p, 0) + 1
+    assert dict(zip(out.index, out["n_occ"])) == counts
