@@ -19752,6 +19752,285 @@ GROUP BY piece
 """
 
 
+_SESS_W = 1_800_000_000  # 30-minute session window, epoch microseconds
+
+
+def q296_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions per day — the capacity-planning sweep:
+    each event opens a [ts, ts+30 min) session; per day (of the start),
+    the maximum number of same-day sessions simultaneously open.
+    active(i) = started(≤ tᵢ) − ended(≤ tᵢ) computed by the classic
+    two-searchsorted sweep; the SQL mirror is ROW_NUMBER minus a RANGE
+    W-PRECEDING window count.
+
+    Shape (100 TB): ONE day-keyed exchange; per block one lexsort + two
+    vectorized searchsorted passes and a segmented max — no Python row
+    loop, no global sweep (days partition the timeline)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    DAY = 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64())
+        return pa.table({"day": pa.array(
+            t.to_numpy(zero_copy_only=False) // DAY, pa.int64()),
+            "t": t, "event_id": batch.column("event_id")})
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "peak": pa.array([], pa.int64()),
+                          "n_sessions": pa.array([], pa.int64())})
+        if not batch.num_rows or "day" not in batch.column_names:
+            return empty
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, day))
+        day, t = day[order], t[order]
+        first = np.concatenate([[True], day[1:] != day[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(day))
+        idx = np.arange(len(day), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        rn = idx - seg + 1
+        ended = np.empty(len(day), dtype=np.int64)
+        for s, e in zip(starts, ends):  # loop over DAYS, not rows
+            ended[s:e] = np.searchsorted(t[s:e], t[s:e] - _SESS_W,
+                                         side="right")
+        active = rn - ended
+        peak = np.maximum.reduceat(active, starts)
+        return pa.table({
+            "day": pa.array(day[starts]),
+            "peak": pa.array(peak),
+            "n_sessions": pa.array(ends - starts)})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["day"])
+            .map_batches(sweep, batch_format="pyarrow"))
+
+
+SQL_Q296 = f"""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+a AS (
+  SELECT day,
+         ROW_NUMBER() OVER w
+         - COUNT(*) OVER (PARTITION BY day ORDER BY t
+             RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND {_SESS_W} PRECEDING) AS active
+  FROM e WINDOW w AS (PARTITION BY day ORDER BY t, event_id))
+SELECT day, CAST(MAX(active) AS BIGINT) AS peak,
+       COUNT(*) AS n_sessions
+FROM a GROUP BY day
+"""
+
+
+def q297_incremental_agg(sf_dir: str, cutoff_pct: int = 90):
+    """Incremental aggregate maintenance — the materialized-view
+    update primitive: a base aggregate built from the first ~90% of the
+    order log (by hash split) is MERGED with the delta aggregate of the
+    remaining ~10% without touching base rows again; mergeability of
+    the (sum, count, max) state is what makes per-batch combiners and
+    resumable checkpoints sound engine-wide.
+
+    Shape (100 TB): base and delta each run the usual combiner + keyed
+    exchange on their partition of the input (one pass total); the
+    merge is a second tiny O(groups) exchange over the UNION of the two
+    aggregates.  The oracle aggregates the whole table flat — equality
+    IS the mergeability proof."""
+    from oma_ray.stages.sample import KNUTH, hash_sample_mask
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def split_partial(want_base: bool):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False)
+            m = hash_sample_mask(ids, cutoff_pct, KNUTH)
+            if not want_base:
+                m = ~m
+            ck = batch.column("o_custkey").to_numpy(
+                zero_copy_only=False)[m]
+            x = _cents(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)[m])
+            return pd.DataFrame({
+                "o_custkey": ck, "sum_c": x,
+                "n_orders": np.ones(len(ck), dtype=np.int64),
+                "max_c": x})
+
+        return partial
+
+    def grouped_minmax(src, partial):
+        # _grouped_sums handles the additive state; max merges via the
+        # same combine shape with max() — inline variant
+        from oma_ray.cluster import default_partitions
+        from oma_ray.sources.parquet import from_pandas_clean
+        from oma_ray.stages.dedup import ensure_hash_shuffle
+
+        ensure_hash_shuffle()
+
+        def p(batch: pa.Table) -> pa.Table:
+            df = partial(batch)
+            agg = df.groupby("o_custkey", as_index=False).agg(
+                sum_c=("sum_c", "sum"), n_orders=("n_orders", "sum"),
+                max_c=("max_c", "max"))
+            return from_pandas_clean(agg)
+
+        def c(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if not len(df) or "o_custkey" not in df.columns:
+                return batch
+            agg = df.groupby("o_custkey", as_index=False).agg(
+                sum_c=("sum_c", "sum"), n_orders=("n_orders", "sum"),
+                max_c=("max_c", "max"))
+            return from_pandas_clean(agg)
+
+        return (src.map_batches(p, batch_format="pyarrow")
+                .repartition(default_partitions(), keys=["o_custkey"])
+                .map_batches(c, batch_format="pyarrow"))
+
+    base = grouped_minmax(ds, split_partial(True))
+    delta = grouped_minmax(ds, split_partial(False))
+
+    def merge_combine(batch: pa.Table) -> pa.Table:
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        df = batch.to_pandas()
+        if not len(df) or "o_custkey" not in df.columns:
+            return batch
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            sum_c=("sum_c", "sum"), n_orders=("n_orders", "sum"),
+            max_c=("max_c", "max"))
+        return from_pandas_clean(agg)
+
+    from oma_ray.cluster import default_partitions
+
+    return (base.union(delta)
+            .repartition(max(1, default_partitions() // 4),
+                         keys=["o_custkey"])
+            .map_batches(merge_combine, batch_format="pyarrow"))
+
+
+SQL_Q297 = """
+SELECT o_custkey,
+  CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_c,
+  COUNT(*) AS n_orders,
+  CAST(MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS max_c
+FROM orders GROUP BY 1
+"""
+
+
+def q298_release_pipeline(sf_dir: str):
+    """Composite corpus-release pipeline — the stages a real data
+    release chains, fused end-to-end with ONE exchange: language gate
+    (en/de/fr only) → quality gate (≥ 40 tokens) → PII scrub count →
+    exact dedup (keep min doc_id per content) → per-source release
+    manifest (docs kept, tokens kept, docs PII-flagged, distinct
+    contents).  Every stage is an existing engine primitive; the
+    composition is the point — and it stays fully value-oracled.
+
+    Shape (100 TB): filters + tokenize + md5 fuse into the read pass;
+    the md5-keyed dedup exchange is the ONLY row-scale exchange (32-B
+    keys + per-batch winners, q09's shape); the manifest fold is
+    O(sources)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.textstage import Md5Hash
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"])
+
+    _PII = r"\b\d{3}-\d{2}-\d{4}\b"
+
+    def gates(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("lang"),
+                        value_set=pa.array(["en", "de", "fr"]))
+        b = batch.filter(keep)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        nt = np.bincount(parent[flat != ""],
+                         minlength=b.num_rows).astype(np.int64)
+        b = b.append_column("n_toks", pa.array(nt, pa.int64()))
+        b = b.filter(pc.greater_equal(b.column("n_toks"), 40))
+        pii = pc.count_substring_regex(b.column("text"), pattern=_PII)
+        return b.append_column(
+            "has_pii",
+            pc.cast(pc.greater(pii, 0), pa.int64()))
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "text_md5" not in df.columns:
+            return batch
+        best = (df.sort_values(["text_md5", "doc_id"], kind="stable")
+                .drop_duplicates("text_md5"))
+        return from_pandas_clean(
+            best[["text_md5", "doc_id", "source", "n_toks", "has_pii"]])
+
+    deduped = (ds.map_batches(gates, batch_format="pyarrow")
+               .map_batches(Md5Hash(), batch_format="pyarrow")
+               .select_columns(["text_md5", "doc_id", "source",
+                                "n_toks", "has_pii"])
+               .map_batches(local_best, batch_format="pyarrow")
+               .repartition(default_partitions(), keys=["text_md5"])
+               .map_batches(local_best, batch_format="pyarrow"))
+
+    def manifest(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch.column("source").to_numpy(
+                zero_copy_only=False),
+            "n_docs": np.ones(batch.num_rows, dtype=np.int64),
+            "sum_toks": batch.column("n_toks").to_numpy(
+                zero_copy_only=False),
+            "n_pii": batch.column("has_pii").to_numpy(
+                zero_copy_only=False)})
+
+    return _grouped_sums(deduped, ["source"], manifest,
+                         ["n_docs", "sum_toks", "n_pii"],
+                         num_partitions=1)
+
+
+SQL_Q298 = r"""
+WITH gated AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_toks,
+         CAST(regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b') AS BIGINT)
+           AS has_pii,
+         md5(text) AS text_md5
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr')
+    AND len(regexp_extract_all(lower(text), '[a-z]+')) >= 40),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY text_md5 ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       CAST(SUM(has_pii) AS BIGINT) AS n_pii
+FROM dedup GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -20048,6 +20327,9 @@ QUERIES = {
     "q293_vocab_overlap": q293_vocab_overlap,
     "q294_poisson_bootstrap": q294_poisson_bootstrap,
     "q295_wordpiece": q295_wordpiece,
+    "q296_peak_concurrency": q296_peak_concurrency,
+    "q297_incremental_agg": q297_incremental_agg,
+    "q298_release_pipeline": q298_release_pipeline,
 }
 
 ORACLES = {
@@ -20341,4 +20623,7 @@ ORACLES = {
     "q293_vocab_overlap": SQL_Q293,
     "q294_poisson_bootstrap": SQL_Q294,
     "q295_wordpiece": SQL_Q295,
+    "q296_peak_concurrency": SQL_Q296,
+    "q297_incremental_agg": SQL_Q297,
+    "q298_release_pipeline": SQL_Q298,
 }

