@@ -20031,6 +20031,170 @@ FROM dedup GROUP BY 1
 """
 
 
+_PROFILE_COLS = [
+    ("orders", "o_custkey"), ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"), ("lineitem", "l_suppkey"),
+    ("customer", "c_mktsegment"), ("events", "event_type"),
+    ("documents", "lang"),
+]
+
+
+def q299_table_profile(sf_dir: str):
+    """ANALYZE-style multi-table column profiler — the planner/data-
+    catalog statistics pass: per (table, column) the row count, exact
+    distinct count, and lexicographic min/max of the string form
+    (string form on BOTH engines, so numeric and text columns share one
+    output schema without ordering ambiguity).
+
+    Shape (100 TB): per column a per-batch distinct combiner feeds ONE
+    value-keyed exchange (moves distinct values per batch, not rows);
+    per-block fold emits a single profile row; row counts ride the same
+    partials.  Columns profile in parallel as independent branches of
+    the union."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    outs = []
+    for table, col in _PROFILE_COLS:
+        ds = read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                                columns=[col])
+        label = f"{table}.{col}"
+
+        def partial(batch: pa.Table, col=col, label=label) -> pa.Table:
+            v = pd.Series(batch.column(col).to_numpy(
+                zero_copy_only=False)).astype(str)
+            g = v.groupby(v).size().rename("n_rows").reset_index()
+            g.columns = ["val", "n_rows"]
+            g.insert(0, "colname", label)
+            g["n_rows"] = g["n_rows"].astype(np.int64)
+            return from_pandas_clean(g)
+
+        def fold(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            empty = pa.table({"colname": pa.array([], pa.string()),
+                              "n_rows": pa.array([], pa.int64()),
+                              "n_distinct": pa.array([], pa.int64()),
+                              "min_s": pa.array([], pa.string()),
+                              "max_s": pa.array([], pa.string())})
+            if not len(df) or "val" not in df.columns:
+                return empty
+            g = df.groupby("val")["n_rows"].sum()
+            return pa.table({
+                "colname": pa.array([df["colname"].iloc[0]]),
+                "n_rows": pa.array([np.int64(g.sum())]),
+                "n_distinct": pa.array([np.int64(len(g))]),
+                "min_s": pa.array([g.index.min()]),
+                "max_s": pa.array([g.index.max()])})
+
+        outs.append(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1, keys=["colname"])
+            .map_batches(fold, batch_format="pyarrow", batch_size=None))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+SQL_Q299 = "\nUNION ALL\n".join(
+    f"SELECT '{t}.{c}' AS colname, COUNT(*) AS n_rows, "
+    f"COUNT(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct, "
+    f"MIN(CAST({c} AS VARCHAR)) AS min_s, "
+    f"MAX(CAST({c} AS VARCHAR)) AS max_s FROM {t}"
+    for t, c in _PROFILE_COLS)
+
+
+def q300_snapshot_diff(sf_dir: str):
+    """Snapshot diff / CDC extract — the complement of q282's log
+    APPLY: snapshot B derives from snapshot A (= orders) by
+    deterministic hash rules (5% of keys deleted, a disjoint 5%
+    price-bumped by one cent), and the op emits one row per changed key
+    with the change kind — exactly what an incremental downstream
+    consumer replays.  Synthesis is part of the query on BOTH engines,
+    so the diff logic itself is what the oracle pins.
+
+    Shape (100 TB): both snapshots carry the same key → tagged union
+    through ONE key-keyed exchange, per-block compare (the full-outer
+    cogroup idiom, q265); only changed keys are emitted."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sample import hash_sample_mask
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = _cents(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        deleted = hash_sample_mask(ids, 5, salt=2654435761)
+        bumped = (~deleted) & hash_sample_mask(ids, 5, salt=22695477)
+        a = pd.DataFrame({"o_orderkey": ids, "side": np.int8(0),
+                          "price_c": c})
+        b = pd.DataFrame({"o_orderkey": ids[~deleted],
+                          "side": np.int8(1),
+                          "price_c": c[~deleted]
+                          + bumped[~deleted].astype(np.int64)})
+        return from_pandas_clean(pd.concat([a, b], ignore_index=True))
+
+    def diff(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.string()),
+                          "old_c": pa.array([], pa.int64()),
+                          "new_c": pa.array([], pa.int64())})
+        df = batch.to_pandas()
+        if not len(df) or "o_orderkey" not in df.columns:
+            return empty
+        w = df.pivot(index="o_orderkey", columns="side",
+                     values="price_c")
+        w.columns = [f"s{c}" for c in w.columns]
+        if "s0" not in w:
+            w["s0"] = np.nan
+        if "s1" not in w:
+            w["s1"] = np.nan
+        gone = w["s1"].isna()
+        changed = (~gone) & (w["s0"] != w["s1"])
+        out = pd.DataFrame({
+            "o_orderkey": w.index,
+            "kind": np.where(gone, "delete", "update"),
+            "old_c": w["s0"].fillna(-1).astype(np.int64),
+            "new_c": w["s1"].fillna(-1).astype(np.int64)})
+        return from_pandas_clean(out[(gone | changed).to_numpy()]
+                                 .reset_index(drop=True))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["o_orderkey"])
+            .map_batches(diff, batch_format="pyarrow"))
+
+
+SQL_Q300 = """
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+         ((CAST((o_orderkey & 4294967295) AS HUGEINT) * 2654435761)
+          % 4294967296) % 100 < 5 AS deleted,
+         ((CAST((o_orderkey & 4294967295) AS HUGEINT) * 22695477)
+          % 4294967296) % 100 < 5 AS bump_hash
+  FROM orders),
+b AS (
+  SELECT o_orderkey,
+         c + CAST((NOT deleted) AND bump_hash AS BIGINT) AS c
+  FROM a WHERE NOT deleted)
+SELECT a.o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'delete' ELSE 'update' END
+         AS kind,
+       a.c AS old_c,
+       COALESCE(b.c, -1) AS new_c
+FROM a LEFT JOIN b USING (o_orderkey)
+WHERE b.o_orderkey IS NULL OR b.c <> a.c
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -20330,6 +20494,8 @@ QUERIES = {
     "q296_peak_concurrency": q296_peak_concurrency,
     "q297_incremental_agg": q297_incremental_agg,
     "q298_release_pipeline": q298_release_pipeline,
+    "q299_table_profile": q299_table_profile,
+    "q300_snapshot_diff": q300_snapshot_diff,
 }
 
 ORACLES = {
@@ -20626,4 +20792,6 @@ ORACLES = {
     "q296_peak_concurrency": SQL_Q296,
     "q297_incremental_agg": SQL_Q297,
     "q298_release_pipeline": SQL_Q298,
+    "q299_table_profile": SQL_Q299,
+    "q300_snapshot_diff": SQL_Q300,
 }

@@ -862,3 +862,53 @@ def test_release_pipeline_stages(ray_session):
         assert out.loc[s, "n_docs"] == exp.loc[s, "n_docs"]
         assert out.loc[s, "sum_toks"] == exp.loc[s, "sum_toks"]
         assert out.loc[s, "n_pii"] == exp.loc[s, "n_pii"]
+
+
+def test_table_profile_matches_pandas(ray_session):
+    """q299 on real data: every profile row matches pandas nunique /
+    min / max of the string-cast column."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _PROFILE_COLS, QUERIES
+
+    out = QUERIES["q299_table_profile"](SF).to_pandas().set_index(
+        "colname")
+    assert len(out) == len(_PROFILE_COLS)
+    for t, c in _PROFILE_COLS:
+        s = pq.read_table(f"{SF}/{t}.parquet",
+                          columns=[c]).to_pandas()[c].astype(str)
+        r = out.loc[f"{t}.{c}"]
+        assert r["n_rows"] == len(s)
+        assert r["n_distinct"] == s.nunique()
+        assert r["min_s"] == s.min() and r["max_s"] == s.max()
+
+
+def test_snapshot_diff_kinds(ray_session):
+    """q300 on real data: diff kinds and values match a brute replay of
+    the synthesis rules; unchanged keys never appear."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+    from oma_ray.stages.sample import hash_sample_mask
+
+    out = QUERIES["q300_snapshot_diff"](SF).to_pandas().set_index(
+        "o_orderkey")
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    ids = od["o_orderkey"].to_numpy()
+    c = _cents(od["o_totalprice"].to_numpy())
+    deleted = hash_sample_mask(ids, 5, salt=2654435761)
+    bumped = (~deleted) & hash_sample_mask(ids, 5, salt=22695477)
+    assert deleted.sum() > 0 and bumped.sum() > 0
+    exp_del = set(ids[deleted])
+    exp_upd = set(ids[bumped])
+    got_del = set(out.index[out["kind"] == "delete"])
+    got_upd = set(out.index[out["kind"] == "update"])
+    assert got_del == exp_del and got_upd == exp_upd
+    for i, k, old in zip(ids, deleted | bumped, c):
+        if not k:
+            assert i not in out.index
+    sub = out.loc[sorted(exp_upd)]
+    old_map = dict(zip(ids, c))
+    assert all(sub.loc[i, "new_c"] == old_map[i] + 1 for i in exp_upd)
+    assert (out.loc[sorted(exp_del), "new_c"] == -1).all()
