@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "q258_cms_freq",
     "q260_apriori_triples",
     "q270_model_score",
+    "q275_bm25_topk",
+    "q280_pit_join",
+    "q284_curriculum_bins",
+    "q291_str_pack",
+    "q295_wordpiece",
+    "q298_release_pipeline",
 ]
 
 

@@ -20195,6 +20195,140 @@ WHERE b.o_orderkey IS NULL OR b.c <> a.c
 """
 
 
+def q301_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding statistics — the feature-normalization
+    constants pass (what a scaler fits before training): for each of
+    the 64 dimensions, the vector count, quantized coordinate sum, min
+    and max (q263's exact floor(x·10⁶) convention).
+
+    Shape (100 TB): per batch one columnwise reduce emits 64 partial
+    rows (sum/min/max are all mergeable) → ONE dim-keyed fold of
+    64·blocks tiny rows.  Vectors never shuffle."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(e * 1e6).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "n_vecs": pa.array(np.full(q.shape[1], q.shape[0],
+                                       dtype=np.int64)),
+            "sum_q": pa.array(q.sum(axis=0)),
+            "min_q": pa.array(q.min(axis=0)),
+            "max_q": pa.array(q.max(axis=0))})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df) or "dim" not in df.columns:
+            return batch
+        agg = df.groupby("dim", as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), sum_q=("sum_q", "sum"),
+            min_q=("min_q", "min"), max_q=("max_q", "max"))
+        return from_pandas_clean(agg)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1, keys=["dim"])
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_Q301 = """
+WITH u AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, range(1, 65) t(i))
+SELECT dim, COUNT(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(MIN(q) AS BIGINT) AS min_q, CAST(MAX(q) AS BIGINT) AS max_q
+FROM u GROUP BY dim
+"""
+
+
+def q302_csv_quarantine(sf_dir: str):
+    """Dead-letter ingestion — the malformed-record quarantine every
+    production loader needs: the order table round-trips through raw
+    CSV text with DETERMINISTIC corruptions injected (key % 97 = 0 →
+    non-numeric amount; else key % 89 = 0 → missing field), and the
+    parser classifies every line exactly once: 'ok' rows aggregate
+    (count, cents sum); 'bad_number' / 'missing_field' rows land in
+    quarantine counts instead of killing the job.  The oracle
+    recomputes all three classes from the clean table with the same
+    rules, so both the corruption model AND the parser are pinned.
+
+    Shape (100 TB): write and read stream per block (files per block,
+    single-node tempdir — the q135/q147/q168 convention, multi-node
+    would target shared storage); parsing is vectorized numpy string
+    ops; the classification fold is O(3) rows.  A parse crash is a
+    quarantine row, not a job failure — the dead-letter contract."""
+    import tempfile
+
+    import ray.data as rd
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+
+    td = tempfile.mkdtemp(prefix="q302_")
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = _cents(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        bad_num = ids % 97 == 0
+        missing = (~bad_num) & (ids % 89 == 0)
+        amt = c.astype(str).astype(object)
+        amt[bad_num] = "N/A"
+        lines = np.where(
+            missing, ids.astype(str),
+            np.char.add(np.char.add(ids.astype(str), ","),
+                        amt.astype(str)))
+        with open(f"{td}/part-{ids[0]}.csv", "w") as f:
+            f.write("\n".join(lines.tolist()) + "\n")
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    raw = rd.read_text(td)
+
+    def classify(batch: pa.Table) -> pd.DataFrame:
+        lines = batch.column("text").to_numpy(zero_copy_only=False)
+        n_commas = np.char.count(lines.astype(str), ",")
+        miss = n_commas == 0
+        rest = ~miss
+        fields = np.char.partition(lines[rest].astype(str), ",")
+        amt = fields[:, 2]
+        numeric = np.char.isdigit(amt)
+        kinds = []
+        for kind, mask, cents in (
+                ("ok", numeric, amt[numeric].astype(np.int64).sum()),
+                ("bad_number", ~numeric, 0),):
+            kinds.append((kind, int(mask.sum()), int(cents)))
+        kinds.append(("missing_field", int(miss.sum()), 0))
+        return pd.DataFrame(kinds, columns=["kind", "n_rows", "sum_c"])
+
+    return _grouped_sums(raw, ["kind"], classify, ["n_rows", "sum_c"],
+                         num_partitions=1)
+
+
+SQL_Q302 = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'bad_number'
+              WHEN o_orderkey % 89 = 0 THEN 'missing_field'
+              ELSE 'ok' END AS kind
+  FROM orders)
+SELECT kind, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN kind = 'ok' THEN c ELSE 0 END) AS BIGINT) AS sum_c
+FROM t GROUP BY kind
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -20496,6 +20630,8 @@ QUERIES = {
     "q298_release_pipeline": q298_release_pipeline,
     "q299_table_profile": q299_table_profile,
     "q300_snapshot_diff": q300_snapshot_diff,
+    "q301_embedding_dim_stats": q301_embedding_dim_stats,
+    "q302_csv_quarantine": q302_csv_quarantine,
 }
 
 ORACLES = {
@@ -20794,4 +20930,6 @@ ORACLES = {
     "q298_release_pipeline": SQL_Q298,
     "q299_table_profile": SQL_Q299,
     "q300_snapshot_diff": SQL_Q300,
+    "q301_embedding_dim_stats": SQL_Q301,
+    "q302_csv_quarantine": SQL_Q302,
 }

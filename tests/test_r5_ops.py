@@ -912,3 +912,44 @@ def test_snapshot_diff_kinds(ray_session):
     old_map = dict(zip(ids, c))
     assert all(sub.loc[i, "new_c"] == old_map[i] + 1 for i in exp_upd)
     assert (out.loc[sorted(exp_del), "new_c"] == -1).all()
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    """q301 on real data vs a flat numpy reduce."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = (QUERIES["q301_embedding_dim_stats"](SF).to_pandas()
+           .set_index("dim").sort_index())
+    e = np.stack(pq.read_table(f"{SF}/embeddings.parquet",
+                               columns=["embedding"]).to_pandas()
+                 ["embedding"].to_numpy())
+    q = np.floor(e.astype(np.float64) * 1e6).astype(np.int64)
+    assert (out["n_vecs"] == len(q)).all()
+    assert (out["sum_q"].to_numpy() == q.sum(axis=0)).all()
+    assert (out["min_q"].to_numpy() == q.min(axis=0)).all()
+    assert (out["max_q"].to_numpy() == q.max(axis=0)).all()
+
+
+def test_csv_quarantine_counts(ray_session):
+    """q302 on real data: the three classes partition the table and the
+    counts follow the corruption rules; every class is non-empty."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q302_csv_quarantine"](SF).to_pandas().set_index("kind")
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    ids = od["o_orderkey"].to_numpy()
+    c = _cents(od["o_totalprice"].to_numpy())
+    bad = ids % 97 == 0
+    miss = (~bad) & (ids % 89 == 0)
+    ok = ~bad & ~miss
+    assert bad.sum() > 0 and miss.sum() > 0
+    assert out.loc["ok", "n_rows"] == ok.sum()
+    assert out.loc["ok", "sum_c"] == c[ok].sum()
+    assert out.loc["bad_number", "n_rows"] == bad.sum()
+    assert out.loc["missing_field", "n_rows"] == miss.sum()
+    assert out["n_rows"].sum() == len(ids)
