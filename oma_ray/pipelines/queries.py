@@ -20329,6 +20329,179 @@ FROM t GROUP BY kind
 """
 
 
+def q303_nearest_rank_match(sf_dir: str):
+    """Statistical matching (propensity-style, on an observable): each
+    HEAVY-ERROR user (cohort A: error share ≥ 25% per-mille-exact)
+    matches the low-error user (cohort B: share < 25%) with the closest
+    total-activity count — ties to the LOWER count, then the smallest B
+    user id — the treated↔control pairing step of an observational
+    study.  Emits (a_user, a_cnt, b_user, b_cnt).
+
+    Shape (100 TB): ONE user-keyed exchange builds per-user activity +
+    cohort flags; B collapses to its per-count MIN-ID REPRESENTATIVE
+    table (bounded by the count domain — the q279 histogram regime),
+    driver-pulled and broadcast; A maps via one searchsorted.  A-side
+    rows never shuffle again."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "user_id": uid,
+            "cnt": np.ones(len(uid), dtype=np.int64),
+            "n_err": (et == "error").astype(np.int64)})
+
+    users = _grouped_sums(ds, ["user_id"], partial, ["cnt", "n_err"])
+
+    # B representatives: count domain is bounded (activity per user),
+    # so the per-count min-id table is histogram-sized — collapse to
+    # per-block representatives BEFORE the driver pull (the pull moves
+    # O(blocks · distinct counts) rows, never O(users)).
+    def block_reps(batch: pa.Table) -> pa.Table:
+        from oma_ray.sources.parquet import from_pandas_clean
+
+        df = batch.to_pandas()
+        if not len(df) or "cnt" not in df.columns:
+            return batch
+        df = df[df["n_err"] * 1000 // df["cnt"] < 250]
+        reps = (df.sort_values(["cnt", "user_id"])
+                .drop_duplicates("cnt"))[["cnt", "user_id"]]
+        return from_pandas_clean(reps.reset_index(drop=True))
+
+    bdf = (users.map_batches(block_reps, batch_format="pyarrow")
+           .to_pandas())
+    if len(bdf):
+        reps = (bdf.sort_values(["cnt", "user_id"])
+                .drop_duplicates("cnt"))
+        b_counts = reps["cnt"].to_numpy()
+        b_ids = reps["user_id"].to_numpy()
+    else:  # degenerate corpus: no controls
+        b_counts = np.array([], dtype=np.int64)
+        b_ids = np.array([], dtype=np.int64)
+
+    def match(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a_user": pa.array([], pa.int64()),
+                          "a_cnt": pa.array([], pa.int64()),
+                          "b_user": pa.array([], pa.int64()),
+                          "b_cnt": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names \
+                or not len(b_counts):
+            return empty
+        df = batch.to_pandas()
+        a = df[df["n_err"] * 1000 // df["cnt"] >= 250]
+        if not len(a):
+            return empty
+        c = a["cnt"].to_numpy()
+        pos = np.searchsorted(b_counts, c)
+        lo = np.clip(pos - 1, 0, len(b_counts) - 1)
+        hi = np.clip(pos, 0, len(b_counts) - 1)
+        d_lo = np.abs(b_counts[lo] - c)
+        d_hi = np.abs(b_counts[hi] - c)
+        pick = np.where(d_lo <= d_hi, lo, hi)
+        return pa.table({
+            "a_user": pa.array(a["user_id"].to_numpy()),
+            "a_cnt": pa.array(c),
+            "b_user": pa.array(b_ids[pick]),
+            "b_cnt": pa.array(b_counts[pick])})
+
+    return users.map_batches(match, batch_format="pyarrow")
+
+
+SQL_Q303 = """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1),
+b AS (
+  SELECT cnt, MIN(user_id) AS b_user
+  FROM u WHERE n_err * 1000 // cnt < 250 GROUP BY cnt),
+m AS (
+  SELECT a.user_id AS a_user, a.cnt AS a_cnt, b.b_user, b.cnt AS b_cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.user_id
+           ORDER BY ABS(b.cnt - a.cnt), b.cnt) AS rk
+  FROM u a CROSS JOIN b WHERE a.n_err * 1000 // a.cnt >= 250)
+SELECT a_user, a_cnt, b_user, b_cnt FROM m WHERE rk = 1
+"""
+
+
+def q304_rolling_active_users(sf_dir: str):
+    """Trailing-7-day active users per day (the WAU-style engagement
+    series): for each day, the number of DISTINCT users active at least
+    once in the 7-day window ending that day.  Distinct-over-window
+    does NOT decompose as a sum — each user contributes via the UNION
+    of [day, day+6] intervals around their active days, so the op is
+    interval-union coverage, not a windowed count.
+
+    Shape (100 TB): per-batch distinct (user, day) combiner → ONE
+    user-keyed exchange → per user a vectorized interval-union merge
+    emits covered days (≤ 7·active-days, usually far fewer) → O(days)
+    grouped count.  The SQL mirror is the distinct cross-join with
+    offsets 0..6."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    DAY = 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def active(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY
+        df = pd.DataFrame({"user_id": uid, "day": d}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def cover(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df) or "user_id" not in df.columns:
+            return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                                 "n_active": pd.Series([],
+                                                       dtype=np.int64)})
+        df = df.drop_duplicates().sort_values(["user_id", "day"])
+        uid = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        out_days = []
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(uid))
+        for s, e in zip(starts, ends):  # loop over users in block
+            days = d[s:e]
+            lo, hi = days, days + 6
+            keep_lo = np.concatenate([[days[0]],
+                                      np.maximum(lo[1:], hi[:-1] + 1)])
+            seg_len = hi - keep_lo + 1
+            good = seg_len > 0
+            for a, L in zip(keep_lo[good], seg_len[good]):
+                out_days.append(np.arange(a, a + L, dtype=np.int64))
+        cov = (np.concatenate(out_days) if out_days
+               else np.array([], dtype=np.int64))
+        return pd.DataFrame({"day": cov,
+                             "n_active": np.ones(len(cov),
+                                                 dtype=np.int64)})
+
+    members = (ds.map_batches(active, batch_format="pyarrow")
+               .repartition(default_partitions(), keys=["user_id"]))
+    return _grouped_sums(members, ["day"], cover, ["n_active"])
+
+
+SQL_Q304 = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+w AS (
+  SELECT DISTINCT user_id, day + o.o AS day
+  FROM a CROSS JOIN (SELECT generate_series AS o
+                     FROM generate_series(0, 6)) o)
+SELECT day, COUNT(*) AS n_active FROM w GROUP BY day
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -20632,6 +20805,8 @@ QUERIES = {
     "q300_snapshot_diff": q300_snapshot_diff,
     "q301_embedding_dim_stats": q301_embedding_dim_stats,
     "q302_csv_quarantine": q302_csv_quarantine,
+    "q303_nearest_rank_match": q303_nearest_rank_match,
+    "q304_rolling_active_users": q304_rolling_active_users,
 }
 
 ORACLES = {
@@ -20932,4 +21107,6 @@ ORACLES = {
     "q300_snapshot_diff": SQL_Q300,
     "q301_embedding_dim_stats": SQL_Q301,
     "q302_csv_quarantine": SQL_Q302,
+    "q303_nearest_rank_match": SQL_Q303,
+    "q304_rolling_active_users": SQL_Q304,
 }

@@ -953,3 +953,51 @@ def test_csv_quarantine_counts(ray_session):
     assert out.loc["bad_number", "n_rows"] == bad.sum()
     assert out.loc["missing_field", "n_rows"] == miss.sum()
     assert out["n_rows"].sum() == len(ids)
+
+
+def test_nearest_rank_match_bruteforce(ray_session):
+    """q303 on real data: every treated user's match minimizes
+    |cnt diff| with ties to lower count then lower id, via brute
+    search over the full control cohort."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q303_nearest_rank_match"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    g = ev.groupby("user_id").agg(
+        cnt=("event_type", "size"),
+        err=("event_type", lambda s: int((s == "error").sum())))
+    share = g["err"] * 1000 // g["cnt"]
+    a = g[share >= 250]
+    b = g[share < 250]
+    assert len(a) and len(b)
+    assert set(out["a_user"]) == set(a.index)
+    for r in out.itertuples():
+        cands = sorted(
+            ((abs(c - r.a_cnt), c, u) for u, c in
+             zip(b.index, b["cnt"])))
+        d0, c0, u0 = cands[0]
+        assert (r.b_cnt, r.b_user) == (c0, u0)
+
+
+def test_rolling_active_users_bruteforce(ray_session):
+    """q304 on real data vs a brute per-day distinct count over the
+    trailing 7-day window."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q304_rolling_active_users"](SF).to_pandas().set_index(
+        "day")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    act = ev.drop_duplicates(["user_id", "day"])
+    days = range(act["day"].min(), act["day"].max() + 7)
+    exp = {d: act.loc[(act["day"] <= d) & (act["day"] > d - 7),
+                      "user_id"].nunique() for d in days}
+    exp = {d: n for d, n in exp.items() if n > 0}
+    got = dict(zip(out.index, out["n_active"]))
+    assert got == exp
