@@ -20502,6 +20502,194 @@ SELECT day, COUNT(*) AS n_active FROM w GROUP BY day
 """
 
 
+def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit-interleave two 16-bit values (a even bits, b odd) — Morton
+    for generic columns; the SQL mirror expands the same 16 terms."""
+    z = np.zeros(len(a), dtype=np.int64)
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _sql_interleave16(a: str, b: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def q305_zorder_layout(sf_dir: str):
+    """Z-ORDER layout evaluation (the Delta/Iceberg OPTIMIZE ZORDER
+    primitive on generic columns): orders interleave (o_custkey,
+    order-day) bits into a Morton value, bucket by its top bits
+    (the file a z-ordered writer would emit), and per bucket report the
+    locality the layout buys — row count, distinct customers and day
+    span (small on BOTH dimensions ⟺ min-max zone maps prune on
+    either column).
+
+    Shape (100 TB): pure fused map computes z per batch (16 vectorized
+    bit ops) → ONE O(buckets)-keyed grouped fold carrying mergeable
+    (count, min/max day, distinct-cust partial) state — distinct via
+    per-batch drop-dup rows to the SAME bucket key, counted
+    block-locally after the exchange."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    DAY = 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate"])
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY
+        z = _interleave16(ck & 0xFFFF, day & 0xFFFF)
+        bucket = z >> 16
+        df = pd.DataFrame({"bucket": bucket, "cust": ck, "day": day})
+        # one partial row per (bucket, cust): all state mergeable
+        g = df.groupby(["bucket", "cust"]).agg(
+            n_rows=("day", "size"), d_min=("day", "min"),
+            d_max=("day", "max")).reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype(np.int64)
+        return from_pandas_clean(g)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_cust": pa.array([], pa.int64()),
+                          "day_span": pa.array([], pa.int64())})
+        if not len(df) or "bucket" not in df.columns:
+            return empty
+        agg = df.groupby("bucket").agg(
+            n_rows=("n_rows", "sum"), n_cust=("cust", "nunique"),
+            d_min=("d_min", "min"), d_max=("d_max", "max")).reset_index()
+        return pa.table({
+            "bucket": pa.array(agg["bucket"].to_numpy(), pa.int64()),
+            "n_rows": pa.array(agg["n_rows"].to_numpy(), pa.int64()),
+            "n_cust": pa.array(agg["n_cust"].to_numpy(), pa.int64()),
+            "day_span": pa.array(
+                (agg["d_max"] - agg["d_min"]).to_numpy(), pa.int64())})
+
+    return (ds.map_batches(zmap, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["bucket"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q305 = f"""
+WITH z AS (
+  SELECT o_custkey AS cust,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         ({_sql_interleave16("o_custkey % 65536",
+                             "(CAST(epoch_us(o_orderdate) AS BIGINT)"
+                             " // 86400000000) % 65536")})
+           // {1 << 16} AS bucket
+  FROM orders)
+SELECT bucket, COUNT(*) AS n_rows,
+       COUNT(DISTINCT cust) AS n_cust,
+       CAST(MAX(day) - MIN(day) AS BIGINT) AS day_span
+FROM z GROUP BY bucket
+"""
+
+
+def q306_feature_hashing(sf_dir: str):
+    """Feature hashing ("the hashing trick", Weinberger et al. 2009)
+    collision audit: corpus words hash into 256 buckets with the q294
+    mask-multiply hash over a word fingerprint; per bucket the op
+    reports distinct colliding terms and total occurrences — the table
+    a feature-hashed model sizes its dimensionality from.
+
+    Shape (100 TB): per-batch (bucket, word) distinct + occurrence
+    partials → ONE bucket-keyed exchange → per-block distinct fold.
+    The word fingerprint is a vectorized polynomial over bytes —
+    identical integer arithmetic in the SQL mirror (unrolled via the
+    bounded word length)."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        flat = flat[flat != ""]
+        words, counts = np.unique(flat, return_counts=True)
+        fp = np.zeros(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):  # loop over DISTINCT words
+            h = np.uint64(0)
+            for ch in w:
+                h = (h * np.uint64(31) + np.uint64(ord(ch) - 96)
+                     ) & np.uint64(0xFFFFFFFF)
+            fp[i] = h
+        bucket = ((fp * np.uint64(2654435761)) % np.uint64(1 << 32)
+                  ).astype(np.int64) % 256
+        df = pd.DataFrame({"bucket": bucket, "word": words,
+                           "n_occ": counts.astype(np.int64)})
+        return from_pandas_clean(df)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n_terms": pa.array([], pa.int64()),
+                          "n_occ": pa.array([], pa.int64())})
+        if not len(df) or "bucket" not in df.columns:
+            return empty
+        agg = df.groupby("bucket").agg(
+            n_terms=("word", "nunique"), n_occ=("n_occ", "sum"))
+        out = agg.reset_index()
+        return pa.table({
+            "bucket": pa.array(out["bucket"].to_numpy(), pa.int64()),
+            "n_terms": pa.array(out["n_terms"].to_numpy(), pa.int64()),
+            "n_occ": pa.array(out["n_occ"].to_numpy(), pa.int64())})
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["bucket"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+# word fingerprint in SQL: the iterated (h*31 + c) mod 2^32 equals
+# sum(c_i * 31^(len-1-i)) mod 2^32 (mod is a ring hom), which unrolls
+# LINEARLY over the synth's bounded word length (<= 12; test-guarded)
+_POW31 = [pow(31, k, 2**32) for k in range(12)]
+_SQL_POW = ("CASE length(term) - 1 - {i} "
+            + " ".join(f"WHEN {k} THEN {p}"
+                       for k, p in enumerate(_POW31))
+            + " ELSE 0 END")
+_SQL_FP = "(" + " + ".join(
+    f"CASE WHEN length(term) > {i} THEN "
+    f"(unicode(substr(term, {i + 1}, 1)) - 96) * ({_SQL_POW.format(i=i)})"
+    f" ELSE 0 END"
+    for i in range(12)) + ") % 4294967296"
+SQL_Q306 = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+h AS (
+  SELECT term, n,
+         ((CAST(({_SQL_FP}) AS HUGEINT) * 2654435761)
+          % 4294967296) % 256 AS bucket
+  FROM tf)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_terms,
+       CAST(SUM(n) AS BIGINT) AS n_occ
+FROM h GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -20807,6 +20995,8 @@ QUERIES = {
     "q302_csv_quarantine": q302_csv_quarantine,
     "q303_nearest_rank_match": q303_nearest_rank_match,
     "q304_rolling_active_users": q304_rolling_active_users,
+    "q305_zorder_layout": q305_zorder_layout,
+    "q306_feature_hashing": q306_feature_hashing,
 }
 
 ORACLES = {
@@ -21109,4 +21299,6 @@ ORACLES = {
     "q302_csv_quarantine": SQL_Q302,
     "q303_nearest_rank_match": SQL_Q303,
     "q304_rolling_active_users": SQL_Q304,
+    "q305_zorder_layout": SQL_Q305,
+    "q306_feature_hashing": SQL_Q306,
 }

@@ -1001,3 +1001,62 @@ def test_rolling_active_users_bruteforce(ray_session):
     exp = {d: n for d, n in exp.items() if n > 0}
     got = dict(zip(out.index, out["n_active"]))
     assert got == exp
+
+
+def test_zorder_layout_locality(ray_session):
+    """q305 on real data: totals reconcile with the raw table, every
+    bucket's members share the Morton prefix (recomputed brute), and
+    the layout exhibits locality (median per-bucket day span < global
+    span)."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _interleave16, QUERIES
+
+    out = QUERIES["q305_zorder_layout"](SF).to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet",
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    ck = od["o_custkey"].to_numpy()
+    day = od["o_orderdate"].astype("int64").to_numpy() // 86_400_000_000
+    z = _interleave16(ck & 0xFFFF, day & 0xFFFF)
+    bucket = z >> 16
+    g = pd.DataFrame({"b": bucket, "c": ck, "d": day}).groupby("b")
+    exp = g.agg(n_rows=("c", "size"), n_cust=("c", "nunique"),
+                day_span=("d", lambda s: s.max() - s.min()))
+    got = out.set_index("bucket").sort_index()
+    assert (got["n_rows"].to_numpy() == exp["n_rows"].to_numpy()).all()
+    assert (got["n_cust"].to_numpy() == exp["n_cust"].to_numpy()).all()
+    assert (got["day_span"].to_numpy()
+            == exp["day_span"].to_numpy()).all()
+    assert got["n_rows"].sum() == len(od)
+    assert got["day_span"].median() <= (day.max() - day.min())
+
+
+def test_feature_hashing_fingerprint_bound(ray_session):
+    """q306 on real data: bucket totals reconcile (Σ n_occ = corpus
+    tokens, Σ n_terms = vocabulary), every synth word is within the
+    12-char SQL unroll bound, and the engine fingerprint matches a
+    brute per-word replay."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q306_feature_hashing"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    vocab: dict = {}
+    for t in docs["text"]:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[w] = vocab.get(w, 0) + 1
+    assert max(len(w) for w in vocab) <= 12
+    exp: dict = {}
+    for w, n in vocab.items():
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch) - 96) % (1 << 32)
+        b = (h * 2654435761) % (1 << 32) % 256
+        t_, o_ = exp.get(b, (0, 0))
+        exp[b] = (t_ + 1, o_ + n)
+    got = {r.bucket: (r.n_terms, r.n_occ) for r in out.itertuples()}
+    assert got == exp
