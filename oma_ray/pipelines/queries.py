@@ -20690,6 +20690,118 @@ FROM h GROUP BY 1
 """
 
 
+_CDC_W = 8            # rolling-hash window (chars)
+_CDC_B = 257          # polynomial base
+_CDC_MASK = 63        # boundary when h % 64 == 0  (expected chunk ~64B)
+_CDC_POW = [pow(_CDC_B, k, 2**32) for k in range(_CDC_W)]
+
+
+def q307_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (the rolling-hash boundary scheme of
+    storage/fuzzy dedup à la LBFS/rsync): each document's text splits
+    at positions where the 8-char polynomial window hash ≡ 0 (mod 64),
+    and the op emits the corpus-wide chunk table — (chunk_md5, n_occ,
+    nbytes) — whose distinct/total ratio IS the dedup savings a CDC
+    store would realize.  Boundaries depend only on LOCAL content, so
+    an edit reshuffles only neighboring chunks — the property that
+    makes CDC robust where fixed-size blocks are not.
+
+    Shape (100 TB): the window hash is 8 shifted vector multiplies per
+    batch (no per-char Python); chunk extraction slices per doc; ONE
+    md5-keyed exchange of per-batch (chunk, count, bytes) partials
+    folds the table — text chunks hash to 32-B keys before the
+    exchange.  The SQL mirror replays the same hash per position via a
+    bounded series join."""
+    import hashlib
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    P = np.array(_CDC_POW, dtype=np.uint64)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        agg: dict = {}
+        for txt in texts:
+            b = np.frombuffer(txt.encode("utf-8"),
+                              dtype=np.uint8).astype(np.uint64)
+            L = len(b)
+            cuts = [0]
+            if L >= _CDC_W:
+                h = np.zeros(L - _CDC_W + 1, dtype=np.uint64)
+                for k in range(_CDC_W):
+                    h += b[k:L - _CDC_W + 1 + k] * P[_CDC_W - 1 - k]
+                h %= np.uint64(1 << 32)
+                bnd = np.flatnonzero((h & np.uint64(_CDC_MASK)) == 0)
+                cuts += (bnd + _CDC_W).tolist()
+            if not cuts or cuts[-1] != L:
+                cuts.append(L)
+            for s, e in zip(cuts, cuts[1:]):
+                if e > s:
+                    c = txt[s:e]
+                    k = hashlib.md5(c.encode()).hexdigest()
+                    n, nb = agg.get(k, (0, len(c.encode())))
+                    agg[k] = (n + 1, nb)
+        return from_pandas_clean(pd.DataFrame(
+            {"chunk_md5": list(agg.keys()),
+             "n_occ": np.array([v[0] for v in agg.values()], np.int64),
+             "nbytes": np.array([v[1] for v in agg.values()],
+                                np.int64)}))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({"chunk_md5": pa.array([], pa.string()),
+                          "n_occ": pa.array([], pa.int64()),
+                          "nbytes": pa.array([], pa.int64())})
+        if not len(df) or "chunk_md5" not in df.columns:
+            return empty
+        agg = df.groupby("chunk_md5", as_index=False).agg(
+            n_occ=("n_occ", "sum"), nbytes=("nbytes", "max"))
+        agg["n_occ"] = agg["n_occ"].astype(np.int64)
+        agg["nbytes"] = agg["nbytes"].astype(np.int64)
+        return from_pandas_clean(agg)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return (ds.map_batches(chunks, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["chunk_md5"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+_SQL_CDC_H = " + ".join(
+    f"unicode(substr(text, p + {k}, 1)) * {_CDC_POW[_CDC_W - 1 - k]}"
+    for k in range(_CDC_W))
+SQL_Q307 = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+series AS (SELECT generate_series AS p FROM generate_series(1, 2048)),
+hpos AS (
+  SELECT doc_id, p
+  FROM d CROSS JOIN series
+  WHERE p + {_CDC_W - 1} <= L
+    AND (({_SQL_CDC_H}) % 4294967296) % {_CDC_MASK + 1} = 0),
+cuts AS (
+  SELECT doc_id, p + {_CDC_W - 1} AS cut FROM hpos
+  UNION
+  SELECT doc_id, L FROM d
+  UNION
+  SELECT doc_id, 0 FROM d),
+spans AS (
+  SELECT doc_id, cut AS s,
+         LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e
+  FROM cuts),
+ch AS (
+  SELECT d.doc_id, substr(d.text, spans.s + 1, spans.e - spans.s)
+           AS chunk
+  FROM spans JOIN d USING (doc_id)
+  WHERE spans.e IS NOT NULL AND spans.e > spans.s)
+SELECT md5(chunk) AS chunk_md5, COUNT(*) AS n_occ,
+       CAST(octet_length(CAST(chunk AS BLOB)) AS BIGINT) AS nbytes
+FROM ch GROUP BY chunk
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -20997,6 +21109,7 @@ QUERIES = {
     "q304_rolling_active_users": q304_rolling_active_users,
     "q305_zorder_layout": q305_zorder_layout,
     "q306_feature_hashing": q306_feature_hashing,
+    "q307_cdc_chunks": q307_cdc_chunks,
 }
 
 ORACLES = {
@@ -21301,4 +21414,5 @@ ORACLES = {
     "q304_rolling_active_users": SQL_Q304,
     "q305_zorder_layout": SQL_Q305,
     "q306_feature_hashing": SQL_Q306,
+    "q307_cdc_chunks": SQL_Q307,
 }

@@ -1060,3 +1060,51 @@ def test_feature_hashing_fingerprint_bound(ray_session):
         exp[b] = (t_ + 1, o_ + n)
     got = {r.bucket: (r.n_terms, r.n_occ) for r in out.itertuples()}
     assert got == exp
+
+
+def test_cdc_chunks_bruteforce(ray_session):
+    """q307 on real data: chunk table matches a brute per-doc rolling
+    hash replay; chunks rejoin to their documents; Σ n_occ·nbytes =
+    corpus bytes; and the inputs respect the SQL unroll bounds (ascii,
+    length < 2048)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import (_CDC_MASK, _CDC_POW, _CDC_W,
+                                           QUERIES)
+
+    out = QUERIES["q307_cdc_chunks"](SF).to_pandas().set_index(
+        "chunk_md5")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    exp: dict = {}
+    total_bytes = 0
+    for txt in docs["text"]:
+        assert txt.isascii() and len(txt) < 2048
+        total_bytes += len(txt)
+        b = [ord(c) for c in txt]
+        cuts = [0]
+        for p in range(len(b) - _CDC_W + 1):
+            h = 0
+            for k in range(_CDC_W):
+                h += b[p + k] * _CDC_POW[_CDC_W - 1 - k]
+            if (h % (1 << 32)) % (_CDC_MASK + 1) == 0:
+                cuts.append(p + _CDC_W)
+        if cuts[-1] != len(b):
+            cuts.append(len(b))
+        rejoined = ""
+        for s, e in zip(cuts, cuts[1:]):
+            if e > s:
+                c = txt[s:e]
+                rejoined += c
+                k = hashlib.md5(c.encode()).hexdigest()
+                n, _ = exp.get(k, (0, len(c)))
+                exp[k] = (n + 1, len(c))
+        assert rejoined == txt
+    got = {k: (int(r["n_occ"]), int(r["nbytes"]))
+           for k, r in out.iterrows()}
+    assert got == exp
+    assert int((out["n_occ"] * out["nbytes"]).sum()) == total_bytes
+    # CDC saves something: distinct chunk bytes < total chunk bytes
+    assert out["nbytes"].sum() < (out["n_occ"] * out["nbytes"]).sum()
