@@ -20771,7 +20771,8 @@ def q307_cdc_chunks(sf_dir: str):
 
 
 _SQL_CDC_H = " + ".join(
-    f"unicode(substr(text, p + {k}, 1)) * {_CDC_POW[_CDC_W - 1 - k]}"
+    f"CAST(unicode(substr(text, p + {k}, 1)) AS BIGINT)"
+    f" * {_CDC_POW[_CDC_W - 1 - k]}"
     for k in range(_CDC_W))
 SQL_Q307 = f"""
 WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
