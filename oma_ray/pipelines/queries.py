@@ -20803,6 +20803,173 @@ FROM ch GROUP BY chunk
 """
 
 
+def q308_source_similarity(sf_dir: str):
+    """Source-similarity matrix by language-mix histogram intersection:
+    each source's documents induce a per-mille language distribution
+    (integer shares, floor), and every pair (a < b) scores
+    Σ_lang min(share_a, share_b) — 1000 ⟺ identical mixes.  The
+    distribution-drift complement of q293's vocabulary overlap.
+
+    Shape (100 TB): ONE (source, lang)-keyed grouped-counts exchange
+    (combiner pre-sums per batch); the S·L share table is
+    catalog-sized, driver-pulled, and the S² pairing is driver math —
+    rows never move twice."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch.column("source").to_numpy(
+                zero_copy_only=False),
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+
+    counts = (_grouped_sums(ds, ["source", "lang"], partial, ["cnt"])
+              .to_pandas())
+    totals = counts.groupby("source")["cnt"].sum()
+    counts["share"] = (counts["cnt"] * 1000
+                       // counts["source"].map(totals))
+    piv = (counts.pivot(index="source", columns="lang", values="share")
+           .fillna(0).astype(np.int64))
+    srcs = sorted(piv.index)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = int(np.minimum(piv.loc[a].to_numpy(),
+                                   piv.loc[b].to_numpy()).sum())
+            rows.append((a, b, inter))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "inter_mille"])
+
+
+SQL_Q308 = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT source, lang,
+         cnt * 1000 // SUM(cnt) OVER (PARTITION BY source) AS share
+  FROM c),
+spine AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM documents) a
+  JOIN (SELECT DISTINCT source FROM documents) b
+    ON a.source < b.source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(LEAST(a.share, b.share)) AS inter_mille
+  FROM s a JOIN s b ON a.lang = b.lang AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT spine.source_a, spine.source_b,
+       CAST(COALESCE(p.inter_mille, 0) AS BIGINT) AS inter_mille
+FROM spine LEFT JOIN p USING (source_a, source_b)
+"""
+
+
+def q309_bandit_replay(sf_dir: str):
+    """Offline policy evaluation by replay (Li et al. 2011): the greedy
+    policy picks, per day, the event type with the best PRIOR-days mean
+    value (integer milli-mean, ties to the lexicographically smaller
+    type; days with no history are skipped), and the replay estimator
+    scores it on the logged events — per day, the chosen action, how
+    many logged events matched it and their value sum.  Time-respecting
+    by construction: day d's decision sees only days < d.
+
+    Shape (100 TB): ONE (day,type)-keyed grouped-sums exchange builds
+    the daily reward table (calendar × 5 types — driver-sized),
+    prefix-cums + argmax are driver math, and the replay pass is a
+    broadcast-dict filter + O(days) fold.  The log never moves
+    twice."""
+    DAY = 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def daily_partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY
+        return pd.DataFrame({
+            "day": d,
+            "t": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "c": np.ones(len(d), dtype=np.int64),
+            "s": _cents(batch.column("value").to_numpy(
+                zero_copy_only=False))})
+
+    daily = (_grouped_sums(ds, ["day", "t"], daily_partial, ["c", "s"])
+             .to_pandas())
+    days = np.sort(daily["day"].unique())
+    types = sorted(daily["t"].unique())
+    cgrid = (daily.pivot(index="day", columns="t", values="c")
+             .reindex(index=days, columns=types).fillna(0).astype(int))
+    sgrid = (daily.pivot(index="day", columns="t", values="s")
+             .reindex(index=days, columns=types).fillna(0).astype(int))
+    pc = cgrid.cumsum().shift(1).fillna(0).astype(int)
+    ps = sgrid.cumsum().shift(1).fillna(0).astype(int)
+    action = {}
+    for d in days:
+        best, best_m = None, -1
+        for t in types:
+            n = int(pc.loc[d, t])
+            m = int(ps.loc[d, t]) * 1000 // n if n > 0 else -1
+            if m > best_m:
+                best, best_m = t, m
+        if best_m >= 0:
+            action[int(d)] = best
+
+    def replay(batch: pa.Table) -> pd.DataFrame:
+        d = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY
+        t = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = _cents(batch.column("value").to_numpy(zero_copy_only=False))
+        act = np.array([action.get(int(x), "") for x in d], dtype=object)
+        m = (act != "") & (t == act)
+        return pd.DataFrame({
+            "day": d[m], "action": t[m],
+            "n_matched": np.ones(int(m.sum()), dtype=np.int64),
+            "sum_matched_c": v[m]})
+
+    return _grouped_sums(ds, ["day", "action"], replay,
+                         ["n_matched", "sum_matched_c"],
+                         num_partitions=1)
+
+
+SQL_Q309 = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         event_type AS t,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+  FROM events),
+daily AS (SELECT day, t, COUNT(*) AS c, SUM(v) AS s FROM e GROUP BY 1, 2),
+grid AS (
+  SELECT d.day, ty.t
+  FROM (SELECT DISTINCT day FROM e) d
+  CROSS JOIN (SELECT DISTINCT t FROM e) ty),
+g AS (
+  SELECT grid.day, grid.t, COALESCE(daily.c, 0) AS c,
+         COALESCE(daily.s, 0) AS s
+  FROM grid LEFT JOIN daily USING (day, t)),
+cum AS (
+  SELECT day, t,
+         SUM(c) OVER w - c AS prior_c, SUM(s) OVER w - s AS prior_s
+  FROM g WINDOW w AS (PARTITION BY t ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)),
+scored AS (
+  SELECT day, t,
+         CASE WHEN prior_c > 0 THEN prior_s * 1000 // prior_c
+              ELSE -1 END AS m
+  FROM cum),
+act AS (
+  SELECT day, t AS action FROM (
+    SELECT day, t, m,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY m DESC, t) AS rk,
+           MAX(m) OVER (PARTITION BY day) AS mm
+    FROM scored) WHERE rk = 1 AND mm >= 0)
+SELECT e.day, act.action, COUNT(*) AS n_matched,
+       CAST(SUM(e.v) AS BIGINT) AS sum_matched_c
+FROM e JOIN act ON e.day = act.day AND e.t = act.action
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21111,6 +21278,8 @@ QUERIES = {
     "q305_zorder_layout": q305_zorder_layout,
     "q306_feature_hashing": q306_feature_hashing,
     "q307_cdc_chunks": q307_cdc_chunks,
+    "q308_source_similarity": q308_source_similarity,
+    "q309_bandit_replay": q309_bandit_replay,
 }
 
 ORACLES = {
@@ -21416,4 +21585,6 @@ ORACLES = {
     "q305_zorder_layout": SQL_Q305,
     "q306_feature_hashing": SQL_Q306,
     "q307_cdc_chunks": SQL_Q307,
+    "q308_source_similarity": SQL_Q308,
+    "q309_bandit_replay": SQL_Q309,
 }

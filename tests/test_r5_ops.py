@@ -1108,3 +1108,64 @@ def test_cdc_chunks_bruteforce(ray_session):
     assert int((out["n_occ"] * out["nbytes"]).sum()) == total_bytes
     # CDC saves something: distinct chunk bytes < total chunk bytes
     assert out["nbytes"].sum() < (out["n_occ"] * out["nbytes"]).sum()
+
+
+def test_source_similarity_bounds(ray_session):
+    """q308 on real data: pair count = S(S-1)/2, each intersection ≤
+    1000, and a brute per-pair min-sum over per-mille shares
+    reproduces every value."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q308_source_similarity"](SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    srcs = sorted(docs["source"].unique())
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    assert (out["inter_mille"] <= 1000).all()
+    shares = {}
+    for s, g in docs.groupby("source"):
+        vc = g["lang"].value_counts()
+        shares[s] = {l: int(n) * 1000 // len(g) for l, n in vc.items()}
+    got = {(r.source_a, r.source_b): r.inter_mille
+           for r in out.itertuples()}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            langs = set(shares[a]) | set(shares[b])
+            exp = sum(min(shares[a].get(l, 0), shares[b].get(l, 0))
+                      for l in langs)
+            assert got[(a, b)] == exp
+
+
+def test_bandit_replay_time_respecting(ray_session):
+    """q309 on real data: the chosen action per day equals a brute
+    time-respecting greedy over prior-day milli-means, matched counts
+    equal the logged occurrences of that action, and day 1 (no
+    history) never appears."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q309_bandit_replay"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["v"] = _cents(ev["value"].to_numpy())
+    days = sorted(ev["day"].unique())
+    assert days[0] not in set(out["day"])
+    got = {r.day: (r.action, r.n_matched, r.sum_matched_c)
+           for r in out.itertuples()}
+    for d in days:
+        prior = ev[ev["day"] < d]
+        if not len(prior):
+            continue
+        means = {}
+        for t, g in prior.groupby("event_type"):
+            means[t] = int(g["v"].sum()) * 1000 // len(g)
+        best = min((t for t in means
+                    if means[t] == max(means.values())))
+        today = ev[(ev["day"] == d) & (ev["event_type"] == best)]
+        if len(today):
+            assert got[d] == (best, len(today), int(today["v"].sum()))
+        else:
+            assert d not in got
