@@ -20970,6 +20970,167 @@ GROUP BY 1, 2
 """
 
 
+def q310_exact_k_per_group(sf_dir: str, k: int = 20):
+    """Exact-k per-group deterministic sample — the eval-set builder
+    ("exactly k docs per language"): within each lang, rows rank by
+    (hash(doc_id), doc_id) and the first k survive.  Unlike Bernoulli
+    sampling (q28/q34) the group quota is EXACT; unlike top-k by value
+    the order is a hash, so the sample is unbiased w.r.t. any content
+    column.
+
+    Shape (100 TB): the q03 partial-top-k fold PER GROUP — each batch
+    forwards ≤ k rows per lang (combiner), one lang-keyed exchange of
+    O(k·blocks) survivors, per-block final head(k).  No global sort, no
+    full-group materialization."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.sample import _hash32
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows or "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(
+                zero_copy_only=False),
+            "lang": batch.column("lang").to_numpy(
+                zero_copy_only=False)})
+        if "h" in batch.column_names:
+            df["h"] = batch.column("h").to_numpy(zero_copy_only=False)
+        else:
+            df["h"] = _hash32(df["doc_id"].to_numpy(), 2654435761)
+        keep = (df.sort_values(["lang", "h", "doc_id"], kind="stable")
+                .groupby("lang", as_index=False).head(k))
+        return from_pandas_clean(keep.reset_index(drop=True))
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["lang"])
+            .map_batches(partial_topk, batch_format="pyarrow"))
+
+
+SQL_Q310 = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(((CAST((doc_id & 4294967295) AS HUGEINT) * 2654435761)
+               % 4294967296) AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, h,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM h)
+SELECT doc_id, lang, h FROM r WHERE rk <= 20
+"""
+
+
+_GEN_LEVELS = [4_000_000, 16_000_000, 64_000_000, 256_000_000]
+
+
+def q311_generalize_hierarchy(sf_dir: str, k: int = 25):
+    """Hierarchy-count generalization (the top-down global-recoding
+    rule of k-anonymization pipelines, complementing q266's audit):
+    geo pages carry a 4-level cell hierarchy (0.4°→1.6°→6.4°→25.6°),
+    and each page publishes at the FINEST level whose full-population
+    ancestor cell holds ≥ k pages (level 3 is the fallback).  Output:
+    (page_id, level, cell) — the generalized quasi-identifier.
+
+    Shape (100 TB): ONE (level,cell)-keyed grouped-counts exchange over
+    4 partials per row builds the hierarchy histogram; qualifying cells
+    (count ≥ k) are a bounded driver pull broadcast back into a
+    stateless map.  Rows never shuffle."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    def proj(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch.column("lon"))
+        b = batch.filter(valid)
+        return pa.table({
+            "page_id": b.column("page_id"),
+            "lon": b.column("lon").cast(pa.int64()),
+            "lat": b.column("lat").cast(pa.int64())})
+
+    pts = (make_pages_dataset(sf_dir)
+           .map_batches(GeoParse(), batch_format="pyarrow")
+           .drop_columns(["html", "text", "url", "warc_ts", "lang"])
+           .map_batches(proj, batch_format="pyarrow"))
+
+    def cell_at(lon, lat, width):
+        nx = 3_600_000_000 // width
+        return ((lat + 900_000_000) // width) * nx + (
+            (lon + 1_800_000_000) // width)
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        frames = []
+        for lvl, w in enumerate(_GEN_LEVELS):
+            frames.append(pd.DataFrame({
+                "level": np.int64(lvl),
+                "cell": cell_at(lon, lat, w),
+                "cnt": np.ones(len(lon), dtype=np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = _grouped_sums(pts, ["level", "cell"], hist_partial,
+                         ["cnt"]).to_pandas()
+    ok = {lvl: np.sort(g.loc[g["cnt"] >= k, "cell"].to_numpy())
+          for lvl, g in hist.groupby("level")}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+        level = np.full(len(lon), len(_GEN_LEVELS) - 1, dtype=np.int64)
+        cell = cell_at(lon, lat, _GEN_LEVELS[-1])
+        done = np.zeros(len(lon), dtype=bool)
+        for lvl, w in enumerate(_GEN_LEVELS):
+            c = cell_at(lon, lat, w)
+            qual = np.isin(c, ok.get(lvl, np.array([], dtype=np.int64)))
+            pickm = qual & ~done
+            level[pickm] = lvl
+            cell[pickm] = c[pickm]
+            done |= pickm
+        return pa.table({"page_id": pa.array(pid),
+                         "level": pa.array(level),
+                         "cell": pa.array(cell)})
+
+    return pts.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_gen_cell(width: int) -> str:
+    nx = 3_600_000_000 // width
+    return (f"((({SQL_LAT.format(id='doc_id')}) + 900000000) // {width})"
+            f" * {nx} + "
+            f"((({SQL_LON.format(id='doc_id')}) + 1800000000) // {width})")
+
+
+SQL_Q311 = f"""
+WITH g AS (
+  SELECT doc_id AS page_id,
+         {_sql_gen_cell(_GEN_LEVELS[0])} AS c0,
+         {_sql_gen_cell(_GEN_LEVELS[1])} AS c1,
+         {_sql_gen_cell(_GEN_LEVELS[2])} AS c2,
+         {_sql_gen_cell(_GEN_LEVELS[3])} AS c3
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+n0 AS (SELECT c0, COUNT(*) n FROM g GROUP BY 1),
+n1 AS (SELECT c1, COUNT(*) n FROM g GROUP BY 1),
+n2 AS (SELECT c2, COUNT(*) n FROM g GROUP BY 1)
+SELECT g.page_id,
+  CAST(CASE WHEN n0.n >= 25 THEN 0 WHEN n1.n >= 25 THEN 1
+            WHEN n2.n >= 25 THEN 2 ELSE 3 END AS BIGINT) AS level,
+  CASE WHEN n0.n >= 25 THEN c0 WHEN n1.n >= 25 THEN c1
+       WHEN n2.n >= 25 THEN c2 ELSE c3 END AS cell
+FROM g JOIN n0 USING (c0) JOIN n1 USING (c1) JOIN n2 USING (c2)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21280,6 +21441,8 @@ QUERIES = {
     "q307_cdc_chunks": q307_cdc_chunks,
     "q308_source_similarity": q308_source_similarity,
     "q309_bandit_replay": q309_bandit_replay,
+    "q310_exact_k_per_group": q310_exact_k_per_group,
+    "q311_generalize_hierarchy": q311_generalize_hierarchy,
 }
 
 ORACLES = {
@@ -21587,4 +21750,6 @@ ORACLES = {
     "q307_cdc_chunks": SQL_Q307,
     "q308_source_similarity": SQL_Q308,
     "q309_bandit_replay": SQL_Q309,
+    "q310_exact_k_per_group": SQL_Q310,
+    "q311_generalize_hierarchy": SQL_Q311,
 }

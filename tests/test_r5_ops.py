@@ -1169,3 +1169,54 @@ def test_bandit_replay_time_respecting(ray_session):
             assert got[d] == (best, len(today), int(today["v"].sum()))
         else:
             assert d not in got
+
+
+def test_exact_k_per_group_quota(ray_session):
+    """q310 on real data: exactly min(k, group size) per lang, and the
+    selected set equals the brute k-smallest hash ranks."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+    from oma_ray.stages.sample import _hash32
+
+    out = QUERIES["q310_exact_k_per_group"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    docs["h"] = _hash32(docs["doc_id"].to_numpy(), 2654435761)
+    for lang, g in docs.groupby("lang"):
+        exp = set(g.sort_values(["h", "doc_id"]).head(20)["doc_id"])
+        got = set(out.loc[out["lang"] == lang, "doc_id"])
+        assert got == exp
+        assert len(got) == min(20, len(g))
+
+
+def test_generalize_hierarchy_rule(ray_session):
+    """q311 on real data: every page's published level is the FINEST
+    whose full-population ancestor holds >= k pages (brute recount),
+    and published groups at levels 0-2 all hold >= k."""
+    from oma_ray.pipelines.queries import _GEN_LEVELS, QUERIES
+
+    out = QUERIES["q311_generalize_hierarchy"](SF).to_pandas()
+    pts = _geo_points(SF)
+
+    def cell_at(width):
+        nx = 3_600_000_000 // width
+        return ((pts["lat"] + 900_000_000) // width) * nx + (
+            (pts["lon"] + 1_800_000_000) // width)
+
+    cells = {lvl: cell_at(w) for lvl, w in enumerate(_GEN_LEVELS)}
+    counts = {lvl: c.value_counts() for lvl, c in cells.items()}
+    got = out.set_index("page_id")
+    assert set(got.index) == set(pts["page_id"])
+    for i, pid in enumerate(pts["page_id"]):
+        exp_lvl = 3
+        for lvl in range(3):
+            if counts[lvl][cells[lvl].iloc[i]] >= 25:
+                exp_lvl = lvl
+                break
+        assert got.loc[pid, "level"] == exp_lvl
+        assert got.loc[pid, "cell"] == cells[exp_lvl].iloc[i]
+    pub = out[out["level"] <= 2].groupby(["level", "cell"]).size()
+    # published fine groups reflect >= k-supported ancestors
+    for (lvl, cell), _n in pub.items():
+        assert counts[lvl][cell] >= 25
