@@ -21131,6 +21131,148 @@ FROM g JOIN n0 USING (c0) JOIN n1 USING (c1) JOIN n2 USING (c2)
 """
 
 
+def q312_dynamic_pruning(sf_dir: str):
+    """Dynamic partition pruning — the runtime-filter optimization: the
+    small dimension side (BUILDING-segment customers) resolves FIRST,
+    and its key set is pushed INTO the fact scan as a pyarrow
+    ``isin`` filter, so non-matching row groups never decompress or
+    enter the object store; the join then runs against the pre-pruned
+    stream (broadcast hash map).  Output: order count + revenue cents
+    per priority for the matching customers.
+
+    Shape (100 TB): dimension pull is O(segment customers) driver rows
+    (bounded; a huge dim side would swap in the q226 bloom semi-join);
+    the fact read carries `filter=` to the fragment scanner — the
+    pushdown IS the operator.  One O(priorities) fold after a pure
+    map."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                            "c_custkey"].to_numpy())
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        filter=pads.field("o_custkey").isin(pa.array(keys)))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        # belt-and-braces re-filter: the scanner filter is an
+        # optimization contract, not a correctness dependency
+        m = pc.is_in(batch.column("o_custkey"),
+                     value_set=pa.array(keys)).to_numpy(
+            zero_copy_only=False)
+        pri = batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)[m]
+        c = _cents(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False)[m])
+        return pd.DataFrame({"o_orderpriority": pri,
+                             "n_orders": np.ones(len(pri), np.int64),
+                             "revenue_c": c})
+
+    return _grouped_sums(ds, ["o_orderpriority"], partial,
+                         ["n_orders", "revenue_c"], num_partitions=1)
+
+
+SQL_Q312 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
+def q313_quantile_matching(sf_dir: str):
+    """Cross-strata quantile matching (the batch-effect / distribution-
+    alignment normalizer): each document's length maps to its
+    per-mille rank WITHIN its language, then to the GLOBAL length at
+    that rank — after which every language's normalized distribution
+    is the corpus's.  All integer: rank_mille = (rank−1)·1000 ∕ n_lang
+    (RANK() ties-min), global pick = 0-based position
+    rank_mille·n_global ∕ 1000 in (n_chars, doc_id) order.
+
+    Shape (100 TB): both the per-lang and global length HISTOGRAMS ride
+    one value-keyed exchange each (bounded-domain regime, q279);
+    driver cumsums give rank offsets and the global position→value
+    lookup; the final pass is a stateless fused map.  Rows never
+    shuffle."""
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def hist_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "n_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = (_grouped_sums(
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"]),
+        ["lang", "n_chars"], hist_partial, ["cnt"])
+        .to_pandas().sort_values(["lang", "n_chars"]))
+
+    # per-lang: value -> (count strictly below, lang size)
+    lang_tab = {}
+    for lang, g in hist.groupby("lang"):
+        vals = g["n_chars"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lang_tab[lang] = (vals, below, int(cnts.sum()))
+    # global: expanded value-by-position lookup via the histogram
+    gg = (hist.groupby("n_chars", as_index=False)["cnt"].sum()
+          .sort_values("n_chars"))
+    g_vals = gg["n_chars"].to_numpy()
+    g_ends = np.cumsum(gg["cnt"].to_numpy())  # 1-based end positions
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+
+    def transform(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        rank_m = np.empty(len(nc), dtype=np.int64)
+        for lg in np.unique(lang):  # loop over LANGS in batch (≤5)
+            vals, below, n_lang = lang_tab[lg]
+            m = lang == lg
+            idx = np.searchsorted(vals, nc[m])
+            rank_m[m] = below[idx] * 1000 // n_lang
+        g_pos = rank_m * n_docs // 1000  # 0-based global position
+        matched = g_vals[np.searchsorted(g_ends, g_pos, side="right")]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_chars": batch.column("n_chars"),
+            "rank_mille": pa.array(rank_m, pa.int64()),
+            "matched_chars": pa.array(matched, pa.int64())})
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
+SQL_Q313 = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST((RANK() OVER (PARTITION BY lang ORDER BY n_chars) - 1)
+              * 1000 // COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+           AS rank_mille
+  FROM documents),
+g AS (
+  SELECT n_chars AS gval,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+  FROM documents)
+SELECT r.doc_id, r.lang, r.n_chars, r.rank_mille,
+       g.gval AS matched_chars
+FROM r JOIN g
+  ON g.pos = r.rank_mille * (SELECT COUNT(*) FROM documents) // 1000
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21443,6 +21585,8 @@ QUERIES = {
     "q309_bandit_replay": q309_bandit_replay,
     "q310_exact_k_per_group": q310_exact_k_per_group,
     "q311_generalize_hierarchy": q311_generalize_hierarchy,
+    "q312_dynamic_pruning": q312_dynamic_pruning,
+    "q313_quantile_matching": q313_quantile_matching,
 }
 
 ORACLES = {
@@ -21752,4 +21896,6 @@ ORACLES = {
     "q309_bandit_replay": SQL_Q309,
     "q310_exact_k_per_group": SQL_Q310,
     "q311_generalize_hierarchy": SQL_Q311,
+    "q312_dynamic_pruning": SQL_Q312,
+    "q313_quantile_matching": SQL_Q313,
 }

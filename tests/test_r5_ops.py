@@ -1220,3 +1220,54 @@ def test_generalize_hierarchy_rule(ray_session):
     # published fine groups reflect >= k-supported ancestors
     for (lvl, cell), _n in pub.items():
         assert counts[lvl][cell] >= 25
+
+
+def test_dynamic_pruning_matches_join(ray_session):
+    """q312 on real data vs a pandas join, and the scanner filter
+    returns only matching customers."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = (QUERIES["q312_dynamic_pruning"](SF).to_pandas()
+           .set_index("o_orderpriority"))
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    keys = set(cu.loc[cu["c_mktsegment"] == "BUILDING", "c_custkey"])
+    assert keys
+    j = od[od["o_custkey"].isin(keys)]
+    exp = j.groupby("o_orderpriority").agg(
+        n=("o_custkey", "size"))
+    assert set(out.index) == set(exp.index)
+    for pri in exp.index:
+        assert out.loc[pri, "n_orders"] == exp.loc[pri, "n"]
+        assert out.loc[pri, "revenue_c"] == _cents(
+            j.loc[j["o_orderpriority"] == pri,
+                  "o_totalprice"].to_numpy()).sum()
+
+
+def test_quantile_matching_aligns_distributions(ray_session):
+    """q313 on real data: rank_mille equals the per-lang RANK()-1
+    per-mille, matched values are the global order statistics at the
+    mapped positions, and matching is monotone within a language."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q313_quantile_matching"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"]
+                         ).to_pandas()
+    n = len(docs)
+    g_sorted = np.sort(docs["n_chars"].to_numpy())
+    got = out.set_index("doc_id")
+    for lang, g in docs.groupby("lang"):
+        nc = g["n_chars"].to_numpy()
+        for _, row in g.iterrows():
+            rank = int((nc < row["n_chars"]).sum()) * 1000 // len(g)
+            assert got.loc[row["doc_id"], "rank_mille"] == rank
+            assert (got.loc[row["doc_id"], "matched_chars"]
+                    == g_sorted[rank * n // 1000])
+        sub = (out[out["lang"] == lang]
+               .sort_values(["n_chars", "doc_id"]))
+        assert (np.diff(sub["matched_chars"].to_numpy()) >= 0).all()
