@@ -21273,6 +21273,173 @@ FROM r JOIN g
 """
 
 
+def q314_l_diversity(sf_dir: str, l_floor: int = 3):
+    """l-diversity audit (Machanavajjhala et al.) — the companion check
+    to the q266 k-anonymity and q311 generalization passes: per
+    quasi-identifier group (coarse 6.4° geo cell), the group size,
+    the number of DISTINCT sensitive values (language) it contains,
+    and whether it meets l ≥ 3 — a k-anonymous group with one language
+    still leaks the sensitive attribute; this op finds those.
+
+    Shape (100 TB): per-batch distinct (cell, lang) + count partials →
+    ONE cell-keyed exchange → per-block distinct fold.  Moves distinct
+    pairs per batch, never rows."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+    W = 64_000_000
+    NX = 3_600_000_000 // W
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch.column("lon"))
+        b = batch.filter(valid)
+        lon = b.column("lon").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lat = b.column("lat").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cell = ((lat + 900_000_000) // W) * NX + (
+            (lon + 1_800_000_000) // W)
+        df = pd.DataFrame({
+            "cell": cell,
+            "lang": b.column("lang").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["cell", "lang"], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_langs": pa.array([], pa.int64()),
+                          "diverse": pa.array([], pa.int64())})
+        if not len(df) or "cell" not in df.columns:
+            return empty
+        agg = df.groupby("cell").agg(
+            n_rows=("cnt", "sum"), n_langs=("lang", "nunique"))
+        agg["diverse"] = (agg["n_langs"] >= l_floor).astype(np.int64)
+        agg = agg.reset_index()
+        for c in agg.columns:
+            agg[c] = agg[c].astype(np.int64)
+        return from_pandas_clean(agg)
+
+    pts = (make_pages_dataset(sf_dir)
+           .map_batches(GeoParse(), batch_format="pyarrow")
+           .drop_columns(["html", "text", "url", "warc_ts"]))
+    return (pts.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["cell"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q314 = f"""
+WITH g AS (
+  SELECT ((({SQL_LAT.format(id='doc_id')}) + 900000000) // 64000000)
+           * {3_600_000_000 // 64_000_000}
+         + ((({SQL_LON.format(id='doc_id')}) + 1800000000) // 64000000)
+           AS cell,
+         lang
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')})
+SELECT cell, COUNT(*) AS n_rows,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(COUNT(DISTINCT lang) >= 3 AS BIGINT) AS diverse
+FROM g GROUP BY cell
+"""
+
+
+def q315_window_antijoin(sf_dir: str, window_us: int = 7 * 86_400_000_000):
+    """Windowed anti-join — the "unconverted" selector every funnel
+    needs: clicks with NO purchase by the same user in the trailing
+    7 days (NOT EXISTS with a time window — the negation of q30's
+    as-of attach).  Emits the unconverted clicks with the staleness of
+    the last purchase (−1 = never purchased before).
+
+    Shape (100 TB): the stages/asof.py tagged-union kernel (ONE
+    user-keyed exchange, lexsort + maximum.accumulate); the filter
+    keeps lefts whose match is absent OR older than the window —
+    anti-semantics cost nothing beyond the join."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64())
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        side = np.where(et == "click", np.int8(1),
+                        np.where(et == "purchase", np.int8(0),
+                                 np.int8(-1)))
+        keep = side >= 0
+        return pa.table({
+            "user_id": pa.array(batch.column("user_id").to_numpy(
+                zero_copy_only=False)[keep]),
+            "t": pa.array(t.to_numpy(zero_copy_only=False)[keep]),
+            "event_id": pa.array(batch.column("event_id").to_numpy(
+                zero_copy_only=False)[keep]),
+            "side": pa.array(side[keep])})
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ts_us": pa.array([], pa.int64()),
+                          "stale_us": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, t, u))
+        u_s, t_s, side_s = u[order], t[order], side[order]
+        rpos = np.where(side_s == 0,
+                        np.arange(len(order), dtype=np.int64),
+                        np.int64(-1))
+        ff = np.maximum.accumulate(rpos)
+        lpos = np.nonzero(side_s == 1)[0]
+        m = ff[lpos]
+        has = (m >= 0) & (u_s[np.maximum(m, 0)] == u_s[lpos])
+        stale = np.where(has, t_s[lpos] - t_s[np.maximum(m, 0)],
+                         np.int64(-1))
+        anti = (~has) | (stale > window_us)
+        li = order[lpos[anti]]
+        return pa.table({
+            "event_id": pa.array(eid[li]),
+            "user_id": pa.array(u[li]),
+            "ts_us": pa.array(t[li]),
+            "stale_us": pa.array(stale[anti])})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["user_id"])
+            .map_batches(kernel, batch_format="pyarrow"))
+
+
+SQL_Q315 = f"""
+WITH c AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT c.event_id, c.user_id, c.ts_us,
+         (SELECT MAX(t) FROM p
+          WHERE p.user_id = c.user_id AND p.t <= c.ts_us) AS last_p
+  FROM c)
+SELECT event_id, user_id, ts_us,
+       COALESCE(ts_us - last_p, -1) AS stale_us
+FROM m WHERE last_p IS NULL OR ts_us - last_p > {7 * 86_400_000_000}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21587,6 +21754,8 @@ QUERIES = {
     "q311_generalize_hierarchy": q311_generalize_hierarchy,
     "q312_dynamic_pruning": q312_dynamic_pruning,
     "q313_quantile_matching": q313_quantile_matching,
+    "q314_l_diversity": q314_l_diversity,
+    "q315_window_antijoin": q315_window_antijoin,
 }
 
 ORACLES = {
@@ -21898,4 +22067,6 @@ ORACLES = {
     "q311_generalize_hierarchy": SQL_Q311,
     "q312_dynamic_pruning": SQL_Q312,
     "q313_quantile_matching": SQL_Q313,
+    "q314_l_diversity": SQL_Q314,
+    "q315_window_antijoin": SQL_Q315,
 }

@@ -1271,3 +1271,58 @@ def test_quantile_matching_aligns_distributions(ray_session):
         sub = (out[out["lang"] == lang]
                .sort_values(["n_chars", "doc_id"]))
         assert (np.diff(sub["matched_chars"].to_numpy()) >= 0).all()
+
+
+def test_l_diversity_audit(ray_session):
+    """q314 on real data vs a brute per-cell distinct-lang recount;
+    both diverse and non-diverse cells exist at this scale."""
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q314_l_diversity"](SF).to_pandas().set_index("cell")
+    pts = _geo_points(SF)
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+    pts = pts.merge(langs, left_on="page_id", right_on="doc_id")
+    W = 64_000_000
+    NX = 3_600_000_000 // W
+    pts["cell"] = ((pts["lat"] + 900_000_000) // W) * NX + (
+        (pts["lon"] + 1_800_000_000) // W)
+    exp = pts.groupby("cell").agg(n_rows=("lang", "size"),
+                                  n_langs=("lang", "nunique"))
+    assert set(out.index) == set(exp.index)
+    assert (out["n_rows"].sort_index().to_numpy()
+            == exp["n_rows"].sort_index().to_numpy()).all()
+    assert (out["n_langs"].sort_index().to_numpy()
+            == exp["n_langs"].sort_index().to_numpy()).all()
+    assert (out["diverse"] == (out["n_langs"] >= 3).astype(int)).all()
+    assert out["diverse"].sum() < len(out)  # audit finds violations
+
+
+def test_window_antijoin_bruteforce(ray_session):
+    """q315 on real data vs a brute per-click NOT-EXISTS-in-window
+    scan."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q315_window_antijoin"](SF).to_pandas().set_index(
+        "event_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    W = 7 * 86_400_000_000
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"]
+    exp = {}
+    for r in clicks.itertuples():
+        pr = purch[(purch["user_id"] == r.user_id)
+                   & (purch["us"] <= r.us)]
+        last = pr["us"].max() if len(pr) else None
+        if last is None:
+            exp[r.event_id] = -1
+        elif r.us - last > W:
+            exp[r.event_id] = r.us - last
+    got = dict(zip(out.index, out["stale_us"]))
+    assert got == exp
+    assert len(exp) < len(clicks)  # some clicks DID convert
