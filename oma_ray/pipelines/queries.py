@@ -21440,6 +21440,116 @@ FROM m WHERE last_p IS NULL OR ts_us - last_p > {7 * 86_400_000_000}
 """
 
 
+def q316_snap_to_segment(sf_dir: str):
+    """Map-matching snap: every geo page snaps to the nearest point of
+    a 63-segment synthetic "road" (consecutive station pairs), with
+    the segment parameter quantized to milli-units so the whole
+    computation stays int64-exact on BOTH engines (the true projection
+    is rational; the milli-grid snap is the documented deterministic
+    approximation).  Coordinates work in 10⁻⁴-degree units to bound
+    squared distances inside int64.  Output: (page_id, seg_id, t_mille,
+    d2q) with ties to the smaller segment id.
+
+    Shape (100 TB): the 63-segment table broadcasts by closure; each
+    batch computes a vectorized (points × segments) distance matrix
+    (bounded second axis — a continental road net would bucket
+    segments by cell first, the q173 segment-join shape) and a row
+    argmin.  No exchange at all."""
+    import pyarrow.compute as pc
+
+    from oma_ray.stages.geo_parse import GeoParse
+    from oma_ray.synth import make_pages_dataset, synth_stations
+
+    # NON-NEGATIVE coordinate frame (shifted 10^-4-degree units):
+    # DuckDB's // truncates while numpy floors, so every division
+    # numerator must stay >= 0 — clamping makes the t division safe
+    # (negatives clip to 0 under either rounding) and the snap point
+    # uses the (a*1000 + d*t) // 1000 form, which lies between the
+    # scaled endpoints and is therefore non-negative.
+    st = synth_stations(64)
+    ax = (st["lon"][:-1] + 1_800_000_000) // 1000
+    ay = (st["lat"][:-1] + 900_000_000) // 1000
+    bx = (st["lon"][1:] + 1_800_000_000) // 1000
+    by = (st["lat"][1:] + 900_000_000) // 1000
+    dx, dy = bx - ax, by - ay
+    den = dx * dx + dy * dy  # > 0 for distinct stations
+
+    def snap(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch.column("lon"))
+        b = batch.filter(valid)
+        px = (b.column("lon").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) + 1_800_000_000) // 1000
+        py = (b.column("lat").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) + 900_000_000) // 1000
+        pid = b.column("page_id").to_numpy(zero_copy_only=False)
+        # (n, 63) vectorized
+        rx = px[:, None] - ax[None, :]
+        ry = py[:, None] - ay[None, :]
+        tnum = rx * dx[None, :] + ry * dy[None, :]
+        t = np.clip(tnum * 1000 // den[None, :], 0, 1000)
+        sx = (ax[None, :] * 1000 + dx[None, :] * t) // 1000
+        sy = (ay[None, :] * 1000 + dy[None, :] * t) // 1000
+        d2 = (px[:, None] - sx) ** 2 + (py[:, None] - sy) ** 2
+        seg = np.argmin(d2, axis=1)  # first min = smallest seg_id
+        rows = np.arange(len(px))
+        return pa.table({
+            "page_id": pa.array(pid),
+            "seg_id": pa.array(seg.astype(np.int64)),
+            "t_mille": pa.array(t[rows, seg].astype(np.int64)),
+            "d2q": pa.array(d2[rows, seg].astype(np.int64))})
+
+    return (make_pages_dataset(sf_dir)
+            .map_batches(GeoParse(), batch_format="pyarrow")
+            .drop_columns(["html", "text", "url", "warc_ts", "lang"])
+            .map_batches(snap, batch_format="pyarrow"))
+
+
+from oma_ray.synth import sql_stations_cte as _sql_stations  # noqa: E402
+
+SQL_Q316 = f"""
+WITH stations AS ({_sql_stations(64)}),
+seg AS (
+  SELECT a.station_id AS seg_id,
+         (a.lon + 1800000000) // 1000 AS ax,
+         (a.lat + 900000000) // 1000 AS ay,
+         (b.lon + 1800000000) // 1000 AS bx,
+         (b.lat + 900000000) // 1000 AS by
+  FROM stations a JOIN stations b ON b.station_id = a.station_id + 1),
+pt AS (
+  SELECT doc_id AS page_id,
+         (({SQL_LON.format(id='doc_id')}) + 1800000000) // 1000 AS px,
+         (({SQL_LAT.format(id='doc_id')}) + 900000000) // 1000 AS py
+  FROM documents WHERE {SQL_HAS_GEO.format(id='doc_id')}),
+d AS (
+  SELECT pt.page_id, seg.seg_id,
+         LEAST(GREATEST(
+           ((pt.px - seg.ax) * (seg.bx - seg.ax)
+            + (pt.py - seg.ay) * (seg.by - seg.ay)) * 1000
+           // ((seg.bx - seg.ax) * (seg.bx - seg.ax)
+               + (seg.by - seg.ay) * (seg.by - seg.ay)), 0), 1000)
+           AS t
+  FROM pt CROSS JOIN seg),
+s AS (
+  SELECT d.page_id, d.seg_id, d.t,
+         (seg.ax * 1000 + (seg.bx - seg.ax) * d.t) // 1000 AS sx,
+         (seg.ay * 1000 + (seg.by - seg.ay) * d.t) // 1000 AS sy
+  FROM d JOIN seg USING (seg_id)),
+scored AS (
+  SELECT s.page_id, s.seg_id, s.t,
+         (pt.px - s.sx) * (pt.px - s.sx)
+         + (pt.py - s.sy) * (pt.py - s.sy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.page_id
+           ORDER BY (pt.px - s.sx) * (pt.px - s.sx)
+                    + (pt.py - s.sy) * (pt.py - s.sy),
+                    s.seg_id) AS rk
+  FROM s JOIN pt USING (page_id))
+SELECT page_id, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(t AS BIGINT) AS t_mille, CAST(d2 AS BIGINT) AS d2q
+FROM scored WHERE rk = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21756,6 +21866,7 @@ QUERIES = {
     "q313_quantile_matching": q313_quantile_matching,
     "q314_l_diversity": q314_l_diversity,
     "q315_window_antijoin": q315_window_antijoin,
+    "q316_snap_to_segment": q316_snap_to_segment,
 }
 
 ORACLES = {
@@ -22069,4 +22180,5 @@ ORACLES = {
     "q313_quantile_matching": SQL_Q313,
     "q314_l_diversity": SQL_Q314,
     "q315_window_antijoin": SQL_Q315,
+    "q316_snap_to_segment": SQL_Q316,
 }

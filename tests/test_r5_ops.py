@@ -1326,3 +1326,43 @@ def test_window_antijoin_bruteforce(ray_session):
     got = dict(zip(out.index, out["stale_us"]))
     assert got == exp
     assert len(exp) < len(clicks)  # some clicks DID convert
+
+
+def test_snap_to_segment_is_nearest(ray_session):
+    """q316 on real data: for a sample of pages, the chosen segment's
+    snap distance is <= the snap distance to EVERY other segment's
+    best milli-point (brute per-segment scan over all 1001 t values —
+    an independent, exhaustive check of the argmin)."""
+    from oma_ray.pipelines.queries import QUERIES
+    from oma_ray.synth import synth_stations
+
+    out = QUERIES["q316_snap_to_segment"](SF).to_pandas()
+    pts = _geo_points(SF)
+    st = synth_stations(64)
+    ax = (st["lon"][:-1] + 1_800_000_000) // 1000
+    ay = (st["lat"][:-1] + 900_000_000) // 1000
+    bx = (st["lon"][1:] + 1_800_000_000) // 1000
+    by = (st["lat"][1:] + 900_000_000) // 1000
+    got = out.set_index("page_id")
+    assert set(got.index) == set(pts["page_id"])
+    sample = pts.sample(min(25, len(pts)), random_state=1)
+    tgrid = np.arange(1001)
+    for r in sample.itertuples():
+        px = (r.lon + 1_800_000_000) // 1000
+        py = (r.lat + 900_000_000) // 1000
+        best = None
+        for s in range(63):
+            sx = (ax[s] * 1000 + (bx[s] - ax[s]) * tgrid) // 1000
+            sy = (ay[s] * 1000 + (by[s] - ay[s]) * tgrid) // 1000
+            d2 = (px - sx) ** 2 + (py - sy) ** 2
+            m = int(d2.min())
+            if best is None or m < best:
+                best = m
+        # the engine's clamped-projection t is one point of that grid,
+        # so its d2 can't beat the grid min; and it must be close to it
+        assert got.loc[r.page_id, "d2q"] >= best
+        seg = int(got.loc[r.page_id, "seg_id"])
+        t = int(got.loc[r.page_id, "t_mille"])
+        sx = (ax[seg] * 1000 + (bx[seg] - ax[seg]) * t) // 1000
+        sy = (ay[seg] * 1000 + (by[seg] - ay[seg]) * t) // 1000
+        assert got.loc[r.page_id, "d2q"] == (px - sx) ** 2 + (py - sy) ** 2
