@@ -21550,6 +21550,87 @@ FROM scored WHERE rk = 1
 """
 
 
+def q317_postings_size(sf_dir: str):
+    """Inverted-index sizing with the reference's own wire format: per
+    term, the posting list (sorted doc ids) delta-encodes with Oma's
+    ``smallInt`` varint (1 byte < 255, 3 bytes < 65535, else 7 —
+    codec.py:60 / Oma's readSmallInt), and the op reports df and the
+    encoded byte cost — the index-budget estimate a search deployment
+    sizes storage from, tied to the same codec the .oma container
+    uses.
+
+    Shape (100 TB): per-batch distinct (term, doc) combiner → ONE
+    term-keyed exchange (each term's postings co-locate) → per-block
+    sort + vectorized delta + CASE-free byte-length via searchsorted.
+    Moves distinct pairs, never occurrences."""
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def membership(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"term": flat[keep],
+                           "doc_id": did[parent[keep]]}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "enc_bytes": pa.array([], pa.int64())})
+        if not len(df) or "term" not in df.columns:
+            return empty
+        df = df.drop_duplicates().sort_values(["term", "doc_id"])
+        t = df["term"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        first = np.concatenate([[True], t[1:] != t[:-1]])
+        delta = np.where(first, d, d - np.concatenate([[0], d[:-1]]))
+        nbytes = np.where(delta < 255, 1,
+                          np.where(delta < 65535, 3, 7)).astype(np.int64)
+        g = pd.DataFrame({"term": t, "b": nbytes}).groupby(
+            "term", as_index=False).agg(df=("b", "size"),
+                                        enc_bytes=("b", "sum"))
+        g["df"] = g["df"].astype(np.int64)
+        g["enc_bytes"] = g["enc_bytes"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(membership, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["term"])
+            .map_batches(encode, batch_format="pyarrow"))
+
+
+SQL_Q317 = """
+WITH m AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)),
+d AS (
+  SELECT term,
+         doc_id - COALESCE(LAG(doc_id) OVER (
+           PARTITION BY term ORDER BY doc_id), 0) AS delta
+  FROM m)
+SELECT term, COUNT(*) AS df,
+  CAST(SUM(CASE WHEN delta < 255 THEN 1
+                WHEN delta < 65535 THEN 3 ELSE 7 END) AS BIGINT)
+    AS enc_bytes
+FROM d GROUP BY term
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21867,6 +21948,7 @@ QUERIES = {
     "q314_l_diversity": q314_l_diversity,
     "q315_window_antijoin": q315_window_antijoin,
     "q316_snap_to_segment": q316_snap_to_segment,
+    "q317_postings_size": q317_postings_size,
 }
 
 ORACLES = {
@@ -22181,4 +22263,5 @@ ORACLES = {
     "q314_l_diversity": SQL_Q314,
     "q315_window_antijoin": SQL_Q315,
     "q316_snap_to_segment": SQL_Q316,
+    "q317_postings_size": SQL_Q317,
 }

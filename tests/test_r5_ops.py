@@ -1366,3 +1366,33 @@ def test_snap_to_segment_is_nearest(ray_session):
         sx = (ax[seg] * 1000 + (bx[seg] - ax[seg]) * t) // 1000
         sy = (ay[seg] * 1000 + (by[seg] - ay[seg]) * t) // 1000
         assert got.loc[r.page_id, "d2q"] == (px - sx) ** 2 + (py - sy) ** 2
+
+
+def test_postings_size_matches_codec(ray_session):
+    """q317 on real data: the per-term encoded size equals the ACTUAL
+    byte length produced by the shipped OMA smallInt writer over the
+    delta-encoded posting list — the wire format itself is the
+    oracle."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+    from oma_ray.sources.oma_write import OmaWriter
+
+    out = QUERIES["q317_postings_size"](SF).to_pandas().set_index("term")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    postings: dict = {}
+    for r in docs.itertuples():
+        for w in set(re.findall(r"[a-z]+", r.text.lower())):
+            postings.setdefault(w, []).append(r.doc_id)
+    assert set(out.index) == set(postings)
+    for term, lst in postings.items():
+        lst = sorted(lst)
+        deltas = [lst[0]] + [b - a for a, b in zip(lst, lst[1:])]
+        w = OmaWriter()
+        for dv in deltas:
+            w.small_int(int(dv))
+        assert out.loc[term, "df"] == len(lst)
+        assert out.loc[term, "enc_bytes"] == len(w.buf)
