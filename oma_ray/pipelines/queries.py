@@ -21631,6 +21631,91 @@ FROM d GROUP BY term
 """
 
 
+def q318_mirror_hosts(sf_dir: str, min_shared: int = 2):
+    """Mirror-site detection — the web-dedup planning op: with the
+    corpus fanned out 3× (each document served by three hosts, the
+    bench replicate machinery), host pairs sharing ≥ ``min_shared``
+    identical documents (by content md5) are mirror candidates; the
+    output (host_a, host_b, n_shared) feeds the crawl scheduler's
+    skip-list.  Hosts parse from the URL (RE2), content identity from
+    the text — both REAL parses, so the oracle pins them, not the id
+    formulas alone.
+
+    Shape (100 TB): per-batch distinct (md5, host) combiner → ONE
+    md5-keyed exchange → per content each host SET expands to its
+    bounded pairs (replication factor, not corpus size) → O(pairs)
+    grouped fold + threshold."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+    from oma_ray.synth import make_pages_dataset
+
+    ensure_hash_shuffle()
+
+    def membership(batch: pa.Table) -> pa.Table:
+        host = pc.extract_regex(
+            batch.column("url").cast(pa.string()),
+            r"^https?://(?P<h>[^/]+)/")
+        h = pc.struct_field(host, "h").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        md5 = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        df = pd.DataFrame({"md5": md5, "host": h}).drop_duplicates()
+        return from_pandas_clean(df)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df) or "md5" not in df.columns:
+            return pd.DataFrame({
+                "host_a": pd.Series([], dtype=str),
+                "host_b": pd.Series([], dtype=str),
+                "n_shared": pd.Series([], dtype=np.int64)})
+        df = df.drop_duplicates()
+        out_a, out_b = [], []
+        for _, g in df.groupby("md5"):
+            hs = np.sort(g["host"].to_numpy())
+            if len(hs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(hs), k=1)
+            out_a.append(hs[ii])
+            out_b.append(hs[jj])
+        if not out_a:
+            return pd.DataFrame({
+                "host_a": pd.Series([], dtype=str),
+                "host_b": pd.Series([], dtype=str),
+                "n_shared": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(out_a)
+        return pd.DataFrame({
+            "host_a": a, "host_b": np.concatenate(out_b),
+            "n_shared": np.ones(len(a), dtype=np.int64)})
+
+    pages = make_pages_dataset(sf_dir, replicate=3)
+    shared = _grouped_sums(
+        pages.map_batches(membership, batch_format="pyarrow")
+        .repartition(default_partitions(), keys=["md5"]),
+        ["host_a", "host_b"], pairs, ["n_shared"])
+    return shared.filter(expr=f"n_shared >= {min_shared}")
+
+
+SQL_Q318 = """
+WITH pages AS (
+  SELECT 'site' || CAST((doc_id * 3 + j.j) % 1000 AS VARCHAR)
+           || '.example' AS host,
+         md5(text) AS m
+  FROM documents
+  CROSS JOIN (SELECT generate_series AS j FROM generate_series(0, 2)) j),
+dm AS (SELECT DISTINCT m, host FROM pages),
+p AS (
+  SELECT a.host AS host_a, b.host AS host_b
+  FROM dm a JOIN dm b ON a.m = b.m AND a.host < b.host)
+SELECT host_a, host_b, COUNT(*) AS n_shared
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -21949,6 +22034,7 @@ QUERIES = {
     "q315_window_antijoin": q315_window_antijoin,
     "q316_snap_to_segment": q316_snap_to_segment,
     "q317_postings_size": q317_postings_size,
+    "q318_mirror_hosts": q318_mirror_hosts,
 }
 
 ORACLES = {
@@ -22264,4 +22350,5 @@ ORACLES = {
     "q315_window_antijoin": SQL_Q315,
     "q316_snap_to_segment": SQL_Q316,
     "q317_postings_size": SQL_Q317,
+    "q318_mirror_hosts": SQL_Q318,
 }

@@ -1396,3 +1396,28 @@ def test_postings_size_matches_codec(ray_session):
             w.small_int(int(dv))
         assert out.loc[term, "df"] == len(lst)
         assert out.loc[term, "enc_bytes"] == len(w.buf)
+
+
+def test_mirror_hosts_bruteforce(ray_session):
+    """q318 on real data vs a brute shared-content host-pair count,
+    with the 3x fan-out replayed from the synth formulas."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q318_mirror_hosts"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    shared: dict = {}
+    for r in docs.itertuples():
+        hosts = sorted({f"site{(r.doc_id * 3 + j) % 1000}.example"
+                        for j in range(3)})
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1:]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    # texts are unique per doc_id at this scale, so content identity
+    # reduces to doc identity in the brute replay
+    assert docs["text"].is_unique
+    exp = {k: v for k, v in shared.items() if v >= 2}
+    got = {(r.host_a, r.host_b): r.n_shared for r in out.itertuples()}
+    assert got == exp and len(exp) > 0
