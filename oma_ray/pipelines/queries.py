@@ -21716,6 +21716,74 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+_SWEEP_THRESH = list(range(0, 1000, 100))
+
+
+def q319_filter_sweep(sf_dir: str):
+    """Quality-filter calibration sweep — the tuning table a curation
+    pipeline builds BEFORE committing to a threshold: for each cutoff
+    t ∈ {0,100,…,900} per-mille, the docs and tokens that survive
+    "stopword ratio < t" (stopwords {the, a}; ratio in integer
+    per-mille).  Reading the curve picks the threshold that trades
+    recall for quality; computing all cutoffs in ONE pass costs the
+    same as one.
+
+    Shape (100 TB): fused tokenize + score per batch, then a
+    (threshold × batch) partial matrix (k=10 rows per batch) → one
+    O(k·blocks) fold.  The sweep never re-reads the corpus."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    thr = np.array(_SWEEP_THRESH, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        parent, flat = parent[keep], flat[keep]
+        nt = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+        sw = np.bincount(parent[(flat == "the") | (flat == "a")],
+                         minlength=batch.num_rows).astype(np.int64)
+        ratio = np.where(nt > 0, sw * 1000 // np.maximum(nt, 1),
+                         np.int64(1000))
+        rows = []
+        for t in thr:
+            m = ratio < t
+            rows.append((int(t), int(m.sum()), int(nt[m].sum())))
+        return pd.DataFrame(rows, columns=["threshold", "n_docs",
+                                           "sum_toks"])
+
+    return _grouped_sums(ds, ["threshold"], partial,
+                         ["n_docs", "sum_toks"], num_partitions=1)
+
+
+SQL_Q319 = f"""
+WITH t AS (
+  SELECT len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         x -> x <> '')) AS nt,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         x -> x IN ('the', 'a'))) AS sw
+  FROM documents),
+sc AS (
+  SELECT CASE WHEN nt > 0 THEN sw * 1000 // nt ELSE 1000 END AS ratio,
+         nt
+  FROM t),
+thr AS (SELECT generate_series * 100 AS threshold
+        FROM generate_series(0, 9))
+SELECT CAST(threshold AS BIGINT) AS threshold,
+  CAST(SUM(CASE WHEN ratio < threshold THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs,
+  CAST(SUM(CASE WHEN ratio < threshold THEN nt ELSE 0 END) AS BIGINT)
+    AS sum_toks
+FROM sc CROSS JOIN thr GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22035,6 +22103,7 @@ QUERIES = {
     "q316_snap_to_segment": q316_snap_to_segment,
     "q317_postings_size": q317_postings_size,
     "q318_mirror_hosts": q318_mirror_hosts,
+    "q319_filter_sweep": q319_filter_sweep,
 }
 
 ORACLES = {
@@ -22351,4 +22420,5 @@ ORACLES = {
     "q316_snap_to_segment": SQL_Q316,
     "q317_postings_size": SQL_Q317,
     "q318_mirror_hosts": SQL_Q318,
+    "q319_filter_sweep": SQL_Q319,
 }

@@ -1421,3 +1421,34 @@ def test_mirror_hosts_bruteforce(ray_session):
     exp = {k: v for k, v in shared.items() if v >= 2}
     got = {(r.host_a, r.host_b): r.n_shared for r in out.itertuples()}
     assert got == exp and len(exp) > 0
+
+
+def test_filter_sweep_monotone(ray_session):
+    """q319 on real data: kept counts are non-decreasing in the
+    threshold, match a brute recount at every cutoff, and the curve is
+    non-trivial (not all-zero, not all-total)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import _SWEEP_THRESH, QUERIES
+
+    out = (QUERIES["q319_filter_sweep"](SF).to_pandas()
+           .sort_values("threshold"))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    ratios, nts = [], []
+    for t in docs["text"]:
+        toks = re.findall(r"[a-z]+", t.lower())
+        sw = sum(1 for w in toks if w in ("the", "a"))
+        ratios.append(sw * 1000 // len(toks) if toks else 1000)
+        nts.append(len(toks))
+    ratios = np.array(ratios)
+    nts = np.array(nts)
+    for r in out.itertuples():
+        m = ratios < r.threshold
+        assert r.n_docs == int(m.sum())
+        assert r.sum_toks == int(nts[m].sum())
+    assert (np.diff(out["n_docs"].to_numpy()) >= 0).all()
+    assert out["n_docs"].iloc[0] == 0
+    assert 0 < out["n_docs"].iloc[-1] <= len(docs)
