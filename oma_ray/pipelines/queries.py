@@ -21784,6 +21784,87 @@ FROM sc CROSS JOIN thr GROUP BY 1
 """
 
 
+def q320_vit_patchify(sf_dir: str):
+    """ViT-style patch extraction over REAL decoded images — the
+    vision-encoder data-prep stage: every doc's 24-bit BMP (the q246
+    payloads) decodes in an actor-pool-shaped map, crops to 8×8 patch
+    multiples, and emits per doc the patch count, total gray mass, the
+    brightest patch's mass and its row-major index.  The engine runs
+    the honest codec path (decode → grayscale → patch reshape); the
+    ORACLE recomputes the same integers from the closed-form synth
+    pixel formula — a decode, grayscale or patch-indexing bug breaks
+    the hash (the q240/q246 planted-truth pattern).
+
+    Shape (100 TB): pure map (bytes → 40-byte row); batch_size=256
+    caps payload bytes per block (the multimodal sizing rule); no
+    exchange."""
+    from oma_ray.stages.multimodal import decode_bmp, synth_bmp_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def patchify(batch: pa.Table) -> pa.Table:
+        t = synth_bmp_batch(batch)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_p, tot, mx, am = [], [], [], []
+        for p in t.column("image"):
+            img = decode_bmp(p.as_py()).astype(np.int64)
+            gray = img.sum(axis=2)
+            h8 = gray.shape[0] - gray.shape[0] % 8
+            w8 = gray.shape[1] - gray.shape[1] % 8
+            g = gray[:h8, :w8].reshape(h8 // 8, 8, w8 // 8, 8)
+            sums = g.sum(axis=(1, 3)).reshape(-1)
+            n_p.append(len(sums))
+            tot.append(int(sums.sum()))
+            mx.append(int(sums.max()))
+            am.append(int(np.argmin(-sums)))  # first max = smallest idx
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_patches": pa.array(np.asarray(n_p, np.int64)),
+            "gray_total": pa.array(np.asarray(tot, np.int64)),
+            "max_patch": pa.array(np.asarray(mx, np.int64)),
+            "argmax_patch": pa.array(np.asarray(am, np.int64))})
+
+    return ds.map_batches(patchify, batch_format="pyarrow",
+                          batch_size=256)
+
+
+SQL_Q320 = """
+WITH d AS (
+  SELECT doc_id, 31 + doc_id % 64 AS w, 17 + (doc_id * 5) % 48 AS h
+  FROM documents),
+dim AS (
+  SELECT doc_id, w, h, w - w % 8 AS w8, h - h % 8 AS h8 FROM d),
+ys AS (SELECT generate_series AS y FROM generate_series(0, 63)),
+xs AS (SELECT generate_series AS x FROM generate_series(0, 95)),
+px AS (
+  SELECT dim.doc_id, ys.y, xs.x,
+         (CASE WHEN ys.y = 0 AND xs.x < 8
+               THEN (dim.doc_id // CAST(POWER(256, xs.x) AS BIGINT)) % 256
+               ELSE ys.y * 255 // (dim.h - 1) END)
+         + ((xs.x * ys.y + dim.doc_id) % 256)
+         + (xs.x * 255 // (dim.w - 1)) AS gray,
+         (ys.y // 8) * (dim.w8 // 8) + xs.x // 8 AS patch
+  FROM dim CROSS JOIN ys CROSS JOIN xs
+  WHERE ys.y < dim.h8 AND xs.x < dim.w8),
+ps AS (
+  SELECT doc_id, patch, SUM(gray) AS s
+  FROM px GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, patch, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, patch) AS rk,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_patches,
+         SUM(s) OVER (PARTITION BY doc_id) AS gray_total
+  FROM ps)
+SELECT doc_id, CAST(n_patches AS BIGINT) AS n_patches,
+       CAST(gray_total AS BIGINT) AS gray_total,
+       CAST(s AS BIGINT) AS max_patch,
+       CAST(patch AS BIGINT) AS argmax_patch
+FROM r WHERE rk = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22104,6 +22185,7 @@ QUERIES = {
     "q317_postings_size": q317_postings_size,
     "q318_mirror_hosts": q318_mirror_hosts,
     "q319_filter_sweep": q319_filter_sweep,
+    "q320_vit_patchify": q320_vit_patchify,
 }
 
 ORACLES = {
@@ -22421,4 +22503,5 @@ ORACLES = {
     "q317_postings_size": SQL_Q317,
     "q318_mirror_hosts": SQL_Q318,
     "q319_filter_sweep": SQL_Q319,
+    "q320_vit_patchify": SQL_Q320,
 }

@@ -1452,3 +1452,28 @@ def test_filter_sweep_monotone(ray_session):
     assert (np.diff(out["n_docs"].to_numpy()) >= 0).all()
     assert out["n_docs"].iloc[0] == 0
     assert 0 < out["n_docs"].iloc[-1] <= len(docs)
+
+
+def test_vit_patchify_invariants(ray_session):
+    """q320 on real data: per-doc patch geometry matches the closed
+    forms, the max patch is <= total, and an independent pixel-level
+    recomputation (decode path re-driven directly) agrees for a
+    sample."""
+    from oma_ray.pipelines.queries import QUERIES
+    from oma_ray.stages.multimodal import decode_bmp, synth_bmp_batch
+
+    out = QUERIES["q320_vit_patchify"](SF).to_pandas().set_index(
+        "doc_id")
+    for did in list(out.index)[:20]:
+        w = 31 + did % 64
+        h = 17 + (did * 5) % 48
+        assert out.loc[did, "n_patches"] == (h // 8) * (w // 8)
+        assert out.loc[did, "max_patch"] <= out.loc[did, "gray_total"]
+        t = synth_bmp_batch(pa.table({"doc_id": pa.array([did])}))
+        img = decode_bmp(t.column("image")[0].as_py()).astype(np.int64)
+        gray = img.sum(axis=2)
+        g = gray[:h - h % 8, :w - w % 8].reshape(h // 8, 8, w // 8, 8)
+        sums = g.sum(axis=(1, 3)).reshape(-1)
+        assert out.loc[did, "gray_total"] == int(sums.sum())
+        assert out.loc[did, "max_patch"] == int(sums.max())
+        assert out.loc[did, "argmax_patch"] == int(sums.argmax())
