@@ -21865,6 +21865,165 @@ FROM r WHERE rk = 1
 """
 
 
+def q321_canonical_dedup(sf_dir: str):
+    """Dedup under TEXT CANONICALIZATION — what production dedup
+    actually hashes: lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace runs, trim; docs equal after canonicalization
+    group together even when raw bytes differ.  Output per canonical
+    group: md5 of the canonical form, variant count, distinct RAW
+    forms, and the min doc_id representative.
+
+    Shape (100 TB): canonicalize + md5 fuse into the read map (Arrow
+    RE2 kernels, digest loop per row as Md5Hash); per-batch combiner
+    collapses within-batch duplicates; ONE 32-B-keyed exchange of
+    (canon_md5, raw_md5, count, min_id) partials."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column("text"))
+        t = pc.replace_substring_regex(t, pattern="[^a-z0-9]+",
+                                       replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        vals = t.to_pylist()
+        raw = batch.column("text").to_pylist()
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "canon_md5": [hashlib.md5(v.encode()).hexdigest()
+                          for v in vals],
+            "raw_md5": [hashlib.md5(r.encode()).hexdigest()
+                        for r in raw],
+            "n_docs": np.ones(len(vals), dtype=np.int64),
+            "min_doc": did})
+        g = df.groupby(["canon_md5", "raw_md5"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_doc=("min_doc", "min"))
+        return from_pandas_clean(g)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        empty = pa.table({"canon_md5": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_raw_forms": pa.array([], pa.int64()),
+                          "min_doc": pa.array([], pa.int64())})
+        if not len(df) or "canon_md5" not in df.columns:
+            return empty
+        g2 = df.groupby(["canon_md5", "raw_md5"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_doc=("min_doc", "min"))
+        g = g2.groupby("canon_md5", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_raw_forms=("raw_md5", "nunique"),
+            min_doc=("min_doc", "min"))
+        for c in ("n_docs", "n_raw_forms", "min_doc"):
+            g[c] = g[c].astype(np.int64)
+        return from_pandas_clean(g)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(canon, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["canon_md5"])
+            .map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_Q321 = r"""
+WITH c AS (
+  SELECT doc_id, md5(text) AS raw_md5,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS canon_md5
+  FROM documents)
+SELECT canon_md5, COUNT(*) AS n_docs,
+       COUNT(DISTINCT raw_md5) AS n_raw_forms,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM c GROUP BY 1
+"""
+
+
+def q322_frequency_cap(sf_dir: str, cap: int = 3):
+    """Frequency capping — quota enforcement per (user, type, day):
+    only the first ``cap`` events of a kind per user per day are
+    SERVED; the rest are SUPPRESSED.  Output per (event_type, day):
+    served and suppressed counts — the delivery-pacing report.
+
+    Shape (100 TB): ONE (user,type,day)-keyed exchange; per block a
+    lexsort + segmented rank (the sessions idiom) marks each event's
+    within-quota position; the O(types·days) fold aggregates.  A real
+    deployment emits the served stream too — same mask, zero extra
+    exchanges."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    DAY = 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "day": pa.array(t.to_numpy(zero_copy_only=False) // DAY,
+                            pa.int64()),
+            "t": t, "event_id": batch.column("event_id")})
+
+    def rank_cap(batch: pa.Table) -> pd.DataFrame:
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "day": pd.Series([], dtype=np.int64),
+                "n_served": pd.Series([], dtype=np.int64),
+                "n_suppressed": pd.Series([], dtype=np.int64)})
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, day, et, u))
+        u, et, day = u[order], et[order], day[order]
+        first = np.concatenate([[True], (u[1:] != u[:-1])
+                                | (et[1:] != et[:-1])
+                                | (day[1:] != day[:-1])])
+        idx = np.arange(len(u), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        served = (idx - seg) < cap
+        return pd.DataFrame({
+            "event_type": et, "day": day,
+            "n_served": served.astype(np.int64),
+            "n_suppressed": (~served).astype(np.int64)})
+
+    keyed = (ds.map_batches(prep, batch_format="pyarrow")
+             .repartition(default_partitions(),
+                          keys=["user_id", "event_type", "day"]))
+    return _grouped_sums(keyed, ["event_type", "day"], rank_cap,
+                         ["n_served", "n_suppressed"],
+                         num_partitions=1)
+
+
+SQL_Q322 = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        CAST(epoch_us(ts) AS BIGINT) // 86400000000
+           ORDER BY ts, event_id) AS rk
+  FROM events)
+SELECT event_type, day,
+  CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_served,
+  CAST(SUM(CASE WHEN rk > 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_suppressed
+FROM e GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22186,6 +22345,8 @@ QUERIES = {
     "q318_mirror_hosts": q318_mirror_hosts,
     "q319_filter_sweep": q319_filter_sweep,
     "q320_vit_patchify": q320_vit_patchify,
+    "q321_canonical_dedup": q321_canonical_dedup,
+    "q322_frequency_cap": q322_frequency_cap,
 }
 
 ORACLES = {
@@ -22504,4 +22665,6 @@ ORACLES = {
     "q318_mirror_hosts": SQL_Q318,
     "q319_filter_sweep": SQL_Q319,
     "q320_vit_patchify": SQL_Q320,
+    "q321_canonical_dedup": SQL_Q321,
+    "q322_frequency_cap": SQL_Q322,
 }

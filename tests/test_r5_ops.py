@@ -1477,3 +1477,54 @@ def test_vit_patchify_invariants(ray_session):
         assert out.loc[did, "gray_total"] == int(sums.sum())
         assert out.loc[did, "max_patch"] == int(sums.max())
         assert out.loc[did, "argmax_patch"] == int(sums.argmax())
+
+
+def test_canonical_dedup_normalization(ray_session):
+    """q321 on real data: canonical groups match a brute
+    lowercase/strip/collapse replay, and every group's min_doc is the
+    true minimum."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q321_canonical_dedup"](SF).to_pandas().set_index(
+        "canon_md5")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    groups: dict = {}
+    for r in docs.itertuples():
+        canon = re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip()
+        k = hashlib.md5(canon.encode()).hexdigest()
+        n, raws, mn = groups.get(k, (0, set(), r.doc_id))
+        raws = set(raws)
+        raws.add(hashlib.md5(r.text.encode()).hexdigest())
+        groups[k] = (n + 1, raws, min(mn, r.doc_id))
+    assert set(out.index) == set(groups)
+    for k, (n, raws, mn) in groups.items():
+        assert out.loc[k, "n_docs"] == n
+        assert out.loc[k, "n_raw_forms"] == len(raws)
+        assert out.loc[k, "min_doc"] == mn
+
+
+def test_frequency_cap_quota(ray_session):
+    """q322 on real data vs a brute per-(user,type,day) quota replay;
+    suppression actually occurs and served+suppressed = total."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q322_frequency_cap"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    exp: dict = {}
+    for (u, t, d), g in ev.groupby(["user_id", "event_type", "day"]):
+        n = len(g)
+        s, x = exp.get((t, d), (0, 0))
+        exp[(t, d)] = (s + min(n, 3), x + max(0, n - 3))
+    got = {(r.event_type, r.day): (r.n_served, r.n_suppressed)
+           for r in out.itertuples()}
+    assert got == exp
+    assert out["n_served"].sum() + out["n_suppressed"].sum() == len(ev)
