@@ -20072,7 +20072,11 @@ def q299_table_profile(sf_dir: str):
             g["n_rows"] = g["n_rows"].astype(np.int64)
             return from_pandas_clean(g)
 
-        def fold(batch: pa.Table) -> pa.Table:
+        def mid_fold(batch: pa.Table) -> pa.Table:
+            # each (colname, val) lives in exactly ONE block after the
+            # value-keyed exchange, so per-block distinct counts SUM
+            # globally — no column's full distinct set ever needs to
+            # fit one block (the high-NDV scale case)
             df = batch.to_pandas()
             empty = pa.table({"colname": pa.array([], pa.string()),
                               "n_rows": pa.array([], pa.int64()),
@@ -20089,10 +20093,25 @@ def q299_table_profile(sf_dir: str):
                 "min_s": pa.array([g.index.min()]),
                 "max_s": pa.array([g.index.max()])})
 
+        def final_fold(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if not len(df) or "colname" not in df.columns:
+                return batch
+            g = df.groupby("colname", as_index=False).agg(
+                n_rows=("n_rows", "sum"),
+                n_distinct=("n_distinct", "sum"),
+                min_s=("min_s", "min"), max_s=("max_s", "max"))
+            for c in ("n_rows", "n_distinct"):
+                g[c] = g[c].astype(np.int64)
+            return from_pandas_clean(g)
+
         outs.append(
             ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(default_partitions(), keys=["colname", "val"])
+            .map_batches(mid_fold, batch_format="pyarrow")
             .repartition(1, keys=["colname"])
-            .map_batches(fold, batch_format="pyarrow", batch_size=None))
+            .map_batches(final_fold, batch_format="pyarrow",
+                         batch_size=None))
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
