@@ -22043,6 +22043,81 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q323_trimmed_mean(sf_dir: str):
+    """Grouped 10%-trimmed sums — the robust-statistics complement of
+    q175's winsorize (trim EXCLUDES the tails instead of capping
+    them): per event type, drop the k = ⌊n∕10⌋ smallest and largest
+    values (ties by event_id) and report the surviving count and cents
+    sum — the mean is num/den downstream, exact.
+
+    Shape (100 TB): ONE type-keyed exchange; per block a lexsort +
+    segmented rank (sessions idiom) masks the tails.  Group count is
+    the bounded type catalog, so per-group co-location is the
+    documented assumption (heavy groups would take a two-pass
+    rank-histogram trim, the q313 regime)."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.sources.parquet import from_pandas_clean
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "v": pa.array(_cents(batch.column("value").to_numpy(
+                zero_copy_only=False)), pa.int64()),
+            "event_id": batch.column("event_id")})
+
+    def trim(batch: pa.Table) -> pd.DataFrame:
+        if not batch.num_rows or "event_type" not in batch.column_names:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "n_kept": pd.Series([], dtype=np.int64),
+                "sum_kept_c": pd.Series([], dtype=np.int64)})
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v, et))
+        et, v = et[order], v[order]
+        first = np.concatenate([[True], et[1:] != et[:-1]])
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(et))
+        idx = np.arange(len(et), dtype=np.int64)
+        seg = np.maximum.accumulate(np.where(first, idx, 0))
+        rel = idx - seg
+        n = np.repeat(ends - starts, ends - starts)
+        k = n // 10
+        keep = (rel >= k) & (rel < n - k)
+        return pd.DataFrame({
+            "event_type": et[keep],
+            "n_kept": np.ones(int(keep.sum()), dtype=np.int64),
+            "sum_kept_c": v[keep]})
+
+    keyed = (ds.map_batches(prep, batch_format="pyarrow")
+             .repartition(default_partitions(), keys=["event_type"]))
+    return _grouped_sums(keyed, ["event_type"], trim,
+                         ["n_kept", "sum_kept_c"], num_partitions=1)
+
+
+SQL_Q323 = """
+WITH r AS (
+  SELECT event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(FLOOR(value*100 + 0.5) AS BIGINT), event_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, COUNT(*) AS n_kept,
+       CAST(SUM(v) AS BIGINT) AS sum_kept_c
+FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22366,6 +22441,7 @@ QUERIES = {
     "q320_vit_patchify": q320_vit_patchify,
     "q321_canonical_dedup": q321_canonical_dedup,
     "q322_frequency_cap": q322_frequency_cap,
+    "q323_trimmed_mean": q323_trimmed_mean,
 }
 
 ORACLES = {
@@ -22686,4 +22762,5 @@ ORACLES = {
     "q320_vit_patchify": SQL_Q320,
     "q321_canonical_dedup": SQL_Q321,
     "q322_frequency_cap": SQL_Q322,
+    "q323_trimmed_mean": SQL_Q323,
 }

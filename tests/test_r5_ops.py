@@ -1528,3 +1528,23 @@ def test_frequency_cap_quota(ray_session):
            for r in out.itertuples()}
     assert got == exp
     assert out["n_served"].sum() + out["n_suppressed"].sum() == len(ev)
+
+
+def test_trimmed_mean_excludes_tails(ray_session):
+    """q323 on real data vs a brute sorted-trim replay; the trimmed sum
+    differs from the full sum (tails actually dropped)."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q323_trimmed_mean"](SF).to_pandas().set_index(
+        "event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["v"] = _cents(ev["value"].to_numpy())
+    for et, g in ev.groupby("event_type"):
+        s = g.sort_values(["v", "event_id"])
+        k = len(s) // 10
+        kept = s.iloc[k:len(s) - k]
+        assert out.loc[et, "n_kept"] == len(kept)
+        assert out.loc[et, "sum_kept_c"] == int(kept["v"].sum())
+        assert k > 0 and out.loc[et, "sum_kept_c"] != int(g["v"].sum())
