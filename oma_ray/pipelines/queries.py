@@ -22118,6 +22118,81 @@ GROUP BY 1
 """
 
 
+def q324_run_profile(sf_dir: str):
+    """Sorted-run profile — the sortedness statistic an external-sort /
+    merge planner sizes run generation from: per user, the value
+    sequence in (ts, event_id) order splits into maximal NON-DECREASING
+    runs; the op reports run count and longest run per user (1 run ⟺
+    already sorted; n runs ⟺ n−1 merge inputs).
+
+    Shape (100 TB): ONE user-keyed exchange; per block a lexsort +
+    boundary diff + segmented max — the sessions idiom, no row loop."""
+    from oma_ray.cluster import default_partitions
+    from oma_ray.stages.dedup import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_runs": pa.array([], pa.int64()),
+                          "longest_run": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if not batch.num_rows or "user_id" not in batch.column_names:
+            return empty
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        v = _cents(batch.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, t, u))
+        u, v = u[order], v[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        run_start = first | np.concatenate([[True], v[1:] < v[:-1]])
+        idx = np.arange(len(u), dtype=np.int64)
+        rstart = np.maximum.accumulate(np.where(run_start, idx, 0))
+        run_len = idx - rstart + 1
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(u))
+        n_runs = np.add.reduceat(run_start.astype(np.int64), starts)
+        longest = np.maximum.reduceat(run_len, starts)
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "n_runs": pa.array(n_runs),
+            "longest_run": pa.array(longest),
+            "n_events": pa.array(ends - starts)})
+
+    return (ds.repartition(default_partitions(), keys=["user_id"])
+            .map_batches(profile, batch_format="pyarrow"))
+
+
+SQL_Q324 = """
+WITH o AS (
+  SELECT user_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+         LAG(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w AS pv,
+         ROW_NUMBER() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+b AS (
+  SELECT user_id, rn,
+         CASE WHEN pv IS NULL OR v < pv THEN 1 ELSE 0 END AS brk
+  FROM o),
+runs AS (
+  SELECT user_id, rn,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM b),
+rl AS (
+  SELECT user_id, run_id, COUNT(*) AS len
+  FROM runs GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS longest_run,
+       CAST(SUM(len) AS BIGINT) AS n_events
+FROM rl GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22442,6 +22517,7 @@ QUERIES = {
     "q321_canonical_dedup": q321_canonical_dedup,
     "q322_frequency_cap": q322_frequency_cap,
     "q323_trimmed_mean": q323_trimmed_mean,
+    "q324_run_profile": q324_run_profile,
 }
 
 ORACLES = {
@@ -22763,4 +22839,5 @@ ORACLES = {
     "q321_canonical_dedup": SQL_Q321,
     "q322_frequency_cap": SQL_Q322,
     "q323_trimmed_mean": SQL_Q323,
+    "q324_run_profile": SQL_Q324,
 }

@@ -1548,3 +1548,26 @@ def test_trimmed_mean_excludes_tails(ray_session):
         assert out.loc[et, "n_kept"] == len(kept)
         assert out.loc[et, "sum_kept_c"] == int(kept["v"].sum())
         assert k > 0 and out.loc[et, "sum_kept_c"] != int(g["v"].sum())
+
+
+def test_run_profile_bruteforce(ray_session):
+    """q324 on real data vs a brute run-splitting replay."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES, _cents
+
+    out = QUERIES["q324_run_profile"](SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    ev["v"] = _cents(ev["value"].to_numpy())
+    for uid, g in ev.groupby("user_id"):
+        v = g.sort_values(["us", "event_id"])["v"].to_numpy()
+        runs = [1]
+        for a, b in zip(v, v[1:]):
+            if b < a:
+                runs.append(1)
+            else:
+                runs[-1] += 1
+        assert out.loc[uid, "n_runs"] == len(runs)
+        assert out.loc[uid, "longest_run"] == max(runs)
+        assert out.loc[uid, "n_events"] == len(v)
