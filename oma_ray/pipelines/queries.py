@@ -22193,6 +22193,73 @@ FROM rl GROUP BY 1
 """
 
 
+def q325_boundary_distance(sf_dir: str):
+    """Distance-to-boundary inside the containing district — the
+    containment-confidence / buffer-erosion GIS op: each geo page in a
+    district (first-match containment, the q55 half-open edge rule)
+    reports its L∞ distance to that district's boundary —
+    min(lon−minlon, maxlon−lon, lat−minlat, maxlat−lat), exact for the
+    axis-aligned district fixture (a general polygon takes the q316
+    point-to-segment kernel over its edges).
+
+    Shape (100 TB): the 64-box bounds broadcast by closure; per batch a
+    vectorized (points × boxes) containment grid + argmin — the
+    broadcast-box regime (q47's threshold rule; bigger fixtures flow
+    through pip_join_by_cell's keyed exchange instead).  No exchange,
+    no driver loop."""
+    import pyarrow.compute as pc
+
+    from oma_ray.synth import synth_boxes
+
+    b = synth_boxes(64)
+    minlon, maxlon = b["minlon"], b["maxlon"]
+    minlat, maxlat = b["minlat"], b["maxlat"]
+
+    def dist(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch.column("lon"))
+        t = batch.filter(valid)
+        lon = t.column("lon").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lat = t.column("lat").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pid = t.column("page_id").to_numpy(zero_copy_only=False)
+        inside = ((lon[:, None] > minlon[None, :])
+                  & (lon[:, None] <= maxlon[None, :])
+                  & (lat[:, None] >= minlat[None, :])
+                  & (lat[:, None] < maxlat[None, :]))
+        any_hit = inside.any(axis=1)
+        first = np.argmax(inside, axis=1)  # first True = min box_id
+        k = first[any_hit]
+        lo, la = lon[any_hit], lat[any_hit]
+        d = np.minimum.reduce([
+            lo - minlon[k], maxlon[k] - lo,
+            la - minlat[k], maxlat[k] - la])
+        return pa.table({
+            "page_id": pa.array(pid[any_hit]),
+            "admin_id": pa.array(k.astype(np.int64)),
+            "d_edge": pa.array(d.astype(np.int64))})
+
+    return _geo_pages(sf_dir).map_batches(dist, batch_format="pyarrow")
+
+
+from oma_ray.synth import sql_boxes_cte as _sql_boxes  # noqa: E402
+
+SQL_Q325 = f"""
+WITH g AS ({_SQL_GEO_DOCS}),
+b AS ({_sql_boxes(64)}),
+hit AS (
+  SELECT g.doc_id AS page_id, g.lon, g.lat, MIN(b.box_id) AS admin_id
+  FROM g JOIN b ON g.lon > b.minlon AND g.lon <= b.maxlon
+               AND g.lat >= b.minlat AND g.lat < b.maxlat
+  GROUP BY 1, 2, 3)
+SELECT h.page_id, CAST(h.admin_id AS BIGINT) AS admin_id,
+       CAST(LEAST(h.lon - b.minlon, b.maxlon - h.lon,
+                  h.lat - b.minlat, b.maxlat - h.lat) AS BIGINT)
+         AS d_edge
+FROM hit h JOIN b ON b.box_id = h.admin_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22518,6 +22585,7 @@ QUERIES = {
     "q322_frequency_cap": q322_frequency_cap,
     "q323_trimmed_mean": q323_trimmed_mean,
     "q324_run_profile": q324_run_profile,
+    "q325_boundary_distance": q325_boundary_distance,
 }
 
 ORACLES = {
@@ -22840,4 +22908,5 @@ ORACLES = {
     "q322_frequency_cap": SQL_Q322,
     "q323_trimmed_mean": SQL_Q323,
     "q324_run_profile": SQL_Q324,
+    "q325_boundary_distance": SQL_Q325,
 }

@@ -1571,3 +1571,31 @@ def test_run_profile_bruteforce(ray_session):
         assert out.loc[uid, "n_runs"] == len(runs)
         assert out.loc[uid, "longest_run"] == max(runs)
         assert out.loc[uid, "n_events"] == len(v)
+
+
+def test_boundary_distance_geometry(ray_session):
+    """q325 on real data: every row's d_edge equals the true min gap to
+    its district's four edges, is >= 0, and matched pages are exactly
+    those inside a box under the half-open rule."""
+    from oma_ray.pipelines.queries import QUERIES
+    from oma_ray.synth import synth_boxes
+
+    out = QUERIES["q325_boundary_distance"](SF).to_pandas().set_index(
+        "page_id")
+    pts = _geo_points(SF)
+    b = synth_boxes(64)
+    matched = set()
+    for r in pts.itertuples():
+        inside = [k for k in range(64)
+                  if b["minlon"][k] < r.lon <= b["maxlon"][k]
+                  and b["minlat"][k] <= r.lat < b["maxlat"][k]]
+        if not inside:
+            continue
+        matched.add(r.page_id)
+        k = min(inside)
+        d = min(r.lon - b["minlon"][k], b["maxlon"][k] - r.lon,
+                r.lat - b["minlat"][k], b["maxlat"][k] - r.lat)
+        assert out.loc[r.page_id, "admin_id"] == k
+        assert out.loc[r.page_id, "d_edge"] == d
+        assert d >= 0
+    assert set(out.index) == matched and matched
