@@ -22260,6 +22260,83 @@ FROM hit h JOIN b ON b.box_id = h.admin_id
 """
 
 
+def q326_emd_matrix(sf_dir: str):
+    """1-D Wasserstein (earth-mover) distance matrix between source
+    length distributions — the transport-metric complement of q308's
+    histogram intersection: per source pair (a < b),
+    EMD = Σ_k |cumA_k − cumB_k| · (v_{k+1} − v_k) over the merged
+    n_chars support, with per-mille integer shares (floor) so both
+    engines agree bit-for-bit.  Units: per-mille mass × chars.
+
+    Shape (100 TB): ONE (source, n_chars)-keyed grouped-counts
+    exchange (bounded-domain histogram regime, q279); the S×V share
+    grid is driver-sized and the S² pairing is driver math — rows
+    never move twice."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch.column("source").to_numpy(
+                zero_copy_only=False),
+            "n_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+
+    hist = (_grouped_sums(ds, ["source", "n_chars"], partial, ["cnt"])
+            .to_pandas())
+    totals = hist.groupby("source")["cnt"].sum()
+    hist["share"] = hist["cnt"] * 1000 // hist["source"].map(totals)
+    vals = np.sort(hist["n_chars"].unique())
+    piv = (hist.pivot(index="n_chars", columns="source", values="share")
+           .reindex(vals).fillna(0).astype(np.int64))
+    cum = piv.cumsum()
+    gaps = np.diff(vals)
+    srcs = sorted(piv.columns)
+    rows = []
+    for i, a in enumerate(srcs):
+        ca = cum[a].to_numpy()
+        for b in srcs[i + 1:]:
+            cb = cum[b].to_numpy()
+            emd = int((np.abs(ca[:-1] - cb[:-1]) * gaps).sum())
+            rows.append((a, b, emd))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "emd_mc"])
+
+
+SQL_Q326 = """
+WITH c AS (
+  SELECT source, n_chars, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT source, SUM(cnt) AS total FROM c GROUP BY 1),
+grid AS (
+  SELECT s.source, v.n_chars
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT DISTINCT n_chars FROM documents) v),
+sh AS (
+  SELECT grid.source, grid.n_chars,
+         COALESCE(c.cnt, 0) * 1000 // t.total AS share
+  FROM grid
+  LEFT JOIN c USING (source, n_chars)
+  JOIN t ON t.source = grid.source),
+cum AS (
+  SELECT source, n_chars,
+         SUM(share) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS UNBOUNDED PRECEDING) AS cm,
+         LEAD(n_chars) OVER (PARTITION BY source ORDER BY n_chars)
+           AS nxt
+  FROM sh),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(ABS(a.cm - b.cm) * (a.nxt - a.n_chars)) AS emd_mc
+  FROM cum a JOIN cum b
+    ON a.n_chars = b.n_chars AND a.source < b.source
+  WHERE a.nxt IS NOT NULL
+  GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(emd_mc AS BIGINT) AS emd_mc FROM p
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -22586,6 +22663,7 @@ QUERIES = {
     "q323_trimmed_mean": q323_trimmed_mean,
     "q324_run_profile": q324_run_profile,
     "q325_boundary_distance": q325_boundary_distance,
+    "q326_emd_matrix": q326_emd_matrix,
 }
 
 ORACLES = {
@@ -22909,4 +22987,5 @@ ORACLES = {
     "q323_trimmed_mean": SQL_Q323,
     "q324_run_profile": SQL_Q324,
     "q325_boundary_distance": SQL_Q325,
+    "q326_emd_matrix": SQL_Q326,
 }

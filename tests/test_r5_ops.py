@@ -1599,3 +1599,42 @@ def test_boundary_distance_geometry(ray_session):
         assert out.loc[r.page_id, "d_edge"] == d
         assert d >= 0
     assert set(out.index) == matched and matched
+
+
+def test_emd_matrix_metric_properties(ray_session):
+    """q326 on real data: brute per-pair cum-diff replay matches, EMD
+    is symmetric-by-construction (a<b canonical), zero iff identical
+    per-mille histograms, and triangle inequality holds on a sampled
+    triple set."""
+    import pyarrow.parquet as pq
+
+    from oma_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["q326_emd_matrix"](SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars"]).to_pandas()
+    vals = np.sort(docs["n_chars"].unique())
+    gaps = np.diff(vals)
+    cums = {}
+    for s, g in docs.groupby("source"):
+        vc = g["n_chars"].value_counts()
+        share = np.array([int(vc.get(v, 0)) * 1000 // len(g)
+                          for v in vals], dtype=np.int64)
+        cums[s] = np.cumsum(share)
+    got = {(r.source_a, r.source_b): r.emd_mc
+           for r in out.itertuples()}
+    srcs = sorted(cums)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            exp = int((np.abs(cums[a][:-1] - cums[b][:-1]) * gaps).sum())
+            assert got[(a, b)] == exp
+
+    def emd(a, b):
+        if a == b:
+            return 0
+        return got[(min(a, b), max(a, b))]
+
+    rng = np.random.RandomState(2)
+    for _ in range(20):
+        a, b, c = rng.choice(srcs, 3, replace=False)
+        assert emd(a, c) <= emd(a, b) + emd(b, c)
